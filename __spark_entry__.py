@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship parse→enrich→route→aggregate pipeline smoke.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query (same column aliases).
+
+The ``seq_*`` queries run over the BASELINE input table (doc_id, tokens,
+n_tok, source) synthesized deterministically at N_SEQ rows — the oracle SQL
+re-synthesizes the identical table closed-form via DuckDB ``range()``
+(vector_spark.tables.sequences_sql), so both engines compute over the same
+input with no external data. The ``ev_*`` / ``doc_*`` / TPC-H queries run
+over the driver's parquet testdata views.
 """
 
 from __future__ import annotations
@@ -12,27 +17,508 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark import pipeline, tables
+
+N_SEQ = 20_000  # sequences rows for seq_* queries (driver runs at sf0.01)
+
+
+def _seq(spark: SparkSession) -> DataFrame:
+    return tables.sequences(spark, N_SEQ)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# entry: flagship pipeline smoke on sf0.001
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline over the sequences table + a sanity join
+    against the sf0.001 testdata (loads parquet as mandated)."""
+    ev = tables.load(spark, "/root/testdata/sf0.001", "events")
+    n = max(ev.count(), 1000)  # scale flagship input to testdata size
+    out = pipeline.run_pipeline(
+        tables.sequences(spark, int(n)), tables.enrich_sources(spark)
+    )
+    return out["agg"]
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+_SEQ_CTE = f"WITH seq AS ({tables.sequences_sql(N_SEQ)})"
+_SEQ_FULL_CTE = f"WITH seq AS ({tables.sequences_sql(N_SEQ, with_derived=True)})"
+_DIM_CTE = f"dim AS ({tables.enrich_sources_sql()})"
+
+
+# --- flagship pipeline over sequences --------------------------------------
+
+
+@_q(
+    "seq_pipeline_agg",
+    f"""
+    {_SEQ_FULL_CTE},
+    {_DIM_CTE},
+    parsed AS (
+      SELECT seq.*, dim.team, dim.tier,
+             regexp_extract(message, '^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+) ([^"]*)" (\\d+) (\\S+)', 8)::INT AS status
+      FROM seq LEFT JOIN dim USING (source)
+    ),
+    routed AS (
+      SELECT *, 'errors' AS route FROM parsed WHERE status >= 400
+      UNION ALL
+      SELECT *, 'alerts' AS route FROM parsed WHERE status >= 500 AND tier = 1
+      UNION ALL
+      SELECT *, 'redirects' AS route FROM parsed WHERE status >= 300 AND status < 400
+      UNION ALL
+      SELECT *, 'ok' AS route FROM parsed WHERE status < 300
+    )
+    SELECT route, source, team,
+           strftime(time_bucket(INTERVAL 60 SECOND, event_ts),
+                    '%Y-%m-%d %H:%M:%S') AS ws,
+           COUNT(*) AS events, SUM(n_tok)::BIGINT AS tokens_total
+    FROM routed
+    GROUP BY 1,2,3,4
+    """,
+)
+def seq_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = pipeline.run_pipeline(_seq(spark), tables.enrich_sources(spark))
+    return out["agg"].select(
+        "route",
+        "source",
+        "team",
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "events",
+        "tokens_total",
+    )
+
+
+@_q(
+    "seq_routed_tokens",
+    f"""
+    {_SEQ_FULL_CTE},
+    {_DIM_CTE},
+    parsed AS (
+      SELECT seq.*, dim.tier,
+             regexp_extract(message, '^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+) ([^"]*)" (\\d+) (\\S+)', 8)::INT AS status
+      FROM seq LEFT JOIN dim USING (source)
+    ),
+    routed AS (
+      SELECT *, 'errors' AS route FROM parsed WHERE status >= 400
+      UNION ALL
+      SELECT *, 'alerts' AS route FROM parsed WHERE status >= 500 AND tier = 1
+      UNION ALL
+      SELECT *, 'redirects' AS route FROM parsed WHERE status >= 300 AND status < 400
+      UNION ALL
+      SELECT *, 'ok' AS route FROM parsed WHERE status < 300
+    )
+    SELECT route, doc_id, array_to_string(tokens, ',') AS toks, n_tok
+    FROM routed
+    """,
+)
+def seq_routed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The routed-row token-array equality invariant (BASELINE.json metric):
+    every routed row carries its exact token array (digested to a string for
+    engine-portable comparison)."""
+    out = pipeline.run_pipeline(_seq(spark), tables.enrich_sources(spark))
+    return out["routed"].select(
+        "route", "doc_id", F.array_join("tokens", ",").alias("toks"), "n_tok"
+    )
+
+
+@_q(
+    "seq_parse_common_log",
+    f"""
+    {_SEQ_FULL_CTE}
+    SELECT doc_id,
+      regexp_extract(message, '^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+) ([^"]*)" (\\d+) (\\S+)', 1) AS host,
+      regexp_extract(message, '^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+) ([^"]*)" (\\d+) (\\S+)', 3) AS "user",
+      regexp_extract(message, '^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+) ([^"]*)" (\\d+) (\\S+)', 6) AS path,
+      regexp_extract(message, '^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+) ([^"]*)" (\\d+) (\\S+)', 8)::INT AS status,
+      regexp_extract(message, '^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+) ([^"]*)" (\\d+) (\\S+)', 9)::BIGINT AS bytes
+    FROM seq
+    """,
+)
+def seq_parse_common_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remap/parse stage alone: grok-class regex parse, JVM fast path
+    (≙ reference parse_common_log / regex_parsing benchmark)."""
+    parsed = pipeline.parse_stage(_seq(spark))
+    return parsed.select("doc_id", "host", "user", "path", "status", "bytes")
+
+
+# --- transforms over the events testdata -----------------------------------
+
+
+@_q(
+    "ev_filter",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_type = 'error' AND value > 5.0
+    """,
+)
+def ev_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import filter_events
+
+    ev = _events(spark, sf_dir)
+    return filter_events(
+        ev, '.event_type == "error" && .value > 5.0'
+    ).select("event_id", "event_type", "value")
+
+
+@_q(
+    "ev_exclusive_route",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 'errors'
+                WHEN value >= 15.0 THEN 'high_value'
+                WHEN event_type IN ('purchase','signup') THEN 'conversions'
+                ELSE '_unmatched' END AS route
+    FROM events
+    """,
+)
+def ev_exclusive_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import exclusive_route
+
+    ev = _events(spark, sf_dir)
+    routed = exclusive_route(
+        ev,
+        {
+            "errors": '.event_type == "error"',
+            "high_value": F.col("value") >= 15.0,
+            "conversions": F.col("event_type").isin("purchase", "signup"),
+        },
+    )
+    return routed.select("event_id", "route")
+
+
+@_q(
+    "ev_route_nonexclusive",
+    """
+    SELECT event_id, 'errors' AS route FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT event_id, 'high_value' AS route FROM events WHERE value >= 15.0
+    UNION ALL
+    SELECT event_id, '_unmatched' AS route FROM events
+    WHERE NOT (event_type = 'error') AND NOT (value >= 15.0)
+    """,
+)
+def ev_route_nonexclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators.route import route_label
+
+    ev = _events(spark, sf_dir)
+    return route_label(
+        ev,
+        {"errors": '.event_type == "error"', "high_value": F.col("value") >= 15.0},
+    ).select("event_id", "route")
+
+
+@_q(
+    "ev_dedupe",
+    """
+    SELECT user_id, event_type, event_id
+    FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def ev_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import dedupe
+
+    ev = _events(spark, sf_dir)
+    return dedupe(
+        ev, match=["user_id", "event_type"], order_by=["ts", "event_id"]
+    ).select("user_id", "event_type", "event_id")
+
+
+@_q(
+    "ev_throttle",
+    """
+    SELECT event_id
+    FROM (
+      SELECT event_id,
+             row_number() OVER (
+               PARTITION BY event_type, time_bucket(INTERVAL 3600 SECOND, ts)
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+)
+def ev_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import throttle
+
+    ev = _events(spark, sf_dir)
+    return throttle(
+        ev,
+        threshold=5,
+        window_secs=3600,
+        key_field="event_type",
+        ts_col="ts",
+        tie_breakers=["event_id"],
+    ).select("event_id")
+
+
+@_q(
+    "ev_sample_counter",
+    """
+    SELECT event_id, event_type, 10 AS sample_rate
+    FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn % 10 = 1
+    """,
+)
+def ev_sample_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import sample
+
+    ev = _events(spark, sf_dir)
+    return sample(
+        ev, rate=10, group_by=["event_type"], order_by="event_id"
+    ).select("event_id", "event_type", "sample_rate")
+
+
+@_q(
+    "ev_aggregate_tumbling",
+    """
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL 600 SECOND, ts),
+                    '%Y-%m-%d %H:%M:%S') AS ws,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total,
+           ROUND(AVG(value), 4) AS mean
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev_aggregate_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type", F.window("ts", "600 seconds").alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.avg("value"), 4).alias("mean"),
+        )
+        .select(
+            "event_type",
+            F.date_format("__w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "n",
+            "total",
+            "mean",
+        )
+    )
+
+
+@_q(
+    "ev_log_to_metric",
+    """
+    SELECT 'events_value_total' AS name, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS counter_value
+    FROM events GROUP BY 2
+    """,
+)
+def ev_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import log_to_metric
+
+    ev = _events(spark, sf_dir)
+    metrics = log_to_metric(
+        ev,
+        metric_type="counter",
+        name="events_value_total",
+        field="value",
+        increment_by_value=True,
+        tag_cols=["event_type"],
+        ts_col="ts",
+    )
+    return metrics.groupBy("name", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("counter_value"),
+    )
+
+
+@_q(
+    "ev_parse_json_props",
+    """
+    SELECT event_id, json_extract(props, '$.k')::INT AS k
+    FROM events
+    """,
+)
+def ev_parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@_q(
+    "ev_reduce_merge",
+    """
+    SELECT user_id,
+           COUNT(*) AS events_count,
+           ROUND(SUM(value), 2) AS value_sum,
+           MAX(value) AS value_max,
+           MIN(value) AS value_min,
+           arg_min(event_type, event_id) AS first_type,
+           arg_max(event_type, event_id) AS last_type
+    FROM events GROUP BY user_id
+    """,
+)
+def ev_reduce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import reduce_events
+
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("value_sum", F.col("value"))
+        .withColumn("value_max", F.col("value"))
+        .withColumn("value_min", F.col("value"))
+        .withColumn("first_type", F.col("event_type"))
+        .withColumn("last_type", F.col("event_type"))
+    )
+    out = reduce_events(
+        ev,
+        group_by=["user_id"],
+        merge_strategies={
+            "value_sum": "sum",
+            "value_max": "max",
+            "value_min": "min",
+            "first_type": "discard",
+            "last_type": "retain",
+        },
+        order_by="event_id",
+    )
+    return out.select(
+        "user_id",
+        "events_count",
+        F.round("value_sum", 2).alias("value_sum"),
+        "value_max",
+        "value_min",
+        "first_type",
+        "last_type",
+    )
+
+
+@_q(
+    "ev_enrich",
+    """
+    WITH dim AS (
+      SELECT * FROM (VALUES
+        ('click', 'engagement', 1.0), ('view', 'engagement', 0.5),
+        ('purchase', 'revenue', 10.0), ('signup', 'growth', 5.0),
+        ('error', 'ops', 0.0)
+      ) AS t(event_type, category, weight)
+    )
+    SELECT e.event_id, d.category, ROUND(e.value * d.weight, 4) AS weighted
+    FROM events e LEFT JOIN dim d USING (event_type)
+    """,
+)
+def ev_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators import enrich
+
+    ev = _events(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement", 1.0),
+            ("view", "engagement", 0.5),
+            ("purchase", "revenue", 10.0),
+            ("signup", "growth", 5.0),
+            ("error", "ops", 0.0),
+        ],
+        "event_type string, category string, weight double",
+    )
+    out = enrich(ev, dim, on=["event_type"], validate=True)
+    return out.select(
+        "event_id",
+        "category",
+        F.round(F.col("value") * F.col("weight"), 4).alias("weighted"),
+    )
+
+
+# --- TPC-H-style sanity (aggregation/join completeness) --------------------
+
+
+@_q(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "topk_per_group",
+    """
+    SELECT event_type, event_id, value
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,230 @@
+"""VRL parse_* family → Column builders.
+
+Parity targets are the VRL function docs (reference
+website/cue/reference/remap/functions/parse_*.cue). Every function here
+returns a struct/map Column; misses yield nulls (the caller's remap error
+channel decides drop/reroute). Built-in JVM expressions wherever possible;
+grok-class parses delegate to vector_spark.functions.grok.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vector_spark.functions.grok import parse_grok  # noqa: F401  (re-export)
+
+# --- structured formats ------------------------------------------------------
+
+
+def parse_json(col: Column, schema: str) -> Column:
+    """parse_json with a declared schema (schema-first engine; use
+    ``parse_json_map`` for open objects)."""
+    return F.from_json(col, schema)
+
+
+def parse_json_map(col: Column) -> Column:
+    """parse_json for open/unknown objects → map<string,string>."""
+    return F.from_json(col, "map<string,string>")
+
+
+def parse_csv(col: Column, schema: str, sep: str = ",") -> Column:
+    return F.from_csv(col, schema, {"sep": sep})
+
+
+def parse_key_value(
+    col: Column, pair_sep: str = " ", kv_sep: str = "="
+) -> Column:
+    """parse_key_value / parse_logfmt → map<string,string>.
+
+    JVM-side ``str_to_map``; quoted values with embedded separators need the
+    grok path instead.
+    """
+    return F.str_to_map(col, F.lit(pair_sep), F.lit(kv_sep))
+
+
+parse_logfmt = parse_key_value
+
+
+def parse_url(col: Column) -> Column:
+    """parse_url → struct(scheme, host, port, path, query, fragment)."""
+    return F.struct(
+        F.parse_url(col, F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url(col, F.lit("HOST")).alias("host"),
+        F.parse_url(col, F.lit("PORT")).cast("int").alias("port"),
+        F.parse_url(col, F.lit("PATH")).alias("path"),
+        F.parse_url(col, F.lit("QUERY")).alias("query"),
+        F.parse_url(col, F.lit("REF")).alias("fragment"),
+    )
+
+
+def parse_query_string(col: Column) -> Column:
+    """parse_query_string → map<string,string> (``a=1&b=2``)."""
+    return F.str_to_map(col, F.lit("&"), F.lit("="))
+
+
+# --- log-line formats (regex family — the perf-critical core) ---------------
+
+# Apache/nginx common log: host ident user [time] "method path proto" status bytes
+COMMON_LOG_RE = (
+    r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" (\d{3}) (\S+)'
+)
+# combined adds "referrer" "agent"
+COMBINED_LOG_RE = COMMON_LOG_RE + r' "([^"]*)" "([^"]*)"'
+
+
+def parse_common_log(col: Column, ts_format: str | None = None) -> Column:
+    """parse_common_log / parse_apache_log(common) → typed struct.
+
+    Pure JVM ``regexp_extract`` (whole-stage codegen; this is the hot path
+    the reference benchmarks at 13.2 MiB/s — see BASELINE.md §1).
+    """
+    g = lambda i: F.regexp_extract(col, COMMON_LOG_RE, i)  # noqa: E731
+    ts = g(4)
+    return F.struct(
+        F.nullif(g(1), F.lit("")).alias("host"),
+        F.nullif(g(2), F.lit("")).alias("ident"),
+        F.nullif(g(3), F.lit("")).alias("user"),
+        (F.to_timestamp(ts, ts_format) if ts_format else F.to_timestamp(ts)).alias("timestamp"),
+        F.nullif(g(5), F.lit("")).alias("method"),
+        F.nullif(g(6), F.lit("")).alias("path"),
+        F.nullif(g(7), F.lit("")).alias("protocol"),
+        F.nullif(g(8), F.lit("")).cast("int").alias("status"),
+        F.when(g(9) == "-", None).otherwise(F.nullif(g(9), F.lit(""))).cast("long").alias("bytes"),
+    )
+
+
+def parse_apache_log(col: Column, format: str = "common", ts_format: str | None = None) -> Column:
+    if format == "common":
+        return parse_common_log(col, ts_format)
+    if format == "combined":
+        g = lambda i: F.regexp_extract(col, COMBINED_LOG_RE, i)  # noqa: E731
+        base = parse_common_log(col, ts_format)
+        return base.withField("referrer", F.nullif(g(10), F.lit(""))).withField(
+            "agent", F.nullif(g(11), F.lit(""))
+        )
+    raise ValueError(f"unsupported apache log format {format!r}")
+
+
+parse_nginx_log = parse_common_log  # nginx 'combined'/'main' share the shape
+
+# RFC 5424: <pri>version ts hostname app-name procid msgid [sd] msg
+SYSLOG_5424_RE = (
+    r"^<(\d+)>(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) (?:(\[.*?\]|-) )?(.*)$"
+)
+# RFC 3164: <pri>Mmm dd hh:mm:ss host tag[pid]: msg
+SYSLOG_3164_RE = (
+    r"^<(\d+)>(\w{3} +\d{1,2} \d{2}:\d{2}:\d{2}) (\S+) ([^:\[\s]+)(?:\[(\d+)\])?:? ?(.*)$"
+)
+
+
+def parse_syslog(col: Column) -> Column:
+    """parse_syslog (RFC 5424) → typed struct; facility/severity decoded
+    from PRI (pri = facility*8 + severity)."""
+    g = lambda i: F.regexp_extract(col, SYSLOG_5424_RE, i)  # noqa: E731
+    pri = F.nullif(g(1), F.lit("")).cast("int")
+    return F.struct(
+        (pri / 8).cast("int").alias("facility"),
+        (pri % 8).cast("int").alias("severity"),
+        F.nullif(g(2), F.lit("")).cast("int").alias("version"),
+        F.to_timestamp(F.nullif(g(3), F.lit(""))).alias("timestamp"),
+        F.when(g(4) == "-", None).otherwise(F.nullif(g(4), F.lit(""))).alias("hostname"),
+        F.when(g(5) == "-", None).otherwise(F.nullif(g(5), F.lit(""))).alias("appname"),
+        F.when(g(6) == "-", None).otherwise(F.nullif(g(6), F.lit(""))).alias("procid"),
+        F.when(g(7) == "-", None).otherwise(F.nullif(g(7), F.lit(""))).alias("msgid"),
+        F.when(g(8) == "-", None).otherwise(F.nullif(g(8), F.lit(""))).alias("structured_data"),
+        F.nullif(g(9), F.lit("")).alias("message"),
+    )
+
+
+def parse_bsd_syslog(col: Column) -> Column:
+    """parse_syslog (RFC 3164 / BSD)."""
+    g = lambda i: F.regexp_extract(col, SYSLOG_3164_RE, i)  # noqa: E731
+    pri = F.nullif(g(1), F.lit("")).cast("int")
+    return F.struct(
+        (pri / 8).cast("int").alias("facility"),
+        (pri % 8).cast("int").alias("severity"),
+        F.nullif(g(2), F.lit("")).alias("timestamp_raw"),
+        F.nullif(g(3), F.lit("")).alias("hostname"),
+        F.nullif(g(4), F.lit("")).alias("appname"),
+        F.nullif(g(5), F.lit("")).cast("int").alias("procid"),
+        F.nullif(g(6), F.lit("")).alias("message"),
+    )
+
+
+def parse_regex(col: Column, pattern: str, fields: list[str]) -> Column:
+    """parse_regex: named extraction via JVM regexp_extract per group.
+
+    ``fields[i]`` names capture group i+1. Null on miss.
+    """
+    return F.struct(
+        *[
+            F.nullif(F.regexp_extract(col, pattern, i + 1), F.lit("")).alias(f)
+            for i, f in enumerate(fields)
+        ]
+    )
+
+
+def parse_regex_all(col: Column, pattern: str) -> Column:
+    """parse_regex_all: every match of group 1 → array<string>."""
+    return F.regexp_extract_all(col, F.lit(pattern), F.lit(1))
+
+
+# --- scalars -----------------------------------------------------------------
+
+
+def parse_int(col: Column, base: int = 10) -> Column:
+    if base == 10:
+        return col.cast("long")
+    if base == 16:
+        return F.conv(F.regexp_replace(col, "^0[xX]", ""), 16, 10).cast("long")
+    if base == 8:
+        return F.conv(col, 8, 10).cast("long")
+    raise ValueError("base must be 8, 10 or 16")
+
+
+def parse_float(col: Column) -> Column:
+    return col.cast("double")
+
+
+def parse_timestamp(col: Column, format: str | None = None) -> Column:
+    return F.to_timestamp(col, format) if format else F.to_timestamp(col)
+
+
+def parse_duration(col: Column, unit: str = "s") -> Column:
+    """parse_duration: '300ms' / '2.5 s' / '1m' / '1h' → seconds (double),
+    then converted to ``unit`` (s|ms|us|ns|m|h)."""
+    num = F.regexp_extract(col, r"([0-9]*\.?[0-9]+)", 1).cast("double")
+    u = F.regexp_extract(col, r"[0-9.]+\s*([a-zµ]+)", 1)
+    secs = (
+        F.when(u == "ns", num / 1e9)
+        .when(u.isin("us", "µs"), num / 1e6)
+        .when(u == "ms", num / 1e3)
+        .when(u == "s", num)
+        .when(u == "m", num * 60)
+        .when(u == "h", num * 3600)
+        .when(u == "d", num * 86400)
+    )
+    factor = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9, "m": 1 / 60, "h": 1 / 3600}[unit]
+    return secs * factor
+
+
+def parse_user_agent(col: Column) -> Column:
+    """parse_user_agent (``fast`` mode): browser/os family via regex
+    heuristics (the reference's full device DB is out of scope)."""
+    browser = (
+        F.when(col.rlike(r"Firefox/"), "Firefox")
+        .when(col.rlike(r"Edg(e|A|iOS)?/"), "Edge")
+        .when(col.rlike(r"OPR/|Opera"), "Opera")
+        .when(col.rlike(r"Chrome/"), "Chrome")
+        .when(col.rlike(r"Safari/"), "Safari")
+        .when(col.rlike(r"curl/"), "curl")
+    )
+    os_ = (
+        F.when(col.rlike(r"Windows NT"), "Windows")
+        .when(col.rlike(r"Android"), "Android")
+        .when(col.rlike(r"iPhone|iPad|iOS"), "iOS")
+        .when(col.rlike(r"Mac OS X"), "macOS")
+        .when(col.rlike(r"Linux"), "Linux")
+    )
+    return F.struct(browser.alias("browser_family"), os_.alias("os_family"))

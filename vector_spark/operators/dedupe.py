@@ -1,0 +1,51 @@
+"""dedupe — drop events whose field-fingerprint was already seen.
+
+Parity: reference src/transforms/dedupe/transform.rs:69-139.
+- fingerprint = the values of ``fields.match`` (default
+  ``[timestamp, host, message]``, dedupe/mod.rs:30-82) or all fields except
+  ``fields.ignore`` (transform.rs:91-126);
+- type-aware: int ``1`` ≠ string ``"1"`` (transform.rs:54-67) — free in
+  Spark, where columns are typed;
+- the reference keeps the FIRST occurrence (LRU cache of 5000 entries,
+  dedupe/mod.rs:24-28 — an *approximation* forced by bounded memory; the
+  batch engine computes the exact first-occurrence set).
+
+Batch: ``row_number() over (partition by fingerprint order by order_by) == 1``
+when order matters, else ``dropDuplicates`` (cheaper: map-side partial
+aggregation, no global sort). Streaming parity: ``dropDuplicates`` +
+watermark ≙ LRU/state TTL (vector_spark.streaming).
+
+Scale: one shuffle on the fingerprint columns; partial (map-side) dedupe
+makes the shuffle carry only distinct keys per task — the right plan at 10^12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedupe(
+    df: DataFrame,
+    match: list[str] | None = None,
+    ignore: list[str] | None = None,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Keep one event per distinct value-tuple of the match fields.
+
+    ``match`` and ``ignore`` are mutually exclusive (reference config
+    semantics, dedupe/mod.rs:30-52). With ``order_by``, keeps the first row
+    in that order (exact reference keep-first semantics); without, keeps an
+    arbitrary representative (cheapest plan — use when any witness works).
+    """
+    if match and ignore:
+        raise ValueError("match and ignore are mutually exclusive")
+    keys = match if match else [c for c in df.columns if c not in set(ignore or [])]
+    if order_by:
+        w = Window.partitionBy(*keys).orderBy(*order_by)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return df.dropDuplicates(keys)

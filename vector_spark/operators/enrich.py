@@ -1,0 +1,82 @@
+"""enrich — lookup-join enrichment tables (the reference's only join).
+
+Parity: reference lib/enrichment/src/{lib.rs,tables.rs} — ``find_table_row``
+with ``Condition::Equals{field,value}`` and ``Condition::BetweenDates{from,to}``,
+optional case-insensitive match, optional ``select`` projection, and the
+0-or-1-row contract (lib.rs:40-51: error when zero or multiple rows match).
+Exposed to VRL as ``get_enrichment_table_record`` /
+``find_enrichment_table_records``.
+
+Spark-first: a **broadcast hash join** — the dimension is small by
+construction (an in-memory CSV/geoip table in the reference), so the join is
+shuffle-free on the fact side; the "exactly one row" contract becomes a
+load-time key-uniqueness validation instead of a per-row error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def validate_unique_key(dim: DataFrame, keys: list[str]) -> None:
+    """Enforce the reference's one-row-per-key contract at load time."""
+    dupes = dim.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    if dupes:
+        raise ValueError(f"enrichment table has duplicate keys on {keys}")
+
+
+def enrich(
+    df: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    select: list[str] | None = None,
+    case_insensitive: bool = False,
+    required: bool = False,
+    validate: bool = False,
+) -> DataFrame:
+    """Equality-lookup enrichment via broadcast left join.
+
+    ``required=True`` drops rows with no match (≙ the VRL pattern of
+    aborting on lookup failure); default keeps them with null enrichment.
+    """
+    if validate:
+        validate_unique_key(dim, on)
+    if select:
+        dim = dim.select(*on, *select)
+    if case_insensitive:
+        fold = {k: f"__k_{k}" for k in on}
+        left = df
+        right = dim
+        for k, fk in fold.items():
+            left = left.withColumn(fk, F.lower(F.col(k)))
+            right = right.withColumn(fk, F.lower(F.col(k))).drop(k)
+        joined = left.join(F.broadcast(right), on=list(fold.values()), how="left")
+        joined = joined.drop(*fold.values())
+    else:
+        joined = df.join(F.broadcast(dim), on=on, how="left")
+    if required:
+        probe = (select or [c for c in dim.columns if c not in on])[0]
+        joined = joined.filter(F.col(probe).isNotNull())
+    return joined
+
+
+def enrich_between_dates(
+    df: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    ts_col: str,
+    from_col: str = "from_ts",
+    to_col: str = "to_ts",
+) -> DataFrame:
+    """Date-range lookup (``Condition::BetweenDates``): equality keys plus
+    ``from_ts <= ts < to_ts``. Broadcast theta-join — shuffle-free; ranges
+    are expected non-overlapping per key (validated upstream)."""
+    cond = F.lit(True)
+    for k in on:
+        cond = cond & (df[k] == dim[k])
+    cond = cond & (df[ts_col] >= dim[from_col]) & (df[ts_col] < dim[to_col])
+    out = df.join(F.broadcast(dim), on=cond, how="left")
+    for k in on:
+        out = out.drop(dim[k])
+    return out

@@ -1,0 +1,114 @@
+"""reduce — collapse groups of events into one merged event.
+
+Parity: reference src/transforms/reduce/transform.rs:56-376.
+- group key = values of ``group_by`` fields (Discriminant,
+  lib/vector-core/src/event/discriminant.rs:12-37);
+- per-field merge strategies (merge_strategy.rs:15-53):
+  ``discard`` (first), ``retain`` (last), ``sum``, ``max``, ``min``,
+  ``array`` (collect), ``concat`` (join with space), ``concat_newline``,
+  ``concat_raw``, ``shortest_array``, ``longest_array``, ``flat_unique``;
+  default: first value for scalars (transform.rs:94-115);
+- session close: ``expire_after_ms`` staleness / ``ends_when`` condition /
+  ``max_events`` — wall-clock constructs in the reference (SURVEY.md §2.8);
+  the batch engine sessionizes on a DATA timestamp via gap-based
+  sessionization (lag + cumulative-sum of gap>expire), which is the
+  event-time superset of the reference's processing-time behavior.
+
+Scale: one shuffle on (group keys [+ session id]). ``first``/``last`` need a
+deterministic order — we order by ``order_by`` inside each group using
+max_by/min_by (no per-group sort, no window pass over every row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_spark.conditions import ConditionLike, to_column
+
+MERGE_STRATEGIES = (
+    "discard retain sum max min array concat concat_newline concat_raw "
+    "shortest_array longest_array flat_unique"
+).split()
+
+
+def _agg_for(field: str, strategy: str, order: str) -> Column:
+    c, o = F.col(field), F.col(order)
+    if strategy == "discard":
+        return F.min_by(c, o)
+    if strategy == "retain":
+        return F.max_by(c, o)
+    if strategy == "sum":
+        return F.sum(c)
+    if strategy == "max":
+        return F.max(c)
+    if strategy == "min":
+        return F.min(c)
+    if strategy == "array":
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct(o.alias("o"), c.alias("v")))),
+            lambda s: s["v"],
+        )
+    if strategy in ("concat", "concat_newline", "concat_raw"):
+        sep = {"concat": " ", "concat_newline": "\n", "concat_raw": ""}[strategy]
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(o.alias("o"), c.alias("v")))),
+                lambda s: s["v"],
+            ),
+            sep,
+        )
+    if strategy == "shortest_array":
+        return F.min_by(c, F.size(c))
+    if strategy == "longest_array":
+        return F.max_by(c, F.size(c))
+    if strategy == "flat_unique":
+        return F.array_distinct(F.flatten(F.collect_list(c)))
+    raise ValueError(f"unknown merge strategy {strategy!r}")
+
+
+def reduce_events(
+    df: DataFrame,
+    group_by: list[str],
+    merge_strategies: dict[str, str],
+    order_by: str,
+    expire_after_secs: float | None = None,
+    ts_col: str = "event_ts",
+    ends_when: ConditionLike | None = None,
+    count_col: str | None = "events_count",
+) -> DataFrame:
+    """Merge each group into one row; optionally sessionize first.
+
+    ``order_by``: column defining event order within a group (the reference
+    uses arrival order; batch needs an explicit data column).
+    ``expire_after_secs``: gap-based sessionization — a new session starts
+    when the gap since the previous event in the group exceeds this.
+    ``ends_when``: a matching event closes the current session (the closer is
+    INCLUDED in the closing session, reference transform.rs:258-304).
+    """
+    keys = list(group_by)
+    if expire_after_secs is not None or ends_when is not None:
+        w = Window.partitionBy(*keys).orderBy(order_by)
+        boundary = F.lit(False)
+        if expire_after_secs is not None:
+            gap = F.unix_timestamp(F.col(ts_col)) - F.lag(
+                F.unix_timestamp(F.col(ts_col))
+            ).over(w)
+            boundary = boundary | (gap > expire_after_secs)
+        if ends_when is not None:
+            # previous event ended a session → this row starts a new one
+            prev_end = F.lag(to_column(ends_when, df).cast("int"), 1, 0).over(w)
+            boundary = boundary | (prev_end == 1)
+        df = df.withColumn(
+            "session_id",
+            F.sum(boundary.cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        keys = keys + ["session_id"]
+    aggs = [
+        _agg_for(f, s, order_by).alias(f) for f, s in merge_strategies.items()
+    ]
+    if count_col:
+        aggs.append(F.count(F.lit(1)).alias(count_col))
+    return df.groupBy(*keys).agg(*aggs)

@@ -1,0 +1,48 @@
+"""sample — forward 1-in-N events, deterministically.
+
+Parity: reference src/transforms/sample/transform.rs:50-142.
+- keyed mode: keep iff ``hash(key) % rate == 0`` (reference uses seahash,
+  transform.rs:109-119; we use Spark's xxhash64 — same *semantics*
+  (deterministic 1/N by key), different hash family — divergence documented
+  in SURVEY.md §7 hard-part 1).
+- counter mode: per-``group_by``-bucket modulo counter (transform.rs:107-117)
+  ≙ ``row_number() over (partition by group order by <order>) % rate == 1``.
+- ``exclude`` condition bypasses sampling (transform.rs:52-64).
+- kept events are stamped with ``sample_rate`` (transform.rs:120-136).
+
+Scale: keyed mode is a narrow filter (no shuffle, pushes past scans);
+counter mode shuffles on the group key — prefer keyed mode at the 10^12 tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_spark.conditions import ConditionLike, to_column
+
+
+def sample(
+    df: DataFrame,
+    rate: int,
+    key_field: str | None = None,
+    group_by: list[str] | None = None,
+    order_by: str | None = None,
+    exclude: ConditionLike | None = None,
+    stamp: bool = True,
+) -> DataFrame:
+    if rate <= 0:
+        raise ValueError("rate must be >= 1")
+    if key_field is not None:
+        keep = F.pmod(F.xxhash64(F.col(key_field)), F.lit(rate)) == 0
+    else:
+        if order_by is None:
+            raise ValueError("counter-mode sample needs order_by for determinism")
+        w = Window.partitionBy(*(group_by or [F.lit(1)])).orderBy(order_by)
+        keep = (F.row_number().over(w) % rate) == 1
+    if exclude is not None:
+        keep = keep | to_column(exclude, df)
+    out = df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
+    if stamp:
+        out = out.withColumn("sample_rate", F.lit(rate))
+    return out

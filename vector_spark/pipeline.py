@@ -1,0 +1,105 @@
+"""The flagship end-to-end pipeline: parse → enrich → route → aggregate.
+
+This is the BASELINE.json north-star job over the ``sequences`` input table
+(doc_id, tokens, n_tok, source): derive the synthetic log line, grok/regex
+parse it (JVM regexp fast path), broadcast-join enrichment on ``source``,
+predicate fan-out routing (non-exclusive reference semantics), and per-sink
+tumbling-window aggregates. Mirrors the reference's regression case
+``syslog → remap(parse_regex!) → log_to_metric → metrics sink``
+(regression/cases/syslog_regex_logs2metric_ddmetrics/vector/vector.yaml).
+
+Single-pass design for scale: routing emits ONE labeled frame (posexplode of
+matched routes) rather than N filtered frames, so the expensive parse stage
+runs once; per-sink frames are cheap filters on the label; the aggregate
+stage shuffles once on (route, source, window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark import tables
+from vector_spark.functions.parse import parse_common_log
+from vector_spark.operators.enrich import enrich
+from vector_spark.operators.route import UNMATCHED, route_label
+
+# Non-exclusive routes over parsed fields (reference route.rs:42-49: an event
+# lands in EVERY route it matches — 5xx rows appear in `errors` AND `alerts`).
+# Lazy (Columns need an active session); names are fixed.
+ROUTE_NAMES = ["errors", "alerts", "redirects", "ok"]
+
+
+def ROUTES():
+    return {
+        "errors": F.col("status") >= 400,
+        "alerts": (F.col("status") >= 500) & (F.col("tier") == 1),
+        "redirects": (F.col("status") >= 300) & (F.col("status") < 400),
+        "ok": F.col("status") < 300,
+    }
+
+AGG_WINDOW_SECS = 60
+
+
+def parse_stage(seq: DataFrame) -> DataFrame:
+    """sequences → + event_ts/message → parsed typed columns (flattened)."""
+    df = tables.with_message(seq)  # adds event_ts + message
+    p = parse_common_log(F.col("message"))
+    return df.withColumn("__p", p).select(
+        "*",
+        F.col("__p.host").alias("host"),
+        F.col("__p.user").alias("user"),
+        F.col("__p.path").alias("path"),
+        F.col("__p.status").alias("status"),
+        F.col("__p.bytes").alias("bytes"),
+    ).drop("__p")
+
+
+def enrich_stage(parsed: DataFrame, dim: DataFrame) -> DataFrame:
+    """Broadcast lookup enrichment on the (skewed) ``source`` key — broadcast
+    join means the hot 45%-'app' key never shuffles (SURVEY.md §4 skew row)."""
+    return enrich(parsed, dim, on=["source"])
+
+
+def route_stage(enriched: DataFrame) -> DataFrame:
+    """Single-pass non-exclusive routing → one frame with a ``route`` label."""
+    return route_label(enriched, ROUTES())
+
+
+def aggregate_stage(routed: DataFrame) -> DataFrame:
+    """Per-sink tumbling-window aggregate (≙ log_to_metric + aggregate):
+    counts + token volume per (route, source, team, window)."""
+    return (
+        routed.groupBy(
+            "route",
+            "source",
+            "team",
+            F.window("event_ts", f"{AGG_WINDOW_SECS} seconds").alias("__w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.avg("bytes").alias("bytes_avg"),
+        )
+        .withColumn("window_start", F.col("__w.start"))
+        .drop("__w")
+    )
+
+
+def run_pipeline(seq: DataFrame, dim: DataFrame) -> dict[str, DataFrame]:
+    """Full pipeline; returns the routed event frame and the aggregate frame.
+
+    ``routed`` preserves the full token arrays per routed row (the
+    correctness invariant: routed-row token-array equality); ``agg`` is the
+    per-sink windowed aggregate (count equality invariant).
+    """
+    parsed = parse_stage(seq)
+    enriched = enrich_stage(parsed, dim)
+    routed = route_stage(enriched)
+    return {"routed": routed, "agg": aggregate_stage(routed)}
+
+
+def sink_frames(routed: DataFrame) -> dict[str, DataFrame]:
+    """Split the labeled frame into per-sink frames (cheap label filters)."""
+    names = ROUTE_NAMES + [UNMATCHED]
+    return {n: routed.filter(F.col("route") == n) for n in names}

@@ -1,0 +1,59 @@
+"""SparkSession builder tuned for the pipeline.
+
+Defaults follow the scale posture in SURVEY.md §4/§7: AQE on (runtime
+re-planning + skew-join splitting), Arrow on (vectorized pandas UDF exchange,
+the moral equivalent of the reference's ≤1000-event micro-batches, see
+reference src/source_sender/mod.rs:32), shuffle partitions sized to cores for
+local mode (cluster deployments override via spark-submit --conf).
+
+Timezone is pinned to UTC so timestamps compare bit-stable against external
+oracles (DuckDB is UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size ≙ reference EventArray CHUNK_SIZE semantics (micro-batch
+# unit for vectorized UDF execution); 10k is a good Arrow sweet spot.
+ARROW_BATCH = 10_000
+
+
+def get_spark(
+    app_name: str = "vector_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with pipeline-tuned defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    On a real cluster, pass ``master=None`` and let spark-submit decide.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N]: one shuffle partition per core; cluster: override.
+        n = master[len("local[") : -1] if master.startswith("local[") else str(cpus)
+        shuffle_partitions = cpus if n == "*" else int(n)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
