@@ -1,0 +1,110 @@
+"""Benchmark runner.
+
+Headline: the flagship parse→enrich→route→aggregate pipeline over the
+synthetic sequences table (N_BENCH rows), written to Spark's `noop` sink
+(≙ the reference's blackhole throughput sink). Secondary: every
+``queries()`` entry timed at ``$SPARK_GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "seq_rows": N, "seq_per_sec": ...}
+
+Scaling protocol (north rule, N vs 4N): ``python bench.py --cpus 8`` and
+``--cpus 32`` run the identical job at both parallelism levels;
+``tools/scaling_bench.py`` orchestrates both in subprocesses and writes
+BENCH.md with throughput + efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> int:
+    """Evaluate a DataFrame fully, blackhole-style (no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument("--rows", type=int, default=int(os.environ.get("BENCH_ROWS", 2_000_000)))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    from vector_spark import pipeline, tables
+    from vector_spark.session import get_spark
+
+    spark = get_spark("vector_spark_bench", master=f"local[{args.cpus}]",
+                      shuffle_partitions=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen so the measured run isn't paying first-query cost
+    tables.sequences(spark, 10_000).count()
+
+    # setup (untimed): materialize the input table — the north-rule input is
+    # an Iceberg table SCAN, not on-the-fly generation; parquet stands in for
+    # Iceberg (same columnar pruning/pushdown path)
+    input_path = os.path.join(
+        os.environ.get("BENCH_TMP", "/tmp"), f"vs_bench_seq_{args.rows}"
+    )
+    if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+        tables.sequences(spark, args.rows, partitions=args.cpus * 4).write.mode(
+            "overwrite"
+        ).parquet(input_path)
+
+    # headline: full pipeline from table scan; both sinks forced.
+    # Recompute (not persist) for the agg sink: Catalyst prunes the token
+    # arrays off the agg path, so the second pass reads only the slim
+    # columns — cheaper than persisting fat rows (SURVEY §7.4 decision).
+    dim = tables.enrich_sources(spark)
+    seq = spark.read.parquet(input_path)
+    out = pipeline.run_pipeline(seq, dim)
+    iters = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        force(out["routed"])
+        force(out["agg"])
+        iters.append(time.perf_counter() - t0)
+    headline = min(iters)  # steady-state (first iter pays JIT + page cache)
+
+    qtimes: dict[str, float] = {}
+    if not args.skip_queries:
+        import __spark_entry__ as entrymod
+
+        for name, fn in entrymod.queries().items():
+            t0 = time.perf_counter()
+            force(fn(spark, args.sf_dir))
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e parse->enrich->route->aggregate wall time",
+                "value": round(headline, 3),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "seq_rows": args.rows,
+                "seq_per_sec": round(args.rows / headline),
+                "iters_sec": [round(x, 3) for x in iters],
+                "cpus": args.cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

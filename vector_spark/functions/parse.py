@@ -94,6 +94,40 @@ def parse_common_log(col: Column, ts_format: str | None = None) -> Column:
     )
 
 
+_CLF_SEP = "\x01"
+
+
+def parse_common_log_fast(col: Column, ts_format: str | None = None) -> Column:
+    """Single-regex-pass variant of :func:`parse_common_log`.
+
+    One JVM regex evaluation per row: ``regexp_replace`` rewrites the line to
+    a ``\\x01``-separated field list (capture-group backreferences), then a
+    cheap ``split`` fans the fields out. ~5× fewer regex executions than the
+    per-field ``regexp_extract`` form; same schema and null-on-miss
+    semantics (a non-matching line keeps no separator → all fields null).
+    """
+    packed = F.regexp_replace(
+        col,
+        COMMON_LOG_RE,
+        _CLF_SEP.join(f"${i}" for i in range(1, 10)),
+    )
+    ok = packed.contains(_CLF_SEP)
+    parts = F.split(packed, _CLF_SEP)
+    g = lambda i: F.when(ok, F.element_at(parts, i))  # noqa: E731
+    ts = g(4)
+    return F.struct(
+        g(1).alias("host"),
+        g(2).alias("ident"),
+        g(3).alias("user"),
+        (F.to_timestamp(ts, ts_format) if ts_format else F.to_timestamp(ts)).alias("timestamp"),
+        g(5).alias("method"),
+        g(6).alias("path"),
+        g(7).alias("protocol"),
+        g(8).cast("int").alias("status"),
+        F.when(g(9) == "-", None).otherwise(g(9)).cast("long").alias("bytes"),
+    )
+
+
 def parse_apache_log(col: Column, format: str = "common", ts_format: str | None = None) -> Column:
     if format == "common":
         return parse_common_log(col, ts_format)

@@ -50,9 +50,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: ALL executor threads live in the driver JVM — size it
+        # for the whole job (cluster mode overrides via spark-submit)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # keep scan tasks ≥ cores at local data sizes (default 128m packs a
+        # ~500MB input into ~5 tasks on 32 cores); cluster jobs at 100TB
+        # should raise this back to 128m+ via spark-submit --conf
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_MAX_PARTITION_BYTES", "16m"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # throughput-oriented GC for batch pipelines (G1's pause goals cost
+        # ~20% on this workload; measured in tools/scaling_bench.py probes)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
