@@ -516,6 +516,160 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-data pipeline ops over documents/embeddings ------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+def _register_dataprep() -> None:
+    from vector_spark.dataprep import dedup as dd
+    from vector_spark.dataprep import oracles as osql
+    from vector_spark.dataprep import similarity as sim
+    from vector_spark.dataprep import text as tx
+
+    ws_sql = osql.words_expr("text")
+
+    @_q(
+        "doc_token_count",
+        f"""
+        SELECT doc_id,
+               len({ws_sql}) AS n_tokens,
+               len(regexp_extract_all(text, '(\\w+|[^\\w\\s])', 1)) AS n_bpe_ish
+        FROM documents
+        """,
+    )
+    def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            tx.token_count(F.col("text")).alias("n_tokens"),
+            tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+        )
+
+    @_q(
+        "doc_lang_id",
+        f"""
+        SELECT doc_id, lang AS lang_declared,
+               {osql.lang_id_sql_expr('text')} AS lang_detected
+        FROM documents
+        """,
+    )
+    def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            F.col("lang").alias("lang_declared"),
+            tx.lang_id(F.col("text")).alias("lang_detected"),
+        )
+
+    _qf = osql.quality_sql_exprs("text")
+
+    @_q(
+        "doc_quality",
+        f"""
+        SELECT doc_id,
+               {_qf['n_words']} AS n_words,
+               {_qf['mean_word_len']} AS mean_word_len,
+               {_qf['uniq_ratio']} AS uniq_ratio,
+               {osql.quality_score_sql_expr('text')} AS quality
+        FROM documents
+        """,
+    )
+    def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        feats = tx.quality_features(F.col("text"))
+        return d.select(
+            "doc_id",
+            feats["n_words"].alias("n_words"),
+            feats["mean_word_len"].alias("mean_word_len"),
+            feats["uniq_ratio"].alias("uniq_ratio"),
+            tx.quality_score(F.col("text")).alias("quality"),
+        )
+
+    @_q(
+        "doc_exact_dedup",
+        f"""
+        WITH keyed AS (
+          SELECT doc_id, md5({osql.NORM.format(col='text')}) AS fp FROM documents
+        )
+        SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+        FROM keyed GROUP BY fp
+        """,
+    )
+    def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        return (
+            d.withColumn("fp", tx.fingerprint(F.col("text")))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        )
+
+    @_q("doc_minhash_near_dups", osql.minhash_near_dups_sql())
+    def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        return dd.minhash_near_dups(d)
+
+    @_q(
+        "doc_simhash",
+        f"SELECT doc_id, {osql.simhash_sql_expr('text')} AS simhash FROM documents",
+    )
+    def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _docs(spark, sf_dir)
+        return d.select("doc_id", dd.simhash_hex(F.col("text")).alias("simhash"))
+
+    @_q(
+        "emb_cosine_topk",
+        """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+          SELECT q.query_id, e.vec_id,
+                 ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                       (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+          FROM embeddings e, q
+        ), ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
+        """,
+    )
+    def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.brute_force_topk(emb, queries_df, k=3)
+
+    @_q("emb_lsh_topk")  # approximate — rows-only check (no SQL oracle)
+    def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.lsh_bucketed_topk(emb, queries_df, dim=64, k=3, planes=4)
+
+    @_q("media_features")  # multimodal plumbing — rows-only check
+    def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from vector_spark.dataprep import multimodal as mm
+
+        media = mm.synth_media(spark, 300)
+        return mm.extract_features(media, dim=8, fake=True)
+
+
+_register_dataprep()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

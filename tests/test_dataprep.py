@@ -1,0 +1,158 @@
+"""Training-data pipeline ops: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.dataprep import dedup as dd
+from vector_spark.dataprep import multimodal as mm
+from vector_spark.dataprep import similarity as sim
+from vector_spark.dataprep import text as tx
+
+TD = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{TD}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{TD}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .cache()
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text here")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dd.exact_dedup(df).collect())
+    assert kept == [1, 3]  # 2 is a normalized dup of 1
+
+
+def test_exact_dup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "A  b"), (3, "c")], "doc_id long, text string"
+    )
+    groups = dd.exact_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0].members == [1, 2]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words entirely unrelated content about spark engines"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = dd.minhash_near_dups(df, threshold=0.3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    assert all(p in {(1, 2)} for p in found)
+
+
+def test_simhash_near_texts_have_low_hamming(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id", dd.simhash_hex(F.col("text")).alias("sh")
+    ).collect()
+    sh = {r.doc_id: r.sh for r in out}
+    ham = lambda a, b: sum(1 for x, y in zip(a, b) if x != y)  # noqa: E731
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_ngram_jaccard_pairs_bucketed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "g1", "a b c d e f g h"),
+            (2, "g1", "a b c d e f g x"),
+            (3, "g2", "a b c d e f g h"),  # same text, different bucket → no pair
+        ],
+        "doc_id long, bucket string, text string",
+    )
+    pairs = dd.ngram_jaccard_pairs(df, "bucket", threshold=0.1).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_brute_force_topk_self_is_rank1(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.brute_force_topk(emb, queries, k=2).collect()
+    rank1 = {r.query_id: r.vec_id for r in out if r.rank == 1}
+    assert rank1 == {0: 0, 1: 1, 2: 2}  # cosine(v,v)=1 → self at rank 1
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.brute_force_topk(emb, queries, k=1).collect()
+    approx = sim.lsh_bucketed_topk(emb, queries, dim=64, k=1, planes=3).collect()
+    exact1 = {r.query_id: r.vec_id for r in exact if r.rank == 1}
+    approx1 = {r.query_id: r.vec_id for r in approx if r.rank == 1}
+    # self-match always lands in its own bucket → recall@1 is 100% here
+    hits = sum(1 for q, v in exact1.items() if approx1.get(q) == v)
+    assert hits >= 9
+
+
+def test_lang_id_on_clear_samples(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat and it is that"),
+            (2, "der hund ist nicht mit der katze und das haus"),
+            (3, "le chat est dans la maison et les chiens"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lid for r in df.select(
+        "doc_id", tx.lang_id(F.col("text")).alias("lid")
+    ).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_score_bounds(docs):
+    rows = docs.select(tx.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_media_feature_plumbing(spark):
+    media = mm.synth_media(spark, 50)
+    feats = mm.extract_features(media, dim=8, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(-1.0 <= v < 1.0 for r in rows for v in r.feature)
+    # deterministic: same blob → same feature
+    again = {r.media_id: r.feature for r in mm.extract_features(
+        mm.synth_media(spark, 50), dim=8, fake=True
+    ).collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_media_real_decode_raises(spark):
+    media = mm.synth_media(spark, 5)
+    with pytest.raises(Exception) as ei:
+        mm.extract_features(media, dim=8, fake=False).collect()
+    assert "DecodeUnavailable" in str(ei.value) or "decode" in str(ei.value).lower()
+
+
+def test_frame_sample_plan(spark):
+    media = mm.synth_media(spark, 30)
+    plan = mm.frame_sample_plan(media, every_ms=1000)
+    rows = plan.groupBy("media_id").count().collect()
+    assert rows and all(r["count"] >= 2 for r in rows)

@@ -1,0 +1,228 @@
+"""Deduplication at scale: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design notes (100 TB posture):
+- **exact**: one shuffle on a 16-byte digest (md5 of normalized text), not
+  on the text itself — shuffle payload is the digest + id only.
+- **MinHash+LSH**: the classic shingle → minhash signature → banded bucket
+  join. Signatures/band keys are computed scan-side (narrow); the only
+  shuffle is the groupBy on band keys, whose cardinality ≪ rows. Candidate
+  pairs then get an exact Jaccard verify on their shingle sets.
+- Hash family: md5 hex strings (seeded by index prefix). Lexicographic MIN
+  over md5 hex values is a uniform min-permutation — and reproducible
+  bit-for-bit in any engine with md5 (the DuckDB oracle recomputes it).
+- **SimHash**: 16-dim nibble-wise variant over md5 (engine-portable integer
+  math; Hamming distance on hex nibbles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.dataprep.text import normalize, words
+
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative per md5(normalized text)."""
+    keyed = df.withColumn("__fp", F.md5(normalize(F.col(text_col))))
+    keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(keep, on=["__fp", id_col], how="inner")
+        .drop("__fp")
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate clusters: fingerprint → count + member ids (diagnostics)."""
+    return (
+        df.withColumn("fp", F.md5(normalize(F.col(text_col))))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --- shingles / minhash ------------------------------------------------------
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word-level k-shingles (space-joined), sorted for
+    reproducibility → array<string>."""
+    ws = words(col)
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(ws, i, k), " "))
+    return F.array_sort(F.array_distinct(sh))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed i, min over shingles of md5(i ~ shingle)
+    (hex string order). → array<string> of length num_hashes."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col,
+                    lambda s: F.md5(F.concat(F.lit(f"{i}~"), s)),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: band key b = md5 of the joined band slice.
+    → array<string> of length ``bands``."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"b{b}~"),
+                    F.concat_ws(
+                        "|", F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+                    ),
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    Plan shape: narrow signature computation → explode band keys → shuffle
+    on (band_idx, band_key) only → per-bucket pair generation → verify.
+    Dedup of pairs found in multiple bands happens BEFORE the (expensive)
+    exact-Jaccard verify.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), k_shingle).alias("__sh"),
+    ).withColumn(
+        "__bands",
+        lsh_band_keys(minhash_signature(F.col("__sh"), num_hashes), bands, rows_per_band),
+    )
+    banded = base.select(
+        "__id", "__sh", F.posexplode("__bands").alias("__b", "__key")
+    )
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=[
+                F.col("l.__b") == F.col("r.__b"),
+                F.col("l.__key") == F.col("r.__key"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sh").alias("__sha"),
+            F.col("r.__sh").alias("__shb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard(F.col("__sha"), F.col("__shb")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- simhash -----------------------------------------------------------------
+
+
+def simhash_hex(col: Column, bits: int = 16) -> Column:
+    """Nibble-wise SimHash over word features → ``bits``-length hex string.
+
+    For each of ``bits`` positions p, take nibble p of md5(word) per word,
+    sum (nibble*2-15) (maps 0..15 → −15..+15), emit 'f' if the sum > 0 else
+    '0'. Portable integer math (the oracle reproduces it exactly); Hamming
+    similarity = matching positions.
+    """
+    ws = F.array_distinct(words(col))
+    hashed = F.transform(ws, lambda w: F.md5(w))
+    nibs = [
+        F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h: acc
+            + (F.conv(h.substr(p + 1, 1), 16, 10).cast("int") * 2 - 15),
+        )
+        for p in range(bits)
+    ]
+    return F.concat(*[F.when(n > 0, F.lit("f")).otherwise(F.lit("0")) for n in nibs])
+
+
+def simhash_hamming(a: Column, b: Column, bits: int = 16) -> Column:
+    """Number of differing positions between two simhash hex strings."""
+    diff = F.lit(0)
+    for p in range(bits):
+        diff = diff + (a.substr(p + 1, 1) != b.substr(p + 1, 1)).cast("int")
+    return diff
+
+
+# --- n-gram jaccard (direct, for candidate pairs) ---------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    bucket_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs within a pre-bucketed candidate
+    group (e.g. same source/lang bucket). The bucket join bounds the
+    quadratic blowup; use minhash_near_dups when no natural bucket exists."""
+    base = df.select(
+        F.col(bucket_col).alias("__bk"),
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), k_shingle).alias("__sh"),
+    )
+    return (
+        base.alias("l")
+        .join(
+            base.alias("r"),
+            on=[
+                F.col("l.__bk") == F.col("r.__bk"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.round(jaccard(F.col("l.__sh"), F.col("r.__sh")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,152 @@
+"""DuckDB SQL mirrors of the dataprep operators — the cross-engine spec.
+
+Each builder returns SQL computing bit-identical results to the matching
+Spark operator (same md5-hex hash family, same normalization, same
+rounding), so the correctness gate can verify dedup/similarity/text ops
+exactly rather than rows-only.
+"""
+
+from __future__ import annotations
+
+from vector_spark.dataprep.text import STOPWORDS
+
+NORM = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+WORDS = f"string_split({NORM}, ' ')"
+
+
+def words_expr(col: str = "text") -> str:
+    return WORDS.format(col=col)
+
+
+def shingles_expr(col: str = "text", k: int = 3) -> str:
+    ws = words_expr(col)
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"range(1, greatest(len({ws}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({ws}, i, i + {k - 1}), ' '))))"
+    )
+
+
+def minhash_sig_exprs(sh: str, num_hashes: int) -> list[str]:
+    return [
+        f"list_min(list_transform({sh}, s -> md5('{i}~' || s)))"
+        for i in range(num_hashes)
+    ]
+
+
+def band_keys_expr(sig_items: list[str], bands: int, rows_per_band: int) -> str:
+    keys = []
+    for b in range(bands):
+        sl = sig_items[b * rows_per_band : (b + 1) * rows_per_band]
+        joined = " || '|' || ".join(sl)
+        keys.append(f"md5('b{b}~' || {joined})")
+    return "list_value(" + ", ".join(keys) + ")"
+
+
+def minhash_near_dups_sql(
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    rows_per_band = num_hashes // bands
+    sh = shingles_expr("text", k_shingle)
+    sig = minhash_sig_exprs("__sh", num_hashes)
+    bands_e = band_keys_expr(sig, bands, rows_per_band)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS __id, {sh} AS __sh FROM {table}
+    ), withbands AS (
+      SELECT __id, __sh, {bands_e} AS __bands FROM base
+    ), banded AS (
+      SELECT __id, __sh, b.bi AS __b, list_extract(__bands, b.bi + 1) AS __key
+      FROM withbands, range({bands}) b(bi)
+    ), pairs AS (
+      SELECT DISTINCT l.__id AS id_a, r.__id AS id_b
+      FROM banded l JOIN banded r
+        ON l.__b = r.__b AND l.__key = r.__key AND l.__id < r.__id
+    ), verified AS (
+      SELECT p.id_a, p.id_b,
+             ROUND(len(list_intersect(a.__sh, b.__sh))::DOUBLE /
+                   (len(a.__sh) + len(b.__sh) - len(list_intersect(a.__sh, b.__sh))), 4)
+               AS jaccard
+      FROM pairs p
+      JOIN base a ON a.__id = p.id_a
+      JOIN base b ON b.__id = p.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+def lang_scores_exprs(col: str = "text") -> dict[str, str]:
+    ws = words_expr(col)
+    out = {}
+    for lang, sw in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in sw)
+        out[lang] = f"len(list_intersect(list_distinct({ws}), [{lst}]))"
+    return out
+
+
+def lang_id_sql_expr(col: str = "text", min_hits: int = 1) -> str:
+    s = lang_scores_exprs(col)
+    langs = list(STOPWORDS)
+    m = "greatest(" + ", ".join(s[lang] for lang in langs) + ")"
+    case = f"CASE WHEN {m} < {min_hits} THEN 'und' "
+    for lang in langs:
+        case += f"WHEN {s[lang]} = {m} THEN '{lang}' "
+    return case + "END"
+
+
+def quality_sql_exprs(col: str = "text") -> dict[str, str]:
+    ws = words_expr(col)
+    sw_en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    n_words = f"len({ws})"
+    punct_ratio = (
+        f"ROUND(length(regexp_replace({col}, '[^.,;:!?''\"()\\[\\]{{}}-]', '', 'g'))::DOUBLE"
+        f" / length({col}), 4)"
+    )
+    digit_ratio = (
+        f"ROUND(length(regexp_replace({col}, '[^0-9]', '', 'g'))::DOUBLE"
+        f" / length({col}), 4)"
+    )
+    uniq_ratio = f"ROUND(len(list_distinct({ws}))::DOUBLE / {n_words}, 4)"
+    stop_ratio = (
+        f"ROUND(len(list_filter({ws}, w -> list_contains([{sw_en}], w)))::DOUBLE"
+        f" / {n_words}, 4)"
+    )
+    mean_word_len = (
+        f"ROUND(length(array_to_string({ws}, ''))::DOUBLE / {n_words}, 4)"
+    )
+    return {
+        "n_chars": f"length({col})",
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "uniq_ratio": uniq_ratio,
+        "stop_ratio_en": stop_ratio,
+    }
+
+
+def quality_score_sql_expr(col: str = "text") -> str:
+    f = quality_sql_exprs(col)
+    length_ok = f"CASE WHEN {f['n_words']} >= 10 AND {f['n_words']} <= 10000 THEN 1.0 ELSE 0.3 END"
+    diversity = f"least({f['uniq_ratio']} * 2, 1.0)"
+    clean = f"1.0 - least(({f['punct_ratio']} + {f['digit_ratio']}) * 2, 1.0)"
+    return f"ROUND(0.4 * ({length_ok}) + 0.3 * ({diversity}) + 0.3 * ({clean}), 4)"
+
+
+def simhash_sql_expr(col: str = "text", bits: int = 16) -> str:
+    ws = words_expr(col)
+    hashed = f"list_transform(list_distinct({ws}), w -> md5(w))"
+    nib = (
+        "list_sum(list_transform({h}, h -> "
+        "(strpos('0123456789abcdef', h[{p}:{p}]) - 1) * 2 - 15))"
+    )
+    parts = []
+    for p in range(1, bits + 1):
+        s = nib.format(h=hashed, p=p)
+        parts.append(f"CASE WHEN {s} > 0 THEN 'f' ELSE '0' END")
+    return " || ".join(parts)

@@ -1,0 +1,119 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+- :func:`brute_force_topk` — exact cosine top-k: broadcast the (small) query
+  set against the corpus; ONE corpus scan, no corpus shuffle — the correct
+  100 TB baseline shape (corpus-side work is embarrassingly parallel; the
+  only shuffle is the final per-query top-k over candidate rows ≪ corpus).
+- :func:`lsh_bucketed_topk` — the scale path: deterministic sign-random-
+  projection buckets; queries probe only their bucket (corpus pre-bucketed
+  once, reused across query batches).
+
+All vector math is JVM higher-order functions (``zip_with`` + ``aggregate``)
+— no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries × corpus scan.
+
+    Returns (query_id, vec_id, cosine, rank), rank 1..k, ties broken by
+    corpus id (deterministic).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _projection_vector(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane from a seeded LCG (no
+    numpy RNG state, reproducible everywhere)."""
+    out, x = [], seed * 2654435761 % (2**31)
+    for _ in range(dim):
+        x = (1103515245 * x + 12345) % (2**31)
+        out.append(1.0 if (x >> 16) & 1 else -1.0)
+    return out
+
+
+def sign_lsh_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
+    """Sign-random-projection bucket id: ``planes`` bits from deterministic
+    ±1 hyperplanes → int bucket in [0, 2^planes)."""
+    bucket = F.lit(0)
+    for p in range(planes):
+        plane = F.array(*[F.lit(v) for v in _projection_vector(p + 1, dim)])
+        bit = (dot(vec, plane) > 0).cast("int")
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: corpus and queries hashed to sign-LSH buckets;
+    each query scores only its bucket (~corpus/2^planes rows). At the
+    10^12 tier the corpus is written partitioned by bucket so a query
+    touches one partition (partition pruning does the rest)."""
+    cb = corpus.withColumn("__bucket", sign_lsh_bucket(F.col(vec_col), dim, planes))
+    qb = queries.select(
+        query_id_col, F.col(vec_col).alias("__qv")
+    ).withColumn("__bucket", sign_lsh_bucket(F.col("__qv"), dim, planes))
+    scored = cb.join(F.broadcast(qb), on="__bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,120 @@
+"""Text analysis over document tables: normalization, token counting,
+language-ID, quality scoring, fingerprinting.
+
+Everything is a pure JVM column expression (codegen'd, no Python), designed
+so an external SQL engine can recompute identical values — the hash
+primitives are md5 hex strings, the statistics are closed-form ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small stopword sets per language for the n-gram/stopword language-ID
+# heuristic (public common-word lists, truncated).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "por", "con"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "不", "这", "个"],
+}
+
+
+def normalize(col: Column) -> Column:
+    """Lowercase + collapse whitespace (the canonical dedup normalization)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(normalize(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: count of maximal runs of word chars, digits,
+    or single punctuation (a common fast proxy for subword token count)."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"(\w+|[^\w\s])"), F.lit(1))
+    )
+
+
+def _stopword_hits(ws: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(ws), sw))
+
+
+def lang_scores(col: Column) -> Column:
+    """Distinct-stopword hit count per language → struct<en,de,fr,es,zh>."""
+    ws = words(col)
+    return F.struct(
+        *[_stopword_hits(ws, lang).alias(lang) for lang in STOPWORDS]
+    )
+
+
+def lang_id(col: Column, min_hits: int = 1) -> Column:
+    """Language-ID heuristic: language with the most distinct stopword hits;
+    ``und`` (undetermined) when no language reaches ``min_hits``.
+    Ties break by the fixed language order (deterministic)."""
+    ws = words(col)
+    scores = [(lang, _stopword_hits(ws, lang)) for lang in STOPWORDS]
+    best = None
+    # fold: keep the first language with the strictly-highest score
+    expr = F.lit("und")
+    best_score = F.lit(min_hits - 1)
+    for lang, s in reversed(scores):
+        better = s >= F.lit(min_hits)
+        # process in reverse so earlier languages win ties (>= replaces)
+        expr = F.when(better & (s >= best_score), F.lit(lang)).otherwise(expr)
+        best_score = F.when(better & (s >= best_score), s).otherwise(best_score)
+    del best
+    return expr
+
+
+def quality_features(col: Column) -> Column:
+    """Quality-scoring features → struct(n_chars, n_words, mean_word_len,
+    punct_ratio, digit_ratio, upper_ratio, stop_ratio_en, uniq_ratio).
+
+    All closed-form (reproducible anywhere); ratios are double.
+    """
+    raw_len = F.length(col)
+    ws = words(col)
+    n_words = F.size(ws)
+    punct = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    digits = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(col, r"[^A-Z]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    return F.struct(
+        raw_len.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(F.length(F.array_join(ws, "")) / n_words, 4).alias("mean_word_len"),
+        F.round(punct / raw_len, 4).alias("punct_ratio"),
+        F.round(digits / raw_len, 4).alias("digit_ratio"),
+        F.round(uppers / raw_len, 4).alias("upper_ratio"),
+        F.round(stop_hits / n_words, 4).alias("stop_ratio_en"),
+        F.round(F.size(F.array_distinct(ws)) / n_words, 4).alias("uniq_ratio"),
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]: length sweet-spot + lexical
+    diversity + bounded punctuation/digit density. Deterministic weights."""
+    f = quality_features(col)
+    length_ok = F.when((f.n_words >= 10) & (f.n_words <= 10_000), 1.0).otherwise(0.3)
+    diversity = F.least(f.uniq_ratio * 2, F.lit(1.0))
+    clean = F.lit(1.0) - F.least(
+        (f.punct_ratio + f.digit_ratio) * 2, F.lit(1.0)
+    )
+    return F.round(0.4 * length_ok + 0.3 * diversity + 0.3 * clean, 4)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (exact-dup key)."""
+    return F.md5(normalize(col))
