@@ -1,0 +1,309 @@
+"""Behavior tests — the reference's tests/behavior/transforms/*.toml corpus
+re-expressed through the topology unit-test harness (run_unit_test ≙
+`vector test`, reference src/config/unit_test/mod.rs:99-156).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.plans import compile_config, run_unit_test
+from vector_spark.operators import dedupe, remap, route
+
+
+# --- dedupe (tests/behavior/transforms/dedupe.toml) -------------------------
+
+
+def test_dedupe_match_fields(spark):
+    # rows {a:1,b:2},{a:1,b:3},{a:2,b:4} with match=[a] → first and third kept
+    df = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 2), (2, 4, 3)], "a long, b long, ord long"
+    )
+    out = dedupe(df, match=["a"], order_by=["ord"]).collect()
+    assert sorted((r.a, r.b) for r in out) == [(1, 2), (2, 4)]
+
+
+def test_dedupe_type_aware(spark):
+    # int 1 ≠ string "1" (reference transform.rs:54-67): typed columns make
+    # the distinction structural — a long column and a string column never
+    # collide even when their rendered values match
+    df = spark.createDataFrame([(1, "1"), (1, "1")], "a long, b string")
+    assert dedupe(df, match=["a", "b"]).count() == 1
+    df2 = spark.createDataFrame([("x", 1, 1), ("x", None, 2)], "k string, a long, ord long")
+    # null vs value are distinct fingerprints
+    assert dedupe(df2, match=["k", "a"], order_by=["ord"]).count() == 2
+
+
+def test_dedupe_ignore_fields(spark):
+    df = spark.createDataFrame(
+        [(1, 2, "x"), (1, 3, "x"), (1, 2, "y")], "a long, b long, c string"
+    )
+    # ignore=[b] → fingerprint over (a,c) → {1,x} and {1,y}
+    assert dedupe(df, ignore=["b"]).count() == 2
+
+
+# --- route (tests/behavior/transforms/route.toml) ---------------------------
+
+
+def test_route_outputs_and_unmatched(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3)], "foo string, i long"
+    )
+    outs = route(df, {"has_foo": "exists(.foo)"})
+    assert sorted(r.i for r in outs["has_foo"].collect()) == [1, 3]
+    assert [r.i for r in outs["_unmatched"].collect()] == [2]
+
+
+def test_route_copies_to_all_matching(spark):
+    # an event matching two conditions appears in BOTH outputs (route.rs:42-49)
+    df = spark.createDataFrame([(500, "app")], "status long, src string")
+    outs = route(
+        df, {"errors": ".status >= 400", "app_events": '.src == "app"'}
+    )
+    assert outs["errors"].count() == 1
+    assert outs["app_events"].count() == 1
+
+
+def test_route_reserved_names(spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError, match="reserved"):
+        route(df, {"_unmatched": ".a == 1"})
+
+
+# --- remap_with_drop (tests/behavior/transforms/remap_with_drop.toml) -------
+
+
+def test_remap_drop_and_reroute(spark):
+    df = spark.createDataFrame(
+        [("123", 1), ("oops", 2)], "raw string, i long"
+    )
+    outs = remap(
+        df,
+        {"parsed": F.col("raw").try_cast("long")},
+        error_when="is_null(.parsed)",
+        drop_on_error=True,
+        reroute_dropped=True,
+        component_id="parse_raw",
+    )
+    ok = outs["primary"].collect()
+    assert [r.i for r in ok] == [1] and ok[0].parsed == 123
+    bad = outs["dropped"].collect()
+    assert [r.i for r in bad] == [2]
+    # original event annotated, not the partial mutation (remap.rs:482-543)
+    assert "parsed" not in outs["dropped"].columns[:2] and bad[0].raw == "oops"
+    ann = bad[0].metadata_dropped
+    assert ann.reason == "error" and ann.component_id == "parse_raw"
+
+
+def test_remap_keep_on_error(spark):
+    df = spark.createDataFrame([("123",), ("oops",)], "raw string")
+    outs = remap(
+        df,
+        {"parsed": F.col("raw").try_cast("long")},
+        error_when="is_null(.parsed)",
+        drop_on_error=False,
+        reroute_dropped=False,
+    )
+    rows = outs["primary"].orderBy("raw").collect()
+    assert rows[0].parsed == 123 and rows[1].parsed is None
+
+
+def test_remap_explode_array_assignment(spark):
+    from vector_spark.operators.remap import remap_explode
+
+    df = spark.createDataFrame([(1, [10, 20, 30])], "_id long, vals array<int>")
+    out = remap_explode(
+        df, F.transform(F.col("vals"), lambda v: F.struct(v.alias("v")))
+    )
+    assert [r.v for r in out.orderBy("v").collect()] == [10, 20, 30]
+
+
+# --- filter (tests/behavior/transforms/filter.toml) -------------------------
+
+
+def test_filter_behavior_via_topology(spark):
+    config = {
+        "sources": {"in": {"type": "inline", "rows": [], "schema": ""}},
+        "transforms": {
+            "keep_errors": {
+                "type": "filter",
+                "inputs": ["in"],
+                "condition": '.level == "error"',
+            }
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["keep_errors"]}},
+    }
+    inserts = {
+        "in": spark.createDataFrame(
+            [("error", 1), ("info", 2), ("error", 3)], "level string, i long"
+        )
+    }
+    res = run_unit_test(
+        spark, config, inserts, {"keep_errors": ['.level == "error"']}
+    )
+    assert res["keep_errors"]["rows"] == 2
+    assert res["keep_errors"]["passed"] == [True]
+
+
+# --- reduce (tests/behavior/transforms/reduce.toml) -------------------------
+
+
+def test_reduce_merge_strategies(spark):
+    from vector_spark.operators import reduce_events
+
+    df = spark.createDataFrame(
+        [
+            ("r1", 1, 10.0, "a", [1, 2]),
+            ("r1", 2, 5.0, "b", [3]),
+            ("r1", 3, 2.5, "c", [3, 4]),
+            ("r2", 4, 1.0, "z", [9]),
+        ],
+        "request_id string, ord long, val double, msg string, arr array<int>",
+    )
+    out = reduce_events(
+        df.withColumn("val_sum", F.col("val"))
+        .withColumn("val_max", F.col("val"))
+        .withColumn("val_min", F.col("val"))
+        .withColumn("msgs", F.col("msg"))
+        .withColumn("msg_concat", F.col("msg"))
+        .withColumn("flat", F.col("arr"))
+        .withColumn("shortest", F.col("arr"))
+        .withColumn("longest", F.col("arr")),
+        group_by=["request_id"],
+        merge_strategies={
+            "val_sum": "sum",
+            "val_max": "max",
+            "val_min": "min",
+            "msgs": "array",
+            "msg_concat": "concat",
+            "flat": "flat_unique",
+            "shortest": "shortest_array",
+            "longest": "longest_array",
+            "msg": "discard",
+            "val": "retain",
+        },
+        order_by="ord",
+    )
+    r1 = out.filter("request_id = 'r1'").collect()[0]
+    assert r1.val_sum == 17.5 and r1.val_max == 10.0 and r1.val_min == 2.5
+    assert r1.msgs == ["a", "b", "c"]  # ordered by ord
+    assert r1.msg_concat == "a b c"
+    assert sorted(r1.flat) == [1, 2, 3, 4]
+    assert r1.shortest == [3] and r1.longest in ([1, 2], [3, 4])
+    assert r1.msg == "a" and r1.val == 2.5  # discard=first, retain=last
+    assert r1.events_count == 3
+
+
+def test_reduce_ends_when_sessionization(spark):
+    from vector_spark.operators import reduce_events
+
+    # ends_when closes the session INCLUDING the closing event
+    df = spark.createDataFrame(
+        [("r1", 1, False), ("r1", 2, True), ("r1", 3, False), ("r1", 4, True)],
+        "request_id string, ord long, test_end boolean",
+    )
+    out = reduce_events(
+        df,
+        group_by=["request_id"],
+        merge_strategies={"ord": "max"},
+        order_by="ord",
+        ends_when=".test_end == true",
+    ).orderBy("session_id")
+    rows = out.collect()
+    assert [r.events_count for r in rows] == [2, 2]
+    assert [r.ord for r in rows] == [2, 4]
+
+
+def test_reduce_gap_sessionization(spark):
+    from vector_spark.operators import reduce_events
+
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00"), ("u", "2024-01-01 00:00:10"),
+         ("u", "2024-01-01 01:00:00")],
+        "k string, ts_s string",
+    ).withColumn("event_ts", F.to_timestamp("ts_s"))
+    out = reduce_events(
+        df,
+        group_by=["k"],
+        merge_strategies={},
+        order_by="event_ts",
+        expire_after_secs=60,
+    )
+    assert sorted(r.events_count for r in out.collect()) == [1, 2]
+
+
+# --- topology compile errors (≙ compiler.rs validation) ---------------------
+
+
+def test_topology_cycle_detection(spark):
+    config = {
+        "sources": {"s": {"type": "sequences", "n": 10}},
+        "transforms": {
+            "a": {"type": "filter", "inputs": ["b"], "condition": ".n_tok > 0"},
+            "b": {"type": "filter", "inputs": ["a"], "condition": ".n_tok > 0"},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["b"]}},
+    }
+    with pytest.raises(ValueError, match="cycle"):
+        compile_config(spark, config)
+
+
+def test_topology_unknown_input(spark):
+    config = {
+        "sources": {"s": {"type": "sequences", "n": 10}},
+        "transforms": {
+            "a": {"type": "filter", "inputs": ["nope"], "condition": ".x == 1"},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["a"]}},
+    }
+    with pytest.raises(ValueError, match="does not resolve"):
+        compile_config(spark, config)
+
+
+def test_topology_named_ports_end_to_end(spark, tmp_path):
+    config = {
+        "sources": {"seq": {"type": "sequences", "n": 200}},
+        "transforms": {
+            "parse": {
+                "type": "remap",
+                "inputs": ["seq"],
+                "assign": {"status": "cast(regexp_extract(message, '\" (\\\\d+) ', 1) as int)"},
+            },
+            "rt": {
+                "type": "route",
+                "inputs": ["parse"],
+                "routes": {"errors": ".status >= 400", "ok": ".status < 300"},
+            },
+        },
+        "sinks": {
+            "err_sink": {"type": "memory", "inputs": ["rt.errors"]},
+            "ok_parquet": {
+                "type": "parquet",
+                "inputs": ["rt.ok"],
+                "path": str(tmp_path / "ok"),
+                "partition_by": ["source"],
+            },
+        },
+    }
+    topo = compile_config(spark, config)
+    results = topo.write_sinks()
+    # statuses cycle 200,200,301,404,500 → errors=2/5, ok=2/5 of 200 rows
+    assert results["err_sink"] == 80
+    ok = spark.read.parquet(str(tmp_path / "ok"))
+    assert ok.count() == 80 and "source" in ok.columns
+
+
+def test_topology_multi_input_union(spark):
+    config = {
+        "sources": {
+            "s1": {"type": "inline", "rows": [(1,)], "schema": "a long"},
+            "s2": {"type": "inline", "rows": [(2,)], "schema": "a long"},
+        },
+        "transforms": {
+            "all": {"type": "filter", "inputs": ["s1", "s2"], "condition": ".a > 0"}
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["all"]}},
+    }
+    topo = compile_config(spark, config)
+    assert topo.resolve("all").count() == 2

@@ -208,17 +208,20 @@ def parse_regex_all(col: Column, pattern: str) -> Column:
 
 
 def parse_int(col: Column, base: int = 10) -> Column:
+    """Fallible (VRL semantics): null on malformed input — ``try_cast``,
+    not ``cast`` (Spark 4 ANSI mode makes plain cast THROW on bad input)."""
     if base == 10:
-        return col.cast("long")
+        return col.try_cast("long")
     if base == 16:
-        return F.conv(F.regexp_replace(col, "^0[xX]", ""), 16, 10).cast("long")
+        return F.conv(F.regexp_replace(col, "^0[xX]", ""), 16, 10).try_cast("long")
     if base == 8:
-        return F.conv(col, 8, 10).cast("long")
+        return F.conv(col, 8, 10).try_cast("long")
     raise ValueError("base must be 8, 10 or 16")
 
 
 def parse_float(col: Column) -> Column:
-    return col.cast("double")
+    """Fallible: null on malformed input (see parse_int)."""
+    return col.try_cast("double")
 
 
 def parse_timestamp(col: Column, format: str | None = None) -> Column:

@@ -99,6 +99,9 @@ def reduce_events(
             # previous event ended a session → this row starts a new one
             prev_end = F.lag(to_column(ends_when, df).cast("int"), 1, 0).over(w)
             boundary = boundary | (prev_end == 1)
+        # first row of a group: lag is null → null boundary must read as
+        # "no boundary" (null OR x = null in SQL — coalesce explicitly)
+        boundary = F.coalesce(boundary, F.lit(False))
         df = df.withColumn(
             "session_id",
             F.sum(boundary.cast("long")).over(

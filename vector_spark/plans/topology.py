@@ -1,0 +1,415 @@
+"""Topology: config (TOML/YAML/JSON/dict) → validated DAG → DataFrames.
+
+Parity with the reference's config pipeline (SURVEY.md §3.1):
+- load (src/config/loading) ≙ :func:`load_config` (tomllib/yaml/json/dict);
+- compile (src/config/compiler.rs:9-80: name checks, input resolution,
+  shape validation, Graph build, typecheck, cycle detection) ≙
+  :func:`compile_config` — names unique across sections, every input
+  resolves to a component output port, DAG acyclic (Kahn), sinks have
+  inputs, reserved port names respected;
+- build/run (src/topology/builder.rs) ≙ :meth:`Topology.outputs` — the
+  "execution" is just composing lazy DataFrames; Catalyst plans, actions
+  execute. Multi-input components union-by-name (the reference's implicit
+  stream merge); named ports address multi-output transforms
+  (``"route_comp.errors"``).
+
+The `vector test` harness (src/config/unit_test/mod.rs:99-156) ≙
+:func:`run_unit_test`: inject DataFrames at ``insert_at`` targets, read any
+component's output, assert VRL-ish conditions.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark import tables
+from vector_spark.conditions import compile_condition
+from vector_spark.operators import (
+    aggregate_metrics,
+    dedupe,
+    enrich,
+    exclusive_route,
+    filter_events,
+    log_to_metric,
+    metric_to_log,
+    reduce_events,
+    remap,
+    route,
+    sample,
+    tag_cardinality_limit,
+    throttle,
+)
+
+RESERVED_PORTS = {"_unmatched", "_default", "dropped"}
+
+
+# --------------------------------------------------------------------------
+# loading
+# --------------------------------------------------------------------------
+
+
+def load_config(path_or_dict) -> dict:
+    if isinstance(path_or_dict, dict):
+        return path_or_dict
+    p = Path(path_or_dict)
+    text = p.read_text()
+    if p.suffix == ".toml":
+        import tomllib
+
+        return tomllib.loads(text)
+    if p.suffix in (".yaml", ".yml"):
+        import yaml
+
+        return yaml.safe_load(text)
+    if p.suffix == ".json":
+        return json.loads(text)
+    raise ValueError(f"unsupported config format: {p.suffix}")
+
+
+# --------------------------------------------------------------------------
+# graph validation (≙ compiler.rs + graph.rs typecheck/cycle check)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Topology:
+    spark: SparkSession
+    config: dict
+    order: list[str]  # topological order of transforms
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+    overrides: dict[str, DataFrame] = field(default_factory=dict)
+
+    # -- resolution --------------------------------------------------------
+
+    def _source_df(self, name: str) -> DataFrame:
+        if name in self.overrides:
+            return self.overrides[name]
+        cfg = self.config.get("sources", {})[name]
+        t = cfg["type"]
+        if t == "sequences":
+            df = tables.sequences(self.spark, int(cfg.get("n", 1000)))
+            if cfg.get("derived", True):
+                df = tables.with_message(df)
+            return df
+        if t == "parquet":
+            return self.spark.read.parquet(cfg["path"])
+        if t == "csv":
+            return self.spark.read.csv(
+                cfg["path"], header=cfg.get("header", True), schema=cfg.get("schema")
+            )
+        if t == "json":
+            return self.spark.read.json(cfg["path"], schema=cfg.get("schema"))
+        if t == "inline":
+            return self.spark.createDataFrame(cfg["rows"], cfg["schema"])
+        raise ValueError(f"unknown source type {t!r}")
+
+    def _inputs_df(self, inputs: list[str]) -> DataFrame:
+        dfs = [self.resolve(i) for i in inputs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    def resolve(self, ref: str) -> DataFrame:
+        """Resolve a component reference (``name`` or ``name.port``)."""
+        if ref in self._cache:
+            return self._cache[ref]
+        name, port = (ref.split(".", 1) + [None])[:2] if "." in ref else (ref, None)
+        if name in self.config.get("sources", {}) or name in self.overrides:
+            if port:
+                raise ValueError(f"sources have no ports: {ref}")
+            df = self._source_df(name)
+        elif name in self.config.get("transforms", {}):
+            outs = self._transform_outputs(name)
+            key = port or "__default"
+            if key not in outs:
+                raise ValueError(
+                    f"component {name!r} has no output port {port!r}; "
+                    f"ports: {sorted(outs)}"
+                )
+            df = outs[key]
+        else:
+            raise ValueError(f"unknown component {name!r}")
+        self._cache[ref] = df
+        return df
+
+    # -- transforms --------------------------------------------------------
+
+    def _transform_outputs(self, name: str) -> dict[str, DataFrame]:
+        cache_key = f"__outs__{name}"
+        if cache_key in self._cache:
+            return self._cache[cache_key]  # type: ignore[return-value]
+        cfg = self.config["transforms"][name]
+        df = self._inputs_df(cfg["inputs"])
+        outs = _build_transform(name, cfg, df)
+        self._cache[cache_key] = outs  # type: ignore[assignment]
+        return outs
+
+    # -- sinks -------------------------------------------------------------
+
+    def outputs(self) -> dict[str, DataFrame]:
+        """Resolve every sink's input DataFrame (lazy — no action run)."""
+        out = {}
+        for sname, cfg in self.config.get("sinks", {}).items():
+            out[sname] = self._inputs_df(cfg["inputs"])
+        return out
+
+    def write_sinks(self) -> dict[str, int | str]:
+        """Execute every sink: parquet (templated partitioned path),
+        console, blackhole (noop), memory (row count)."""
+        results: dict[str, int | str] = {}
+        for sname, cfg in self.config.get("sinks", {}).items():
+            df = self._inputs_df(cfg["inputs"])
+            t = cfg.get("type", "blackhole")
+            if t == "parquet":
+                w = df.write.mode(cfg.get("mode", "overwrite"))
+                if cfg.get("partition_by"):
+                    w = w.partitionBy(*cfg["partition_by"])
+                w.parquet(cfg["path"])
+                results[sname] = cfg["path"]
+            elif t == "console":
+                df.show(int(cfg.get("n", 20)), truncate=False)
+                results[sname] = "console"
+            elif t == "blackhole":
+                df.write.format("noop").mode("overwrite").save()
+                results[sname] = "blackhole"
+            elif t == "memory":
+                results[sname] = df.count()
+            else:
+                raise ValueError(f"unknown sink type {t!r}")
+        return results
+
+
+def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame]:
+    t = cfg["type"]
+    if t == "filter":
+        return {"__default": filter_events(df, cfg["condition"])}
+    if t == "remap":
+        assignments = {k: F.expr(v) for k, v in cfg.get("assign", {}).items()}
+        outs = remap(
+            df,
+            assignments,
+            error_when=cfg.get("error_when"),
+            drop_on_error=cfg.get("drop_on_error", True),
+            reroute_dropped=cfg.get("reroute_dropped", False),
+            component_id=name,
+        )
+        res = {"__default": outs["primary"]}
+        if "dropped" in outs:
+            res["dropped"] = outs["dropped"]
+        return res
+    if t == "route":
+        outs = route(df, cfg["routes"], cfg.get("reroute_unmatched", True))
+        res = {k: v for k, v in outs.items()}
+        res["__default"] = df  # route has no default port in the reference;
+        # keep the passthrough for convenience but named ports are the API
+        return res
+    if t == "exclusive_route":
+        labeled = exclusive_route(df, cfg["routes"])
+        res = {"__default": labeled}
+        for rname in list(cfg["routes"]) + ["_unmatched"]:
+            res[rname] = labeled.filter(F.col("route") == rname).drop("route")
+        return res
+    if t == "sample":
+        return {
+            "__default": sample(
+                df,
+                rate=int(cfg["rate"]),
+                key_field=cfg.get("key_field"),
+                group_by=cfg.get("group_by"),
+                order_by=cfg.get("order_by"),
+                exclude=cfg.get("exclude"),
+            )
+        }
+    if t == "throttle":
+        return {
+            "__default": throttle(
+                df,
+                threshold=int(cfg["threshold"]),
+                window_secs=int(cfg["window_secs"]),
+                key_field=cfg.get("key_field"),
+                ts_col=cfg.get("ts_col", "event_ts"),
+                exclude=cfg.get("exclude"),
+                tie_breakers=cfg.get("tie_breakers"),
+            )
+        }
+    if t == "dedupe":
+        return {
+            "__default": dedupe(
+                df,
+                match=cfg.get("match"),
+                ignore=cfg.get("ignore"),
+                order_by=cfg.get("order_by"),
+            )
+        }
+    if t == "reduce":
+        return {
+            "__default": reduce_events(
+                df,
+                group_by=cfg["group_by"],
+                merge_strategies=cfg.get("merge_strategies", {}),
+                order_by=cfg["order_by"],
+                expire_after_secs=cfg.get("expire_after_secs"),
+                ts_col=cfg.get("ts_col", "event_ts"),
+                ends_when=cfg.get("ends_when"),
+            )
+        }
+    if t == "aggregate":
+        return {
+            "__default": aggregate_metrics(
+                df,
+                series_cols=cfg["series_cols"],
+                value_col=cfg.get("value_col", "value"),
+                ts_col=cfg.get("ts_col", "event_ts"),
+                interval_secs=int(cfg.get("interval_secs", 10)),
+                mode=cfg.get("mode", "sum"),
+                kind_col=cfg.get("kind_col"),
+            )
+        }
+    if t == "log_to_metric":
+        return {
+            "__default": log_to_metric(
+                df,
+                metric_type=cfg["metric_type"],
+                name=cfg["name"],
+                field=cfg.get("field"),
+                increment_by_value=cfg.get("increment_by_value", False),
+                namespace=cfg.get("namespace", ""),
+                tag_cols=cfg.get("tag_cols"),
+                ts_col=cfg.get("ts_col", "event_ts"),
+            )
+        }
+    if t == "metric_to_log":
+        return {"__default": metric_to_log(df, cfg.get("metric_cols"))}
+    if t == "tag_cardinality_limit":
+        return {
+            "__default": tag_cardinality_limit(
+                df,
+                tag_cols=cfg["tag_cols"],
+                value_limit=int(cfg.get("value_limit", 500)),
+                action=cfg.get("action", "drop_tag"),
+                order_by=cfg.get("order_by", "event_ts"),
+            )
+        }
+    if t == "enrich":
+        dim = df.sparkSession.createDataFrame(cfg["rows"], cfg["schema"]) \
+            if "rows" in cfg else df.sparkSession.read.parquet(cfg["path"])
+        return {
+            "__default": enrich(
+                df,
+                dim,
+                on=cfg["on"],
+                select=cfg.get("select"),
+                case_insensitive=cfg.get("case_insensitive", False),
+                required=cfg.get("required", False),
+            )
+        }
+    raise ValueError(f"unknown transform type {t!r}")
+
+
+TRANSFORM_TYPES = (
+    "filter remap route exclusive_route sample throttle dedupe reduce "
+    "aggregate log_to_metric metric_to_log tag_cardinality_limit enrich"
+).split()
+
+
+def compile_config(
+    spark: SparkSession,
+    config_or_path,
+    overrides: dict[str, DataFrame] | None = None,
+) -> Topology:
+    """Validate + compile a config into a Topology (≙ config::compile).
+
+    Checks: unique names, known types, every input resolves, acyclic,
+    sinks non-empty inputs. Raises ValueError with the reference's class of
+    messages (unknown component / cycle detected / duplicate name).
+    """
+    config = load_config(config_or_path)
+    sources = set(config.get("sources", {})) | set(overrides or {})
+    transforms = config.get("transforms", {})
+    sinks = config.get("sinks", {})
+
+    dupes = sources & set(transforms) | (sources | set(transforms)) & set(sinks)
+    if dupes:
+        raise ValueError(f"duplicate component name(s): {sorted(dupes)}")
+
+    for name, cfg in transforms.items():
+        if cfg.get("type") not in TRANSFORM_TYPES:
+            raise ValueError(f"transform {name!r}: unknown type {cfg.get('type')!r}")
+        if not cfg.get("inputs"):
+            raise ValueError(f"transform {name!r}: empty inputs")
+    for name, cfg in sinks.items():
+        if not cfg.get("inputs"):
+            raise ValueError(f"sink {name!r}: empty inputs")
+
+    # input resolution + cycle check over the transform graph (Kahn)
+    def base(ref: str) -> str:
+        return ref.split(".", 1)[0]
+
+    known = sources | set(transforms)
+    for name, cfg in {**transforms, **sinks}.items():
+        for ref in cfg["inputs"]:
+            if base(ref) not in known:
+                raise ValueError(
+                    f"component {name!r}: input {ref!r} does not resolve "
+                    f"(known: {sorted(known)})"
+                )
+
+    indeg = {t: 0 for t in transforms}
+    children: dict[str, list[str]] = {t: [] for t in transforms}
+    for name, cfg in transforms.items():
+        for ref in cfg["inputs"]:
+            b = base(ref)
+            if b in transforms:
+                indeg[name] += 1
+                children[b].append(name)
+    queue = [t for t, d in indeg.items() if d == 0]
+    order: list[str] = []
+    while queue:
+        n = queue.pop()
+        order.append(n)
+        for c in children[n]:
+            indeg[c] -= 1
+            if indeg[c] == 0:
+                queue.append(c)
+    if len(order) != len(transforms):
+        cyc = sorted(t for t, d in indeg.items() if d > 0)
+        raise ValueError(f"cycle detected involving: {cyc}")
+
+    return Topology(spark, config, order, overrides=dict(overrides or {}))
+
+
+# --------------------------------------------------------------------------
+# unit-test harness (≙ `vector test`, src/config/unit_test/mod.rs)
+# --------------------------------------------------------------------------
+
+
+def run_unit_test(
+    spark: SparkSession,
+    config_or_path,
+    inserts: dict[str, DataFrame],
+    extracts: dict[str, list[str] | list[Callable]],
+) -> dict[str, dict]:
+    """Inject DataFrames at source positions, evaluate conditions on
+    component outputs. Returns per-extract {rows, passed:[bool per cond]}.
+
+    A condition passes when EVERY output row satisfies it and at least one
+    row was produced (the reference asserts per collected event)."""
+    topo = compile_config(spark, config_or_path, overrides=inserts)
+    results: dict[str, dict] = {}
+    for ref, conds in extracts.items():
+        df = topo.resolve(ref)
+        n = df.count()
+        passed = []
+        for cond in conds:
+            c = compile_condition(cond) if isinstance(cond, str) else cond(df)
+            ok = n > 0 and df.filter(~F.coalesce(c, F.lit(False))).count() == 0
+            passed.append(bool(ok))
+        results[ref] = {"rows": n, "passed": passed}
+    return results
