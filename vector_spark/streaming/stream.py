@@ -1,0 +1,162 @@
+"""Structured Streaming variants of the stateful (Task-flavor) operators.
+
+The reference's stateful transforms are processing-time streaming
+(SURVEY.md §2.8: tumbling flush on a tokio interval, wall-clock session
+staleness, GCRA throttle). The streaming engine here upgrades them to
+event-time with watermarks — a strict superset (late data handled instead
+of silently mis-windowed):
+
+- aggregate (src/transforms/aggregate.rs)      → windowed agg + watermark
+- dedupe LRU cache (src/transforms/dedupe)     → dropDuplicates + watermark
+  (state TTL ≙ the reference's bounded cache)
+- reduce sessions (src/transforms/reduce)      → session_window(gap)
+- throttle GCRA (src/transforms/throttle.rs)   → applyInPandasWithState
+  per-key token counting per window
+
+All take a streaming DataFrame (``spark.readStream...``) and return a
+streaming DataFrame; pair with ``writeStream`` + checkpointLocation for
+exactly-once sinks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def stream_aggregate(
+    events: DataFrame,
+    series_cols: list[str],
+    value_col: str = "value",
+    ts_col: str = "event_ts",
+    interval_secs: int = 10,
+    watermark: str = "30 seconds",
+    mode: str = "sum",
+) -> DataFrame:
+    """Tumbling-window streaming aggregate (append-mode compatible)."""
+    aggs = {
+        "sum": F.sum(value_col),
+        "count": F.count(value_col),
+        "max": F.max(value_col),
+        "min": F.min(value_col),
+        "mean": F.avg(value_col),
+        "stdev": F.stddev_pop(value_col),
+    }
+    if mode not in aggs:
+        raise ValueError(f"unsupported streaming aggregate mode {mode!r}")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), f"{interval_secs} seconds").alias("__w"),
+            *series_cols,
+        )
+        .agg(aggs[mode].alias("agg_value"), F.count(F.lit(1)).alias("events"))
+        .select(F.col("__w.start").alias("window_start"), *series_cols,
+                "agg_value", "events")
+    )
+
+
+def stream_dedupe(
+    events: DataFrame,
+    match: list[str],
+    ts_col: str = "event_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedupe: state TTL via watermark ≙ the reference's LRU
+    cache bound (dedupe/mod.rs:24-28) — both are approximations of global
+    dedup with bounded state; ours is time-bounded, theirs count-bounded."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(match)
+
+
+def stream_reduce_sessions(
+    events: DataFrame,
+    group_by: list[str],
+    gap_secs: int,
+    ts_col: str = "event_ts",
+    watermark: str = "30 seconds",
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Session-window reduce (expire_after_ms ≙ session gap)."""
+    agg_map = {
+        "sum": F.sum, "max": F.max, "min": F.min,
+        "count": lambda c: F.count(c),
+    }
+    agg_exprs = [F.count(F.lit(1)).alias("events_count")]
+    for col, how in (aggs or {}).items():
+        agg_exprs.append(agg_map[how](col).alias(f"{col}_{how}"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_secs} seconds").alias("__s"),
+            *group_by,
+        )
+        .agg(*agg_exprs)
+        .select(
+            F.col("__s.start").alias("session_start"),
+            F.col("__s.end").alias("session_end"),
+            *group_by,
+            "events_count",
+            *[f"{col}_{how}" for col, how in (aggs or {}).items()],
+        )
+    )
+
+
+def stream_throttle(
+    events: DataFrame,
+    threshold: int,
+    window_secs: int,
+    key_field: str,
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Streaming throttle: first ``threshold`` events per key per tumbling
+    window pass; the rest drop (GCRA ≙ windowed token count). Custom
+    stateful operator via ``applyInPandasWithState``: state = (window_start,
+    count) per key."""
+    out_schema = StructType(
+        [
+            StructField("key", events.schema[key_field].dataType, True),
+            StructField("event_ts", TimestampType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("win_start", LongType(), True),
+            StructField("count", LongType(), True),
+        ]
+    )
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            win_start, count = state.get
+        else:
+            win_start, count = -1, 0
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts in pdf[ts_col]:
+                epoch = int(ts.timestamp())
+                w = epoch - epoch % window_secs
+                if w != win_start:
+                    win_start, count = w, 0
+                if count < threshold:
+                    count += 1
+                    out_rows.append({"key": key[0], "event_ts": ts})
+        state.update((win_start, count))
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return events.groupBy(key_field).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
