@@ -670,6 +670,380 @@ def _register_dataprep() -> None:
 _register_dataprep()
 
 
+# --- batch 3: remaining transform surface + skew + config path -------------
+
+
+def _register_more() -> None:
+    from vector_spark.operators import (
+        enrich_between_dates,
+        metric_to_log,
+        tag_cardinality_limit,
+        throttle,
+    )
+    from vector_spark.operators.skew import salted_agg
+    from vector_spark.operators.remap import remap
+    from vector_spark.sources.readers import demo_syslog_lines
+
+    @_q(
+        "seq_salted_agg",
+        f"""
+        {_SEQ_CTE}
+        SELECT source, COUNT(*) AS events, SUM(n_tok)::BIGINT AS tokens_total
+        FROM seq GROUP BY source
+        """,
+    )
+    def seq_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Two-phase salted aggregation over the skewed source key —
+        same result as a plain groupBy, skew-resistant plan."""
+        return salted_agg(
+            _seq(spark),
+            keys=["source"],
+            aggs={"events": ("count", "_i"), "tokens_total": ("sum", "n_tok")},
+            salt_buckets=16,
+            salt_from=F.xxhash64("doc_id"),
+        )
+
+    @_q(
+        "seq_throttle",
+        f"""
+        {_SEQ_FULL_CTE}
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (
+                   PARTITION BY source, time_bucket(INTERVAL 60 SECOND, event_ts)
+                   ORDER BY event_ts, doc_id) AS rn
+          FROM seq
+        ) WHERE rn <= 3
+        """,
+    )
+    def seq_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+        seq = tables.with_event_ts(_seq(spark))
+        return throttle(
+            seq, threshold=3, window_secs=60, key_field="source",
+            tie_breakers=["doc_id"],
+        ).select("doc_id")
+
+    @_q(
+        "seq_dropped_channel",
+        f"""
+        {_SEQ_FULL_CTE},
+        parsed AS (
+          SELECT doc_id, n_tok,
+                 regexp_extract(message, '^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+) ([^"]*)" (\\d+) (\\S+)', 8)::INT AS status
+          FROM seq
+        )
+        SELECT doc_id, 'error' AS reason, 'seq_parse' AS component_id
+        FROM parsed WHERE status >= 500
+        """,
+    )
+    def seq_dropped_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """remap error channel: failing rows rerouted with annotation
+        (5xx stands in for parse failure in this synthetic corpus)."""
+        parsed = pipeline.parse_stage(_seq(spark))
+        outs = remap(
+            parsed,
+            {},
+            error_when=F.col("status") >= 500,
+            drop_on_error=True,
+            reroute_dropped=True,
+            component_id="seq_parse",
+        )
+        return outs["dropped"].select(
+            "doc_id",
+            F.col("metadata_dropped.reason").alias("reason"),
+            F.col("metadata_dropped.component_id").alias("component_id"),
+        )
+
+    @_q(
+        "syslog_parse",
+        """
+        WITH lines AS (
+          SELECT '<' || (8 + i % 8) || '>1 '
+            || strftime(TIMESTAMP '2024-01-01 00:00:00' + (i % 86400) * INTERVAL 1 SECOND, '%Y-%m-%dT%H:%M:%SZ')
+            || ' host-' || (i % 10) || ' app-' || (i % 5) || ' ' || (100 + i % 900)
+            || ' MSGID' || (i % 7) || ' - message number ' || i AS value
+          FROM range(5000) t(i)
+        )
+        SELECT
+          (regexp_extract(value, '^<(\\d+)>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (?:(\\[.*?\\]|-) )?(.*)$', 1)::INT // 8) AS facility,
+          (regexp_extract(value, '^<(\\d+)>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (?:(\\[.*?\\]|-) )?(.*)$', 1)::INT % 8) AS severity,
+          regexp_extract(value, '^<(\\d+)>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (?:(\\[.*?\\]|-) )?(.*)$', 4) AS hostname,
+          regexp_extract(value, '^<(\\d+)>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (?:(\\[.*?\\]|-) )?(.*)$', 5) AS appname,
+          regexp_extract(value, '^<(\\d+)>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (?:(\\[.*?\\]|-) )?(.*)$', 9) AS message
+        FROM lines
+        """,
+    )
+    def syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from vector_spark.functions.parse import parse_syslog
+
+        lines = demo_syslog_lines(spark, 5000)
+        p = parse_syslog(F.col("value"))
+        return lines.select(
+            p["facility"].alias("facility"),
+            p["severity"].alias("severity"),
+            p["hostname"].alias("hostname"),
+            p["appname"].alias("appname"),
+            p["message"].alias("message"),
+        )
+
+    @_q(
+        "ev_aggregate_latest",
+        """
+        SELECT event_type,
+               strftime(time_bucket(INTERVAL 3600 SECOND, ts),
+                        '%Y-%m-%d %H:%M:%S') AS ws,
+               arg_max(value, ts) AS latest,
+               ROUND(stddev_pop(value), 4) AS sd
+        FROM events GROUP BY 1, 2
+        """,
+    )
+    def ev_aggregate_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from vector_spark.operators import aggregate_metrics
+
+        ev = _events(spark, sf_dir)
+        latest = aggregate_metrics(
+            ev, series_cols=["event_type"], value_col="value", ts_col="ts",
+            interval_secs=3600, mode="latest", out_col="latest",
+        )
+        sd = aggregate_metrics(
+            ev, series_cols=["event_type"], value_col="value", ts_col="ts",
+            interval_secs=3600, mode="stdev", out_col="sd",
+        )
+        return (
+            latest.join(sd, on=["event_type", "window_start"])
+            .select(
+                "event_type",
+                F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "latest",
+                F.round("sd", 4).alias("sd"),
+            )
+        )
+
+    @_q(
+        "ev_aggregate_diff",
+        """
+        WITH agg AS (
+          SELECT event_type, time_bucket(INTERVAL 3600 SECOND, ts) AS w,
+                 SUM(value) AS s
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, strftime(w, '%Y-%m-%d %H:%M:%S') AS ws,
+               ROUND(s - COALESCE(lag(s) OVER (PARTITION BY event_type ORDER BY w), 0), 2) AS delta
+        FROM agg
+        """,
+    )
+    def ev_aggregate_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from vector_spark.operators import aggregate_metrics
+
+        ev = _events(spark, sf_dir)
+        out = aggregate_metrics(
+            ev, series_cols=["event_type"], value_col="value", ts_col="ts",
+            interval_secs=3600, mode="diff", out_col="delta",
+        )
+        return out.select(
+            "event_type",
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            F.round("delta", 2).alias("delta"),
+        )
+
+    @_q(
+        "ev_tag_cardinality",
+        """
+        WITH firsts AS (
+          SELECT event_type, MIN(ts) AS first_seen FROM events GROUP BY 1
+        ), allowed AS (
+          SELECT event_type FROM (
+            SELECT event_type,
+                   row_number() OVER (ORDER BY first_seen, event_type) AS rk
+            FROM firsts
+          ) WHERE rk <= 2
+        )
+        SELECT e.event_id,
+               CASE WHEN a.event_type IS NOT NULL THEN e.event_type END AS event_type
+        FROM events e LEFT JOIN allowed a USING (event_type)
+        """,
+    )
+    def ev_tag_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _events(spark, sf_dir)
+        out = tag_cardinality_limit(
+            ev, tag_cols=["event_type"], value_limit=2, action="drop_tag",
+            order_by="ts",
+        )
+        return out.select("event_id", "event_type")
+
+    @_q(
+        "ev_metric_to_log",
+        """
+        SELECT event_id,
+               '{"event_type":"' || event_type || '","value":' || value::VARCHAR || '}'
+                 AS message
+        FROM events
+        """,
+    )
+    def ev_metric_to_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _events(spark, sf_dir)
+        # manual encode (not to_json) so the byte format is engine-portable
+        out = ev.withColumn(
+            "message",
+            F.concat(
+                F.lit('{"event_type":"'), F.col("event_type"),
+                F.lit('","value":'), F.col("value").cast("string"), F.lit("}"),
+            ),
+        )
+        return out.select("event_id", "message")
+
+    @_q(
+        "ev_enrich_range",
+        """
+        WITH win AS (
+          SELECT * FROM (VALUES
+            (TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-08 00:00:00', 'week1'),
+            (TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-15 00:00:00', 'week2'),
+            (TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'late')
+          ) AS t(from_ts, to_ts, policy)
+        )
+        SELECT e.event_id, w.policy
+        FROM events e LEFT JOIN win w
+          ON e.ts >= w.from_ts AND e.ts < w.to_ts
+        """,
+    )
+    def ev_enrich_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _events(spark, sf_dir)
+        win = spark.createDataFrame(
+            [
+                ("2024-01-01 00:00:00", "2024-01-08 00:00:00", "week1"),
+                ("2024-01-08 00:00:00", "2024-01-15 00:00:00", "week2"),
+                ("2024-01-15 00:00:00", "2024-02-01 00:00:00", "late"),
+            ],
+            "from_s string, to_s string, policy string",
+        ).select(
+            F.to_timestamp("from_s").alias("from_ts"),
+            F.to_timestamp("to_s").alias("to_ts"),
+            "policy",
+        )
+        out = enrich_between_dates(ev, win, on=[], ts_col="ts")
+        return out.select("event_id", "policy")
+
+    @_q(
+        "ev_union_merge",
+        """
+        SELECT event_id, 'high' AS band FROM events WHERE value >= 15
+        UNION ALL
+        SELECT event_id, 'low' AS band FROM events WHERE value < 2
+        """,
+    )
+    def ev_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _events(spark, sf_dir)
+        hi = ev.filter(F.col("value") >= 15).select(
+            "event_id", F.lit("high").alias("band")
+        )
+        lo = ev.filter(F.col("value") < 2).select(
+            "event_id", F.lit("low").alias("band")
+        )
+        return hi.unionByName(lo)
+
+    @_q(
+        "ip_functions",
+        """
+        WITH ips AS (
+          SELECT event_id,
+                 '10.' || (user_id % 256) || '.' || (event_id % 256) || '.'
+                      || ((event_id * 7) % 256) AS ip
+          FROM events
+        )
+        SELECT event_id, ip,
+               10 * 16777216 + (string_split(ip, '.')[2]::BIGINT) * 65536
+                 + (string_split(ip, '.')[3]::BIGINT) * 256
+                 + string_split(ip, '.')[4]::BIGINT AS ip_num,
+               '10.' || string_split(ip, '.')[2] || '.' || string_split(ip, '.')[3] || '.0' AS subnet24,
+               TRUE AS in_ten_8
+        FROM ips
+        """,
+    )
+    def ip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from vector_spark.functions.ip import ip_aton, ip_cidr_contains, ip_subnet
+
+        ev = _events(spark, sf_dir)
+        ips = ev.select(
+            "event_id",
+            F.concat(
+                F.lit("10."), (F.col("user_id") % 256).cast("string"),
+                F.lit("."), (F.col("event_id") % 256).cast("string"),
+                F.lit("."), ((F.col("event_id") * 7) % 256).cast("string"),
+            ).alias("ip"),
+        )
+        return ips.select(
+            "event_id",
+            "ip",
+            ip_aton(F.col("ip")).alias("ip_num"),
+            ip_subnet(F.col("ip"), 24).alias("subnet24"),
+            ip_cidr_contains("10.0.0.0/8", F.col("ip")).alias("in_ten_8"),
+        )
+
+    @_q(
+        "str_case_functions",
+        """
+        SELECT event_id,
+          lower(trim(regexp_replace(regexp_replace(
+            regexp_replace(event_type || 'EventV2', '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+            '[_\\-]+', ' ', 'g'), '\\s+', ' ', 'g')))  AS spaced,
+          replace(lower(trim(regexp_replace(regexp_replace(
+            regexp_replace(event_type || 'EventV2', '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+            '[_\\-]+', ' ', 'g'), '\\s+', ' ', 'g'))), ' ', '_') AS snake,
+          replace(lower(trim(regexp_replace(regexp_replace(
+            regexp_replace(event_type || 'EventV2', '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+            '[_\\-]+', ' ', 'g'), '\\s+', ' ', 'g'))), ' ', '-') AS kebab
+        FROM events
+        """,
+    )
+    def str_case_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from vector_spark.functions.strings import kebabcase, snakecase, _words
+
+        ev = _events(spark, sf_dir)
+        ident = F.concat(F.col("event_type"), F.lit("EventV2"))
+        return ev.select(
+            "event_id",
+            F.array_join(_words(ident), " ").alias("spaced"),
+            snakecase(ident).alias("snake"),
+            kebabcase(ident).alias("kebab"),
+        )
+
+    @_q(
+        "cfg_exclusive_route",
+        """
+        SELECT CASE WHEN event_type = 'error' THEN 'errors'
+                    WHEN value >= 15.0 THEN 'high'
+                    ELSE '_unmatched' END AS route,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+        """,
+    )
+    def cfg_exclusive_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Config-driven path: the same operator surface compiled from a
+        topology config dict (≙ the reference's TOML pipeline)."""
+        from vector_spark.plans import compile_config
+
+        config = {
+            "sources": {"ev": {"type": "parquet", "path": f"{sf_dir}/events.parquet"}},
+            "transforms": {
+                "rt": {
+                    "type": "exclusive_route",
+                    "inputs": ["ev"],
+                    "routes": {
+                        "errors": '.event_type == "error"',
+                        "high": ".value >= 15.0",
+                    },
+                }
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["rt"]}},
+        }
+        topo = compile_config(spark, config)
+        return topo.resolve("rt").groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+
+_register_more()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

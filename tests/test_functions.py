@@ -1,0 +1,241 @@
+"""VRL function surface: parse family, grok expansion, strings, crypto,
+ip, syslog maps, conditions compiler."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.conditions import compile_condition
+from vector_spark.functions import crypto, ip, strings, syslog
+from vector_spark.functions import parse as P
+from vector_spark.functions.grok import grok_to_regex, parse_grok
+
+
+def one(spark, col, **cols):
+    """Evaluate column expression(s) against a single-row frame."""
+    import json
+
+    row_cols = cols or {"x": "1"}
+    df = spark.createDataFrame(
+        [tuple(row_cols.values())],
+        ", ".join(f"{k} string" for k in row_cols),
+    )
+    del json
+    return df.select(col.alias("r")).collect()[0].r
+
+
+# --- parse ------------------------------------------------------------------
+
+
+def test_parse_common_log_variants(spark):
+    line = 'example.com - alice [2024-01-01 10:00:00] "GET /x/1 HTTP/1.1" 404 512'
+    for fn in (P.parse_common_log, P.parse_common_log_fast):
+        r = one(spark, fn(F.col("m")), m=line)
+        assert r.host == "example.com" and r.user == "alice"
+        assert r.method == "GET" and r.path == "/x/1"
+        assert r.status == 404 and r.bytes == 512
+    # miss → all-null struct
+    r = one(spark, P.parse_common_log_fast(F.col("m")), m="garbage")
+    assert r.host is None and r.status is None
+
+
+def test_parse_apache_combined(spark):
+    line = ('1.2.3.4 - bob [2024-01-01 10:00:00] "POST /y HTTP/2" 200 99 '
+            '"http://ref" "curl/8.0"')
+    r = one(spark, P.parse_apache_log(F.col("m"), "combined"), m=line)
+    assert r.referrer == "http://ref" and r.agent == "curl/8.0"
+    assert r.status == 200
+
+
+def test_parse_syslog_5424(spark):
+    line = '<165>1 2024-01-01T10:00:00Z host1 app 123 MSG7 [x@1 k="v"] hello world'
+    r = one(spark, P.parse_syslog(F.col("m")), m=line)
+    assert r.facility == 20 and r.severity == 5
+    assert r.hostname == "host1" and r.appname == "app"
+    assert r.structured_data == '[x@1 k="v"]' and r.message == "hello world"
+
+
+def test_parse_bsd_syslog(spark):
+    line = "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed"
+    r = one(spark, P.parse_bsd_syslog(F.col("m")), m=line)
+    assert r.facility == 4 and r.severity == 2
+    assert r.hostname == "mymachine" and r.appname == "su" and r.procid == 230
+
+
+def test_parse_kv_url_query(spark):
+    r = one(spark, P.parse_key_value(F.col("m")), m="a=1 b=two")
+    assert r == {"a": "1", "b": "two"}
+    u = one(spark, P.parse_url(F.col("m")), m="https://h.io:8080/p/q?a=1#frag")
+    assert u.scheme == "https" and u.host == "h.io" and u.port == 8080
+    assert u.path == "/p/q" and u.query == "a=1" and u.fragment == "frag"
+    q = one(spark, P.parse_query_string(F.col("m")), m="a=1&b=2")
+    assert q == {"a": "1", "b": "2"}
+
+
+def test_parse_scalars(spark):
+    assert one(spark, P.parse_int(F.col("x")), x="42") == 42
+    assert one(spark, P.parse_int(F.col("x")), x="nope") is None
+    assert one(spark, P.parse_int(F.col("x"), base=16), x="0xff") == 255
+    assert one(spark, P.parse_float(F.col("x")), x="2.5") == 2.5
+    assert one(spark, P.parse_duration(F.col("x")), x="300ms") == pytest.approx(0.3)
+    assert one(spark, P.parse_duration(F.col("x"), "ms"), x="2s") == pytest.approx(2000)
+
+
+def test_parse_user_agent(spark):
+    ua = ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+          "(KHTML, like Gecko) Chrome/120.0 Safari/537.36")
+    r = one(spark, P.parse_user_agent(F.col("x")), x=ua)
+    assert r.browser_family == "Chrome" and r.os_family == "Windows"
+
+
+def test_parse_regex_all(spark):
+    r = one(spark, P.parse_regex_all(F.col("x"), r"(\d+)"), x="a1 b22 c333")
+    assert r == ["1", "22", "333"]
+
+
+# --- grok -------------------------------------------------------------------
+
+
+def test_grok_expansion():
+    regex, fields = grok_to_regex("%{IPV4:ip} %{WORD:verb} %{NUMBER:code}")
+    assert fields == ["ip", "verb", "code"]
+    import re
+
+    m = re.match(regex, "10.1.2.3 GET 200")
+    assert m.group("ip") == "10.1.2.3" and m.group("code") == "200"
+
+
+def test_grok_unknown_pattern():
+    with pytest.raises(KeyError, match="NOPE"):
+        grok_to_regex("%{NOPE:x}")
+
+
+def test_parse_grok_fast_and_batch(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.1 GET 200",), ("bad line !!",)], "m string"
+    )
+    # fast path (≤4 fields → per-field JVM regex)
+    fast = df.select(
+        parse_grok(F.col("m"), "%{IPV4:ip} %{WORD:verb} %{NUMBER:code}").alias("g")
+    ).collect()
+    assert fast[0].g.ip == "10.0.0.1" and fast[0].g.code == "200"
+    assert fast[1].g.ip == ""  # JVM regexp_extract: empty string on miss
+    # batch path (>4 fields → single-pass pandas UDF)
+    wide = parse_grok(
+        F.col("m"),
+        "%{IPV4:a} %{WORD:b} %{NUMBER:c}",
+        fast_threshold=0,
+    )
+    batch = df.select(wide.alias("g")).collect()
+    assert batch[0].g.a == "10.0.0.1"
+    assert batch[1].g.a is None  # pandas extract: null on miss
+
+
+# --- strings ----------------------------------------------------------------
+
+
+def test_case_conversions(spark):
+    src = F.col("x")
+    assert one(spark, strings.snakecase(src), x="parseHTTPResponse") == "parse_httpresponse"
+    assert one(spark, strings.snakecase(src), x="click-rate v2") == "click_rate_v2"
+    assert one(spark, strings.kebabcase(src), x="myVar_name") == "my-var-name"
+    assert one(spark, strings.camelcase(src), x="my_var_name") == "myVarName"
+    assert one(spark, strings.pascalcase(src), x="my_var_name") == "MyVarName"
+    assert one(spark, strings.screamingsnakecase(src), x="myVar") == "MY_VAR"
+
+
+def test_string_edits(spark):
+    x = F.col("x")
+    assert one(spark, strings.truncate(x, 5, "..."), x="hello world") == "hello..."
+    assert one(spark, strings.truncate(x, 50), x="short") == "short"
+    assert one(spark, strings.slice_(x, 2, 5), x="abcdefg") == "cde"
+    assert one(spark, strings.slice_(x, -3), x="abcdefg") == "efg"
+    assert one(spark, strings.replace(x, r"\d+", "N"), x="a1b22") == "aNbN"
+    assert one(spark, strings.redact(x, [r"\d{3}-\d{4}"]), x="call 555-1234 now") == "call [REDACTED] now"
+    assert one(spark, strings.sieve(x, r"[0-9]+", ","), x="a12b345") == "12,345"
+    assert one(spark, strings.strip_ansi_escape_codes(x), x="\x1b[31mred\x1b[0m") == "red"
+    assert one(spark, strings.find(x, "lo"), x="hello") == 3
+    assert one(spark, strings.find(x, "zz"), x="hello") == -1
+
+
+def test_string_predicates(spark):
+    x = F.col("x")
+    assert one(spark, strings.contains_all(x, ["a", "b"]), x="abc")
+    assert not one(spark, strings.contains_all(x, ["a", "z"]), x="abc")
+    assert one(spark, strings.match_any(x, [r"^z", r"c$"]), x="abc")
+    assert one(spark, strings.starts_with(x, "AB", case_sensitive=False), x="abc")
+
+
+# --- crypto/encode ----------------------------------------------------------
+
+
+def test_crypto_hashes(spark):
+    import hashlib
+
+    x = F.col("x")
+    assert one(spark, crypto.md5(x), x="abc") == hashlib.md5(b"abc").hexdigest()
+    assert one(spark, crypto.sha1(x), x="abc") == hashlib.sha1(b"abc").hexdigest()
+    assert one(spark, crypto.sha2(x), x="abc") == hashlib.sha256(b"abc").hexdigest()
+    assert one(spark, crypto.encode_base64(x), x="hi") == "aGk="
+    assert one(spark, crypto.decode_base64(x), x="aGk=") == "hi"
+    assert one(spark, crypto.encode_base16(x), x="hi") == "6869"
+    # seahash stand-in: deterministic across calls
+    a = one(spark, crypto.seahash(x), x="abc")
+    b = one(spark, crypto.seahash(x), x="abc")
+    assert a == b and isinstance(a, int)
+
+
+def test_hmac_and_encode_kv(spark):
+    import hashlib
+    import hmac as h
+
+    x = F.col("x")
+    expect = h.new(b"key", b"msg", hashlib.sha256).hexdigest()
+    assert one(spark, crypto.hmac_sha256(x, "key"), x="msg") == expect
+    df = spark.createDataFrame([({"a": "1", "b": "2"},)], "m map<string,string>")
+    r = df.select(crypto.encode_key_value(F.col("m")).alias("r")).collect()[0].r
+    assert r in ("a=1 b=2", "b=2 a=1")
+
+
+# --- ip ---------------------------------------------------------------------
+
+
+def test_ip_functions(spark):
+    x = F.col("x")
+    assert one(spark, ip.ip_aton(x), x="10.0.0.1") == 10 * 16777216 + 1
+    assert one(spark, ip.ip_ntoa(F.lit(167772161)), x="_") == "10.0.0.1"
+    assert one(spark, ip.ip_subnet(x, 24), x="192.168.1.77") == "192.168.1.0"
+    assert one(spark, ip.ip_cidr_contains("10.0.0.0/8", x), x="10.200.3.4")
+    assert not one(spark, ip.ip_cidr_contains("10.0.0.0/8", x), x="11.0.0.1")
+    assert one(spark, ip.is_ipv4(x), x="255.255.255.255")
+    assert not one(spark, ip.is_ipv4(x), x="256.1.1.1")
+    assert one(spark, ip.is_ipv6(x), x="fe80::1")
+
+
+# --- syslog maps ------------------------------------------------------------
+
+
+def test_syslog_maps(spark):
+    assert one(spark, syslog.to_syslog_facility(F.lit(4)), x="_") == "auth"
+    assert one(spark, syslog.to_syslog_level(F.lit(3)), x="_") == "err"
+    assert one(spark, syslog.to_syslog_severity(F.col("x")), x="Warning") == 4
+
+
+# --- conditions compiler ----------------------------------------------------
+
+
+def test_condition_compiler(spark):
+    df = spark.createDataFrame(
+        [(500, "app", None), (200, "web", "u1")],
+        "status long, src string, user string",
+    )
+    keep = df.filter(compile_condition(".status >= 400 && !exists(.user)"))
+    assert keep.count() == 1
+    keep2 = df.filter(
+        compile_condition('(.src == "web" || .src == "app") && .status < 300')
+    )
+    assert keep2.count() == 1
+    assert df.filter(compile_condition('contains(.src, "pp")')).count() == 1
+    assert df.filter(compile_condition('match(.src, "^w")')).count() == 1
+    assert df.filter(compile_condition("true")).count() == 2

@@ -8,8 +8,10 @@ encode_json, encode_logfmt, encode_key_value.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def md5(col: Column) -> Column:
@@ -29,9 +31,6 @@ def hmac_sha256(col: Column, key: str) -> Column:
     (vectorized; only use off the hot path)."""
     import hashlib
     import hmac as _hmac
-
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     kb = key.encode()
 

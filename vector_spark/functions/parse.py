@@ -51,7 +51,11 @@ def parse_url(col: Column) -> Column:
     return F.struct(
         F.parse_url(col, F.lit("PROTOCOL")).alias("scheme"),
         F.parse_url(col, F.lit("HOST")).alias("host"),
-        F.parse_url(col, F.lit("PORT")).cast("int").alias("port"),
+        # Spark parse_url has no PORT key — take it off the authority
+        F.nullif(
+            F.regexp_extract(F.parse_url(col, F.lit("AUTHORITY")), r":(\d+)$", 1),
+            F.lit(""),
+        ).cast("int").alias("port"),
         F.parse_url(col, F.lit("PATH")).alias("path"),
         F.parse_url(col, F.lit("QUERY")).alias("query"),
         F.parse_url(col, F.lit("REF")).alias("fragment"),
