@@ -123,15 +123,29 @@ def minhash_near_dups(
     exact-Jaccard verify.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), k_shingle).alias("__sh"),
-    ).withColumn(
-        "__bands",
-        lsh_band_keys(minhash_signature(F.col("__sh"), num_hashes), bands, rows_per_band),
+    # each step materializes its own column: passing the signature EXPRESSION
+    # into the band builder would duplicate the whole tree per band key, and
+    # higher-order-function expressions run interpreted (no codegen subexpr
+    # elimination) — measured 10× slowdown when inlined
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            shingles(F.col(text_col), k_shingle).alias("__sh"),
+        )
+        .withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+        .withColumn("__bands", lsh_band_keys(F.col("__sig"), bands, rows_per_band))
+        .persist()
     )
+    # persist = the classic LSH materialization step: the signature table is
+    # computed ONCE and reused by both sides of the bucket self-join and the
+    # verify joins. Without the barrier, Catalyst inlines the interpreted
+    # HOF tree into the generate/join nodes and recomputes it per use
+    # (measured 10-20× slowdown). At the 10^12 tier this table is WRITTEN
+    # (parquet/Iceberg) rather than cached — same shape, durable.
+    # candidate pairs on IDS ONLY — the heavy shingle arrays stay out of the
+    # self-join shuffle; dedupe multi-band pairs BEFORE fetching shingles
     banded = base.select(
-        "__id", "__sh", F.posexplode("__bands").alias("__b", "__key")
+        "__id", F.posexplode("__bands").alias("__b", "__key")
     )
     pairs = (
         banded.alias("l")
@@ -143,17 +157,17 @@ def minhash_near_dups(
                 F.col("l.__id") < F.col("r.__id"),
             ],
         )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.__sh").alias("__sha"),
-            F.col("r.__sh").alias("__shb"),
-        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    shing = base.select("__id", "__sh")
+    verified = (
+        pairs.join(shing.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"), on="id_a")
+        .join(shing.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), on="id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("__sha"), F.col("__shb")), 4))
+    )
     return (
-        pairs.withColumn("jaccard", F.round(jaccard(F.col("__sha"), F.col("__shb")), 4))
-        .filter(F.col("jaccard") >= threshold)
+        verified.filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
