@@ -182,19 +182,29 @@ def simhash_hex(col: Column, bits: int = 16) -> Column:
     sum (nibble*2-15) (maps 0..15 → −15..+15), emit 'f' if the sum > 0 else
     '0'. Portable integer math (the oracle reproduces it exactly); Hamming
     similarity = matching positions.
+
+    Single-pass: one md5 per word → per-word nibble vector → element-wise
+    fold (``zip_with`` add). One evaluation of the word array total —
+    per-bit aggregates would re-evaluate the interpreted HOF tree ``bits``
+    times (see minhash_near_dups persist note).
     """
     ws = F.array_distinct(words(col))
-    hashed = F.transform(ws, lambda w: F.md5(w))
-    nibs = [
-        F.aggregate(
-            hashed,
-            F.lit(0),
-            lambda acc, h: acc
-            + (F.conv(h.substr(p + 1, 1), 16, 10).cast("int") * 2 - 15),
-        )
-        for p in range(bits)
-    ]
-    return F.concat(*[F.when(n > 0, F.lit("f")).otherwise(F.lit("0")) for n in nibs])
+    pos = F.sequence(F.lit(1), F.lit(bits))
+    hashed = F.transform(ws, lambda w: F.md5(w))  # one md5 per word
+    contrib = F.transform(
+        hashed,
+        lambda h: F.transform(
+            pos, lambda p: F.conv(h.substr(p, F.lit(1)), 16, 10).cast("int") * 2 - 15
+        ),
+    )
+    zeros = F.transform(pos, lambda p: F.lit(0))
+    sums = F.aggregate(
+        contrib, zeros, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
+    )
+    return F.array_join(
+        F.transform(sums, lambda n: F.when(n > 0, F.lit("f")).otherwise(F.lit("0"))),
+        "",
+    )
 
 
 def simhash_hamming(a: Column, b: Column, bits: int = 16) -> Column:
