@@ -1009,6 +1009,29 @@ def _register_more() -> None:
         )
 
     @_q(
+        "ev_metric_summary",
+        """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS set_card,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.95), 4) AS p95,
+               ROUND(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type
+        """,
+    )
+    def ev_metric_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """log_to_metric set + summary materialization: exact distinct
+        cardinality (set metric) and exact interpolated percentiles
+        (summary/histogram metric; reference AggregatedSummary)."""
+        ev = _events(spark, sf_dir)
+        return ev.groupBy("event_type").agg(
+            F.count_distinct("user_id").alias("set_card"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+
+    @_q(
         "cfg_exclusive_route",
         """
         SELECT CASE WHEN event_type = 'error' THEN 'errors'

@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) — the randomized layer of the test
+strategy (SURVEY.md §5): engine ops vs independent pandas/python oracles on
+arbitrary small inputs."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vector_spark.conditions import compile_condition
+from vector_spark.functions.grok import grok_to_regex
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-100, max_value=100),
+        st.sampled_from(["a", "b", "c", None]),
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=rows_strategy, thr=st.integers(min_value=-100, max_value=100))
+@settings(**SETTINGS)
+def test_condition_filter_matches_pandas(spark, rows, thr):
+    df = spark.createDataFrame(rows, "n long, s string, v double")
+    cond = f'.n >= {thr} && exists(.s) || .s == "a"'
+    got = df.filter(compile_condition(cond)).count()
+    pdf = pd.DataFrame(rows, columns=["n", "s", "v"])
+    want = int(
+        (((pdf.n >= thr) & pdf.s.notna()) | (pdf.s == "a")).sum()
+    )
+    assert got == want
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_dedupe_matches_pandas(spark, rows):
+    from vector_spark.operators import dedupe
+
+    df = spark.createDataFrame(rows, "n long, s string, v double")
+    got = dedupe(df, match=["n", "s"]).count()
+    pdf = pd.DataFrame(rows, columns=["n", "s", "v"])
+    want = len(pdf.drop_duplicates(subset=["n", "s"]))
+    assert got == want
+
+
+@given(rows=rows_strategy, rate=st.integers(min_value=1, max_value=5))
+@settings(**SETTINGS)
+def test_sample_counter_rate_bounds(spark, rows, rate):
+    from vector_spark.operators import sample
+
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)], "i long, n long, s string, v double"
+    )
+    kept = sample(df, rate=rate, group_by=["s"], order_by="i").count()
+    # each group of size g keeps ceil(g/rate)
+    pdf = pd.DataFrame(rows, columns=["n", "s", "v"])
+    want = sum(-(-g // rate) for g in pdf.groupby("s", dropna=False).size())
+    assert kept == want
+
+
+@given(
+    words=st.lists(
+        st.sampled_from("alpha beta gamma delta eps zeta".split()),
+        min_size=4,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_minhash_jaccard_identical_docs(spark, words):
+    from vector_spark.dataprep import dedup as dd
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    pairs = dd.minhash_near_dups(df, threshold=0.99).collect()
+    # identical docs always collide in every band and have jaccard 1.0
+    assert len(pairs) == 1 and pairs[0].jaccard == 1.0
+
+
+@given(
+    fields=st.lists(
+        st.sampled_from(["ip", "verb", "code", "host", "path"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_grok_expansion_compiles_and_captures(fields):
+    pats = {"ip": "IPV4", "verb": "WORD", "code": "NUMBER", "host": "HOSTNAME", "path": "PATH"}
+    samples = {"ip": "1.2.3.4", "verb": "GET", "code": "207", "host": "x.example.com", "path": "/a/b"}
+    pattern = " ".join(f"%{{{pats[f]}:{f}}}" for f in fields)
+    regex, got_fields = grok_to_regex(pattern)
+    assert got_fields == fields
+    line = " ".join(samples[f] for f in fields)
+    m = re.match(regex, line)
+    assert m is not None
+    for f in fields:
+        assert m.group(re.sub(r"\W", "_", f)) == samples[f]
+
+
+@given(
+    a=st.lists(st.sampled_from("pqrstuv"), min_size=1, max_size=8, unique=True),
+    b=st.lists(st.sampled_from("pqrstuv"), min_size=1, max_size=8, unique=True),
+)
+@settings(**SETTINGS)
+def test_jaccard_symmetry_and_bounds(spark, a, b):
+    from vector_spark.dataprep.dedup import jaccard
+
+    df = spark.createDataFrame([(a, b)], "a array<string>, b array<string>")
+    ab = df.select(jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0].j
+    ba = df.select(jaccard(F.col("b"), F.col("a")).alias("j")).collect()[0].j
+    assert ab == ba and 0.0 <= ab <= 1.0
+    sa, sb = set(a), set(b)
+    assert abs(ab - len(sa & sb) / len(sa | sb)) < 1e-9

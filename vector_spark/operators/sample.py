@@ -39,7 +39,9 @@ def sample(
         if order_by is None:
             raise ValueError("counter-mode sample needs order_by for determinism")
         w = Window.partitionBy(*(group_by or [F.lit(1)])).orderBy(order_by)
-        keep = (F.row_number().over(w) % rate) == 1
+        # first of every stride: rows 1, 1+rate, 1+2*rate, ... ((rn-1) % rate
+        # == 0 — NOT rn % rate == 1, which drops everything at rate=1)
+        keep = ((F.row_number().over(w) - 1) % rate) == 0
     if exclude is not None:
         keep = keep | to_column(exclude, df)
     out = df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")

@@ -114,6 +114,35 @@ def run_pipeline(seq: DataFrame, dim: DataFrame) -> dict[str, DataFrame]:
     return {"routed": routed, "agg": aggregate_stage(routed)}
 
 
+def stream_pipeline(
+    seq_stream: DataFrame,
+    dim: DataFrame,
+    watermark: str = "2 minutes",
+) -> dict[str, DataFrame]:
+    """Streaming flagship: the SAME parse/enrich/route stages (they are
+    pure column transforms — batch/stream agnostic), with an event-time
+    watermarked windowed aggregate. ``seq_stream`` is a streaming frame of
+    the sequences schema (e.g. ``spark.readStream.schema(...).parquet``).
+    Returns {'routed': append-able stream, 'agg': watermarked windowed agg}.
+    """
+    routed = route_stage(enrich_stage(parse_stage(seq_stream), dim))
+    agg = (
+        routed.withWatermark("event_ts", watermark)
+        .groupBy(
+            "route",
+            "source",
+            F.window("event_ts", f"{AGG_WINDOW_SECS} seconds").alias("__w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum("n_tok").alias("tokens_total"),
+        )
+        .select(F.col("__w.start").alias("window_start"), "route", "source",
+                "events", "tokens_total")
+    )
+    return {"routed": routed, "agg": agg}
+
+
 def sink_frames(routed: DataFrame) -> dict[str, DataFrame]:
     """Split the labeled frame into per-sink frames (cheap label filters)."""
     names = ROUTE_NAMES + [UNMATCHED]
