@@ -1032,6 +1032,26 @@ def _register_more() -> None:
         )
 
     @_q(
+        "ev_histogram",
+        """
+        SELECT event_type,
+               least(greatest(floor(value / 2.0)::INT, 0), 9) AS bucket,
+               COUNT(*) AS n,
+               ROUND(least(greatest(floor(value / 2.0)::INT, 0), 9) * 2.0, 6) AS bucket_lo
+        FROM events GROUP BY 1, 2
+        """,
+    )
+    def ev_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """log_to_metric Histogram materialization: fixed-width bucket
+        counts (reference AggregatedHistogram) per metric series."""
+        from vector_spark.functions.objects import histogram_buckets
+
+        ev = _events(spark, sf_dir)
+        return histogram_buckets(
+            ev, "value", lo=0.0, hi=20.0, n_buckets=10, group_by=["event_type"]
+        )
+
+    @_q(
         "cfg_exclusive_route",
         """
         SELECT CASE WHEN event_type = 'error' THEN 'errors'

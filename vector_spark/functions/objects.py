@@ -1,0 +1,98 @@
+"""VRL object/array manipulation: flatten, unflatten, merge, explode_map.
+
+Parity: VRL ``flatten``/``unflatten``/``merge``/``map_keys``/``map_values``
+(reference website/cue/reference/remap/functions/). The engine is
+schema-first, so ``flatten`` is schema recursion on the driver producing a
+flat projection — zero runtime cost (pure column references), unlike the
+reference's per-event tree walk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType, StructType
+
+
+def flatten_struct(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Flatten all nested struct columns into dotted top-level columns
+    (``a.b.c``). Maps/arrays are left intact (use explode_map/explode)."""
+
+    def cols(prefix: str, schema: StructType, path: Column | None) -> list[Column]:
+        out = []
+        for f in schema.fields:
+            name = f"{prefix}{sep}{f.name}" if prefix else f.name
+            ref = path[f.name] if path is not None else F.col(f.name)
+            if isinstance(f.dataType, StructType):
+                out.extend(cols(name, f.dataType, ref))
+            else:
+                out.append(ref.alias(name))
+        return out
+
+    return df.select(*cols("", df.schema, None))
+
+
+def unflatten(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Inverse of flatten_struct: dotted column names → nested structs."""
+    tree: dict = {}
+    for name in df.columns:
+        parts = name.split(sep)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = F.col(f"`{name}`")
+
+    def build(node) -> Column | dict:
+        if isinstance(node, dict):
+            return F.struct(
+                *[
+                    (build(v).alias(k) if isinstance(v, dict) else v.alias(k))
+                    for k, v in node.items()
+                ]
+            )
+        return node
+
+    out_cols = []
+    for k, v in tree.items():
+        col = build(v) if isinstance(v, dict) else v
+        out_cols.append(col.alias(k))
+    return df.select(*out_cols)
+
+
+def merge_maps(a: Column, b: Column) -> Column:
+    """VRL ``merge``: right-biased union of two maps."""
+    return F.map_zip_with(
+        a, b, lambda k, va, vb: F.coalesce(vb, va)
+    )
+
+
+def explode_map(df: DataFrame, map_col: str, key_col: str = "key",
+                value_col: str = "value") -> DataFrame:
+    """One row per map entry (≙ VRL unnest over an object)."""
+    return df.select(
+        *[c for c in df.columns if c != map_col],
+        F.explode(F.col(map_col)).alias(key_col, value_col),
+    )
+
+
+def histogram_buckets(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """log_to_metric Histogram materialization: fixed-width bucket counts
+    per group. Bucket i covers [lo + i*w, lo + (i+1)*w); under/overflow
+    clamp to the edge buckets (reference histogram semantics).
+    Output: group cols + bucket:int + bucket_lo:double + n:long."""
+    w = (hi - lo) / n_buckets
+    raw = F.floor((F.col(value_col) - lo) / w).cast("int")
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+    return (
+        df.withColumn("bucket", bucket)
+        .groupBy(*(group_by or []), "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket_lo", F.round(F.lit(lo) + F.col("bucket") * w, 6))
+    )
