@@ -90,3 +90,14 @@ def test_route_non_exclusive_copies(spark, seq, dim):
         for r in routed.filter(routed.doc_id == doc_id).select("route").collect()
     }
     assert {"errors", "alerts"} <= routes
+
+
+def test_arrow_parse_matches_jvm_parse(spark, seq):
+    jvm = pipeline.parse_stage(seq).select(
+        "doc_id", "host", "user", "path", "status", "bytes"
+    )
+    arrow = pipeline.parse_stage_arrow(seq).select(
+        "doc_id", "host", "user", "path", "status", "bytes"
+    )
+    assert jvm.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(jvm).count() == 0

@@ -70,6 +70,38 @@ def parse_stage(seq: DataFrame) -> DataFrame:
     ).drop("__parts")
 
 
+def parse_stage_arrow(seq: DataFrame) -> DataFrame:
+    """Arrow-batched pandas-UDF variant of parse_stage: the grok pattern is
+    expanded once on the driver and executed as ONE vectorized
+    ``str.extract`` per Arrow batch (zero per-row Python — the batch is the
+    unit). Same output schema as parse_stage.
+
+    bench.py --parse arrow measures it against the JVM path; the JVM
+    regexp path wins on this workload (no Arrow serialization of the fat
+    token arrays across the process boundary), which is why parse_stage is
+    the default — the Arrow path is the template for parses Spark's regex
+    family genuinely cannot express (lookbehind-heavy grok, per-row
+    pattern dispatch).
+    """
+    from vector_spark.functions.grok import grok_extract
+
+    df = tables.with_message(seq)
+    pat = (
+        "%{IPORHOST:host} %{NOTSPACE:ident} %{NOTSPACE:user} "
+        r"\[%{DATA:ts}\] \"%{METHOD:method} %{NOTSPACE:path} %{DATA:protocol}\" "
+        "%{INT:status} %{NOTSPACE:bytes}"
+    )
+    p = grok_extract(F.col("message"), pat)
+    return df.withColumn("__p", p).select(
+        "*",
+        F.col("__p.host").alias("host"),
+        F.col("__p.user").alias("user"),
+        F.col("__p.path").alias("path"),
+        F.col("__p.status").cast("int").alias("status"),
+        F.col("__p.bytes").cast("long").alias("bytes"),
+    ).drop("__p")
+
+
 def enrich_stage(parsed: DataFrame, dim: DataFrame) -> DataFrame:
     """Broadcast lookup enrichment on the (skewed) ``source`` key — broadcast
     join means the hot 45%-'app' key never shuffles (SURVEY.md §4 skew row)."""
