@@ -61,6 +61,28 @@ def enrich(
     return joined
 
 
+def enrich_ip_range(
+    df: DataFrame,
+    dim: DataFrame,
+    ip_col: str,
+    lo_col: str = "ip_lo",
+    hi_col: str = "ip_hi",
+) -> DataFrame:
+    """GeoIP-style enrichment: broadcast range join of an IP column against
+    a (numeric) CIDR-range table (≙ reference geoip/mmdb enrichment tables,
+    src/enrichment_tables/mod.rs:17-37 — the mmdb binary format is replaced
+    by a plain range table; ranges must be non-overlapping).
+
+    ``dim`` carries ``[lo_col, hi_col)`` as uint32 longs (see
+    functions.ip.ip_aton) plus the enrichment payload columns.
+    """
+    from vector_spark.functions.ip import ip_aton
+
+    n = ip_aton(df[ip_col])
+    cond = (n >= dim[lo_col]) & (n < dim[hi_col])
+    return df.join(F.broadcast(dim), on=cond, how="left").drop(lo_col, hi_col)
+
+
 def enrich_between_dates(
     df: DataFrame,
     dim: DataFrame,
