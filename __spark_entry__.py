@@ -463,9 +463,9 @@ def ev_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_quantity::DECIMAL(14,2)), 2)::DOUBLE AS sum_qty,
+           ROUND(SUM(l_extendedprice::DECIMAL(14,2)), 2)::DOUBLE AS sum_base_price,
+           ROUND(SUM(l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(14,2))), 2)::DOUBLE AS sum_disc_price,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
@@ -479,11 +479,17 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(14,2)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(14,2)")), 2)
+            .cast("double").alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(14,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(14,2)"))
+                ),
+                2,
+            ).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -1029,6 +1035,120 @@ def _register_more() -> None:
             F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
             F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
             F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+
+    @_q(
+        "ev_aggregate_auto",
+        """
+        WITH m AS (
+          SELECT *, CASE WHEN event_type IN ('click','view')
+                         THEN 'incremental' ELSE 'absolute' END AS kind
+          FROM events
+        )
+        SELECT event_type,
+               strftime(time_bucket(INTERVAL 3600 SECOND, ts),
+                        '%Y-%m-%d %H:%M:%S') AS ws,
+               ROUND(COALESCE(SUM(value) FILTER (kind = 'incremental'),
+                              arg_max(value, ts) FILTER (kind = 'absolute')), 4)
+                 AS agg_value
+        FROM m GROUP BY 1, 2
+        """,
+    )
+    def ev_aggregate_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """aggregate 'auto' mode: sum incremental counters, last absolute
+        gauges per series window (reference aggregate.rs:152-168)."""
+        from vector_spark.operators import aggregate_metrics
+
+        ev = _events(spark, sf_dir).withColumn(
+            "kind",
+            F.when(
+                F.col("event_type").isin("click", "view"), "incremental"
+            ).otherwise("absolute"),
+        )
+        out = aggregate_metrics(
+            ev, series_cols=["event_type"], value_col="value", ts_col="ts",
+            interval_secs=3600, mode="auto", kind_col="kind",
+        )
+        return out.select(
+            "event_type",
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            F.round("agg_value", 4).alias("agg_value"),
+        )
+
+    @_q(
+        "ev_reduce_sessions",
+        """
+        WITH ordered AS (
+          SELECT user_id, ts, value,
+                 epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events
+        ), flagged AS (
+          SELECT *, CASE WHEN gap > 3600 THEN 1 ELSE 0 END AS boundary
+          FROM ordered
+        ), sessions AS (
+          SELECT user_id, value,
+                 (SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS events_count,
+               ROUND(SUM(value), 2) AS value_sum
+        FROM sessions GROUP BY 1, 2
+        """,
+    )
+    def ev_reduce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """reduce with gap sessionization (expire_after ≙ 1h inactivity)."""
+        from vector_spark.operators import reduce_events
+
+        ev = _events(spark, sf_dir).withColumn("value_sum", F.col("value"))
+        out = reduce_events(
+            ev,
+            group_by=["user_id"],
+            merge_strategies={"value_sum": "sum"},
+            order_by="ts",
+            expire_after_secs=3600,
+            ts_col="ts",
+        )
+        return out.select(
+            "user_id", "session_id", "events_count",
+            F.round("value_sum", 2).alias("value_sum"),
+        )
+
+    @_q(
+        "tpch_q3_join",
+        """
+        SELECT o.o_orderkey,
+               ROUND(SUM(l.l_extendedprice::DECIMAL(14,2) * (1 - l.l_discount::DECIMAL(14,2))), 2)::DOUBLE AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        HAVING ROUND(SUM(l.l_extendedprice::DECIMAL(14,2) * (1 - l.l_discount::DECIMAL(14,2))), 2) > 100000
+        """,
+    )
+    def tpch_q3_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multi-table equi-join + agg + having (general join surface)."""
+        c = tables.load(spark, sf_dir, "customer")
+        o = tables.load(spark, sf_dir, "orders")
+        li = tables.load(spark, sf_dir, "lineitem")
+        return (
+            c.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(o, c.c_custkey == o.o_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(14,2)")
+                        * (F.lit(1) - F.col("l_discount").cast("decimal(14,2)"))
+                    ),
+                    2,
+                ).cast("double").alias("revenue")
+            )
+            .filter(F.col("revenue") > 100000)
+            .select("o_orderkey", "revenue", "o_orderdate")
         )
 
     @_q(
