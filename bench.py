@@ -38,6 +38,7 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=int(os.environ.get("BENCH_ROWS", 2_000_000)))
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--parse", choices=["jvm", "arrow"], default="jvm")
     ap.add_argument("--skip-queries", action="store_true")
     args = ap.parse_args()
 
@@ -69,7 +70,7 @@ def main() -> None:
     # columns — cheaper than persisting fat rows (SURVEY §7.4 decision).
     dim = tables.enrich_sources(spark)
     seq = spark.read.parquet(input_path)
-    out = pipeline.run_pipeline(seq, dim)
+    out = pipeline.run_pipeline(seq, dim, parse=args.parse)
     iters = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
@@ -100,6 +101,7 @@ def main() -> None:
                 "seq_per_sec": round(args.rows / headline),
                 "iters_sec": [round(x, 3) for x in iters],
                 "cpus": args.cpus,
+                "parse": args.parse,
             }
         )
     )

@@ -133,14 +133,17 @@ def aggregate_stage(routed: DataFrame) -> DataFrame:
     )
 
 
-def run_pipeline(seq: DataFrame, dim: DataFrame) -> dict[str, DataFrame]:
+def run_pipeline(
+    seq: DataFrame, dim: DataFrame, parse: str = "jvm"
+) -> dict[str, DataFrame]:
     """Full pipeline; returns the routed event frame and the aggregate frame.
 
     ``routed`` preserves the full token arrays per routed row (the
     correctness invariant: routed-row token-array equality); ``agg`` is the
     per-sink windowed aggregate (count equality invariant).
+    ``parse``: 'jvm' (default regexp path) or 'arrow' (pandas-UDF grok).
     """
-    parsed = parse_stage(seq)
+    parsed = (parse_stage if parse == "jvm" else parse_stage_arrow)(seq)
     enriched = enrich_stage(parsed, dim)
     routed = route_stage(enriched)
     return {"routed": routed, "agg": aggregate_stage(routed)}
