@@ -36,6 +36,9 @@ def sample(
     if key_field is not None:
         keep = F.pmod(F.xxhash64(F.col(key_field)), F.lit(rate)) == 0
     else:
+        # counter mode shuffles on group_by; with group_by=None the window
+        # is GLOBAL (single partition) — fine for tests, not for 10^12 rows
+        # (prefer keyed mode at scale; SCALING.md)
         if order_by is None:
             raise ValueError("counter-mode sample needs order_by for determinism")
         w = Window.partitionBy(*(group_by or [F.lit(1)])).orderBy(order_by)

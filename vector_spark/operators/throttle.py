@@ -35,6 +35,10 @@ def throttle(
 
     ``tie_breakers``: extra deterministic ordering columns after ``ts_col``
     (recommended — makes "first" reproducible when timestamps collide).
+
+    Scale note: with ``key_field=None`` the window is GLOBAL (all rows of a
+    time bucket through one partition) — correct, but only for small/
+    pre-filtered streams; always key at the 10^12 tier (SCALING.md).
     """
     bucket = (F.unix_timestamp(F.col(ts_col)) / window_secs).cast("long")
     keys = [F.col(key_field)] if key_field else [F.lit(1)]
