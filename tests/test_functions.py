@@ -239,3 +239,15 @@ def test_condition_compiler(spark):
     assert df.filter(compile_condition('contains(.src, "pp")')).count() == 1
     assert df.filter(compile_condition('match(.src, "^w")')).count() == 1
     assert df.filter(compile_condition("true")).count() == 2
+
+
+def test_parse_gelf_and_encode_csv(spark):
+    gelf = ('{"version":"1.1","host":"h1","short_message":"boom",'
+            '"timestamp":1704067200.5,"level":3}')
+    r = one(spark, P.parse_gelf(F.col("m")), m=gelf)
+    assert r.host == "h1" and r.level == 3 and r.short_message == "boom"
+    df = spark.createDataFrame([("a", 1, 2.5)], "x string, y long, z double")
+    line = df.select(
+        P.encode_csv([F.col("x"), F.col("y"), F.col("z")]).alias("c")
+    ).collect()[0].c
+    assert line == "a,1,2.5"

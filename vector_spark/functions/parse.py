@@ -67,6 +67,25 @@ def parse_query_string(col: Column) -> Column:
     return F.str_to_map(col, F.lit("&"), F.lit("="))
 
 
+GELF_SCHEMA = (
+    "version string, host string, short_message string, full_message string, "
+    "timestamp double, level int, facility string"
+)
+
+
+def parse_gelf(col: Column) -> Column:
+    """GELF decode (reference lib/codecs decoding format ``gelf``): the
+    fixed fields as a typed struct; additional ``_``-prefixed fields are
+    available via :func:`parse_json_map` on the same column."""
+    return F.from_json(col, GELF_SCHEMA)
+
+
+def encode_csv(cols: list[Column]) -> Column:
+    """CSV encode (reference encoding format ``csv``): one CSV line from
+    the given columns."""
+    return F.to_csv(F.struct(*cols))
+
+
 # --- log-line formats (regex family — the perf-critical core) ---------------
 
 # Apache/nginx common log: host ident user [time] "method path proto" status bytes
