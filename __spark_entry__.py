@@ -550,8 +550,8 @@ def _register_dataprep() -> None:
         d = _docs(spark, sf_dir)
         return d.select(
             "doc_id",
-            tx.token_count(F.col("text")).alias("n_tokens"),
-            tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+            tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+            tx.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
         )
 
     @_q(
@@ -588,7 +588,7 @@ def _register_dataprep() -> None:
         feats = tx.quality_features(F.col("text"))
         return d.select(
             "doc_id",
-            feats["n_words"].alias("n_words"),
+            feats["n_words"].cast("long").alias("n_words"),
             feats["mean_word_len"].alias("mean_word_len"),
             feats["uniq_ratio"].alias("uniq_ratio"),
             tx.quality_score(F.col("text")).alias("quality"),
@@ -653,7 +653,8 @@ def _register_dataprep() -> None:
         queries_df = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return sim.brute_force_topk(emb, queries_df, k=3)
+        out = sim.brute_force_topk(emb, queries_df, k=3)
+        return out.withColumn("rank", F.col("rank").cast("long"))
 
     @_q("emb_lsh_topk")  # approximate — rows-only check (no SQL oracle)
     def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1119,7 +1120,7 @@ def _register_more() -> None:
         """
         SELECT o.o_orderkey,
                ROUND(SUM(l.l_extendedprice::DECIMAL(14,2) * (1 - l.l_discount::DECIMAL(14,2))), 2)::DOUBLE AS revenue,
-               o.o_orderdate
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1148,7 +1149,10 @@ def _register_more() -> None:
                 ).cast("double").alias("revenue")
             )
             .filter(F.col("revenue") > 100000)
-            .select("o_orderkey", "revenue", "o_orderdate")
+            .select(
+                "o_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            )
         )
 
     @_q(
@@ -1167,9 +1171,10 @@ def _register_more() -> None:
         from vector_spark.functions.objects import histogram_buckets
 
         ev = _events(spark, sf_dir)
-        return histogram_buckets(
+        out = histogram_buckets(
             ev, "value", lo=0.0, hi=20.0, n_buckets=10, group_by=["event_type"]
         )
+        return out.withColumn("bucket", F.col("bucket").cast("long"))
 
     @_q(
         "cfg_exclusive_route",

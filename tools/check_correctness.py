@@ -68,6 +68,13 @@ def main() -> int:
             print(f"FAIL {name}: rowcount spark={len(got)} duckdb={len(want)}")
             failures += 1
             continue
+        gd = {c.lower(): str(got[c].dtype) for c in got.columns}
+        wd = {c.lower(): str(want[c].dtype) for c in want.columns}
+        dtype_mismatch = {
+            c: (gd[c], wd[c]) for c in gd if c in wd and gd[c] != wd[c]
+        }
+        if dtype_mismatch:
+            print(f"DTYPE {name}: {dtype_mismatch}")
         if sorted(map(str.lower, got.columns)) != sorted(map(str.lower, want.columns)):
             print(
                 f"FAIL {name}: columns spark={sorted(got.columns)} "
