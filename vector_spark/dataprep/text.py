@@ -64,16 +64,14 @@ def lang_id(col: Column, min_hits: int = 1) -> Column:
     Ties break by the fixed language order (deterministic)."""
     ws = words(col)
     scores = [(lang, _stopword_hits(ws, lang)) for lang in STOPWORDS]
-    best = None
-    # fold: keep the first language with the strictly-highest score
+    # fold in reverse so earlier languages win ties (>= replaces) — the
+    # result is argmax with first-in-STOPWORDS-order tie-break
     expr = F.lit("und")
     best_score = F.lit(min_hits - 1)
     for lang, s in reversed(scores):
-        better = s >= F.lit(min_hits)
-        # process in reverse so earlier languages win ties (>= replaces)
-        expr = F.when(better & (s >= best_score), F.lit(lang)).otherwise(expr)
-        best_score = F.when(better & (s >= best_score), s).otherwise(best_score)
-    del best
+        better = (s >= F.lit(min_hits)) & (s >= best_score)
+        expr = F.when(better, F.lit(lang)).otherwise(expr)
+        best_score = F.when(better, s).otherwise(best_score)
     return expr
 
 
