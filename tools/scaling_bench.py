@@ -60,8 +60,17 @@ Iceberg-scan stand-in), steady-state (min of 3 iters, JVM warm).
 
 Raw: N iters {small['iters_sec']}, 4N iters {big['iters_sec']}.
 """
+    # preserve hand-written analysis below the marker across re-runs
+    marker = "<!-- analysis -->"
+    tail = ""
+    try:
+        old = open(f"{REPO}/BENCH.md").read()
+        if marker in old:
+            tail = marker + old.split(marker, 1)[1]
+    except FileNotFoundError:
+        pass
     with open(f"{REPO}/BENCH.md", "w") as f:
-        f.write(md)
+        f.write(md + "\n" + tail)
     print(json.dumps({"n_seq_per_sec": tp_small, "4n_seq_per_sec": tp_big,
                       "efficiency": round(eff, 3)}))
 
