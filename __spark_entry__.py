@@ -1039,6 +1039,73 @@ def _register_more() -> None:
         )
 
     @_q(
+        "seq_grok_parse",
+        f"""
+        {_SEQ_FULL_CTE}
+        SELECT doc_id,
+               regexp_extract(message, '^(\\S+) - (\\S+) \\[(.*?)\\] "(GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT) (\\S+) (.*?)" ([+-]?\\d+) (\\S+)', 1) AS host,
+               regexp_extract(message, '^(\\S+) - (\\S+) \\[(.*?)\\] "(GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT) (\\S+) (.*?)" ([+-]?\\d+) (\\S+)', 5) AS path,
+               regexp_extract(message, '^(\\S+) - (\\S+) \\[(.*?)\\] "(GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT) (\\S+) (.*?)" ([+-]?\\d+) (\\S+)', 7)::INT AS status
+        FROM seq
+        """,
+    )
+    def seq_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """parse_grok (macro-expanded %{...} pattern, JVM fast path) over
+        the synthetic log lines — the grok surface in the verified gate."""
+        from vector_spark.functions.grok import grok_extract_fast
+
+        seq = tables.with_message(_seq(spark))
+        pat = (
+            r'%{NOTSPACE:host} - %{NOTSPACE:user} \[%{DATA:ts}\] '
+            r'"%{METHOD:method} %{NOTSPACE:path} %{DATA:proto}" '
+            r"%{INT:status} %{NOTSPACE:bytes}"
+        )
+        g = grok_extract_fast(F.col("message"), pat)
+        return seq.select(
+            "doc_id",
+            g["host"].alias("host"),
+            g["path"].alias("path"),
+            g["status"].cast("int").alias("status"),
+        )
+
+    @_q(
+        "multiline_agg",
+        """
+        WITH lines AS (
+          SELECT i,
+                 CASE WHEN i % 5 = 0 THEN '2024-01-01 ERROR boom ' || i
+                      ELSE '  at frame ' || i END AS value
+          FROM range(1000) t(i)
+        ), flagged AS (
+          SELECT *, CASE WHEN NOT regexp_matches(value, '^\\s+at ') OR i = 0
+                         THEN 1 ELSE 0 END AS starts
+          FROM lines
+        ), evts AS (
+          SELECT *, SUM(starts) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS evt
+          FROM flagged
+        )
+        SELECT string_agg(value, chr(10) ORDER BY i) AS message,
+               MIN(i) AS _line_no, COUNT(*) AS n_lines
+        FROM evts GROUP BY evt
+        """,
+    )
+    def multiline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """file-source multiline aggregation (line_agg continue_through):
+        indented continuation lines merge into their parent event."""
+        from vector_spark.sources.multiline import aggregate_lines
+
+        i = F.col("id")
+        lines = spark.range(1000).select(
+            F.lit("f").alias("_source_file"),
+            i.alias("_line_no"),
+            F.when(
+                i % 5 == 0, F.concat(F.lit("2024-01-01 ERROR boom "), i.cast("string"))
+            ).otherwise(F.concat(F.lit("  at frame "), i.cast("string"))).alias("value"),
+        )
+        out = aggregate_lines(lines, pattern=r"^\s+at ", mode="continue_through")
+        return out.select("message", "_line_no", "n_lines")
+
+    @_q(
         "ev_aggregate_auto",
         """
         WITH m AS (

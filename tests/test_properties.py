@@ -125,3 +125,30 @@ def test_jaccard_symmetry_and_bounds(spark, a, b):
     assert ab == ba and 0.0 <= ab <= 1.0
     sa, sb = set(a), set(b)
     assert abs(ab - len(sa & sb) / len(sa | sb)) < 1e-9
+
+
+@given(rows=rows_strategy, thr=st.integers(min_value=-50, max_value=50))
+@settings(**SETTINGS)
+def test_route_copy_semantics_vs_pandas(spark, rows, thr):
+    """Every row lands in exactly its matching routes; non-matchers land
+    only in _unmatched (reference route.rs:42-52 copy semantics)."""
+    from vector_spark.operators.route import route_label
+
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)], "i long, n long, s string, v double"
+    )
+    out = route_label(
+        df, {"big": f".n >= {thr}", "has_s": "exists(.s)"}
+    ).groupBy("route").count().collect()
+    got = {r.route: r["count"] for r in out}
+    pdf = pd.DataFrame(rows, columns=["n", "s", "v"])
+    big, has_s = (pdf.n >= thr), pdf.s.notna()
+    want = {}
+    if int(big.sum()):
+        want["big"] = int(big.sum())
+    if int(has_s.sum()):
+        want["has_s"] = int(has_s.sum())
+    unmatched = int((~big & ~has_s).sum())
+    if unmatched:
+        want["_unmatched"] = unmatched
+    assert got == want
