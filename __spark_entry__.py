@@ -54,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
+_STREAM_Q_N = 0  # unique memory-sink names across repeated query runs
 
 
 def _q(name: str, sql: str | None = None):
@@ -1036,6 +1037,77 @@ def _register_more() -> None:
             F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
             F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
             F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+
+    @_q(
+        "stream_agg_events",
+        """
+        WITH mx AS (SELECT MAX(ts) AS m FROM events)
+        SELECT event_type,
+               strftime(time_bucket(INTERVAL 600 SECOND, ts),
+                        '%Y-%m-%d %H:%M:%S') AS ws,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total
+        FROM events, mx
+        GROUP BY 1, 2, mx.m
+        HAVING time_bucket(INTERVAL 600 SECOND, MIN(ts)) + INTERVAL 600 SECOND
+               <= mx.m - INTERVAL 600 SECOND
+        """,
+    )
+    def stream_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STRUCTURED STREAMING in the correctness gate: the windowed
+        aggregate runs as a real streaming query (file source → watermark →
+        append-mode memory sink, processAllAvailable), then the emitted
+        windows are compared bit-exact against batch SQL. A safety margin
+        of one window below the final watermark keeps the emitted set
+        deterministic (append mode emits windows closed by the watermark).
+        """
+        global _STREAM_Q_N
+        _STREAM_Q_N += 1
+        name = f"__stream_agg_{_STREAM_Q_N}"
+        import os
+
+        static = _events(spark, sf_dir)
+        max_ts = static.agg(F.max("ts")).collect()[0][0]
+        # file streams need a DIRECTORY; expose the single parquet file via
+        # a symlink dir (testdata itself is read-only)
+        link_dir = f"/tmp/vs_stream_events_{abs(hash(sf_dir)) % 10**8}"
+        os.makedirs(link_dir, exist_ok=True)
+        link = os.path.join(link_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        sdf = (
+            spark.readStream.schema(static.schema)
+            .parquet(link_dir)
+            # parquet ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP (UTC
+            # session → identical wall values)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "600 seconds").alias("__w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total"),
+            )
+            .select(F.col("__w.start").alias("wstart"), F.col("__w.end").alias("wend"),
+                    "event_type", "n", "total")
+        )
+        q = (
+            sdf.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(name)
+        return (
+            out.filter(
+                F.col("wend") <= F.lit(max_ts) - F.expr("INTERVAL 600 SECONDS")
+            )
+            .select(
+                "event_type",
+                F.date_format("wstart", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "n",
+                "total",
+            )
         )
 
     @_q(
