@@ -1,0 +1,131 @@
+"""Every transform type must be constructible and runnable from config —
+covers the topology registry branches end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_spark.plans import compile_config
+
+
+def _events_cfg(rows):
+    return {
+        "type": "inline",
+        "rows": rows,
+        "schema": "event_id long, ts_s string, event_type string, value double",
+    }
+
+
+ROWS = [
+    (1, "2024-01-01 00:00:01", "click", 1.0),
+    (2, "2024-01-01 00:00:02", "click", 2.0),
+    (3, "2024-01-01 00:00:03", "error", 3.0),
+    (4, "2024-01-01 01:30:00", "click", 4.0),
+    (5, "2024-01-01 01:30:01", "error", 4.0),
+]
+
+
+def test_registry_all_transform_types(spark):
+    config = {
+        "sources": {"ev": _events_cfg(ROWS)},
+        "transforms": {
+            "ts": {
+                "type": "remap",
+                "inputs": ["ev"],
+                "assign": {"event_ts": "to_timestamp(ts_s)"},
+            },
+            "flt": {"type": "filter", "inputs": ["ts"], "condition": ".value > 0"},
+            "smp": {
+                "type": "sample",
+                "inputs": ["flt"],
+                "rate": 1,
+                "group_by": ["event_type"],
+                "order_by": "event_id",
+            },
+            "thr": {
+                "type": "throttle",
+                "inputs": ["smp"],
+                "threshold": 10,
+                "window_secs": 3600,
+                "key_field": "event_type",
+                "tie_breakers": ["event_id"],
+            },
+            "ddp": {
+                "type": "dedupe",
+                "inputs": ["thr"],
+                "match": ["event_id"],
+            },
+            "tcl": {
+                "type": "tag_cardinality_limit",
+                "inputs": ["ddp"],
+                "tag_cols": ["event_type"],
+                "value_limit": 10,
+            },
+            "enr": {
+                "type": "enrich",
+                "inputs": ["tcl"],
+                "on": ["event_type"],
+                "rows": [("click", "ui"), ("error", "ops")],
+                "schema": "event_type string, team string",
+            },
+            "red": {
+                "type": "reduce",
+                "inputs": ["enr"],
+                "group_by": ["event_type"],
+                "merge_strategies": {"value": "sum"},
+                "order_by": "event_id",
+            },
+            "l2m": {
+                "type": "log_to_metric",
+                "inputs": ["enr"],
+                "metric_type": "counter",
+                "name": "events_total",
+                "tag_cols": ["event_type"],
+            },
+            "agg": {
+                "type": "aggregate",
+                "inputs": ["l2m"],
+                "series_cols": ["event_type"],
+                "interval_secs": 3600,
+                "mode": "count",
+            },
+            "m2l": {"type": "metric_to_log", "inputs": ["agg"]},
+        },
+        "sinks": {
+            "out_red": {"type": "memory", "inputs": ["red"]},
+            "out_m2l": {"type": "memory", "inputs": ["m2l"]},
+        },
+    }
+    topo = compile_config(spark, config)
+    red = {r.event_type: r.value for r in topo.resolve("red").collect()}
+    assert red == {"click": 7.0, "error": 7.0}
+    m2l = topo.resolve("m2l").collect()
+    # two series × two hour-windows = 4 metric rows, serialized to JSON
+    assert len(m2l) == 4
+    assert all(r.message.startswith("{") for r in m2l)
+    agg = {
+        (r.event_type, r.window_start.hour): r.agg_value
+        for r in topo.resolve("agg").collect()
+    }
+    assert agg == {("click", 0): 2, ("error", 0): 1, ("click", 1): 1, ("error", 1): 1}
+
+
+def test_registry_remap_dropped_port(spark):
+    config = {
+        "sources": {"ev": _events_cfg(ROWS)},
+        "transforms": {
+            "parse": {
+                "type": "remap",
+                "inputs": ["ev"],
+                "assign": {"big": "try_cast(event_type as long)"},
+                "error_when": "is_null(.big)",
+                "drop_on_error": True,
+                "reroute_dropped": True,
+            }
+        },
+        "sinks": {"d": {"type": "memory", "inputs": ["parse.dropped"]}},
+    }
+    topo = compile_config(spark, config)
+    dropped = topo.resolve("parse.dropped")
+    assert dropped.count() == 5  # 'click'/'error' never cast to long
+    assert dropped.select("metadata_dropped.component_id").first()[0] == "parse"
