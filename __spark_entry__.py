@@ -691,6 +691,9 @@ def _register_more() -> None:
     from vector_spark.operators.skew import salted_agg
     from vector_spark.operators.remap import remap
     from vector_spark.sources.readers import demo_syslog_lines
+    from vector_spark.dataprep import oracles as osql
+
+    _SH_SQL = osql.shingles_expr("text")
 
     @_q(
         "seq_salted_agg",
@@ -1038,6 +1041,77 @@ def _register_more() -> None:
             F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
             F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
         )
+
+    @_q(
+        "ev_enrich_geoip",
+        """
+        WITH ips AS (
+          SELECT event_id,
+                 '10.' || (user_id % 4) || '.' || (event_id % 256) || '.1' AS ip
+          FROM events
+        ), ipn AS (
+          SELECT event_id, ip,
+                 10*16777216 + (string_split(ip,'.')[2]::BIGINT)*65536
+                   + (string_split(ip,'.')[3]::BIGINT)*256 + 1 AS n
+          FROM ips
+        ), dim AS (
+          SELECT * FROM (VALUES
+            (167772160, 167837696, 'dc-east'),
+            (167837696, 167903232, 'dc-west'),
+            (167903232, 167968768, 'dc-eu')
+          ) AS t(ip_lo, ip_hi, region)
+        )
+        SELECT i.event_id, d.region
+        FROM ipn i LEFT JOIN dim d ON i.n >= d.ip_lo AND i.n < d.ip_hi
+        """,
+    )
+    def ev_enrich_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """geoip/mmdb enrichment: broadcast CIDR-range join on the numeric
+        IP (reference enrichment_tables geoip/mmdb surface)."""
+        from vector_spark.operators.enrich import enrich_ip_range
+
+        ev = _events(spark, sf_dir)
+        ips = ev.select(
+            "event_id",
+            F.concat(
+                F.lit("10."), (F.col("user_id") % 4).cast("string"),
+                F.lit("."), (F.col("event_id") % 256).cast("string"),
+                F.lit(".1"),
+            ).alias("ip"),
+        )
+        # /16 ranges inside 10.0.0.0/8
+        dim = spark.createDataFrame(
+            [
+                (167772160, 167837696, "dc-east"),
+                (167837696, 167903232, "dc-west"),
+                (167903232, 167968768, "dc-eu"),
+            ],
+            "ip_lo long, ip_hi long, region string",
+        )
+        return enrich_ip_range(ips, dim, "ip").select("event_id", "region")
+
+    @_q(
+        "doc_ngram_jaccard",
+        f"""
+        WITH base AS (
+          SELECT doc_id, lang, {_SH_SQL} AS sh FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+                 AS jaccard
+        FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+        """,
+    )
+    def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact n-gram Jaccard within a natural bucket (lang) — the
+        bounded-quadratic candidate path (dataprep.dedup.ngram_jaccard_pairs)."""
+        from vector_spark.dataprep.dedup import ngram_jaccard_pairs
+
+        d = _docs(spark, sf_dir)
+        return ngram_jaccard_pairs(d, "lang", threshold=0.2)
 
     @_q(
         "stream_agg_events",
