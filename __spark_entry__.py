@@ -1094,24 +1094,26 @@ def _register_more() -> None:
         "doc_ngram_jaccard",
         f"""
         WITH base AS (
-          SELECT doc_id, lang, {_SH_SQL} AS sh FROM documents
+          SELECT doc_id, lang || '|' || source AS bk, {_SH_SQL} AS sh FROM documents
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
                  AS jaccard
-        FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        FROM base a JOIN base b ON a.bk = b.bk AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
         """,
     )
     def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Exact n-gram Jaccard within a natural bucket (lang) — the
+        """Exact n-gram Jaccard within a natural bucket (lang, source) — the
         bounded-quadratic candidate path (dataprep.dedup.ngram_jaccard_pairs)."""
         from vector_spark.dataprep.dedup import ngram_jaccard_pairs
 
-        d = _docs(spark, sf_dir)
-        return ngram_jaccard_pairs(d, "lang", threshold=0.2)
+        d = _docs(spark, sf_dir).withColumn(
+            "bk", F.concat_ws("|", "lang", "source")
+        )
+        return ngram_jaccard_pairs(d, "bk", threshold=0.2)
 
     @_q(
         "stream_agg_events",

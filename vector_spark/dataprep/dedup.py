@@ -233,7 +233,7 @@ def ngram_jaccard_pairs(
         F.col(bucket_col).alias("__bk"),
         F.col(id_col).alias("__id"),
         shingles(F.col(text_col), k_shingle).alias("__sh"),
-    )
+    ).persist()  # shingle table computed once, read by both join sides
     return (
         base.alias("l")
         .join(
