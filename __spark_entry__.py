@@ -657,6 +657,34 @@ def _register_dataprep() -> None:
         out = sim.brute_force_topk(emb, queries_df, k=3)
         return out.withColumn("rank", F.col("rank").cast("long"))
 
+    @_q(
+        "emb_near_dups",
+        """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        """,
+    )
+    def emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Embedding-cosine near-dup pairs (exact baseline; the LSH scale
+        path is emb_near_dups_lsh, rows-only)."""
+        emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        return sim.embedding_near_dups(emb, threshold=0.3)
+
+    @_q("emb_near_dups_lsh")  # approximate recall — rows-only check
+    def emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        return sim.embedding_near_dups_lsh(emb, dim=64, threshold=0.3, planes=4)
+
     @_q("emb_lsh_topk")  # approximate — rows-only check (no SQL oracle)
     def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = tables.load(spark, sf_dir, "embeddings").withColumn(

@@ -66,6 +66,65 @@ def brute_force_topk(
     )
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact: all-pairs cosine with
+    id_a < id_b, keep pairs ≥ threshold. Quadratic — the correctness
+    baseline; use :func:`embedding_near_dups_lsh` at corpus scale."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dups_lsh(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path: sign-LSH bucket the corpus once, generate candidate
+    pairs only within buckets, verify with exact cosine. High-cosine pairs
+    land in the same bucket with probability (1 - theta/pi)^planes — at
+    0.95 cosine and 8 planes ≈ 0.75 recall per table; run with 2-3 plane
+    sets and union for higher recall (standard banding)."""
+    bucketed = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        sign_lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
+    ).persist()  # bucket table computed once for both join sides
+    pairs = (
+        bucketed.alias("l")
+        .join(
+            bucketed.alias("r"),
+            on=[
+                F.col("l.__bucket") == F.col("r.__bucket"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.round(cosine(F.col("l.__v"), F.col("r.__v")), 6).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
 def _projection_vector(seed: int, dim: int) -> list[float]:
     """Deterministic pseudo-random ±1 hyperplane from a seeded LCG (no
     numpy RNG state, reproducible everywhere)."""
