@@ -1071,6 +1071,31 @@ def _register_more() -> None:
         )
 
     @_q(
+        "ev_sample_keyed",
+        """
+        WITH h AS (
+          SELECT event_id, event_type || '-' || user_id AS k FROM events
+        )
+        SELECT event_id, 7 AS sample_rate FROM h
+        WHERE list_sum(list_transform(range(1, len(k)+1),
+                i -> ord(k[i:i]) * i * 2654435761 % 1000003)) % 7 = 0
+        """,
+    )
+    def ev_sample_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Keyed deterministic 1-in-N sample in the VERIFIED gate: the
+        portable hash family reproduces bit-exact in the oracle (production
+        uses xxhash64 — same semantics, JVM-internal family; SURVEY §7.1)."""
+        from vector_spark.functions.crypto import portable_hash
+        from vector_spark.operators import sample
+
+        ev = _events(spark, sf_dir).withColumn(
+            "k", F.concat_ws("-", "event_type", F.col("user_id").cast("string"))
+        )
+        return sample(
+            ev, rate=7, key_field="k", hasher=portable_hash
+        ).select("event_id", "sample_rate")
+
+    @_q(
         "ev_enrich_geoip",
         """
         WITH ips AS (

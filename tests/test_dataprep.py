@@ -156,3 +156,17 @@ def test_frame_sample_plan(spark):
     plan = mm.frame_sample_plan(media, every_ms=1000)
     rows = plan.groupBy("media_id").count().collect()
     assert rows and all(r["count"] >= 2 for r in rows)
+
+
+def test_minhash_bucket_cap_drops_boilerplate(spark):
+    # 30 identical docs form one mega-bucket; cap excludes them, the
+    # distinct near-pair (40,41) survives
+    base = "the quick brown fox jumps over the lazy dog again today"
+    rows = [(i, "common boilerplate text repeated everywhere all the time ok")
+            for i in range(30)]
+    rows += [(40, base), (41, base.replace("today", "tomorrow"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dd.minhash_near_dups(df, threshold=0.3, max_bucket=10).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(40, 41)}
+    uncapped = dd.minhash_near_dups(df, threshold=0.3).count()
+    assert uncapped == 30 * 29 // 2 + 1  # all boilerplate pairs + (40,41)

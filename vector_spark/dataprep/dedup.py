@@ -113,6 +113,7 @@ def minhash_near_dups(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -147,6 +148,25 @@ def minhash_near_dups(
     banded = base.select(
         "__id", F.posexplode("__bands").alias("__b", "__key")
     )
+    if max_bucket is not None:
+        # LSH's known failure mode: boilerplate text forms mega-buckets with
+        # quadratic pair blowup. Cap bucket size and REPORT the drop —
+        # silent truncation would read as full coverage (SCALING.md).
+        sizes = banded.groupBy("__b", "__key").count()
+        dropped = sizes.filter(F.col("count") > max_bucket)
+        n_dropped = dropped.count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_near_dups: dropping %d bucket(s) larger than %d "
+                "(boilerplate-heavy keys); pairs within them are NOT checked",
+                n_dropped, max_bucket,
+            )
+            banded = banded.join(
+                dropped.select("__b", "__key"), on=["__b", "__key"],
+                how="left_anti",
+            )
     pairs = (
         banded.alias("l")
         .join(

@@ -51,6 +51,23 @@ def seahash(col: Column) -> Column:
     return F.xxhash64(col)
 
 
+def portable_hash(col: Column, mod: int = 1_000_003) -> Column:
+    """Engine-portable deterministic string hash: positional weighted char
+    codes, ``sum(ord(c_i) * i * 2654435761 % mod)``. Weaker than xxhash64
+    (use seahash/xxhash64 in production paths) but reproducible in ANY
+    engine with basic list ops — the correctness oracle recomputes it
+    exactly, which the JVM-internal hash families cannot offer."""
+    i = F.sequence(F.lit(1), F.length(col))
+    return F.aggregate(
+        F.transform(
+            i,
+            lambda p: (F.ascii(F.substring(col, p, 1)) * p * 2654435761) % mod,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def encode_base64(col: Column) -> Column:
     return F.base64(col.cast("binary"))
 

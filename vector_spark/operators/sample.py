@@ -30,11 +30,16 @@ def sample(
     order_by: str | None = None,
     exclude: ConditionLike | None = None,
     stamp: bool = True,
+    hasher=None,
 ) -> DataFrame:
+    """``hasher``: optional Column->Column hash for keyed mode (default
+    xxhash64; pass functions.crypto.portable_hash for an oracle-
+    reproducible family)."""
     if rate <= 0:
         raise ValueError("rate must be >= 1")
     if key_field is not None:
-        keep = F.pmod(F.xxhash64(F.col(key_field)), F.lit(rate)) == 0
+        h = hasher(F.col(key_field)) if hasher else F.xxhash64(F.col(key_field))
+        keep = F.pmod(h, F.lit(rate)) == 0
     else:
         # counter mode shuffles on group_by; with group_by=None the window
         # is GLOBAL (single partition) — fine for tests, not for 10^12 rows
