@@ -170,3 +170,38 @@ def test_minhash_bucket_cap_drops_boilerplate(spark):
     assert {(r.id_a, r.id_b) for r in capped} == {(40, 41)}
     uncapped = dd.minhash_near_dups(df, threshold=0.3).count()
     assert uncapped == 30 * 29 // 2 + 1  # all boilerplate pairs + (40,41)
+
+
+def test_dup_clusters_connected_components(spark):
+    # graph: {1-2, 2-3} chain, {10-11}, {20-21, 21-22, 20-22} triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    out = {r.member: r.cluster for r in dd.dup_clusters(pairs).collect()}
+    # python union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)]:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert out == want
+    assert out[3] == 1 and out[22] == 20 and out[11] == 10
+
+
+def test_dup_clusters_long_chain(spark):
+    # path 0-1-2-...-9 needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    out = {r.member: r.cluster for r in dd.dup_clusters(pairs).collect()}
+    assert set(out.values()) == {0} and len(out) == 10

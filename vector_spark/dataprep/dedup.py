@@ -192,6 +192,62 @@ def minhash_near_dups(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → (member, cluster)
+    with cluster = min member id (the canonical representative to KEEP).
+
+    Iterative min-label propagation: each node adopts the smallest label in
+    its neighborhood; repeat until fixpoint (checked via a changed-count
+    action per round — O(diameter) rounds, each one shuffle on node id).
+    Chains (a-b, b-c) converge to one cluster even though a-c was never a
+    candidate pair. Driver loop is per-ROUND, not per-row (stays
+    distributed; rounds ≈ log(diameter) for typical dup clusters of 2-50).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()  # truncate lineage each round — iterative plans
+        # otherwise deepen every iteration and analysis time explodes
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("member"), F.col("label").alias("cluster"))
+
+
 # --- simhash -----------------------------------------------------------------
 
 
