@@ -251,3 +251,32 @@ def test_parse_gelf_and_encode_csv(spark):
         P.encode_csv([F.col("x"), F.col("y"), F.col("z")]).alias("c")
     ).collect()[0].c
     assert line == "a,1,2.5"
+
+
+def test_parse_cef(spark):
+    line = ("CEF:0|Security|threatmanager|1.0|100|worm stopped|10|"
+            "src=10.0.0.1 dst=2.1.2.2 spt=1232")
+    r = one(spark, P.parse_cef(F.col("m")), m=line)
+    assert r.cef_version == 0 and r.device_vendor == "Security"
+    assert r.name == "worm stopped" and r.severity == "10"
+    assert r.extension == {"src": "10.0.0.1", "dst": "2.1.2.2", "spt": "1232"}
+
+
+def test_parse_glog(spark):
+    line = "E0817 02:30:00.123456  1234 server.cc:42] connection refused"
+    r = one(spark, P.parse_glog(F.col("m")), m=line)
+    assert r.level == "error" and r.file == "server.cc" and r.line == 42
+    assert r.thread_id == 1234 and r.message == "connection refused"
+
+
+def test_parse_groks_first_match_wins(spark):
+    pats = ["%{IPV4:addr} in", "addr=%{IPV4:addr}"]
+    df = spark.createDataFrame(
+        [("1.2.3.4 in",), ("addr=5.6.7.8",), ("nothing",)], "m string"
+    )
+    rows = df.select(P.parse_groks(F.col("m"), pats).alias("g")).collect()
+    assert rows[0].g.addr == "1.2.3.4"
+    assert rows[1].g.addr == "5.6.7.8"
+    assert rows[2].g.addr in (None, "")
+    with pytest.raises(ValueError, match="field set"):
+        P.parse_groks(F.col("m"), ["%{IPV4:a}", "%{IPV4:b}"])

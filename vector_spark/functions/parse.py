@@ -209,6 +209,66 @@ def parse_bsd_syslog(col: Column) -> Column:
     )
 
 
+def parse_groks(col: Column, patterns: list[str], extra: dict[str, str] | None = None) -> Column:
+    """parse_groks: first matching pattern wins (all patterns must expose
+    the same field set; null-struct when none match)."""
+    from vector_spark.functions.grok import grok_to_regex, parse_grok
+
+    field_sets = [tuple(grok_to_regex(p, extra)[1]) for p in patterns]
+    if len(set(field_sets)) != 1:
+        raise ValueError("parse_groks patterns must share one field set")
+    parsed = [parse_grok(col, p, extra) for p in patterns]
+    first_field = field_sets[0][0]
+    out = parsed[-1]
+    for p in reversed(parsed[:-1]):
+        out = F.when(p[first_field].isNotNull() & (p[first_field] != ""), p).otherwise(out)
+    return out
+
+
+# CEF: "CEF:version|vendor|product|device_version|event_class|name|severity|ext"
+CEF_RE = r"^CEF:(\d+)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|(.*)$"
+
+
+def parse_cef(col: Column) -> Column:
+    """parse_cef → header struct + extension map (key=value pairs)."""
+    g = lambda i: F.regexp_extract(col, CEF_RE, i)  # noqa: E731
+    return F.struct(
+        F.nullif(g(1), F.lit("")).cast("int").alias("cef_version"),
+        F.nullif(g(2), F.lit("")).alias("device_vendor"),
+        F.nullif(g(3), F.lit("")).alias("device_product"),
+        F.nullif(g(4), F.lit("")).alias("device_version"),
+        F.nullif(g(5), F.lit("")).alias("device_event_class_id"),
+        F.nullif(g(6), F.lit("")).alias("name"),
+        F.nullif(g(7), F.lit("")).alias("severity"),
+        F.str_to_map(g(8), F.lit(" "), F.lit("=")).alias("extension"),
+    )
+
+
+# glog: "Lmmdd hh:mm:ss.uuuuuu threadid file:line] msg"
+GLOG_RE = r"^([IWEF])(\d{4}) (\d{2}:\d{2}:\d{2}\.\d+)\s+(\d+) ([^:]+):(\d+)\] (.*)$"
+_GLOG_LEVELS = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
+
+
+def parse_glog(col: Column) -> Column:
+    """parse_glog (Google log format) → typed struct."""
+    g = lambda i: F.regexp_extract(col, GLOG_RE, i)  # noqa: E731
+    level = F.nullif(g(1), F.lit(""))
+    level_name = None
+    for k, v in _GLOG_LEVELS.items():
+        level_name = (
+            F.when(level == k, v) if level_name is None else level_name.when(level == k, v)
+        )
+    return F.struct(
+        level_name.alias("level"),
+        F.nullif(g(2), F.lit("")).alias("mmdd"),
+        F.nullif(g(3), F.lit("")).alias("time"),
+        F.nullif(g(4), F.lit("")).cast("long").alias("thread_id"),
+        F.nullif(g(5), F.lit("")).alias("file"),
+        F.nullif(g(6), F.lit("")).cast("int").alias("line"),
+        F.nullif(g(7), F.lit("")).alias("message"),
+    )
+
+
 def parse_regex(col: Column, pattern: str, fields: list[str]) -> Column:
     """parse_regex: named extraction via JVM regexp_extract per group.
 
