@@ -1424,6 +1424,51 @@ def _register_more() -> None:
         )
 
     @_q(
+        "tpch_q5_join_chain",
+        """
+        SELECT n.n_name AS nation,
+               ROUND(SUM(l.l_extendedprice::DECIMAL(14,2) * (1 - l.l_discount::DECIMAL(14,2))), 2)::DOUBLE
+                 AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        """,
+    )
+    def tpch_q5_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Six-table join chain (Q5 shape): Catalyst broadcast-joins the
+        small dims, sort-merge/shuffle-hash joins the fact chain, reorders
+        freely — the general-join surface the reference lacks entirely."""
+        c = tables.load(spark, sf_dir, "customer")
+        o = tables.load(spark, sf_dir, "orders")
+        li = tables.load(spark, sf_dir, "lineitem")
+        s = tables.load(spark, sf_dir, "supplier")
+        n = tables.load(spark, sf_dir, "nation")
+        r = tables.load(spark, sf_dir, "region")
+        return (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .join(r.filter(F.col("r_name") == "ASIA"), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(14,2)")
+                        * (F.lit(1) - F.col("l_discount").cast("decimal(14,2)"))
+                    ),
+                    2,
+                ).cast("double").alias("revenue")
+            )
+        )
+
+    @_q(
         "ev_histogram",
         """
         SELECT event_type,
