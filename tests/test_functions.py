@@ -280,3 +280,29 @@ def test_parse_groks_first_match_wins(spark):
     assert rows[2].g.addr in (None, "")
     with pytest.raises(ValueError, match="field set"):
         P.parse_groks(F.col("m"), ["%{IPV4:a}", "%{IPV4:b}"])
+
+
+def test_parse_linux_authorization(spark):
+    line = "Aug 17 02:00:01 host1 sshd[123]: Accepted publickey for root"
+    r = one(spark, P.parse_linux_authorization(F.col("m")), m=line)
+    assert r.hostname == "host1" and r.appname == "sshd" and r.procid == 123
+    assert r.message == "Accepted publickey for root"
+
+
+def test_parse_aws_vpc_flow_log(spark):
+    line = "2 123456789010 eni-abc123 172.31.16.139 172.31.16.21 20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK"
+    r = one(spark, P.parse_aws_vpc_flow_log(F.col("m")), m=line)
+    assert r.version == 2 and r.srcaddr == "172.31.16.139"
+    assert r.dstport == 22 and r.bytes == 4249 and r.action == "ACCEPT"
+    # NODATA line with '-' fields
+    r2 = one(spark, P.parse_aws_vpc_flow_log(F.col("m")),
+             m="2 123456789010 eni-abc123 - - - - - - - 1418530010 1418530070 - NODATA")
+    assert r2.srcaddr is None and r2.packets is None and r2.log_status == "NODATA"
+
+
+def test_chunks(spark):
+    from vector_spark.functions.objects import chunks
+
+    df = spark.createDataFrame([([1, 2, 3, 4, 5],)], "a array<int>")
+    r = df.select(chunks(F.col("a"), 2).alias("c")).collect()[0].c
+    assert r == [[1, 2], [3, 4], [5]]

@@ -75,6 +75,14 @@ def explode_map(df: DataFrame, map_col: str, key_col: str = "key",
     )
 
 
+def chunks(col: Column, size: int) -> Column:
+    """VRL ``chunks``: split an array into subarrays of ``size``
+    (last chunk may be shorter)."""
+    n = F.size(col)
+    idx = F.sequence(F.lit(1), F.ceil(n / size).cast("int"))
+    return F.transform(idx, lambda i: F.slice(col, (i - 1) * size + 1, size))
+
+
 def histogram_buckets(
     df: DataFrame,
     value_col: str,

@@ -269,6 +269,44 @@ def parse_glog(col: Column) -> Column:
     )
 
 
+def parse_linux_authorization(col: Column) -> Column:
+    """parse_linux_authorization: BSD-syslog auth lines (sshd/su/sudo),
+    e.g. ``Aug 17 02:00:01 host1 sshd[123]: Accepted publickey for root``.
+    Same shape as parse_bsd_syslog minus the <pri> prefix."""
+    rx = r"^(\w{3} +\d{1,2} \d{2}:\d{2}:\d{2}) (\S+) ([^:\[\s]+)(?:\[(\d+)\])?: (.*)$"
+    g = lambda i: F.regexp_extract(col, rx, i)  # noqa: E731
+    return F.struct(
+        F.nullif(g(1), F.lit("")).alias("timestamp_raw"),
+        F.nullif(g(2), F.lit("")).alias("hostname"),
+        F.nullif(g(3), F.lit("")).alias("appname"),
+        F.nullif(g(4), F.lit("")).cast("int").alias("procid"),
+        F.nullif(g(5), F.lit("")).alias("message"),
+    )
+
+
+_VPC_FLOW_FIELDS = (
+    "version account_id interface_id srcaddr dstaddr srcport dstport "
+    "protocol packets bytes start end action log_status"
+).split()
+_VPC_INT_FIELDS = {"version", "srcport", "dstport", "protocol", "packets",
+                   "bytes", "start", "end"}
+
+
+def parse_aws_vpc_flow_log(col: Column) -> Column:
+    """parse_aws_vpc_flow_log (default v2 format): space-separated fields
+    → typed struct ('-' → null)."""
+    parts = F.split(col, " ")
+    out = []
+    for i, name in enumerate(_VPC_FLOW_FIELDS):
+        v = F.when(F.element_at(parts, i + 1) == "-", None).otherwise(
+            F.element_at(parts, i + 1)
+        )
+        if name in _VPC_INT_FIELDS:
+            v = v.cast("long")
+        out.append(v.alias(name))
+    return F.struct(*out)
+
+
 def parse_regex(col: Column, pattern: str, fields: list[str]) -> Column:
     """parse_regex: named extraction via JVM regexp_extract per group.
 
