@@ -1424,6 +1424,45 @@ def _register_more() -> None:
         )
 
     @_q(
+        "ev_asof_join",
+        """
+        WITH snap AS (
+          SELECT * FROM (VALUES
+            (0::BIGINT, TIMESTAMP '2024-01-01 00:00:00', 'v1'),
+            (0::BIGINT, TIMESTAMP '2024-01-05 00:00:00', 'v2'),
+            (1::BIGINT, TIMESTAMP '2024-01-03 00:00:00', 'v1')
+          ) AS t(grp, snap_ts, cfg)
+        ), ev AS (
+          SELECT event_id, ts, user_id % 2 AS grp FROM events
+        )
+        SELECT e.event_id, s.cfg
+        FROM ev e ASOF LEFT JOIN snap s
+          ON e.grp = s.grp AND e.ts >= s.snap_ts
+        """,
+    )
+    def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """As-of join (Spark has no native one; DuckDB's ASOF JOIN is the
+        oracle): each event picks the latest config snapshot at-or-before
+        its timestamp per group."""
+        from vector_spark.operators.asof import asof_join
+
+        ev = _events(spark, sf_dir).select(
+            "event_id", "ts", (F.col("user_id") % 2).alias("grp")
+        )
+        snap = spark.createDataFrame(
+            [
+                (0, "2024-01-01 00:00:00", "v1"),
+                (0, "2024-01-05 00:00:00", "v2"),
+                (1, "2024-01-03 00:00:00", "v1"),
+            ],
+            "grp long, snap_s string, cfg string",
+        ).select("grp", F.to_timestamp("snap_s").alias("snap_ts"), "cfg")
+        out = asof_join(
+            ev, snap, on=["grp"], ts_col="ts", right_ts_col="snap_ts"
+        )
+        return out.select("event_id", "cfg")
+
+    @_q(
         "tpch_q5_join_chain",
         """
         SELECT n.n_name AS nation,
