@@ -1424,6 +1424,37 @@ def _register_more() -> None:
         )
 
     @_q(
+        "ev_pivot",
+        """
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click')    AS clicks,
+               COUNT(*) FILTER (event_type = 'view')     AS views,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchases,
+               COUNT(*) FILTER (event_type = 'error')    AS errors,
+               COUNT(*) FILTER (event_type = 'signup')   AS signups
+        FROM events GROUP BY user_id
+        """,
+    )
+    def ev_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pivot: event types → columns of per-user counts (DataFrame
+        .pivot with explicit values = one pass, no distinct-scan)."""
+        ev = _events(spark, sf_dir)
+        out = (
+            ev.groupBy("user_id")
+            .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+            .count()
+            .na.fill(0)
+        )
+        return out.select(
+            "user_id",
+            F.col("click").alias("clicks"),
+            F.col("view").alias("views"),
+            F.col("purchase").alias("purchases"),
+            F.col("error").alias("errors"),
+            F.col("signup").alias("signups"),
+        )
+
+    @_q(
         "ev_asof_join",
         """
         WITH snap AS (

@@ -55,3 +55,12 @@ def test_asof_nullable_payload_travels_as_one_row(spark):
     r = asof_join(left, right, on=["k"]).collect()[0]
     # latest right row is (None, 'b') — x must NOT leak 'a' from the older row
     assert r.x is None and r.y == "b"
+
+
+def test_asof_pandas_variant_matches_composition(spark, sides):
+    from vector_spark.operators.asof import asof_join_pandas
+
+    left, right = sides
+    comp = asof_join(left, right, on=["k"]).select("ev", "val")
+    pand = asof_join_pandas(left, right, on=["k"]).select("ev", "val")
+    assert {tuple(r) for r in comp.collect()} == {tuple(r) for r in pand.collect()}

@@ -81,3 +81,44 @@ def asof_join(
         "__lrow.*",
         *[F.col(f"__rrow.{c}").alias(c + suffix) for c in payload],
     )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "event_ts",
+    right_ts_col: str | None = None,
+) -> DataFrame:
+    """Grouped-map variant: ``pd.merge_asof`` per key via ``applyInPandas``
+    (cogrouped). Same semantics as :func:`asof_join`; prefer it when keys
+    are few but each key's data is large and sorted merges beat the window
+    sort. Arrow-batched — no per-row Python."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    rts = right_ts_col or ts_col
+    payload = [c for c in right.columns if c not in set(on) | {rts}]
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [right.schema[c] for c in payload]
+    )
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_sorted = l_pdf.sort_values(ts_col, kind="mergesort")
+        if r_pdf.empty:
+            for c in payload:
+                l_sorted[c] = None
+            return l_sorted
+        r_sorted = r_pdf.sort_values(rts, kind="mergesort")[[rts] + payload]
+        merged = pd.merge_asof(
+            l_sorted, r_sorted, left_on=ts_col, right_on=rts,
+            direction="backward",
+        )
+        return merged[[f.name for f in out_schema.fields]]
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right.groupBy(*on))
+        .applyInPandas(merge, out_schema)
+    )
