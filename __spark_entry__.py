@@ -1424,6 +1424,37 @@ def _register_more() -> None:
         )
 
     @_q(
+        "ev_rollup",
+        """
+        SELECT COALESCE(event_type, '<all>') AS event_type,
+               COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'),
+                        '<all>') AS day,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        FROM events
+        GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+        """,
+    )
+    def ev_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hierarchical totals via ROLLUP (type → type×day → grand total) —
+        grouping-sets surface the reference has no analog for."""
+        ev = _events(spark, sf_dir)
+        return (
+            ev.rollup("event_type", F.date_trunc("day", "ts").alias("__d"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total"),
+            )
+            .select(
+                F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+                F.coalesce(
+                    F.date_format("__d", "yyyy-MM-dd"), F.lit("<all>")
+                ).alias("day"),
+                "n",
+                "total",
+            )
+        )
+
+    @_q(
         "ev_pivot",
         """
         SELECT user_id,
