@@ -75,15 +75,23 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs, exact: all-pairs cosine with
     id_a < id_b, keep pairs ≥ threshold. Quadratic — the correctness
     baseline; use :func:`embedding_near_dups_lsh` at corpus scale."""
-    a = corpus.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-    )
-    b = corpus.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
-    )
+    # norms precomputed per ROW (identical arithmetic to inline cosine —
+    # same fold, evaluated n times instead of n² times; bit-identical)
+    base = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    ).persist()
+    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+                    F.col("__n").alias("__na"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+                    F.col("__n").alias("__nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
