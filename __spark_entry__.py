@@ -1424,6 +1424,37 @@ def _register_more() -> None:
         )
 
     @_q(
+        "ev_window_analytics",
+        """
+        SELECT event_id,
+               lag(value) OVER w AS prev_value,
+               lead(value) OVER w AS next_value,
+               rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS value_rank,
+               ROUND(value - avg(value) OVER (PARTITION BY event_type), 4) AS dev_from_mean
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+    )
+    def ev_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Analytic window functions (lag/lead/rank/windowed avg) — the
+        ranking/analytic surface the reference lacks (SURVEY §2.8)."""
+        from pyspark.sql import Window
+
+        ev = _events(spark, sf_dir)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        wr = Window.partitionBy("event_type").orderBy(
+            F.col("value").desc(), F.col("event_id")
+        )
+        wm = Window.partitionBy("event_type")
+        return ev.select(
+            "event_id",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.rank().over(wr).cast("long").alias("value_rank"),
+            F.round(F.col("value") - F.avg("value").over(wm), 4).alias("dev_from_mean"),
+        )
+
+    @_q(
         "ev_rollup",
         """
         SELECT COALESCE(event_type, '<all>') AS event_type,
