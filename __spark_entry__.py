@@ -1424,6 +1424,34 @@ def _register_more() -> None:
         )
 
     @_q(
+        "ev_set_ops",
+        """
+        SELECT user_id, 'both' AS tag FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        UNION ALL
+        SELECT user_id, 'click_only' AS tag FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+          EXCEPT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        """,
+    )
+    def ev_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """intersect/except set operators (beyond the reference's
+        union-only multi-input merge)."""
+        ev = _events(spark, sf_dir)
+        clickers = ev.filter("event_type = 'click'").select("user_id").distinct()
+        buyers = ev.filter("event_type = 'purchase'").select("user_id").distinct()
+        both = clickers.intersect(buyers).withColumn("tag", F.lit("both"))
+        click_only = clickers.exceptAll(buyers).withColumn(
+            "tag", F.lit("click_only")
+        )
+        return both.unionByName(click_only)
+
+    @_q(
         "ev_window_analytics",
         """
         SELECT event_id,
