@@ -1423,6 +1423,42 @@ def _register_more() -> None:
             )
         )
 
+    @_q("checkpointed_resume")  # filesystem-stateful — rows-only check
+    def checkpointed_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Resumability in the gate: a checkpointed batch job over the
+        events table runs to completion, then a second invocation SKIPS
+        every batch via the manifest; returns per-(batch,sink) metrics
+        annotated with both runs' skip counts (internal_metrics surface)."""
+        import shutil
+
+        from vector_spark.sinks.manifest import CheckpointedJob
+
+        tag = abs(hash(sf_dir)) % 10**8
+        in_dir = f"/tmp/vs_ckpt_in_{tag}"
+        out_dir = f"/tmp/vs_ckpt_q_{tag}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        _events(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(in_dir)
+
+        def pipe(s, df):
+            return {
+                "errors": df.filter(F.col("event_type") == "error"),
+                "rest": df.filter(F.col("event_type") != "error"),
+            }
+
+        job = CheckpointedJob(
+            spark, in_dir, out_dir, pipe, files_per_batch=2, job_id="gate"
+        )
+        first = job.run()
+        second = CheckpointedJob(
+            spark, in_dir, out_dir, pipe, files_per_batch=2, job_id="gate"
+        ).run()
+        m = job.internal_metrics()
+        return m.select(
+            "batch_id", "sink", "rows",
+            F.lit(first["batches_run"]).alias("first_run_batches"),
+            F.lit(second["batches_skipped"]).alias("second_run_skipped"),
+        )
+
     @_q(
         "ev_set_ops",
         """
