@@ -1423,6 +1423,43 @@ def _register_more() -> None:
             )
         )
 
+    @_q(
+        "vrl_scalar_functions",
+        """
+        SELECT event_id,
+               CASE (event_id % 8) WHEN 0 THEN 'emerg' WHEN 1 THEN 'alert'
+                 WHEN 2 THEN 'crit' WHEN 3 THEN 'err' WHEN 4 THEN 'warning'
+                 WHEN 5 THEN 'notice' WHEN 6 THEN 'info' ELSE 'debug' END AS level,
+               ROUND(round(value * 100)::BIGINT / 1000.0, 4) AS dur_secs,
+               CASE WHEN length(event_type) > 4
+                    THEN substr(event_type, 1, 4) || '..'
+                    ELSE event_type END AS short_type,
+               regexp_replace(event_type || '-' || user_id, '\\d+', '[N]', 'g') AS redacted
+        FROM events
+        """,
+    )
+    def vrl_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """VRL scalar surface in the gate: to_syslog_level, parse_duration,
+        truncate, redact — one verified pass."""
+        from vector_spark.functions.parse import parse_duration
+        from vector_spark.functions.strings import redact, truncate
+        from vector_spark.functions.syslog import to_syslog_level
+
+        ev = _events(spark, sf_dir)
+        # duration string like "123ms" derived from value
+        dur = F.concat(F.round(F.col("value") * 100, 0).cast("long").cast("string"), F.lit("ms"))
+        return ev.select(
+            "event_id",
+            to_syslog_level(F.col("event_id") % 8).alias("level"),
+            F.round(parse_duration(dur), 4).alias("dur_secs"),
+            truncate(F.col("event_type"), 4, "..").alias("short_type"),
+            redact(
+                F.concat_ws("-", "event_type", F.col("user_id").cast("string")),
+                [r"\d+"],
+                "[N]",
+            ).alias("redacted"),
+        )
+
     @_q("checkpointed_resume")  # filesystem-stateful — rows-only check
     def checkpointed_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Resumability in the gate: a checkpointed batch job over the
