@@ -120,7 +120,7 @@ def test_parse_grok_fast_and_batch(spark):
         parse_grok(F.col("m"), "%{IPV4:ip} %{WORD:verb} %{NUMBER:code}").alias("g")
     ).collect()
     assert fast[0].g.ip == "10.0.0.1" and fast[0].g.code == "200"
-    assert fast[1].g.ip == ""  # JVM regexp_extract: empty string on miss
+    assert fast[1].g.ip is None  # null on miss — SAME contract as batch path
     # batch path (>4 fields → single-pass pandas UDF)
     wide = parse_grok(
         F.col("m"),

@@ -91,12 +91,14 @@ def test_checkpointed_job_resume(spark, tmp_path):
     assert second["batches_run"] == 0 and second["batches_skipped"] == 4
     assert second["rows"] == first["rows"]
 
-    # partial-failure resume: drop the last manifest record → exactly one
-    # batch re-runs and output is rewritten idempotently
-    mp = job.manifest_path
-    lines = open(mp).read().strip().split("\n")
-    with open(mp, "w") as f:
-        f.write("\n".join(lines[:-1]) + "\n")
+    # partial-failure resume: drop one batch marker → exactly one batch
+    # re-runs and output is rewritten idempotently
+    import os
+
+    markers = sorted(
+        f for f in os.listdir(job.manifest_dir) if f.endswith(".json")
+    )
+    os.remove(os.path.join(job.manifest_dir, markers[-1]))
     third = CheckpointedJob(
         spark, str(src), str(tmp_path / "out"), pipe, files_per_batch=1, job_id="t1"
     ).run()
@@ -107,6 +109,40 @@ def test_checkpointed_job_resume(spark, tmp_path):
     m = job.internal_metrics()
     assert m.count() == 8  # 4 batches × 2 sinks
     assert m.filter("rows < 0").count() == 0
+
+
+def test_checkpointed_job_input_shift_reprocesses(spark, tmp_path):
+    """Adding a file between runs shifts file→batch membership; batches are
+    keyed by content fingerprint, so shifted batches REPROCESS instead of
+    silently skipping on positional id (exactly-once claim holds under
+    changing listings)."""
+    import shutil
+
+    src = tmp_path / "in"
+    spark.range(60).repartition(3).write.parquet(str(src))
+
+    def pipe(s, df):
+        return {"all": df}
+
+    job = CheckpointedJob(
+        spark, str(src), str(tmp_path / "out"), pipe, files_per_batch=2, job_id="t2"
+    )
+    first = job.run()
+    assert first["batches_run"] == 2  # 3 files → batches of 2 + 1
+
+    # drop a new file into the listing (sorts into the middle)
+    extra = tmp_path / "extra"
+    spark.range(60, 70).coalesce(1).write.parquet(str(extra))
+    part = next(p for p in extra.iterdir() if p.name.endswith(".parquet"))
+    shutil.copy(part, src / "part-00000-aaaa-extra.parquet")
+
+    second = CheckpointedJob(
+        spark, str(src), str(tmp_path / "out"), pipe, files_per_batch=2, job_id="t2"
+    ).run()
+    # 4 files → 2 batches, membership changed → nothing silently skipped
+    assert second["batches_skipped"] == 0
+    assert second["batches_run"] == 2
+    assert second["rows"]["all"] == 70
 
 
 def test_lineage_columns(spark, tmp_path):

@@ -150,3 +150,131 @@ def simhash_sql_expr(col: str = "text", bits: int = 16) -> str:
         s = nib.format(h=hashed, p=p)
         parts.append(f"CASE WHEN {s} > 0 THEN 'f' ELSE '0' END")
     return " || ".join(parts)
+
+
+# --- sign-LSH mirrors (similarity.py) --------------------------------------
+# The planes are deterministic literal ±1 arrays, so the "approximate" LSH
+# output is closed-form and exactly reproducible in SQL: same bucket ids,
+# same candidate pairs, same verified cosines.
+
+
+def projection_sql(seed: int, dim: int) -> str:
+    from vector_spark.dataprep.similarity import _projection_vector
+
+    return "[" + ", ".join(str(v) for v in _projection_vector(seed, dim)) + "]"
+
+
+def sign_lsh_bucket_sql(vexpr: str, dim: int, planes: int, seed0: int = 1) -> str:
+    """bucket = Σ bit_p · 2^(planes-1-p), bit_p = dot(v, plane_p) > 0 —
+    mirrors similarity.sign_lsh_bucket's MSB-first fold."""
+    terms = []
+    for p in range(planes):
+        lit = projection_sql(seed0 + p, dim)
+        w = 2 ** (planes - 1 - p)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vexpr}, {lit}) > 0 "
+            f"THEN {w} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+COSINE_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def lsh_near_dups_sql(
+    corpus_cte: str,
+    dim: int,
+    threshold: float,
+    planes: int,
+    plane_sets: int = 1,
+) -> str:
+    """Mirror of similarity.embedding_near_dups_lsh over a corpus CTE that
+    must expose (vec_id, v DOUBLE[])."""
+    buckets = ", ".join(
+        f"{sign_lsh_bucket_sql('v', dim, planes, 1 + s * planes)} AS bkt{s}"
+        for s in range(plane_sets)
+    )
+    unions = "\n          UNION ALL\n".join(
+        f"          SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        f"FROM bkt a JOIN bkt b ON a.bkt{s} = b.bkt{s} AND a.vec_id < b.vec_id"
+        for s in range(plane_sets)
+    )
+    cos = COSINE_SQL.format(a="va.v", b="vb.v")
+    return f"""
+        WITH corpus AS ({corpus_cte}),
+        bkt AS (SELECT vec_id, v, {buckets} FROM corpus),
+        cand AS (SELECT DISTINCT id_a, id_b FROM (
+{unions}
+        )),
+        verified AS (
+          SELECT c.id_a, c.id_b, ROUND({cos}, 6) AS cosine
+          FROM cand c
+          JOIN corpus va ON va.vec_id = c.id_a
+          JOIN corpus vb ON vb.vec_id = c.id_b
+        )
+        SELECT id_a, id_b, cosine FROM verified WHERE cosine >= {threshold}
+    """
+
+
+def planted_corpus_sql(
+    table: str = "embeddings",
+    dim: int = 64,
+    id_cap: int = 500,
+    every: int = 5,
+    eps: float = 0.04,
+    perturb_seed: int = 991,
+    id_offset: int = 100_000,
+) -> str:
+    """Mirror of similarity.planted_near_dup_corpus (subsampled corpus with
+    deterministic planted near-duplicates)."""
+    u = projection_sql(perturb_seed, dim)
+    return f"""
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM {table} WHERE vec_id < {id_cap}
+          UNION ALL
+          SELECT vec_id + {id_offset},
+                 list_transform(generate_series(1, {dim}),
+                   i -> e.embedding[i]::DOUBLE
+                        + ({eps}::DOUBLE * sqrt(list_dot_product(
+                            e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                          * ({u}::DOUBLE[])[i]) AS v
+          FROM {table} e WHERE vec_id < {id_cap} AND vec_id % {every} = 0
+    """
+
+
+def lsh_recall_sql(
+    corpus_cte: str,
+    dim: int,
+    threshold: float = 0.9,
+    planes: int = 4,
+    plane_sets: int = 3,
+    min_recall: float = 0.9,
+) -> str:
+    """Mirror of similarity.lsh_recall_summary: exact pairs vs LSH-found
+    pairs on the same corpus → one (n_exact, n_recalled, recall,
+    meets_bound) row."""
+    lsh = lsh_near_dups_sql(corpus_cte, dim, threshold, planes, plane_sets)
+    cos = COSINE_SQL.format(a="a.v", b="b.v")
+    return f"""
+        WITH corpus AS ({corpus_cte}),
+        exact AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+          WHERE ROUND({cos}, 6) >= {threshold}
+        ),
+        lsh AS ({lsh}),
+        hits AS (
+          SELECT e.id_a, e.id_b FROM exact e
+          WHERE EXISTS (SELECT 1 FROM lsh l
+                        WHERE l.id_a = e.id_a AND l.id_b = e.id_b)
+        )
+        SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+               (SELECT COUNT(*) FROM hits) AS n_recalled,
+               ROUND((SELECT COUNT(*) FROM hits)::DOUBLE /
+                     (SELECT COUNT(*) FROM exact), 4) AS recall,
+               (SELECT COUNT(*) FROM hits)::DOUBLE /
+                     (SELECT COUNT(*) FROM exact) >= {min_recall} AS meets_bound
+    """

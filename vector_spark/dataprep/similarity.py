@@ -102,32 +102,54 @@ def embedding_near_dups_lsh(
     dim: int,
     threshold: float = 0.95,
     planes: int = 8,
+    plane_sets: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Scale path: sign-LSH bucket the corpus once, generate candidate
     pairs only within buckets, verify with exact cosine. High-cosine pairs
     land in the same bucket with probability (1 - theta/pi)^planes — at
-    0.95 cosine and 8 planes ≈ 0.75 recall per table; run with 2-3 plane
-    sets and union for higher recall (standard banding)."""
+    0.95 cosine and 8 planes ≈ 0.75 recall per table; ``plane_sets`` > 1
+    unions the pairs of several independent plane sets (standard banding)
+    for higher recall; pairs found by multiple sets are deduped by a
+    DISTINCT on the (id, id) key before the final projection."""
     bucketed = corpus.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        sign_lsh_bucket(F.col(vec_col), dim, planes).alias("__bucket"),
-    ).persist()  # bucket table computed once for both join sides
-    pairs = (
-        bucketed.alias("l")
-        .join(
-            bucketed.alias("r"),
-            on=[
-                F.col("l.__bucket") == F.col("r.__bucket"),
-                F.col("l.__id") < F.col("r.__id"),
-            ],
+        *[
+            sign_lsh_bucket(
+                F.col(vec_col), dim, planes, seed0=1 + s * planes
+            ).alias(f"__bucket{s}")
+            for s in range(plane_sets)
+        ],
+    ).persist()  # bucket table computed once for every self-join side
+    all_pairs = None
+    for s in range(plane_sets):
+        # candidate ids only — the vectors are re-joined once after dedup
+        p = (
+            bucketed.alias("l")
+            .join(
+                bucketed.alias("r"),
+                on=[
+                    F.col(f"l.__bucket{s}") == F.col(f"r.__bucket{s}"),
+                    F.col("l.__id") < F.col("r.__id"),
+                ],
+            )
+            .select(
+                F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+            )
         )
+        all_pairs = p if all_pairs is None else all_pairs.unionAll(p)
+    cand = all_pairs.distinct()  # dedup BEFORE the expensive cosine verify
+    va = bucketed.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = bucketed.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.round(cosine(F.col("l.__v"), F.col("r.__v")), 6).alias("cosine"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
         )
     )
     return pairs.filter(F.col("cosine") >= threshold)
@@ -143,15 +165,92 @@ def _projection_vector(seed: int, dim: int) -> list[float]:
     return out
 
 
-def sign_lsh_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
+def sign_lsh_bucket(vec: Column, dim: int, planes: int = 8, seed0: int = 1) -> Column:
     """Sign-random-projection bucket id: ``planes`` bits from deterministic
-    ±1 hyperplanes → int bucket in [0, 2^planes)."""
+    ±1 hyperplanes (seeds ``seed0 .. seed0+planes-1``) → int bucket in
+    [0, 2^planes)."""
     bucket = F.lit(0)
     for p in range(planes):
-        plane = F.array(*[F.lit(v) for v in _projection_vector(p + 1, dim)])
+        plane = F.array(*[F.lit(v) for v in _projection_vector(seed0 + p, dim)])
         bit = (dot(vec, plane) > 0).cast("int")
         bucket = bucket * 2 + bit
     return bucket
+
+
+def planted_near_dup_corpus(
+    emb: DataFrame,
+    dim: int,
+    every: int = 5,
+    eps: float = 0.04,
+    perturb_seed: int = 991,
+    id_offset: int = 100_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus with deterministically PLANTED near-duplicates for recall
+    gating: every ``every``-th vector gets a copy (id + ``id_offset``)
+    perturbed by ``eps·‖v‖`` along a fixed ±1 direction — closed-form, so
+    an external SQL oracle reproduces the identical corpus. With eps=0.04
+    on 64-dim the planted pair cosine lands ≈0.95."""
+    u = F.array(*[F.lit(v) for v in _projection_vector(perturb_seed, dim)])
+    scale = F.lit(eps) * norm(F.col(vec_col))
+    planted = emb.filter(F.col(id_col) % every == 0).select(
+        (F.col(id_col) + id_offset).alias(id_col),
+        F.zip_with(
+            F.col(vec_col), u, lambda x, w: x + scale * w
+        ).alias(vec_col),
+    )
+    return emb.select(id_col, vec_col).unionAll(planted)
+
+
+def lsh_recall_summary(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    planes: int = 4,
+    plane_sets: int = 3,
+    min_recall: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall gate: exact near-dup pairs vs the LSH-found subset on the
+    SAME corpus → one row (n_exact, n_recalled, recall, meets_bound).
+
+    Raises ``AssertionError`` when recall < ``min_recall`` — registering
+    this as a driver query makes LSH recall a hard pass/fail signal, and
+    every number in the row is closed-form reproducible by a SQL oracle
+    (the planes are literal arrays), so the row is also bit-exact checkable.
+    """
+    exact = embedding_near_dups(
+        corpus, threshold=threshold, vec_col=vec_col, id_col=id_col
+    ).select("id_a", "id_b")
+    found = embedding_near_dups_lsh(
+        corpus,
+        dim=dim,
+        threshold=threshold,
+        planes=planes,
+        plane_sets=plane_sets,
+        vec_col=vec_col,
+        id_col=id_col,
+    ).select("id_a", "id_b")
+    hit = exact.join(found, ["id_a", "id_b"], "left_semi")
+    summary = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("n_recalled"))
+    ).select(
+        "n_exact",
+        "n_recalled",
+        F.round(F.col("n_recalled") / F.col("n_exact"), 4).alias("recall"),
+        (F.col("n_recalled") / F.col("n_exact") >= min_recall).alias(
+            "meets_bound"
+        ),
+    )
+    row = summary.collect()[0]
+    assert row.n_exact > 0, "recall gate needs a non-empty exact pair set"
+    assert row.meets_bound, (
+        f"LSH recall {row.recall} below bound {min_recall} "
+        f"({row.n_recalled}/{row.n_exact} pairs found)"
+    )
+    return summary
 
 
 def lsh_bucketed_topk(

@@ -99,8 +99,10 @@ def grok_extract_fast(col: Column, pattern: str, extra: dict[str, str] | None = 
 
     One regex evaluation per field — fine for ≤4 fields; for wide patterns
     use :func:`grok_extract` (single pass per row via pandas UDF).
-    Unmatched rows yield empty strings (Spark regexp_extract semantics);
-    wrap with ``F.nullif(x, F.lit(''))`` if null-on-miss is needed.
+    Misses yield NULL (each ``regexp_extract`` is wrapped in ``nullif``)
+    so both strategies honor the module contract — an ``error_when``
+    condition like ``is_null(.field)`` behaves identically regardless of
+    which strategy ``parse_grok`` picked.
     """
     regex, fields = grok_to_regex(pattern, extra)
     jre = _java_named(regex)
@@ -120,7 +122,9 @@ def grok_extract_fast(col: Column, pattern: str, extra: dict[str, str] | None = 
         i += 1
     return F.struct(
         *[
-            F.regexp_extract(col, jre, out[re.sub(r"\W", "_", f)]).alias(f)
+            F.nullif(
+                F.regexp_extract(col, jre, out[re.sub(r"\W", "_", f)]), F.lit("")
+            ).alias(f)
             for f in fields
         ]
     )

@@ -37,6 +37,7 @@ def sample(
     reproducible family)."""
     if rate <= 0:
         raise ValueError("rate must be >= 1")
+    excl = to_column(exclude, df) if exclude is not None else None
     if key_field is not None:
         h = hasher(F.col(key_field)) if hasher else F.xxhash64(F.col(key_field))
         keep = F.pmod(h, F.lit(rate)) == 0
@@ -46,13 +47,30 @@ def sample(
         # (prefer keyed mode at scale; SCALING.md)
         if order_by is None:
             raise ValueError("counter-mode sample needs order_by for determinism")
-        w = Window.partitionBy(*(group_by or [F.lit(1)])).orderBy(order_by)
+        w = (
+            Window.partitionBy(*(group_by or [F.lit(1)]))
+            .orderBy(order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
         # first of every stride: rows 1, 1+rate, 1+2*rate, ... ((rn-1) % rate
-        # == 0 — NOT rn % rate == 1, which drops everything at rate=1)
-        keep = ((F.row_number().over(w) - 1) % rate) == 0
-    if exclude is not None:
-        keep = keep | to_column(exclude, df)
-    out = df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
+        # == 0 — NOT rn % rate == 1, which drops everything at rate=1).
+        # Excluded events bypass the sampler BEFORE the counter increments
+        # (reference transform.rs:52-64) — number only non-excluded rows so
+        # an exclude match never shifts the stride.
+        rn = (
+            F.sum(F.when(excl, F.lit(0)).otherwise(F.lit(1))).over(w)
+            if excl is not None
+            else F.count(F.lit(1)).over(w)
+        )
+        keep = ((rn - 1) % rate) == 0
+    if excl is not None:
+        keep = excl | keep
+    out = df.withColumn("__excl", excl if excl is not None else F.lit(False))
+    out = out.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
     if stamp:
-        out = out.withColumn("sample_rate", F.lit(rate))
-    return out
+        # reference stamps sample_rate only on events that went THROUGH the
+        # sampler (transform.rs:120-136); exclude-bypassed rows are untouched
+        out = out.withColumn(
+            "sample_rate", F.when(~F.col("__excl"), F.lit(rate))
+        )
+    return out.drop("__excl")

@@ -13,6 +13,12 @@ aggregations/repartitions on the hot key we provide explicit salting
   row counts are huge and map-side partials can't compress (e.g. high-
   cardinality secondary grouping or collect-style aggs).
 - :func:`salted_repartition`: spreads a hot partition key for writes.
+
+Salts are ALWAYS data-derived (a hash of caller-named columns): a salt from
+``monotonically_increasing_id`` would be partition-stable but not
+data-stable — a task retry can re-salt rows differently mid-job, which is a
+correctness hazard for anything non-associative downstream and makes reruns
+non-reproducible. There is deliberately no nondeterministic fallback.
 """
 
 from __future__ import annotations
@@ -23,37 +29,41 @@ from pyspark.sql import functions as F
 _MERGEABLE = {"sum": F.sum, "count": F.sum, "max": F.max, "min": F.min}
 
 
-def with_salt(df: DataFrame, buckets: int, col_name: str = "__salt") -> DataFrame:
-    """Deterministic per-row salt in [0, buckets) — derived from a stable
-    row attribute when available (monotonically_increasing_id is partition-
-    stable, not data-stable; prefer a data column via ``salt_from``)."""
-    return df.withColumn(
-        col_name, (F.monotonically_increasing_id() % buckets).cast("int")
-    )
+def _resolve_salt(salt_from: Column | str, buckets: int) -> Column:
+    """Deterministic salt in [0, buckets) from a column name (hashed) or an
+    arbitrary caller expression. Pure function of row DATA → identical on
+    retry/re-execution."""
+    expr = F.xxhash64(salt_from) if isinstance(salt_from, str) else salt_from
+    return F.pmod(expr, F.lit(buckets)).cast("int")
+
+
+def with_salt(
+    df: DataFrame, buckets: int, salt_from: Column | str, col_name: str = "__salt"
+) -> DataFrame:
+    """Attach a deterministic per-row salt in [0, buckets) derived from
+    ``salt_from`` (a data column name to hash, or any deterministic
+    expression)."""
+    return df.withColumn(col_name, _resolve_salt(salt_from, buckets))
 
 
 def salted_agg(
     df: DataFrame,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
+    salt_from: Column | str,
     salt_buckets: int = 16,
-    salt_from: Column | None = None,
 ) -> DataFrame:
     """Two-phase aggregation: ``aggs`` maps output col → (how, input col)
     with how in sum/count/max/min.
 
-    ``salt_from``: optional deterministic salt expression (e.g.
-    ``F.xxhash64('doc_id') % 16``) — reproducible across retries, unlike
-    the default monotonic id.
+    ``salt_from``: REQUIRED deterministic salt source — a data column name
+    (hashed with xxhash64) or an expression (e.g. ``F.xxhash64('doc_id')``).
+    Reproducible across task retries, unlike a monotonic-id salt.
     """
     for how, _ in aggs.values():
         if how not in _MERGEABLE:
             raise ValueError(f"non-mergeable agg {how!r}")
-    salt = (
-        (salt_from % salt_buckets).cast("int")
-        if salt_from is not None
-        else (F.monotonically_increasing_id() % salt_buckets).cast("int")
-    )
+    salt = _resolve_salt(salt_from, salt_buckets)
     phase1 = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -70,13 +80,16 @@ def salted_agg(
 
 
 def salted_repartition(
-    df: DataFrame, key: str, buckets: int, partitions: int | None = None
+    df: DataFrame,
+    key: str,
+    buckets: int,
+    salt_from: Column | str,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Repartition on (key, salt) so a hot key spreads over ``buckets``
-    partitions instead of one (writer-side skew fix)."""
-    salted = df.withColumn(
-        "__salt", (F.monotonically_increasing_id() % buckets).cast("int")
-    )
+    partitions instead of one (writer-side skew fix). ``salt_from``: data
+    column name or deterministic expression (see module docstring)."""
+    salted = df.withColumn("__salt", _resolve_salt(salt_from, buckets))
     out = (
         salted.repartition(partitions, key, "__salt")
         if partitions

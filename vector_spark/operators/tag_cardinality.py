@@ -15,7 +15,7 @@ construction, so the enforcement join adds NO shuffle to the main stream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -30,16 +30,20 @@ def tag_cardinality_limit(
         raise ValueError("action must be drop_tag or drop_event")
     out = df
     for tag in tag_cols:
+        # First-N distinct values by first-seen order via orderBy().limit()
+        # — Spark plans TakeOrderedAndProject (distributed per-partition
+        # top-N + driver merge of N rows), NOT a single-partition window:
+        # this operator exists precisely for tags whose distinct-value count
+        # explodes, so a global Window.orderBy choke point would defeat it.
+        # Events with a NULL tag pass through un-counted: the reference only
+        # limits concrete tag values (tag_cardinality_limit/mod.rs —
+        # events lacking the tag are forwarded unchanged).
         allowed = (
-            df.groupBy(tag)
+            df.filter(F.col(tag).isNotNull())
+            .groupBy(tag)
             .agg(F.min(order_by).alias("__first_seen"))
-            .withColumn(
-                "__rank",
-                F.row_number().over(
-                    Window.orderBy(F.col("__first_seen"), F.col(tag))
-                ),
-            )
-            .filter(F.col("__rank") <= value_limit)
+            .orderBy(F.col("__first_seen"), F.col(tag))
+            .limit(value_limit)
             .select(F.col(tag).alias("__allowed_val"))
         )
         joined = out.join(
@@ -48,9 +52,9 @@ def tag_cardinality_limit(
             how="left",
         )
         if action == "drop_event":
-            out = joined.filter(F.col("__allowed_val").isNotNull()).drop(
-                "__allowed_val"
-            )
+            out = joined.filter(
+                F.col(tag).isNull() | F.col("__allowed_val").isNotNull()
+            ).drop("__allowed_val")
         else:
             out = joined.withColumn(
                 tag,

@@ -43,8 +43,19 @@ def throttle(
     bucket = (F.unix_timestamp(F.col(ts_col)) / window_secs).cast("long")
     keys = [F.col(key_field)] if key_field else [F.lit(1)]
     order = [F.col(ts_col)] + [F.col(c) for c in (tie_breakers or [])]
-    w = Window.partitionBy(*keys, bucket.alias("__w")).orderBy(*order)
-    keep = F.row_number().over(w) <= threshold
+    w = (
+        Window.partitionBy(*keys, bucket.alias("__w"))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     if exclude is not None:
-        keep = keep | to_column(exclude, df)
+        # Excluded events bypass the limiter ENTIRELY (reference
+        # throttle.rs:52-57: an exclude match never reaches
+        # limiter.check_key) — they must not consume threshold slots, so
+        # rank only the non-excluded rows with a conditional running count.
+        excl = to_column(exclude, df)
+        quota_used = F.sum(F.when(excl, F.lit(0)).otherwise(F.lit(1))).over(w)
+        keep = excl | (quota_used <= threshold)
+    else:
+        keep = F.count(F.lit(1)).over(w) <= threshold
     return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")

@@ -5,16 +5,26 @@ Parity: the reference's file-source checkpointer persists a
 fingerprint→position map (lib/file-source/src/checkpointer.rs:19-59) so a
 restart resumes where it left off; `internal_metrics` exposes pipeline
 counters. Batch-Spark equivalent: a 10^12-row job processes its input in
-file-granular batches; each completed batch appends a manifest record
-(atomic rename) with input fingerprints, output paths, per-sink row counts
-and wall time. A restarted job skips completed batches. Output
-idempotency comes from per-batch output subdirectories + overwrite mode —
-a crashed half-written batch is simply rewritten (exactly-once at the
-batch level, strictly stronger than the reference's at-least-once).
+file-granular batches; each completed batch writes ONE marker file (atomic
+rename — O(1) per batch, no manifest rewrite) with input fingerprints,
+output paths, per-sink row counts and wall time. A restarted job skips
+completed batches. Output idempotency comes from per-batch output
+subdirectories + overwrite mode — a crashed half-written batch is simply
+rewritten (exactly-once at the batch level, strictly stronger than the
+reference's at-least-once).
+
+Batch identity is a CONTENT fingerprint of the sorted input-file chunk
+(names), mirroring the reference's per-file fingerprint keying
+(checkpointer.rs keys state by file fingerprint, not position): if files
+are added/removed between runs, file-to-batch membership shifts and the
+fingerprints change, so stale completions never silently skip or
+double-process files. A marker is honored only when its recorded inputs
+equal the currently-planned chunk.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -39,6 +49,10 @@ def _list_input_files(spark: SparkSession, path: str) -> list[str]:
     return sorted(out)
 
 
+def _chunk_fingerprint(files: list[str]) -> str:
+    return hashlib.md5("\n".join(files).encode()).hexdigest()[:12]
+
+
 @dataclass
 class CheckpointedJob:
     """Resumable batch job over a file-backed input table.
@@ -55,16 +69,18 @@ class CheckpointedJob:
     job_id: str = "job"
 
     @property
-    def manifest_path(self) -> str:
-        return os.path.join(self.out_dir, f"_manifest_{self.job_id}.jsonl")
+    def manifest_dir(self) -> str:
+        return os.path.join(self.out_dir, f"_manifest_{self.job_id}")
 
     def completed_batches(self) -> dict[str, dict]:
         done = {}
-        if os.path.exists(self.manifest_path):
-            with open(self.manifest_path) as f:
-                for line in f:
-                    rec = json.loads(line)
-                    done[rec["batch_id"]] = rec
+        if os.path.isdir(self.manifest_dir):
+            for name in sorted(os.listdir(self.manifest_dir)):
+                if not name.endswith(".json"):
+                    continue
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    rec = json.load(f)
+                done[rec["batch_id"]] = rec
         return done
 
     def _plan_batches(self) -> list[tuple[str, list[str]]]:
@@ -72,20 +88,21 @@ class CheckpointedJob:
         batches = []
         for i in range(0, len(files), self.files_per_batch):
             chunk = files[i : i + self.files_per_batch]
-            batches.append((f"b{i // self.files_per_batch:05d}", chunk))
+            # content-fingerprint id: stable iff the chunk's membership is
+            # stable; the positional index is kept for human readability only
+            bid = f"b{i // self.files_per_batch:05d}-{_chunk_fingerprint(chunk)}"
+            batches.append((bid, chunk))
         return batches
 
-    def _append_manifest(self, rec: dict) -> None:
-        # append via atomic rename of a rewritten file (crash-safe: a torn
-        # write never corrupts previously-recorded batches)
-        tmp = self.manifest_path + ".tmp"
-        existing = ""
-        if os.path.exists(self.manifest_path):
-            with open(self.manifest_path) as f:
-                existing = f.read()
+    def _write_marker(self, rec: dict) -> None:
+        # one marker file per completed batch, atomic rename: O(1) append,
+        # crash-safe (a torn write never corrupts other batches' markers)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        path = os.path.join(self.manifest_dir, f"{rec['batch_id']}.json")
+        tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            f.write(existing + json.dumps(rec) + "\n")
-        os.replace(tmp, self.manifest_path)
+            json.dump(rec, f)
+        os.replace(tmp, path)
 
     def run(self) -> dict:
         """Process all incomplete batches; returns summary {batches_run,
@@ -95,7 +112,10 @@ class CheckpointedJob:
         ran = skipped = 0
         totals: dict[str, int] = {}
         for batch_id, files in self._plan_batches():
-            if batch_id in done:
+            # skip only when the recorded inputs EQUAL the planned chunk —
+            # a fingerprint collision or hand-edited marker with different
+            # membership must reprocess, not silently skip
+            if batch_id in done and done[batch_id].get("inputs") == files:
                 skipped += 1
                 for k, v in done[batch_id].get("rows", {}).items():
                     totals[k] = totals.get(k, 0) + v
@@ -109,7 +129,7 @@ class CheckpointedJob:
                 df.write.mode("overwrite").parquet(path)
                 rows[sink] = self.spark.read.parquet(path).count()
                 totals[sink] = totals.get(sink, 0) + rows[sink]
-            self._append_manifest(
+            self._write_marker(
                 {
                     "batch_id": batch_id,
                     "job_id": self.job_id,

@@ -138,24 +138,43 @@ def stream_throttle(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # Monotonic window clock (reference GCRA cannot regress): a late
+        # event from an older window is clamped INTO the current window —
+        # it consumes current quota instead of rewinding state and
+        # re-admitting past-threshold events. Fully vectorized: bucket →
+        # clamp → per-bucket cumcount against carried-in state.
+        import numpy as np
+
         if state.exists:
             win_start, count = state.get
         else:
             win_start, count = -1, 0
-        out_rows = []
         for pdf in pdfs:
+            if pdf.empty:
+                continue
             pdf = pdf.sort_values(ts_col)
-            for ts in pdf[ts_col]:
-                epoch = int(ts.timestamp())
-                w = epoch - epoch % window_secs
-                if w != win_start:
-                    win_start, count = w, 0
-                if count < threshold:
-                    count += 1
-                    out_rows.append({"key": key[0], "event_ts": ts})
+            epochs = (
+                pdf[ts_col].astype("int64", copy=False).to_numpy() // 10**9
+            )
+            eff = np.maximum(epochs - epochs % window_secs, win_start)
+            # cumulative position within each effective window (eff is
+            # non-decreasing after the ts sort, so a run-length cumcount)
+            starts = np.r_[True, eff[1:] != eff[:-1]]
+            idx = np.arange(len(eff))
+            cum = idx - np.maximum.accumulate(np.where(starts, idx, 0))
+            base = np.where(eff == win_start, count, 0)
+            keep = (base + cum) < threshold
+            last = eff[-1]
+            count = int(base[eff == last][0] if last == win_start else 0) + int(
+                keep[eff == last].sum()
+            )
+            win_start = int(last)
+            if keep.any():
+                kept = pdf.loc[keep]
+                yield pd.DataFrame(
+                    {"key": key[0], "event_ts": kept[ts_col]}
+                )
         state.update((win_start, count))
-        if out_rows:
-            yield pd.DataFrame(out_rows)
 
     return events.groupBy(key_field).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
