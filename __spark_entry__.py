@@ -1223,25 +1223,30 @@ def _register_more() -> None:
         f"""
         WITH base AS (
           SELECT doc_id, lang || '|' || source AS bk, {_SH_SQL} AS sh FROM documents
+        ),
+        capped AS (
+          SELECT * FROM base
+          QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 2000
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
                  AS jaccard
-        FROM base a JOIN base b ON a.bk = b.bk AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+        FROM capped a JOIN capped b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.2
         """,
     )
     def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Exact n-gram Jaccard within a natural bucket (lang, source) — the
-        bounded-quadratic candidate path (dataprep.dedup.ngram_jaccard_pairs)."""
+        bounded-quadratic candidate path (dataprep.dedup.ngram_jaccard_pairs)
+        with the mega-bucket cap mirrored in the oracle (QUALIFY count)."""
         from vector_spark.dataprep.dedup import ngram_jaccard_pairs
 
         d = _docs(spark, sf_dir).withColumn(
             "bk", F.concat_ws("|", "lang", "source")
         )
-        return ngram_jaccard_pairs(d, "bk", threshold=0.2)
+        return ngram_jaccard_pairs(d, "bk", threshold=0.2, bucket_cap=2000)
 
     @_q(
         "stream_agg_events",
@@ -1831,6 +1836,293 @@ def _register_more() -> None:
 
 
 _register_more()
+
+
+# --- batch 4: binary wire codecs + search conditions ------------------------
+
+
+def _register_codecs() -> None:
+    @_q(
+        "ev_parse_avro",
+        """
+        SELECT event_id, event_type AS avro_type, value AS avro_value,
+               CASE WHEN event_id % 3 = 0 THEN NULL ELSE 'u' || user_id END
+                 AS avro_note
+        FROM events
+        """,
+    )
+    def ev_parse_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Avro binary codec in the gate: encode each event to an avro
+        record body (public 1.11 wire format — zigzag varints, length-
+        prefixed utf8, null unions) and decode it back; the oracle supplies
+        the pre-encode values, so any wire asymmetry breaks equality. The
+        exact golden BYTES are pinned by tests/test_codecs_binary.py."""
+        from vector_spark.functions import avro as A
+
+        schema = {
+            "type": "record",
+            "name": "ev",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": "double"},
+                {"name": "note", "type": ["null", "string"]},
+            ],
+        }
+        ev = _events(spark, sf_dir).select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(
+                F.col("event_id") % 3 != 0,
+                F.concat(F.lit("u"), F.col("user_id").cast("string")),
+            ).alias("note"),
+        )
+        enc = ev.select(
+            A.avro_encode(
+                F.struct("event_id", "event_type", "value", "note"), schema
+            ).alias("body")
+        )
+        dec = enc.select(A.avro_decode(F.col("body"), schema).alias("r"))
+        return dec.select(
+            F.col("r.event_id").alias("event_id"),
+            F.col("r.event_type").alias("avro_type"),
+            F.col("r.value").alias("avro_value"),
+            F.col("r.note").alias("avro_note"),
+        )
+
+    @_q(
+        "ev_parse_proto",
+        """
+        SELECT event_id, event_type AS pb_type,
+               value AS pb_value,
+               -user_id::INT AS pb_sint,
+               array_to_string([user_id % 5, event_id % 7], ',') AS pb_tags
+        FROM events
+        """,
+    )
+    def ev_parse_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Protobuf wire-format codec in the gate: encode → decode against
+        a field descriptor (varint tags, zigzag sints, packed repeated) and
+        compare with the pre-encode values from the oracle."""
+        from vector_spark.functions import proto as P
+
+        desc = {
+            1: ("event_id", "int64"),
+            2: ("event_type", "string"),
+            3: ("value", "double"),
+            4: ("sint", "sint32"),
+            5: ("tags", "int32", "repeated"),
+        }
+        ev = _events(spark, sf_dir).select(
+            "event_id",
+            "event_type",
+            "value",
+            (-F.col("user_id")).cast("int").alias("sint"),
+            F.array(
+                (F.col("user_id") % 5).cast("int"),
+                (F.col("event_id") % 7).cast("int"),
+            ).alias("tags"),
+        )
+        enc = ev.select(
+            P.proto_encode(
+                F.struct("event_id", "event_type", "value", "sint", "tags"),
+                desc,
+            ).alias("body")
+        )
+        dec = enc.select(P.proto_decode(F.col("body"), desc).alias("r"))
+        return dec.select(
+            F.col("r.event_id").alias("event_id"),
+            F.col("r.event_type").alias("pb_type"),
+            F.col("r.value").alias("pb_value"),
+            F.col("r.sint").alias("pb_sint"),
+            # array columns defeat the driver's canonicalizer — digest to a
+            # portable string (same trick as seq_routed_tokens)
+            F.array_join(F.col("r.tags"), ",").alias("pb_tags"),
+        )
+
+
+    @_q(
+        "ev_datadog_search",
+        """
+        SELECT event_id, event_type, value FROM events
+        WHERE ((event_type LIKE 'err%' OR (value >= 10 AND value <= 20))
+               AND props IS NOT NULL AND NOT (event_type = 'view'))
+           OR contains(props, 'weird')
+        """,
+    )
+    def ev_datadog_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The reference's SECOND predicate language in the gate: a
+        Datadog-search condition (facet wildcard, numeric range, existence,
+        NOT, default-field bare term) compiled to a Column and applied via
+        the dict-typed condition path (src/conditions/mod.rs shape)."""
+        from vector_spark.operators import filter_events
+
+        ev = _events(spark, sf_dir)
+        cond = {
+            "type": "datadog_search",
+            "source": "(event_type:err* OR value:[10 TO 20]) "
+                      "_exists_:props NOT event_type:view OR weird",
+            "default_field": "props",
+        }
+        return filter_events(ev, cond).select("event_id", "event_type", "value")
+
+
+    @_q(
+        "ev_community_id",
+        """
+        WITH flows AS (
+          SELECT event_id,
+                 (10::BIGINT*16777216 + (user_id % 4)*65536
+                  + (event_id % 256)*256 + 1) AS s_num,
+                 (192::BIGINT*16777216 + 168*65536 + (event_id % 16)*256
+                  + (user_id % 200 + 1)) AS d_num,
+                 (1024 + event_id % 5000) AS sport,
+                 CASE event_id % 3 WHEN 0 THEN 80 WHEN 1 THEN 443 ELSE 53 END
+                   AS dport
+          FROM events
+        ), ordered AS (
+          SELECT event_id,
+                 CASE WHEN s_num < d_num OR (s_num = d_num AND sport <= dport)
+                      THEN s_num ELSE d_num END AS a1,
+                 CASE WHEN s_num < d_num OR (s_num = d_num AND sport <= dport)
+                      THEN d_num ELSE s_num END AS a2,
+                 CASE WHEN s_num < d_num OR (s_num = d_num AND sport <= dport)
+                      THEN sport ELSE dport END AS p1,
+                 CASE WHEN s_num < d_num OR (s_num = d_num AND sport <= dport)
+                      THEN dport ELSE sport END AS p2
+          FROM flows
+        )
+        SELECT event_id,
+               '0000' || lpad(lower(to_hex(a1)), 8, '0')
+                      || lpad(lower(to_hex(a2)), 8, '0')
+                      || '0600'
+                      || lpad(lower(to_hex(p1)), 4, '0')
+                      || lpad(lower(to_hex(p2)), 4, '0') AS flow_hex
+        FROM ordered
+        """,
+    )
+    def ev_community_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """community_id flow correlation (public Corelight spec): the
+        canonical endpoint ordering + byte packing is verified bit-exact
+        against the oracle via the packed hex; the sha1-base64 id itself is
+        pinned by the spec's published test vectors in pytest (DuckDB has
+        no sha1)."""
+        from vector_spark.functions.network import community_id_packed
+
+        ev = _events(spark, sf_dir)
+        flows = ev.select(
+            "event_id",
+            F.concat_ws(
+                ".",
+                F.lit(10), F.col("user_id") % 4, F.col("event_id") % 256, F.lit(1),
+            ).alias("saddr"),
+            F.concat_ws(
+                ".",
+                F.lit(192), F.lit(168), F.col("event_id") % 16,
+                F.col("user_id") % 200 + 1,
+            ).alias("daddr"),
+            (F.lit(1024) + F.col("event_id") % 5000).alias("sport"),
+            F.when(F.col("event_id") % 3 == 0, 80)
+            .when(F.col("event_id") % 3 == 1, 443)
+            .otherwise(53)
+            .alias("dport"),
+        )
+        return flows.select(
+            "event_id",
+            F.lower(
+                F.hex(
+                    community_id_packed(
+                        F.col("saddr"), F.col("daddr"),
+                        F.col("sport"), F.col("dport"), 6,
+                    )
+                )
+            ).alias("flow_hex"),
+        )
+
+    @_q(
+        "ev_compress_roundtrip",
+        """
+        SELECT event_id, props AS gz_back, props AS zl_back FROM events
+        """,
+    )
+    def ev_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """encode_gzip/decode_gzip + encode_zlib/decode_zlib over the props
+        payload column; the oracle supplies the original text, so any codec
+        asymmetry breaks equality (deterministic gzip header: MTIME=0)."""
+        from vector_spark.functions import compression as C
+
+        ev = _events(spark, sf_dir)
+        enc = ev.select(
+            "event_id",
+            C.encode_gzip(F.col("props")).alias("gz"),
+            C.encode_zlib(F.col("props")).alias("zl"),
+        )
+        return enc.select(
+            "event_id",
+            C.decode_gzip(F.col("gz")).cast("string").alias("gz_back"),
+            C.decode_zlib(F.col("zl")).cast("string").alias("zl_back"),
+        )
+
+
+    @_q(
+        "ev_parse_xml",
+        """
+        SELECT event_id, event_type AS x_type, value AS x_value,
+               user_id AS x_user
+        FROM events
+        """,
+    )
+    def ev_parse_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """parse_xml via Spark 4's built-in from_xml (JVM StAX): render
+        each event as an XML element (attribute + nested fields) and parse
+        it back; the oracle supplies the pre-render values."""
+        from vector_spark.functions.parse import parse_xml
+
+        ev = _events(spark, sf_dir)
+        xml = ev.select(
+            "event_id",
+            F.format_string(
+                '<ev type="%s"><v>%s</v><u>%d</u></ev>',
+                F.col("event_type"), F.col("value"), F.col("user_id"),
+            ).alias("x"),
+        )
+        p = parse_xml(F.col("x"), "_type STRING, v DOUBLE, u BIGINT")
+        return xml.select(
+            "event_id",
+            p["_type"].alias("x_type"),
+            p["v"].alias("x_value"),
+            p["u"].alias("x_user"),
+        )
+
+    @_q(
+        "ev_uuid_v7",
+        """
+        WITH r AS (
+          SELECT event_id, ts, md5(event_id::VARCHAR) AS h,
+                 lpad(lower(to_hex(epoch_ms(ts))), 12, '0') AS th
+          FROM events
+        )
+        SELECT event_id,
+               th[1:8] || '-' || th[9:12] || '-7' || h[1:3] || '-' ||
+               lower(to_hex((strpos('0123456789abcdef', h[4:4]) - 1) % 4 + 8))
+               || h[5:7] || '-' || h[8:19] AS uid
+        FROM r
+        """,
+    )
+    def ev_uuid_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """uuid_v7 with deterministic entropy (RFC 9562 layout, md5-derived
+        random bits) — time-ordered ids reproducible across engines and
+        retries."""
+        from vector_spark.functions.parse import uuid_v7
+
+        ev = _events(spark, sf_dir)
+        return ev.select(
+            "event_id", uuid_v7(F.col("ts"), F.col("event_id")).alias("uid")
+        )
+
+
+_register_codecs()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -307,3 +307,54 @@ def test_topology_multi_input_union(spark):
     }
     topo = compile_config(spark, config)
     assert topo.resolve("all").count() == 2
+
+
+def test_script_transform_lifecycle(spark):
+    """Escape-hatch transform (≙ lua): init once per task, process per
+    Arrow batch, shutdown after — counter semantics like the reference's
+    lua counter example (src/transforms/lua docs)."""
+    from vector_spark.operators.script import script_transform
+
+    df = spark.range(100).toDF("id").repartition(4)
+
+    def init():
+        return {"calls": 0}
+
+    def process(pdf, state):
+        state["calls"] += 1
+        out = pdf[pdf["id"] % 2 == 0].copy()
+        out["doubled"] = out["id"] * 2
+        return out
+
+    out = script_transform(
+        df, process, init=init, schema="id long, doubled long"
+    )
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r.doubled == r.id * 2 for r in rows)
+
+
+def test_script_transform_in_topology(spark):
+    from vector_spark.plans.topology import compile_config
+
+    def proc(pdf, state):
+        out = pdf.copy()
+        out["v"] = out["v"] + 1
+        return out
+
+    cfg = {
+        "sources": {
+            "src": {
+                "type": "inline",
+                "rows": [(1, 10), (2, 20)],
+                "schema": "id long, v long",
+            }
+        },
+        "transforms": {
+            "bump": {"type": "script", "inputs": ["src"], "process": proc}
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["bump"]}},
+    }
+    topo = compile_config(spark, cfg)
+    got = {r.id: r.v for r in topo.resolve("bump").collect()}
+    assert got == {1: 11, 2: 21}

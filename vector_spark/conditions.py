@@ -30,12 +30,26 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-ConditionLike = Column | str | Callable[[DataFrame], Column]
+ConditionLike = Column | str | dict | Callable[[DataFrame], Column]
 
 
 def to_column(cond: ConditionLike, df: DataFrame | None = None) -> Column:
+    """Plain strings compile as VRL-subset conditions; dicts select the
+    language like the reference's config shape (src/conditions/mod.rs:23-47):
+    ``{"type": "vrl" | "datadog_search", "source": "..."}``."""
     if isinstance(cond, Column):
         return cond
+    if isinstance(cond, dict):
+        kind = cond.get("type", "vrl")
+        if kind == "vrl":
+            return compile_condition(cond["source"])
+        if kind == "datadog_search":
+            from vector_spark.datadog_search import compile_datadog_search
+
+            return compile_datadog_search(
+                cond["source"], cond.get("default_field", "message")
+            )
+        raise ValueError(f"unknown condition type {kind!r}")
     if callable(cond):
         if df is None:
             raise ValueError("callable condition needs a DataFrame")

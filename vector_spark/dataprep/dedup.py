@@ -301,15 +301,46 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k_shingle: int = 3,
     threshold: float = 0.5,
+    bucket_cap: int | None = 2000,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs within a pre-bucketed candidate
     group (e.g. same source/lang bucket). The bucket join bounds the
-    quadratic blowup; use minhash_near_dups when no natural bucket exists."""
+    quadratic blowup; use minhash_near_dups when no natural bucket exists.
+
+    Scale guards (pairs grow quadratically with bucket size, so a natural
+    bucket alone does NOT survive 100×):
+
+    - ``bucket_cap``: buckets holding more than this many docs are
+      EXCLUDED (and logged) — route them through ``minhash_near_dups``,
+      whose banded candidates stay near-linear. Deterministic (a pure
+      count predicate), so an external SQL oracle mirrors it exactly.
+    - size-ratio pruning inside the join condition: J(A,B) ≥ t implies
+      t·|A| ≤ |B| ≤ |A|/t, so shingle-count bands prune impossible pairs
+      BEFORE the set-intersection runs. Pure pruning — never changes the
+      result, oracle needs no mirror.
+    """
     base = df.select(
         F.col(bucket_col).alias("__bk"),
         F.col(id_col).alias("__id"),
         shingles(F.col(text_col), k_shingle).alias("__sh"),
-    ).persist()  # shingle table computed once, read by both join sides
+    ).withColumn("__n", F.size("__sh"))
+    if bucket_cap is not None:
+        counts = base.groupBy("__bk").agg(F.count(F.lit(1)).alias("__bn"))
+        import logging
+
+        log = logging.getLogger(__name__)
+        big = counts.filter(F.col("__bn") > bucket_cap)
+        for row in big.collect():  # tiny frame: one row per mega-bucket
+            log.warning(
+                "ngram_jaccard: bucket %r has %d docs > cap %d — excluded "
+                "(route it through minhash_near_dups)",
+                row.__bk, row.__bn, bucket_cap,
+            )
+        base = base.join(
+            F.broadcast(counts.filter(F.col("__bn") <= bucket_cap)), "__bk"
+        ).drop("__bn")
+    base = base.persist()  # shingle table computed once, read by both sides
+    t = F.lit(float(threshold))
     return (
         base.alias("l")
         .join(
@@ -317,6 +348,9 @@ def ngram_jaccard_pairs(
             on=[
                 F.col("l.__bk") == F.col("r.__bk"),
                 F.col("l.__id") < F.col("r.__id"),
+                # exact length-ratio prune implied by jaccard >= t
+                F.col("r.__n") >= t * F.col("l.__n"),
+                F.col("l.__n") >= t * F.col("r.__n"),
             ],
         )
         .select(

@@ -386,3 +386,38 @@ def parse_user_agent(col: Column) -> Column:
         .when(col.rlike(r"Linux"), "Linux")
     )
     return F.struct(browser.alias("browser_family"), os_.alias("os_family"))
+
+
+def parse_xml(col: Column, schema: str) -> Column:
+    """parse_xml (VRL parse_xml.cue) via Spark 4's built-in ``from_xml`` —
+    JVM-side StAX parsing, no Python. ``schema`` is a DDL struct string,
+    e.g. ``"a INT, b STRING, _attr STRING"`` (attributes prefix ``_``)."""
+    from pyspark.sql.functions import from_xml
+
+    return from_xml(col, schema)
+
+
+def uuid_v7(ts: Column, entropy: Column) -> Column:
+    """uuid_v7 (VRL uuid_v7.cue): RFC 9562 layout — 48-bit unix-millis
+    timestamp, version nibble 7, variant bits 10. The 74 "random" bits are
+    derived from md5(entropy) instead of a CSPRNG so the id is DETERMINISTIC
+    per (ts, entropy) — reproducible across retries/reruns (the same
+    portability trade documented for keyed sampling, SURVEY §7.1) and
+    reproducible by any engine with md5.
+
+    Layout: tttttttt-tttt-7rrr-vrrr-rrrrrrrrrrrr
+    """
+    # TIMESTAMP_NTZ needs an explicit TIMESTAMP hop (session tz is UTC)
+    ms = F.unix_millis(ts.cast("timestamp"))
+    t_hex = F.lpad(F.lower(F.hex(ms)), 12, "0")
+    r = F.md5(entropy.cast("string"))
+    # variant digit: first two bits 10 → 8|9|a|b, from one md5 nibble % 4
+    variant = F.lower(F.hex(F.conv(F.substring(r, 4, 1), 16, 10).cast("int") % 4 + 8))
+    return F.concat_ws(
+        "-",
+        F.substring(t_hex, 1, 8),
+        F.substring(t_hex, 9, 4),
+        F.concat(F.lit("7"), F.substring(r, 1, 3)),
+        F.concat(variant, F.substring(r, 5, 3)),
+        F.substring(r, 8, 12),
+    )

@@ -26,3 +26,4 @@ __all__ = [
     "metric_to_log", "tag_cardinality_limit", "enrich",
     "enrich_between_dates", "remap",
 ]
+from vector_spark.operators.script import script_transform  # noqa: E402,F401

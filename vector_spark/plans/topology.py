@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_spark import tables
-from vector_spark.conditions import compile_condition
+from vector_spark.conditions import compile_condition, to_column
 from vector_spark.operators import (
     aggregate_metrics,
     dedupe,
@@ -239,6 +239,20 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
                 tie_breakers=cfg.get("tie_breakers"),
             )
         }
+    if t == "script":
+        # escape hatch ≙ reference lua transform (src/transforms/lua):
+        # batched init/process/shutdown hooks over Arrow batches
+        from vector_spark.operators.script import script_transform
+
+        return {
+            "__default": script_transform(
+                df,
+                process=cfg["process"],
+                init=cfg.get("init"),
+                shutdown=cfg.get("shutdown"),
+                schema=cfg.get("schema"),
+            )
+        }
     if t == "dedupe":
         return {
             "__default": dedupe(
@@ -315,7 +329,7 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
 
 TRANSFORM_TYPES = (
     "filter remap route exclusive_route sample throttle dedupe reduce "
-    "aggregate log_to_metric metric_to_log tag_cardinality_limit enrich"
+    "aggregate log_to_metric metric_to_log tag_cardinality_limit enrich script"
 ).split()
 
 
@@ -408,7 +422,11 @@ def run_unit_test(
         n = df.count()
         passed = []
         for cond in conds:
-            c = compile_condition(cond) if isinstance(cond, str) else cond(df)
+            c = (
+                to_column(cond)
+                if isinstance(cond, (str, dict))
+                else cond(df)
+            )
             ok = n > 0 and df.filter(~F.coalesce(c, F.lit(False))).count() == 0
             passed.append(bool(ok))
         results[ref] = {"rows": n, "passed": passed}
