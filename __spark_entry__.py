@@ -619,6 +619,38 @@ def _register_dataprep() -> None:
         return dd.minhash_near_dups(d)
 
     @_q(
+        "doc_dup_clusters",
+        f"""
+        WITH RECURSIVE pairs AS (
+          SELECT id_a, id_b FROM ({osql.minhash_near_dups_sql()})
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a
+        """,
+    )
+    def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup CLUSTERING in the verified gate: connected components
+        (iterative min-label propagation — the genuinely iterative
+        distributed algorithm) over the minhash pair graph, checked
+        bit-exact against a recursive-CTE transitive closure in the
+        oracle."""
+        d = _docs(spark, sf_dir)
+        pairs = dd.minhash_near_dups(d)
+        return dd.dup_clusters(pairs).select(
+            F.col("member").alias("doc_id"), F.col("cluster")
+        )
+
+    @_q(
         "doc_simhash",
         f"SELECT doc_id, {osql.simhash_sql_expr('text')} AS simhash FROM documents",
     )
@@ -796,7 +828,7 @@ def _register_more() -> None:
     from vector_spark.sources.readers import demo_syslog_lines
     from vector_spark.dataprep import oracles as osql
 
-    _SH_SQL = osql.shingles_expr("text")
+    _SH_SQL = osql.hashed_shingles_expr("text")
 
     @_q(
         "seq_salted_agg",
@@ -1540,12 +1572,28 @@ def _register_more() -> None:
             ).alias("redacted"),
         )
 
-    @_q("checkpointed_resume")  # filesystem-stateful — rows-only check
+    @_q(
+        "checkpointed_resume",
+        """
+        SELECT 'errors' AS sink,
+               COUNT(*) FILTER (event_type = 'error')::BIGINT AS total_rows,
+               4::BIGINT AS n_batches,
+               4 AS first_run_batches, 4 AS second_run_skipped
+        FROM events
+        UNION ALL
+        SELECT 'rest',
+               COUNT(*) FILTER (event_type <> 'error')::BIGINT,
+               4::BIGINT, 4, 4
+        FROM events
+        """,
+    )
     def checkpointed_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Resumability in the gate: a checkpointed batch job over the
-        events table runs to completion, then a second invocation SKIPS
-        every batch via the manifest; returns per-(batch,sink) metrics
-        annotated with both runs' skip counts (internal_metrics surface)."""
+        """Resumability in the VERIFIED gate: a checkpointed batch job over
+        the events table runs to completion, then a second invocation SKIPS
+        every batch via the manifest; the per-sink totals from the
+        internal_metrics surface (summed over the content-fingerprinted
+        batches) must equal the oracle's direct per-sink counts, and the
+        run/skip counters are pinned (8 files / 2 per batch = 4 batches)."""
         import shutil
 
         from vector_spark.sinks.manifest import CheckpointedJob
@@ -1554,6 +1602,7 @@ def _register_more() -> None:
         in_dir = f"/tmp/vs_ckpt_in_{tag}"
         out_dir = f"/tmp/vs_ckpt_q_{tag}"
         shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(in_dir, ignore_errors=True)
         _events(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(in_dir)
 
         def pipe(s, df):
@@ -1570,10 +1619,17 @@ def _register_more() -> None:
             spark, in_dir, out_dir, pipe, files_per_batch=2, job_id="gate"
         ).run()
         m = job.internal_metrics()
-        return m.select(
-            "batch_id", "sink", "rows",
-            F.lit(first["batches_run"]).alias("first_run_batches"),
-            F.lit(second["batches_skipped"]).alias("second_run_skipped"),
+        return (
+            m.groupBy("sink")
+            .agg(
+                F.sum("rows").alias("total_rows"),
+                F.count(F.lit(1)).alias("n_batches"),
+            )
+            .select(
+                "sink", "total_rows", "n_batches",
+                F.lit(first["batches_run"]).alias("first_run_batches"),
+                F.lit(second["batches_skipped"]).alias("second_run_skipped"),
+            )
         )
 
     @_q(

@@ -151,3 +151,37 @@ def test_lineage_columns(spark, tmp_path):
     df = with_lineage(spark.read.parquet(str(p)), "src1")
     r = df.limit(1).collect()[0]
     assert r._source_id == "src1" and "parquet" in r._source_file
+
+
+def test_framing_codecs(spark, tmp_path):
+    """character_delimited / length_delimited / octet_counting framers
+    (lib/codecs framing enum) reconstruct the same 3 messages."""
+    import struct
+
+    from vector_spark.sources import framing as fr
+
+    msgs = [b"alpha", b"beta with\nnewline", b"<34>1 gamma"]
+
+    cd = tmp_path / "cd.txt"
+    cd.write_bytes(b"\x1e".join(m.replace(b"\n", b" ") for m in msgs))
+    got = [r.value for r in fr.frame_character_delimited(
+        spark, str(cd), "\x1e").collect()]
+    assert got == [m.replace(b"\n", b" ").decode() for m in msgs]
+
+    ld = tmp_path / "ld.bin"
+    ld.write_bytes(b"".join(struct.pack(">I", len(m)) + m for m in msgs))
+    rows = sorted(
+        fr.frame_length_delimited(spark, str(ld)).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [bytes(r.value) for r in rows] == msgs
+
+    oc = tmp_path / "oc.bin"
+    oc.write_bytes(b"".join(f"{len(m)} ".encode() + m for m in msgs))
+    rows = sorted(
+        fr.frame_octet_counting(spark, str(oc)).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [bytes(r.value) for r in rows] == msgs
+    # newline INSIDE a frame survives octet counting (the point of RFC 6587)
+    assert b"\n" in bytes(rows[1].value)

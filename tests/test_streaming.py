@@ -118,3 +118,42 @@ def test_stream_throttle_state(spark, events_path, tmp_path):
     assert out.count() == 60
     per_key = {r.key: r["count"] for r in out.groupBy("key").count().collect()}
     assert set(per_key.values()) == {15}
+
+
+def test_stream_throttle_monotonic_late_events(spark, tmp_path):
+    """A late event from an older window must NOT rewind the state clock:
+    it clamps into the current window (consuming current quota) instead of
+    resetting the count and re-admitting past-threshold events (the
+    reference GCRA clock is monotonic and cannot regress)."""
+    import time as _t
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id long, event_ts timestamp, event_type string, value double"
+
+    def write_file(rows):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        df.write.mode("append").parquet(str(src))
+        _t.sleep(1.1)  # distinct mod-times → deterministic batch order
+
+    from datetime import datetime, timezone
+
+    ts = lambda s: datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)  # noqa: E731
+    # batch 1: five events in window [600, 1200) — threshold 3 keeps 3
+    write_file([(i, ts(1000 + i * 10), "k", 0.0) for i in range(5)])
+    # batch 2: one LATE event (window [0,600)) then two more in [600,1200)
+    write_file([(10, ts(500), "k", 0.0), (11, ts(1150), "k", 0.0),
+                (12, ts(1151), "k", 0.0)])
+
+    sdf = stream_throttle(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src)),
+        threshold=3,
+        window_secs=600,
+        key_field="event_type",
+    )
+    out = _run_to_memory(spark, sdf, "thr_late", tmp_path)
+    # batch 1 admits exactly 3; batch 2's late + current events all find the
+    # window quota exhausted → nothing more passes
+    assert out.count() == 3
+    kept_ts = sorted(r.event_ts.timestamp() for r in out.collect())
+    assert kept_ts == [1000.0, 1010.0, 1020.0]

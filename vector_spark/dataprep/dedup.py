@@ -7,9 +7,13 @@ Design notes (100 TB posture):
   join. Signatures/band keys are computed scan-side (narrow); the only
   shuffle is the groupBy on band keys, whose cardinality ≪ rows. Candidate
   pairs then get an exact Jaccard verify on their shingle sets.
-- Hash family: md5 hex strings (seeded by index prefix). Lexicographic MIN
-  over md5 hex values is a uniform min-permutation — and reproducible
-  bit-for-bit in any engine with md5 (the DuckDB oracle recomputes it).
+- Hash families (both engine-portable, DuckDB oracle recomputes them):
+  (a) md5 hex strings seeded by index prefix — lexicographic MIN over md5
+  hex values is a uniform min-permutation (`minhash_signature`); (b) the
+  FAST int64 family used by `minhash_near_dups`: one md5 per shingle
+  truncated to 60 bits, then 16 affine permutations over the 2^31-1 prime
+  field — 16 integer ops instead of 16 md5s per shingle, and the exact-
+  verify intersections compare longs instead of strings.
 - **SimHash**: 16-dim nibble-wise variant over md5 (engine-portable integer
   math; Hamming distance on hex nibbles).
 """
@@ -81,16 +85,69 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
     )
 
 
+# --- int64 hash family (fast path) ------------------------------------------
+# ONE md5 per shingle; the per-seed permutations are affine maps over a
+# 2^31-1 prime field ((h·A_i + B_i) mod M — a universal hash family), so a
+# 16-hash signature costs 16 integer ops instead of 16 md5s. Engine-
+# portable: any SQL engine with md5 + 64-bit ints reproduces it bit-exactly
+# (DuckDB mirror in dataprep/oracles.py).
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def affine_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) pairs from an LCG — shared with the oracle."""
+    out = []
+    for i in range(num_hashes):
+        a = (1103515245 * (i + 1) + 12345) % MINHASH_PRIME
+        b = (69069 * (i + 1) + 677) % MINHASH_PRIME
+        out.append((a or 1, b))
+    return out
+
+
+def shingle_hash64(s: Column) -> Column:
+    """shingle string → 60-bit int via the first 15 hex chars of md5
+    (F.conv is exact up to 64 bits; 15 nibbles keeps it positive)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def hashed_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word-level k-shingles hashed to int64, sorted →
+    array<long>. Set semantics are preserved under the (collision-free in
+    practice) 60-bit hash, so Jaccard over these equals Jaccard over the
+    string shingles — while array_intersect compares longs, not strings."""
+    return F.array_sort(
+        F.array_distinct(F.transform(shingles(col, k), shingle_hash64))
+    )
+
+
+def minhash_signature_int(hashed_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature over pre-hashed shingles: min of the i-th affine
+    permutation per seed. → array<long> of length num_hashes."""
+    m = F.lit(MINHASH_PRIME)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hashed_col, lambda h: (h % m * a + b) % m)
+            )
+            for a, b in affine_coeffs(num_hashes)
+        ]
+    )
+
+
 def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     """Band the signature: band key b = md5 of the joined band slice.
-    → array<string> of length ``bands``."""
+    Works for string or numeric signatures (elements are cast to string
+    before joining). → array<string> of length ``bands``."""
+    as_str = F.transform(sig_col, lambda x: x.cast("string"))
     return F.array(
         *[
             F.md5(
                 F.concat(
                     F.lit(f"b{b}~"),
-                    F.concat_ws(
-                        "|", F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+                    F.array_join(
+                        F.slice(as_str, b * rows_per_band + 1, rows_per_band),
+                        "|",
                     ),
                 )
             )
@@ -131,9 +188,9 @@ def minhash_near_dups(
     base = (
         df.select(
             F.col(id_col).alias("__id"),
-            shingles(F.col(text_col), k_shingle).alias("__sh"),
+            hashed_shingles(F.col(text_col), k_shingle).alias("__sh"),
         )
-        .withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+        .withColumn("__sig", minhash_signature_int(F.col("__sh"), num_hashes))
         .withColumn("__bands", lsh_band_keys(F.col("__sig"), bands, rows_per_band))
         .persist()
     )
@@ -322,7 +379,7 @@ def ngram_jaccard_pairs(
     base = df.select(
         F.col(bucket_col).alias("__bk"),
         F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), k_shingle).alias("__sh"),
+        hashed_shingles(F.col(text_col), k_shingle).alias("__sh"),
     ).withColumn("__n", F.size("__sh"))
     if bucket_cap is not None:
         counts = base.groupBy("__bk").agg(F.count(F.lit(1)).alias("__bn"))

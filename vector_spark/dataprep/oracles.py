@@ -34,10 +34,42 @@ def minhash_sig_exprs(sh: str, num_hashes: int) -> list[str]:
     ]
 
 
+# int64 hash-family mirrors (dedup.py fast path): ONE md5 per shingle,
+# affine permutations over the 2^31-1 prime field.
+
+_HASH64 = (
+    "list_sum(list_transform(range(1, 16), i -> "
+    "(strpos('0123456789abcdef', md5({s})[i:i]) - 1)::BIGINT "
+    "<< (4 * (15 - i))))::BIGINT"
+)
+
+
+def hash64_expr(s: str) -> str:
+    """First 15 hex nibbles of md5 → 60-bit BIGINT (≙ dedup.shingle_hash64)."""
+    return _HASH64.format(s=s)
+
+
+def hashed_shingles_expr(col: str = "text", k: int = 3) -> str:
+    return (
+        f"list_sort(list_distinct(list_transform({shingles_expr(col, k)}, "
+        f"s -> {hash64_expr('s')})))"
+    )
+
+
+def minhash_sig_int_exprs(hsh: str, num_hashes: int) -> list[str]:
+    from vector_spark.dataprep.dedup import MINHASH_PRIME, affine_coeffs
+
+    m = MINHASH_PRIME
+    return [
+        f"list_min(list_transform({hsh}, h -> ((h % {m}) * {a} + {b}) % {m}))"
+        for a, b in affine_coeffs(num_hashes)
+    ]
+
+
 def band_keys_expr(sig_items: list[str], bands: int, rows_per_band: int) -> str:
     keys = []
     for b in range(bands):
-        sl = sig_items[b * rows_per_band : (b + 1) * rows_per_band]
+        sl = [f"({x})::VARCHAR" for x in sig_items[b * rows_per_band : (b + 1) * rows_per_band]]
         joined = " || '|' || ".join(sl)
         keys.append(f"md5('b{b}~' || {joined})")
     return "list_value(" + ", ".join(keys) + ")"
@@ -52,8 +84,8 @@ def minhash_near_dups_sql(
     id_col: str = "doc_id",
 ) -> str:
     rows_per_band = num_hashes // bands
-    sh = shingles_expr("text", k_shingle)
-    sig = minhash_sig_exprs("__sh", num_hashes)
+    sh = hashed_shingles_expr("text", k_shingle)
+    sig = minhash_sig_int_exprs("__sh", num_hashes)
     bands_e = band_keys_expr(sig, bands, rows_per_band)
     return f"""
     WITH base AS (

@@ -243,7 +243,9 @@ def lsh_recall_summary(
         (F.col("n_recalled") / F.col("n_exact") >= min_recall).alias(
             "meets_bound"
         ),
-    )
+    ).persist()  # the assertion collect below already computes the full
+    # pair join; persist the 1-row summary so the caller's action doesn't
+    # run the quadratic exact pass a second time
     row = summary.collect()[0]
     assert row.n_exact > 0, "recall gate needs a non-empty exact pair set"
     assert row.meets_bound, (

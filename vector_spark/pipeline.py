@@ -146,6 +146,15 @@ def run_pipeline(
     parsed = (parse_stage if parse == "jvm" else parse_stage_arrow)(seq)
     enriched = enrich_stage(parsed, dim)
     routed = route_stage(enriched)
+    # del(.message) after parse — the ubiquitous reference remap step: the
+    # raw line (and the parse-only string fields) must not ride through the
+    # route explode, which COPIES every byte once per matched route. The
+    # narrower projection also lets Catalyst prune those columns below the
+    # Generate, so sink rows carry only the delivery payload + agg keys.
+    routed = routed.select(
+        "route", "doc_id", "tokens", "n_tok", "source", "team", "tier",
+        "event_ts", "status", "bytes",
+    )
     return {"routed": routed, "agg": aggregate_stage(routed)}
 
 
