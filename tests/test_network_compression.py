@@ -90,3 +90,70 @@ def test_zstd_snappy_gated():
         C.encode_zstd(F.lit("x"))
     with pytest.raises(C.CodecUnavailable):
         C.decode_snappy(F.lit("x"))
+
+
+def test_ip6_expand_hex(spark):
+    from vector_spark.functions.ip import ip6_expand_hex
+
+    import ipaddress
+
+    cases = [
+        "2001:db8::1",
+        "::1",
+        "::",
+        "fe80::dead:beef",
+        "::ffff:192.168.1.1",
+        "2001:0db8:0000:0000:0000:ff00:0042:8329",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "a string")
+    got = {
+        r.a: r.h
+        for r in df.select("a", ip6_expand_hex(F.col("a")).alias("h")).collect()
+    }
+    for c in cases:
+        want = ipaddress.ip_address(c).exploded.replace(":", "")
+        assert got[c] == want, (c, got[c], want)
+    # non-v6 garbage → NULL
+    bad = spark.createDataFrame([("1:2:3",), ("xyz::1t",)], "a string")
+    assert all(
+        r.h is None
+        for r in bad.select(ip6_expand_hex(F.col("a")).alias("h")).collect()
+    )
+
+
+def test_community_id_ipv6(spark):
+    """v6 flows cross-checked against an independent implementation
+    (stdlib ipaddress packing + hashlib sha1 per the public spec)."""
+    import base64
+    import hashlib
+    import ipaddress
+    import struct
+
+    def ref_cid(sa, da, sp, dp, proto):
+        pa, pb = ipaddress.ip_address(sa).packed, ipaddress.ip_address(da).packed
+        if (pa, struct.pack("!H", sp)) > (pb, struct.pack("!H", dp)):
+            pa, pb, sp, dp = pb, pa, dp, sp
+        payload = (
+            struct.pack("!H", 0) + pa + pb
+            + struct.pack("!BB", proto, 0)
+            + struct.pack("!H", sp) + struct.pack("!H", dp)
+        )
+        return "1:" + base64.b64encode(hashlib.sha1(payload).digest()).decode()
+
+    flows = [
+        ("2001:db8::1", "2001:db8::2", 1024, 80, 6),
+        ("2001:db8::2", "2001:db8::1", 80, 1024, 6),  # reversed
+        ("fe80::1", "2001:470:e5bf::2", 53333, 53, 17),
+    ]
+    df = spark.createDataFrame(
+        flows, "sa string, da string, sp int, dp int, proto int"
+    )
+    got = df.select(
+        "sa", "sp",
+        community_id(
+            F.col("sa"), F.col("da"), F.col("sp"), F.col("dp"), F.col("proto")
+        ).alias("cid"),
+    ).collect()
+    for (sa, da, sp, dp, proto), r in zip(flows, got):
+        assert r.cid == ref_cid(sa, da, sp, dp, proto), (sa, da)
+    assert got[0].cid == got[1].cid  # direction-invariant for v6 too

@@ -21,7 +21,7 @@ def run_bench(cpus: int, rows: int) -> dict:
     out = subprocess.run(
         [sys.executable, f"{REPO}/bench.py", "--cpus", str(cpus),
          "--rows", str(rows), "--skip-queries", "--iters", "4"],
-        capture_output=True, text=True, timeout=1200, cwd=REPO,
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
     )
     for line in out.stdout.splitlines():
         if line.startswith("{"):

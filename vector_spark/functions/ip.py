@@ -58,3 +58,55 @@ def ip_cidr_contains(cidr: str, col: Column) -> Column:
     for part in net.split("."):
         net_int = net_int * 256 + int(part)
     return ip_aton(col).bitwiseAND(F.lit(mask)) == F.lit(net_int & mask)
+
+
+def ip6_expand_hex(col: Column) -> Column:
+    """IPv6 string → 32-char lowercase hex of the 16-byte address
+    (≙ ip_pton for v6), pure column math — no UDF:
+
+    - ``::`` zero-compression expands to the missing all-zero groups;
+    - an embedded dotted-quad tail (``::ffff:1.2.3.4``) is converted to
+      its two hex groups first;
+    - each group is left-padded to 4 nibbles.
+
+    Returns NULL for strings that don't look like IPv6.
+    """
+    # embedded IPv4 tail → two hex groups (v4-mapped/compat forms)
+    tail4 = F.regexp_extract(col, r"((\d{1,3}\.){3}\d{1,3})$", 1)
+    v4num = (
+        F.regexp_extract(tail4, IPV4_RE, 1).cast("long") * 16777216
+        + F.regexp_extract(tail4, IPV4_RE, 2).cast("long") * 65536
+        + F.regexp_extract(tail4, IPV4_RE, 3).cast("long") * 256
+        + F.regexp_extract(tail4, IPV4_RE, 4).cast("long")
+    )
+    canon = F.when(
+        tail4 != "",
+        F.concat(
+            F.regexp_replace(col, r"((\d{1,3}\.){3}\d{1,3})$", ""),
+            F.lower(F.lpad(F.hex((v4num / 65536).cast("long")), 4, "0")),
+            F.lit(":"),
+            F.lower(F.lpad(F.hex(v4num % 65536), 4, "0")),
+        ),
+    ).otherwise(col)
+    halves = F.split(canon, "::", 2)
+    left = F.filter(F.split(F.element_at(halves, 1), ":"), lambda g: g != "")
+    right = F.when(
+        F.size(halves) > 1,
+        F.filter(F.split(F.element_at(halves, 2), ":"), lambda g: g != ""),
+    ).otherwise(F.array().cast("array<string>"))
+    # zero-group filling is only legal with '::' compression present;
+    # an uncompressed address must already have all 8 groups
+    missing = F.when(
+        canon.contains("::"),
+        F.greatest(F.lit(8) - F.size(left) - F.size(right), F.lit(0)),
+    ).otherwise(F.lit(0))
+    groups = F.concat(
+        left,
+        F.array_repeat(F.lit("0"), missing.cast("int")),
+        right,
+    )
+    hex32 = F.lower(
+        F.concat_ws("", F.transform(groups, lambda g: F.lpad(g, 4, "0")))
+    )
+    ok = (F.size(groups) == 8) & hex32.rlike("^[0-9a-f]{32}$")
+    return F.when(ok, hex32)

@@ -11,7 +11,10 @@ then ``"1:" + base64(sha1(packed))``. IPv4 only here (ip_aton covers it;
 the reference's IPv6 path packs 16-byte addresses the same way).
 
 Everything is JVM column math: hex/unhex packing, built-in sha1 + base64.
-No UDF, no shuffle — a narrow projection over 10^12 rows.
+No UDF, no shuffle — a narrow projection over 10^12 rows. IPv6 endpoints
+are handled per-row (the spec packs the 16-byte address the same way);
+mixed-family rows order by address byte-string like the spec's byte
+comparison.
 """
 
 from __future__ import annotations
@@ -19,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from vector_spark.functions.ip import ip_aton
+from vector_spark.functions.ip import ip6_expand_hex, ip_aton, is_ipv6
 
 _PROTO_NUM = {"icmp": 1, "tcp": 6, "udp": 17, "sctp": 132}
 
@@ -32,8 +35,11 @@ def _u8(col: Column) -> Column:
     return F.unhex(F.lpad(F.hex(col.cast("long")), 2, "0"))
 
 
-def _ip4_bytes(col: Column) -> Column:
-    return F.unhex(F.lpad(F.hex(ip_aton(col)), 8, "0"))
+def _addr_hex(col: Column) -> Column:
+    """address → its packed-byte hex (8 chars v4, 32 chars v6)."""
+    return F.when(is_ipv6(col), ip6_expand_hex(col)).otherwise(
+        F.lower(F.lpad(F.hex(ip_aton(col)), 8, "0"))
+    )
 
 
 def community_id_packed(
@@ -50,11 +56,14 @@ def community_id_packed(
     if isinstance(proto, str):
         proto = _PROTO_NUM[proto.lower()]
     proto_col = F.lit(proto) if isinstance(proto, int) else proto
-    s_num, d_num = ip_aton(saddr), ip_aton(daddr)
-    # canonical order: smaller (addr, port) endpoint first
-    ordered = (s_num < d_num) | ((s_num == d_num) & (sport.cast("long") <= dport.cast("long")))
-    a1 = F.when(ordered, _ip4_bytes(saddr)).otherwise(_ip4_bytes(daddr))
-    a2 = F.when(ordered, _ip4_bytes(daddr)).otherwise(_ip4_bytes(saddr))
+    s_hex, d_hex = _addr_hex(saddr), _addr_hex(daddr)
+    # canonical order: smaller (addr-bytes, port) endpoint first — hex
+    # compare of the packed address ≡ the spec's byte-array comparison
+    ordered = (s_hex < d_hex) | (
+        (s_hex == d_hex) & (sport.cast("long") <= dport.cast("long"))
+    )
+    a1 = F.unhex(F.when(ordered, s_hex).otherwise(d_hex))
+    a2 = F.unhex(F.when(ordered, d_hex).otherwise(s_hex))
     p1 = F.when(ordered, _u16be(sport)).otherwise(_u16be(dport))
     p2 = F.when(ordered, _u16be(dport)).otherwise(_u16be(sport))
     return F.concat(
