@@ -2178,6 +2178,53 @@ def _register_codecs() -> None:
         )
 
 
+    @_q(
+        "ev_parse_etld",
+        """
+        WITH hosts AS (
+          SELECT event_id,
+                 CASE event_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                      WHEN 2 THEN 'github.io' WHEN 3 THEN 'com.au'
+                      ELSE 'org' END AS suf,
+                 'svc' || (user_id % 7) AS reg
+          FROM events
+        )
+        SELECT event_id,
+               'a' || (event_id % 3) || '.' || reg || '.' || suf AS host,
+               suf AS etld,
+               reg || '.' || suf AS etld_plus
+        FROM hosts
+        """,
+    )
+    def ev_parse_etld(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """parse_etld (public-suffix longest match) over synthesized
+        hostnames: Spark PARSES the host string; the oracle reconstructs
+        the expected suffix split from the generator formula."""
+        from vector_spark.functions.etld import parse_etld
+
+        ev = _events(spark, sf_dir)
+        suf = (
+            F.when(F.col("event_id") % 5 == 0, "com")
+            .when(F.col("event_id") % 5 == 1, "co.uk")
+            .when(F.col("event_id") % 5 == 2, "github.io")
+            .when(F.col("event_id") % 5 == 3, "com.au")
+            .otherwise("org")
+        )
+        hosts = ev.select(
+            "event_id",
+            F.concat(
+                F.lit("a"), (F.col("event_id") % 3).cast("string"), F.lit("."),
+                F.lit("svc"), (F.col("user_id") % 7).cast("string"), F.lit("."),
+                suf,
+            ).alias("host"),
+        )
+        p = parse_etld(F.col("host"))
+        return hosts.select(
+            "event_id", "host",
+            p["etld"].alias("etld"), p["etld_plus"].alias("etld_plus"),
+        )
+
+
 _register_codecs()
 
 

@@ -306,3 +306,35 @@ def test_chunks(spark):
     df = spark.createDataFrame([([1, 2, 3, 4, 5],)], "a array<int>")
     r = df.select(chunks(F.col("a"), 2).alias("c")).collect()[0].c
     assert r == [[1, 2], [3, 4], [5]]
+
+
+def test_sha3_nist_vector(spark):
+    # FIPS-202 example value: sha3-256("abc")
+    from vector_spark.functions.crypto import sha3
+
+    df = spark.createDataFrame([("abc",), (None,)], "t string")
+    rows = df.select(sha3(F.col("t")).alias("h")).collect()
+    assert rows[0].h == (
+        "3a985da74fe225b2045c172d6bd390bd855f086e3e9d525b46bfe24511431532"
+    )
+    assert rows[1].h is None
+
+
+def test_parse_etld(spark):
+    from vector_spark.functions.etld import parse_etld
+
+    cases = [
+        ("www.example.co.uk", "co.uk", "example.co.uk"),
+        ("example.com", "com", "example.com"),
+        ("a.b.github.io", "github.io", "b.github.io"),
+        ("deep.sub.example.com.au", "com.au", "example.com.au"),
+        ("com", "com", None),          # bare public suffix
+        ("not-a-suffix.zz", None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "host string")
+    got = {
+        r.host: (r.p.etld, r.p.etld_plus)
+        for r in df.select("host", parse_etld(F.col("host")).alias("p")).collect()
+    }
+    for host, etld, plus1 in cases:
+        assert got[host] == (etld, plus1), (host, got[host])

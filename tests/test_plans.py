@@ -131,3 +131,34 @@ def test_tag_cardinality_no_global_window(spark):
     # semantics: first 5 distinct first-seen values survive, rest nulled
     kept = {r.tag for r in out.collect() if r.tag is not None}
     assert kept == {f"v{i}" for i in range(5)}
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located join demo: two tables bucketed (bucketBy) on the join key
+    join WITHOUT an Exchange on either side — the 10^12-tier mechanism for
+    repeated joins against the same key (write once bucketed, every later
+    join is shuffle-free). SortMergeJoin reads the bucket layout directly."""
+    import uuid
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    tag = uuid.uuid4().hex[:8]
+    try:
+        left = spark.range(10_000).selectExpr("id % 512 as k", "id as a")
+        right = spark.range(10_000).selectExpr("id % 512 as k", "id as b")
+        (left.write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+             .saveAsTable(f"bk_left_{tag}"))
+        (right.write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+              .saveAsTable(f"bk_right_{tag}"))
+        joined = spark.table(f"bk_left_{tag}").join(
+            spark.table(f"bk_right_{tag}"), "k"
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # the whole point
+        assert joined.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS bk_left_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS bk_right_{tag}")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

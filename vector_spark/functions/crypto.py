@@ -98,3 +98,23 @@ def encode_key_value(col: Column, pair_sep: str = " ", kv_sep: str = "=") -> Col
 
 
 encode_logfmt = encode_key_value
+
+
+def sha3(col: Column, variant: int = 256) -> Column:
+    """VRL sha3 (sha3.cue): Keccak SHA-3 hex digest. No JVM builtin, so an
+    Arrow-batched pandas UDF over hashlib's native sha3 (stdlib)."""
+    import hashlib
+
+    fn = getattr(hashlib, f"sha3_{variant}")  # fail fast on bad variant
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _h(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None
+            if v is None
+            else fn(v if isinstance(v, bytes) else str(v).encode()).hexdigest()
+        )
+
+    return _h(col)
