@@ -338,3 +338,67 @@ def test_parse_etld(spark):
     }
     for host, etld, plus1 in cases:
         assert got[host] == (etld, plus1), (host, got[host])
+
+
+def test_encrypt_decrypt_roundtrip(spark):
+    key = "0123456789abcdef0123456789abcdef"  # 32 bytes → AES-256
+    x = F.col("x")
+    df = spark.createDataFrame([("secret payload",)], "x string")
+    back = df.select(
+        crypto.decrypt(crypto.encrypt(x, key), key).cast("string").alias("r")
+    ).collect()[0].r
+    assert back == "secret payload"
+    # ECB is deterministic: two encryptions agree
+    a = df.select(F.hex(crypto.encrypt(x, key)).alias("h")).collect()[0].h
+    b = df.select(F.hex(crypto.encrypt(x, key)).alias("h")).collect()[0].h
+    assert a == b
+    # GCM round-trips too (random IV → not compared across calls)
+    gcm = df.select(
+        crypto.decrypt(
+            crypto.encrypt(x, key, "AES-256-GCM"), key, "AES-256-GCM"
+        ).cast("string").alias("r")
+    ).collect()[0].r
+    assert gcm == "secret payload"
+
+
+def test_punycode_and_mime_q(spark):
+    x = F.col("x")
+    assert one(spark, crypto.encode_punycode(x), x="bücher.example") == (
+        "xn--bcher-kva.example"
+    )
+    assert one(spark, crypto.decode_punycode(x), x="xn--bcher-kva.example") == (
+        "bücher.example"
+    )
+    assert one(spark, crypto.decode_mime_q(x),
+               x="=?utf-8?Q?Hello=2C_World!?=") == "Hello, World!"
+    assert one(spark, crypto.decode_mime_q(x),
+               x="=?utf-8?B?SGVsbG8=?=") == "Hello"
+
+
+def test_uuid_from_friendly_id(spark):
+    # base62("1") == uuid int 1
+    x = F.col("x")
+    assert one(spark, crypto.uuid_from_friendly_id(x), x="1") == (
+        "00000000-0000-0000-0000-000000000001"
+    )
+    # round-trip a known 128-bit value through python base62
+    n = 0x123E4567E89B12D3A456426614174000
+    s = ""
+    m = n
+    B62 = crypto._B62
+    while m:
+        m, r = divmod(m, 62)
+        s = B62[r] + s
+    assert one(spark, crypto.uuid_from_friendly_id(x), x=s) == (
+        "123e4567-e89b-12d3-a456-426614174000"
+    )
+    assert one(spark, crypto.uuid_from_friendly_id(x), x="!bad!") is None
+
+
+def test_ip_v4_v6_conversions(spark):
+    x = F.col("x")
+    assert one(spark, ip.ip_to_ipv6(x), x="1.2.3.4") == "::ffff:1.2.3.4"
+    assert one(spark, ip.ip_to_ipv6(x), x="2001:db8::1") == "2001:db8::1"
+    assert one(spark, ip.ipv6_to_ipv4(x), x="::ffff:192.168.1.1") == "192.168.1.1"
+    assert one(spark, ip.ipv6_to_ipv4(x), x="192.168.1.1") == "192.168.1.1"
+    assert one(spark, ip.ipv6_to_ipv4(x), x="2001:db8::1") is None

@@ -118,3 +118,114 @@ def sha3(col: Column, variant: int = 256) -> Column:
         )
 
     return _h(col)
+
+
+def encrypt(col: Column, key: str, mode: str = "AES-256-ECB") -> Column:
+    """VRL encrypt (encrypt.cue) via Spark's builtin aes_encrypt — JVM-side.
+    ``mode``: AES-{128,192,256}-{ECB,GCM,CBC} (key length must match the
+    bit size). GCM/CBC stamp a random IV per call (nondeterministic by
+    design — same as the reference); ECB is deterministic."""
+    spark_mode = mode.rsplit("-", 1)[-1]
+    return F.aes_encrypt(
+        col.cast("binary"), F.lit(key).cast("binary"), F.lit(spark_mode)
+    )
+
+
+def decrypt(col: Column, key: str, mode: str = "AES-256-ECB") -> Column:
+    """VRL decrypt via aes_decrypt (binary out — cast to string upstream)."""
+    spark_mode = mode.rsplit("-", 1)[-1]
+    return F.aes_decrypt(
+        col, F.lit(key).cast("binary"), F.lit(spark_mode)
+    )
+
+
+def encode_punycode(col: Column) -> Column:
+    """VRL encode_punycode: IDNA-encode a (possibly unicode) domain —
+    stdlib idna codec inside an Arrow-batched UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _enc(s: pd.Series) -> pd.Series:
+        def go(v):
+            if v is None:
+                return None
+            try:
+                return v.encode("idna").decode("ascii")
+            except UnicodeError:
+                return None
+
+        return s.map(go)
+
+    return _enc(col)
+
+
+def decode_punycode(col: Column) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _dec(s: pd.Series) -> pd.Series:
+        def go(v):
+            if v is None:
+                return None
+            try:
+                return v.encode("ascii").decode("idna")
+            except UnicodeError:
+                return None
+
+        return s.map(go)
+
+    return _dec(col)
+
+
+def decode_mime_q(col: Column) -> Column:
+    """VRL decode_mime_q: RFC 2047 encoded-words (=?utf-8?Q?...?= /
+    ?B?...) → decoded text, via the stdlib email.header machinery."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _dec(s: pd.Series) -> pd.Series:
+        from email.header import decode_header
+
+        def go(v):
+            if v is None:
+                return None
+            out = []
+            for frag, enc in decode_header(v):
+                if isinstance(frag, bytes):
+                    out.append(frag.decode(enc or "ascii", errors="replace"))
+                else:
+                    out.append(frag)
+            return "".join(out)
+
+        return s.map(go)
+
+    return _dec(col)
+
+
+_B62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
+def uuid_from_friendly_id(col: Column) -> Column:
+    """VRL uuid_from_friendly_id: base62 'friendly id' → canonical UUID
+    string (the 128-bit integer, hyphen-formatted)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _dec(s: pd.Series) -> pd.Series:
+        def go(v):
+            if v is None:
+                return None
+            n = 0
+            for ch in v:
+                i = _B62.find(ch)
+                if i < 0:
+                    return None
+                n = n * 62 + i
+            if n >= 2**128:
+                return None
+            h = f"{n:032x}"
+            return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+        return s.map(go)
+
+    return _dec(col)

@@ -110,3 +110,21 @@ def ip6_expand_hex(col: Column) -> Column:
     )
     ok = (F.size(groups) == 8) & hex32.rlike("^[0-9a-f]{32}$")
     return F.when(ok, hex32)
+
+
+def ip_to_ipv6(col: Column) -> Column:
+    """VRL ip_to_ipv6: v4 → v4-mapped v6 string; v6 passes through."""
+    return F.when(is_ipv6(col), col).otherwise(
+        F.concat(F.lit("::ffff:"), col)
+    )
+
+
+def ipv6_to_ipv4(col: Column) -> Column:
+    """VRL ipv6_to_ipv4: a v4-mapped/compat v6 address → dotted quad
+    (NULL when not v4-representable); v4 strings pass through."""
+    h = ip6_expand_hex(col)
+    mapped = h.rlike("^0{20}(ffff|0000)[0-9a-f]{8}$")
+    num = F.conv(F.substring(h, 25, 8), 16, 10).cast("long")
+    return F.when(is_ipv4(col), col).otherwise(
+        F.when(mapped, ip_ntoa(num))
+    )
