@@ -157,3 +157,34 @@ def test_stream_throttle_monotonic_late_events(spark, tmp_path):
     assert out.count() == 3
     kept_ts = sorted(r.event_ts.timestamp() for r in out.collect())
     assert kept_ts == [1000.0, 1010.0, 1020.0]
+
+
+def test_kafka_builders_shape(spark):
+    """No broker/jar in this image — validate the config surface: option
+    map parity with the reference's kafka source config, decoder
+    validation, and the sink's value encoding (batch-applied: the column
+    logic is stream/batch agnostic)."""
+    from vector_spark.streaming.kafka import (
+        kafka_source_options,
+        read_kafka_stream,
+        write_kafka_stream,
+    )
+
+    opts = kafka_source_options(
+        "b1:9092,b2:9092", ["t1", "t2"], group_id="g",
+        auto_offset_reset="earliest",
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "t1,t2",
+        "startingOffsets": "earliest",
+        "kafka.group.id": "g",
+    }
+    with pytest.raises(ValueError, match="unknown decoder"):
+        read_kafka_stream(spark, "b:9092", ["t"], decoder="nope")
+    # sink value encoding: same expression applied to a batch frame
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    enc = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    )
+    assert enc.collect()[0].value == '{"a":1,"b":"x"}'
