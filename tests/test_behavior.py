@@ -358,3 +358,22 @@ def test_script_transform_in_topology(spark):
     topo = compile_config(spark, cfg)
     got = {r.id: r.v for r in topo.resolve("bump").collect()}
     assert got == {1: 11, 2: 21}
+
+
+def test_aws_ec2_metadata_stamping(spark):
+    """Environment metadata stamped as literal columns (IMDS client is
+    environment plumbing — metadata arrives as config; fields allowlist +
+    namespace per the reference's options)."""
+    import pytest as _pt
+
+    from vector_spark.operators import aws_ec2_metadata
+
+    df = spark.range(5)
+    meta = {"instance-id": "i-0abc", "region": "us-east-1", "vpc-id": "vpc-1"}
+    out = aws_ec2_metadata(df, metadata=meta, fields=["instance-id", "region"],
+                           namespace="ec2")
+    r = out.limit(1).collect()[0]
+    assert r.ec2_instance_id == "i-0abc" and r.ec2_region == "us-east-1"
+    assert "ec2_vpc_id" not in out.columns  # allowlist respected
+    with _pt.raises(RuntimeError, match="IMDS"):
+        aws_ec2_metadata(df)  # no metadata and no endpoint → explicit error

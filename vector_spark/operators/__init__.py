@@ -27,3 +27,4 @@ __all__ = [
     "enrich_between_dates", "remap",
 ]
 from vector_spark.operators.script import script_transform  # noqa: E402,F401
+from vector_spark.operators.ec2_metadata import aws_ec2_metadata  # noqa: E402,F401
