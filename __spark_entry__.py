@@ -2225,6 +2225,65 @@ def _register_codecs() -> None:
         )
 
 
+    @_q(
+        "ev_encode_cef_gelf",
+        r"""
+        SELECT event_id,
+               'CEF:0|acme\|corp|vector-spark|1.0\\b|' || event_type ||
+               '|evt\|' || event_type || '|' ||
+               CASE WHEN event_type = 'error' THEN 9 ELSE 3 END ||
+               '|uid=' || user_id || ' val=' || value::VARCHAR ||
+               ' note=k\=' || event_type AS cef,
+               '{"version":"1.1","host":"h' || (user_id % 10) ||
+               '","short_message":"' || event_type || ' #' || event_id ||
+               '","timestamp":' || (epoch_ms(ts) // 1000) ||
+               ',"level":' ||
+               CASE WHEN event_type = 'error' THEN 3 ELSE 6 END ||
+               ',"_value":' || value::VARCHAR || '}' AS gelf,
+               event_type AS rt_name_type
+        FROM events
+        """,
+    )
+    def ev_encode_cef_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CEF + GELF encoders (reference encoding formats ``cef`` /
+        ``gelf``): the oracle reconstructs both wire strings char-by-char
+        — pipe/equals/backslash escaping in CEF headers+extensions, GELF
+        1.1 field order and ``_``-prefixed additional fields. The third
+        column round-trips the CEF line back through parse_cef."""
+        from vector_spark.functions.parse import encode_cef, encode_gelf, parse_cef
+
+        ev = _events(spark, sf_dir)
+        sev = F.when(F.col("event_type") == "error", 9).otherwise(3)
+        cef = encode_cef(
+            F.lit("acme|corp"),
+            F.lit("vector-spark"),
+            F.lit("1.0\\b"),
+            F.col("event_type"),
+            F.concat(F.lit("evt|"), F.col("event_type")),
+            sev,
+            [
+                ("uid", F.col("user_id")),
+                ("val", F.col("value")),
+                ("note", F.concat(F.lit("k="), F.col("event_type"))),
+            ],
+        )
+        level = F.when(F.col("event_type") == "error", 3).otherwise(6)
+        gelf = encode_gelf(
+            F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")),
+            F.concat(F.col("event_type"), F.lit(" #"), F.col("event_id").cast("string")),
+            (F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(1000)).cast("long"),
+            level,
+            extra=[("value", F.col("value"))],
+        )
+        out = ev.select("event_id", cef.alias("cef"), gelf.alias("gelf"))
+        # round-trip: the escaped name field must parse back to evt|<type>
+        rt = parse_cef(F.col("cef"))
+        return out.withColumn(
+            "rt_name_type",
+            F.replace(rt["name"], F.lit("evt|"), F.lit("")),
+        )
+
+
 _register_codecs()
 
 

@@ -262,6 +262,37 @@ def test_parse_cef(spark):
     assert r.extension == {"src": "10.0.0.1", "dst": "2.1.2.2", "spt": "1232"}
 
 
+def test_encode_cef_roundtrip(spark):
+    df = spark.createDataFrame([("worm|stopped", "a=b", 7)], "nm string, v string, sev long")
+    line = df.select(
+        P.encode_cef(
+            F.lit("Sec|urity"), F.lit("tm"), F.lit("1.0"), F.lit("100"),
+            F.col("nm"), F.col("sev"),
+            [("src", F.lit("10.0.0.1")), ("note", F.col("v"))],
+        ).alias("c")
+    ).collect()[0].c
+    assert line == (
+        "CEF:0|Sec\\|urity|tm|1.0|100|worm\\|stopped|7|"
+        "src=10.0.0.1 note=a\\=b"
+    )
+    r = one(spark, P.parse_cef(F.col("m")), m=line)
+    assert r.device_vendor == "Sec|urity" and r.name == "worm|stopped"
+    assert r.severity == "7" and r.extension["src"] == "10.0.0.1"
+
+
+def test_encode_gelf(spark):
+    df = spark.createDataFrame([("h1", "boom", 1704067200, 3, "x")],
+                               "h string, m string, t long, l long, e string")
+    payload = df.select(
+        P.encode_gelf(F.col("h"), F.col("m"), F.col("t"), F.col("l"),
+                      extra=[("facility", F.col("e"))]).alias("g")
+    ).collect()[0].g
+    assert payload == ('{"version":"1.1","host":"h1","short_message":"boom",'
+                       '"timestamp":1704067200,"level":3,"_facility":"x"}')
+    r = one(spark, P.parse_gelf(F.col("m")), m=payload)
+    assert r.host == "h1" and r.level == 3 and r.timestamp == 1704067200.0
+
+
 def test_parse_glog(spark):
     line = "E0817 02:30:00.123456  1234 server.cc:42] connection refused"
     r = one(spark, P.parse_glog(F.col("m")), m=line)

@@ -226,22 +226,108 @@ def parse_groks(col: Column, patterns: list[str], extra: dict[str, str] | None =
 
 
 # CEF: "CEF:version|vendor|product|device_version|event_class|name|severity|ext"
-CEF_RE = r"^CEF:(\d+)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|(.*)$"
+# Header fields may contain CEF-escaped pipes/backslashes (\| \\) — the
+# field pattern consumes escape pairs atomically, matching the reference
+# parser (lib/codecs decoding format cef).
+_CEF_F = r"((?:\\.|[^|\\])*)"
+CEF_RE = r"^CEF:(\d+)\|" + r"\|".join([_CEF_F] * 6) + r"\|(.*)$"
 
 
 def parse_cef(col: Column) -> Column:
-    """parse_cef → header struct + extension map (key=value pairs)."""
+    """parse_cef → header struct + extension map (key=value pairs).
+
+    Header fields are CEF-unescaped (``\\|`` → ``|``, ``\\\\`` → ``\\``);
+    the extension map assumes unescaped separators (reference parity for
+    the common case — escaped ``=`` inside extension values keeps the raw
+    backslash in the map value).
+    """
     g = lambda i: F.regexp_extract(col, CEF_RE, i)  # noqa: E731
+    un = lambda c: F.regexp_replace(c, r"\\(.)", "$1")  # noqa: E731
     return F.struct(
         F.nullif(g(1), F.lit("")).cast("int").alias("cef_version"),
-        F.nullif(g(2), F.lit("")).alias("device_vendor"),
-        F.nullif(g(3), F.lit("")).alias("device_product"),
-        F.nullif(g(4), F.lit("")).alias("device_version"),
-        F.nullif(g(5), F.lit("")).alias("device_event_class_id"),
-        F.nullif(g(6), F.lit("")).alias("name"),
-        F.nullif(g(7), F.lit("")).alias("severity"),
+        F.nullif(un(g(2)), F.lit("")).alias("device_vendor"),
+        F.nullif(un(g(3)), F.lit("")).alias("device_product"),
+        F.nullif(un(g(4)), F.lit("")).alias("device_version"),
+        F.nullif(un(g(5)), F.lit("")).alias("device_event_class_id"),
+        F.nullif(un(g(6)), F.lit("")).alias("name"),
+        F.nullif(un(g(7)), F.lit("")).alias("severity"),
         F.str_to_map(g(8), F.lit(" "), F.lit("=")).alias("extension"),
     )
+
+
+def _cef_escape(col: Column, header: bool) -> Column:
+    """CEF escaping (public ArcSight CEF spec; reference
+    lib/codecs/src/encoding/format/cef.rs): backslash always doubles;
+    header fields escape ``|``, extension values escape ``=``."""
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    special = "|" if header else "="
+    return F.replace(out, F.lit(special), F.lit("\\" + special))
+
+
+def encode_cef(
+    device_vendor: Column,
+    device_product: Column,
+    device_version: Column,
+    device_event_class_id: Column,
+    name: Column,
+    severity: Column,
+    extension: list[tuple[str, Column]],
+    cef_version: int = 0,
+) -> Column:
+    """encode_cef (reference encoding format ``cef``): one CEF line
+    ``CEF:v|vendor|product|version|class|name|severity|k=v k2=v2``.
+
+    ``extension`` is an ordered list of (key, value-column) pairs —
+    CEF extension order is config-declared in the reference encoder, so
+    the caller controls it here too. Pure JVM string expressions.
+    """
+    header = F.concat_ws(
+        "|",
+        *[
+            _cef_escape(c.cast("string"), header=True)
+            for c in (
+                device_vendor,
+                device_product,
+                device_version,
+                device_event_class_id,
+                name,
+                severity,
+            )
+        ],
+    )
+    ext = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit(k + "="), _cef_escape(v.cast("string"), header=False))
+            for k, v in extension
+        ],
+    )
+    return F.concat(F.lit(f"CEF:{cef_version}|"), header, F.lit("|"), ext)
+
+
+def encode_gelf(
+    host: Column,
+    short_message: Column,
+    timestamp_s: Column,
+    level: Column,
+    extra: list[tuple[str, Column]] | None = None,
+) -> Column:
+    """encode_gelf (reference encoding format ``gelf``): a GELF 1.1 JSON
+    payload. ``timestamp_s`` is unix seconds (integral — GELF permits
+    omitting the fractional part); ``extra`` keys are stamped with the
+    spec's ``_`` additional-field prefix. Pure ``to_json`` — JVM-side.
+    """
+    fields = [
+        F.lit("1.1").alias("version"),
+        host.alias("host"),
+        short_message.alias("short_message"),
+        timestamp_s.cast("long").alias("timestamp"),
+        level.cast("int").alias("level"),
+    ]
+    for k, v in extra or []:
+        key = k if k.startswith("_") else "_" + k
+        fields.append(v.alias(key))
+    return F.to_json(F.struct(*fields))
 
 
 # glog: "Lmmdd hh:mm:ss.uuuuuu threadid file:line] msg"
