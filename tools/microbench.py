@@ -1,0 +1,247 @@
+"""Per-operator microbenchmarks (≙ the reference's criterion benches:
+benches/transform/{dedupe,filter,reduce,route}.rs, benches/remap.rs,
+benches/languages.rs, benches/enrichment_tables.rs — which publish no
+absolute numbers; this table records OURS on this machine).
+
+Protocol: one materialized parquet input (parsed log rows, token arrays
+excluded so the numbers measure operator cost, not payload shuttling),
+each operator forced alone through the noop (blackhole) sink, min of
+ITERS warm iterations at local[CPUS]. `scan` is the do-nothing floor
+(read+write cost); `marginal rows/s` divides by (t_op - t_scan).
+
+Usage: python tools/microbench.py [--rows 4000000] [--cpus 32] [--iters 3]
+Writes the table between the microbench markers in BENCH.md and prints
+one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+MARK_START = "<!-- microbench:start -->"
+MARK_END = "<!-- microbench:end -->"
+
+
+def force(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench(df: DataFrame, iters: int) -> float:
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        force(df)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--no-bench-md", action="store_true")
+    args = ap.parse_args()
+
+    from vector_spark import tables
+    from vector_spark.conditions import compile_condition
+    from vector_spark.operators.aggregate import aggregate_metrics
+    from vector_spark.operators.dedupe import dedupe
+    from vector_spark.operators.enrich import enrich, enrich_ip_range
+    from vector_spark.operators.log_to_metric import log_to_metric
+    from vector_spark.operators.reduce import reduce_events
+    from vector_spark.operators.route import exclusive_route, route_label
+    from vector_spark.operators.sample import sample
+    from vector_spark.operators.tag_cardinality import tag_cardinality_limit
+    from vector_spark.operators.throttle import throttle
+    from vector_spark.session import get_spark
+
+    spark = get_spark(
+        "vector_spark_microbench",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tables.sequences(spark, 10_000).count()  # warm codegen
+
+    # ---- materialize the input once (untimed): parsed log rows, no tokens
+    path = os.path.join(
+        os.environ.get("BENCH_TMP", "/tmp"), f"vs_microbench_{args.rows}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from vector_spark.pipeline import parse_stage
+
+        seq = tables.sequences(spark, args.rows, partitions=args.cpus * 4)
+        parsed = parse_stage(seq).drop("tokens")
+        parsed = parsed.withColumn(
+            "props", F.to_json(F.struct("status", "path", "host"))
+        ).withColumn(
+            "client_ip",
+            F.concat(
+                F.lit("10."), (F.col("_i") % 64).cast("string"),
+                F.lit("."), (F.col("_i") / 64 % 256).cast("int").cast("string"),
+                F.lit("."), (F.col("_i") % 251).cast("string"),
+            ),
+        )
+        parsed.write.mode("overwrite").parquet(path)
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    msg_bytes = df.select(F.sum(F.length("message"))).collect()[0][0]
+
+    dim = tables.enrich_sources(spark)
+    # 1024 non-overlapping /18-sized ranges over 10.0.0.0/8
+    ip_dim = spark.range(1024).select(
+        (F.lit(10 * 2**24) + F.col("id") * 16384).alias("ip_lo"),
+        (F.lit(10 * 2**24) + (F.col("id") + 1) * 16384).alias("ip_hi"),
+        F.concat(F.lit("net-"), F.col("id")).alias("net_name"),
+    )
+
+    def remap_ops(d):
+        # representative remap: derive/rename/del (benches/remap.rs shape)
+        return (
+            d.withColumn("endpoint", F.concat_ws(":", "host", "path"))
+            .withColumn("user_uc", F.upper("user"))
+            .withColumn("is_err", F.col("status") >= 400)
+            .drop("message", "props")
+        )
+
+    ROUTES = {
+        "errors": ".status >= 400",
+        "app": '.source == "app"',
+        "big": ".bytes >= 200",
+    }
+
+    cases: list[tuple[str, DataFrame]] = [
+        ("scan", df),
+        ("parse_clf_jvm", df.select("doc_id", _clf(df))),
+        ("parse_json", df.withColumn(
+            "p", F.from_json("props", "status int, path string, host string")
+        )),
+        ("remap_field_ops", remap_ops(df)),
+        ("filter", df.filter(compile_condition(".status >= 400"))),
+        ("route_nonexclusive", route_label(df.drop("message", "props"), ROUTES)),
+        ("route_exclusive", exclusive_route(df.drop("message", "props"), ROUTES)),
+        ("dedupe", dedupe(df, match=["host", "path"])),
+        ("throttle", throttle(
+            df, threshold=5, window_secs=60, key_field="host",
+            tie_breakers=["doc_id"],
+        )),
+        ("sample_keyed", sample(df, rate=10, key_field="doc_id")),
+        ("aggregate_window", aggregate_metrics(
+            df.withColumn("value", F.col("bytes").cast("double")),
+            series_cols=["source"], interval_secs=60, mode="sum",
+        )),
+        ("reduce_sessions", reduce_events(
+            df, group_by=["host", "user"],
+            merge_strategies={"bytes": "sum", "path": "discard"},
+            order_by="event_ts", expire_after_secs=600,
+        )),
+        ("enrich_equality", enrich(df, dim, on=["source"])),
+        ("enrich_ip_range", enrich_ip_range(df, ip_dim, "client_ip")),
+        ("log_to_metric", log_to_metric(
+            df, "counter", "req_total", tag_cols=["source", "status"],
+        )),
+        ("tag_cardinality_limit", tag_cardinality_limit(
+            df, ["path"], value_limit=500, order_by="event_ts",
+        )),
+    ]
+
+    results: dict[str, float] = {}
+    for name, frame in cases:
+        results[name] = bench(frame, args.iters)
+        print(f"  {name}: {results[name]:.3f}s", file=sys.stderr)
+
+    t_scan = results["scan"]
+    out = {
+        "metric": "per-operator wall time",
+        "unit": "sec",
+        "rows": rows,
+        "cpus": args.cpus,
+        "iters": args.iters,
+        "msg_mib": round(msg_bytes / 2**20, 1),
+        "ops": {
+            k: {
+                "sec": round(v, 3),
+                "rows_per_sec": round(rows / v),
+                "marginal_rows_per_sec": (
+                    round(rows / (v - t_scan)) if v > t_scan * 1.05 else None
+                ),
+            }
+            for k, v in results.items()
+        },
+    }
+    print(json.dumps(out))
+
+    if not args.no_bench_md:
+        _write_bench_md(out, msg_bytes)
+
+
+def _clf(df: DataFrame):
+    from vector_spark.functions.parse import parse_common_log_fast
+
+    # explicit ts_format: format inference alone costs ~4× the whole parse
+    return parse_common_log_fast(
+        F.col("message"), ts_format="yyyy-MM-dd HH:mm:ss"
+    ).alias("p")
+
+
+def _write_bench_md(out: dict, msg_bytes: int) -> None:
+    bench_md = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH.md")
+    rows = out["rows"]
+    lines = [
+        MARK_START,
+        "",
+        "## Per-operator microbenchmarks",
+        "",
+        f"{rows:,} parsed log rows (token arrays excluded — operator cost, "
+        f"not payload shuttling), local[{out['cpus']}], min of "
+        f"{out['iters']} warm iterations, forced through the noop "
+        "(blackhole) sink. `scan` is the read+write floor; marginal rows/s "
+        "divides by (t_op − t_scan). ≙ the reference's criterion benches "
+        "(benches/transform/*.rs, remap.rs, languages.rs, "
+        "enrichment_tables.rs), which publish no absolute numbers.",
+        "",
+        "| operator | wall (s) | rows/s | marginal rows/s |",
+        "|---|---|---|---|",
+    ]
+    for k, v in out["ops"].items():
+        marg = f"{v['marginal_rows_per_sec']:,}" if v["marginal_rows_per_sec"] else "≈scan"
+        lines.append(f"| {k} | {v['sec']} | {v['rows_per_sec']:,} | {marg} |")
+    mib_s = msg_bytes / 2**20 / out["ops"]["parse_clf_jvm"]["sec"]
+    lines += [
+        "",
+        f"`parse_clf_jvm` processes {out['msg_mib']} MiB of raw message "
+        f"bytes → **{mib_s:.0f} MiB/s** (reference regex-parsing anchor: "
+        "13.2 MiB/s, BASELINE.md §1). Single-shuffle operators "
+        "(dedupe/throttle/aggregate/reduce/tag_cardinality) include their "
+        "exchange; broadcast enrichments shuffle nothing.",
+        "",
+        MARK_END,
+    ]
+    block = "\n".join(lines)
+    with open(bench_md) as f:
+        text = f.read()
+    if MARK_START in text:
+        text = re.sub(
+            re.escape(MARK_START) + r".*?" + re.escape(MARK_END),
+            block, text, flags=re.S,
+        )
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    with open(bench_md, "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,10 @@ def parse_common_log_fast(col: Column, ts_format: str | None = None) -> Column:
     cheap ``split`` fans the fields out. ~5× fewer regex executions than the
     per-field ``regexp_extract`` form; same schema and null-on-miss
     semantics (a non-matching line keeps no separator → all fields null).
+
+    Perf: ALWAYS pass ``ts_format`` when you know it — ``to_timestamp``
+    with format inference measures ~4× the cost of the entire rest of the
+    parse (3.1 s vs 0.9 s per 1M rows at local[32]).
     """
     packed = F.regexp_replace(
         col,
