@@ -159,6 +159,56 @@ def test_stream_throttle_monotonic_late_events(spark, tmp_path):
     assert kept_ts == [1000.0, 1010.0, 1020.0]
 
 
+def test_stream_throttle_state_ttl_evicts_idle_keys(spark, tmp_path):
+    """With state_ttl_secs, a key idle past the TTL in EVENT time has its
+    state evicted when the watermark passes last-seen + TTL (bounded state
+    ≙ the reference limiter's bounded cache). Observable semantics: after
+    eviction, events landing back in the SAME (exhausted) event-time
+    window get a fresh quota; without eviction they'd be dropped."""
+    import time as _t
+    from datetime import datetime, timezone
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    schema = "event_id long, event_ts timestamp, event_type string, value double"
+    ts = lambda s: datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)  # noqa: E731
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _t.sleep(1.1)  # distinct mod-times → deterministic batch order
+
+    # b1: 'k' exhausts window [600,1200): threshold 2 keeps 2 of 3;
+    #     expiry = last_seen 1002 + ttl 100 = 1102
+    write_file([(i, ts(1000 + i), "k", 0.0) for i in range(3)])
+    # b2: watermark advances to 1002 (< 1102: no eviction); wm source 1110
+    write_file([(10, ts(1110), "other", 0.0)])
+    # b3: watermark now 1110 > 1102 → 'k' evicted this batch
+    write_file([(11, ts(1115), "other", 0.0)])
+    # b4: 'k' again, ts 1150-1151 — still window [600,1200), and ≥ the
+    #     1115 watermark so not late-filtered: fresh quota admits both
+    write_file([(20, ts(1150), "k", 0.0), (21, ts(1151), "k", 0.0)])
+
+    sdf = stream_throttle(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        threshold=2,
+        window_secs=600,
+        key_field="event_type",
+        state_ttl_secs=100,
+        watermark="0 seconds",
+    )
+    out = _run_to_memory(spark, sdf, "thr_ttl", tmp_path)
+    kept = sorted(
+        r.event_ts.timestamp() for r in out.filter("key = 'k'").collect()
+    )
+    # without eviction the exhausted window would drop the b4 events
+    assert kept == [1000.0, 1001.0, 1150.0, 1151.0]
+    assert out.filter("key = 'other'").count() == 2
+
+
 def test_kafka_builders_shape(spark):
     """No broker/jar in this image — validate the config surface: option
     map parity with the reference's kafka source config, decoder

@@ -117,11 +117,31 @@ def stream_throttle(
     window_secs: int,
     key_field: str,
     ts_col: str = "event_ts",
+    state_ttl_secs: int | str | None = "auto",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming throttle: first ``threshold`` events per key per tumbling
     window pass; the rest drop (GCRA ≙ windowed token count). Custom
     stateful operator via ``applyInPandasWithState``: state = (window_start,
-    count) per key."""
+    count) per key.
+
+    ``state_ttl_secs``: a key idle for this much EVENT time (default
+    ``"auto"`` = 10 windows) has its state evicted on EventTimeTimeout
+    when the watermark passes last-seen + TTL — per-key state stays
+    bounded by the ACTIVE key set, not every key ever seen (the reference
+    GCRA limiter's cache is likewise bounded). Eviction only forgets a
+    stale window's count, which the monotonic-clock clamp already treats
+    as a fresh window — semantics are unchanged. Event-time (not
+    processing-time) timeout keeps eviction deterministic and
+    replay-stable; ``watermark`` defaults to one window of allowed
+    lateness. ``None`` disables eviction (unbounded keys — only for
+    small key domains)."""
+    if state_ttl_secs == "auto":
+        state_ttl_secs = 10 * window_secs
+    if state_ttl_secs is not None:
+        events = events.withWatermark(
+            ts_col, watermark or f"{window_secs} seconds"
+        )
     out_schema = StructType(
         [
             StructField("key", events.schema[key_field].dataType, True),
@@ -145,10 +165,14 @@ def stream_throttle(
         # clamp → per-bucket cumcount against carried-in state.
         import numpy as np
 
+        if state_ttl_secs is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             win_start, count = state.get
         else:
             win_start, count = -1, 0
+        last_seen_ms = 0
         for pdf in pdfs:
             if pdf.empty:
                 continue
@@ -169,13 +193,27 @@ def stream_throttle(
                 keep[eff == last].sum()
             )
             win_start = int(last)
+            last_seen_ms = max(last_seen_ms, int(epochs[-1]) * 1000)
             if keep.any():
                 kept = pdf.loc[keep]
                 yield pd.DataFrame(
                     {"key": key[0], "event_ts": kept[ts_col]}
                 )
         state.update((win_start, count))
+        if state_ttl_secs is not None:
+            # must be strictly beyond the current watermark; late-clamped
+            # batches can have max-event-ts behind it
+            expiry = (
+                max(last_seen_ms, state.getCurrentWatermarkMs() + 1)
+                + state_ttl_secs * 1000
+            )
+            state.setTimeoutTimestamp(expiry)
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_secs is None
+        else GroupStateTimeout.EventTimeTimeout
+    )
     return events.groupBy(key_field).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", timeout
     )
