@@ -2287,6 +2287,111 @@ def _register_codecs() -> None:
 _register_codecs()
 
 
+# --- batch 5: training-corpus curation (repetition / contamination / packing)
+
+
+def _register_dataprep2() -> None:
+    from vector_spark.dataprep import oracles as osql
+    from vector_spark.dataprep import text as tx
+
+    _top2 = osql.top_ngram_frac_expr("text", 2)
+    _top3 = osql.top_ngram_frac_expr("text", 3)
+    _dupw = osql.dup_word_frac_expr("text")
+
+    @_q(
+        "doc_repetition",
+        f"""
+        SELECT doc_id,
+               {_dupw} AS dup_word_frac,
+               {_top2} AS top_bigram_frac,
+               {_top3} AS top_trigram_frac,
+               ({_top2} <= 0.20 AND {_top3} <= 0.18 AND {_dupw} <= 0.70)
+                 AS rep_ok
+        FROM documents
+        """,
+    )
+    def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gopher-style repetition filters (Rae et al. 2021): duplicated-
+        word fraction + top-2/3-gram occupancy with the published cutoffs.
+        Pure column math — per-document cost, no shuffle."""
+        d = _docs(spark, sf_dir)
+        f = tx.repetition_features(F.col("text"))
+        return d.select(
+            "doc_id",
+            f["dup_word_frac"].alias("dup_word_frac"),
+            f["top_bigram_frac"].alias("top_bigram_frac"),
+            f["top_trigram_frac"].alias("top_trigram_frac"),
+            f["rep_ok"].alias("rep_ok"),
+        )
+
+    @_q(
+        "doc_contamination",
+        f"""
+        WITH g AS (
+          SELECT doc_id,
+                 unnest(list_distinct({osql.ngrams_expr('text', 5)})) AS gram
+          FROM documents
+        ),
+        bench AS (SELECT DISTINCT md5(gram) AS d FROM g WHERE doc_id % 20 = 0),
+        hits AS (
+          SELECT g.doc_id, COUNT(*) AS total,
+                 SUM(CASE WHEN md5(gram) IN (SELECT d FROM bench)
+                     THEN 1 ELSE 0 END) AS ov
+          FROM g GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(total, 0)::BIGINT AS ngrams_total,
+               COALESCE(ov, 0)::BIGINT AS ngrams_overlap,
+               CASE WHEN COALESCE(total, 0) > 0
+                    THEN round(ov / total, 4) ELSE 0.0 END AS contamination
+        FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        """,
+    )
+    def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Benchmark decontamination (GPT-3/PaLM-style 5-gram collision):
+        every doc scored by the fraction of its distinct 5-grams that also
+        appear in the benchmark set (here: docs with doc_id % 20 == 0).
+        Broadcast digest dim — corpus streams once, no corpus shuffle."""
+        from vector_spark.dataprep.contamination import contamination_scores
+
+        d = _docs(spark, sf_dir)
+        bench = d.filter(F.col("doc_id") % 20 == 0)
+        return contamination_scores(d, bench, "text", n=5)
+
+    @_q(
+        "doc_pack_sequences",
+        f"""
+        WITH t AS (
+          SELECT doc_id, len({osql.words_expr('text')}) AS n FROM documents
+        ),
+        c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) AS cum FROM t)
+        SELECT doc_id, (cum - n)::BIGINT AS tok_start, cum::BIGINT AS tok_end,
+               ((cum - n) // 512)::BIGINT AS chunk_first,
+               ((cum - 1) // 512)::BIGINT AS chunk_last
+        FROM c
+        """,
+    )
+    def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """GPT-style training-sequence packing: concat order = doc_id,
+        512-token chunks; each doc gets its token interval + chunk span.
+        Two-phase bucketed prefix sum — no global single-task window (the
+        oracle's SUM() OVER (ORDER BY) is exactly the plan we avoid)."""
+        from vector_spark.dataprep.packing import pack_sequences
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", tx.token_count(F.col("text")).alias("n_tok_doc")
+        )
+        out = pack_sequences(
+            d, "n_tok_doc", seq_len=512, order_col="doc_id", bucket_size=128
+        )
+        return out.select(
+            "doc_id", "tok_start", "tok_end", "chunk_first", "chunk_last"
+        )
+
+
+_register_dataprep2()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

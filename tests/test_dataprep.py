@@ -205,3 +205,66 @@ def test_dup_clusters_long_chain(spark):
     )
     out = {r.member: r.cluster for r in dd.dup_clusters(pairs).collect()}
     assert set(out.values()) == {0} and len(out) == 10
+
+
+def test_repetition_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"),
+         (2, " ".join(f"w{i}" for i in range(30))),
+         (3, "one")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in docs.select(
+        "doc_id", tx.repetition_features(F.col("text")).alias("f")
+    ).select("doc_id", "f.*").collect()}
+    assert out[1].dup_word_frac == 0.75
+    assert out[1].top_bigram_frac == 1.0 and not out[1].rep_ok
+    assert out[2].dup_word_frac == 0.0 and out[2].rep_ok
+    # shorter than the n-gram: empty gram list scores 0, not garbage
+    assert out[3].top_bigram_frac == 0.0 and out[3].top_trigram_frac == 0.0
+
+
+def test_contamination_scores(spark):
+    from vector_spark.dataprep.contamination import contamination_scores
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated words appear in this training document"),
+         (3, "tiny")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "the quick brown fox jumps over a cliff")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           contamination_scores(corpus, bench, n=5).collect()}
+    # doc 1 shares the 5-gram "the quick brown fox jumps" (+ one more)
+    assert out[1].ngrams_overlap == 2 and out[1].ngrams_total == 5
+    assert out[1].contamination == 0.4
+    assert out[2].ngrams_overlap == 0 and out[2].contamination == 0.0
+    assert out[3].ngrams_total == 0 and out[3].contamination == 0.0
+
+
+def test_pack_sequences(spark):
+    from vector_spark.dataprep.packing import pack_sequences
+
+    d = spark.createDataFrame(
+        [(0, 3), (1, 4), (2, 5), (3, 2)], "doc_id long, n long"
+    )
+    rows = {r.doc_id: r for r in
+            pack_sequences(d, "n", seq_len=4, order_col="doc_id",
+                           bucket_size=2).collect()}
+    # cum: 3, 7, 12, 14 → intervals [0,3) [3,7) [7,12) [12,14)
+    assert (rows[0].tok_start, rows[0].tok_end) == (0, 3)
+    assert (rows[1].tok_start, rows[1].tok_end) == (3, 7)
+    assert (rows[2].tok_start, rows[2].tok_end) == (7, 12)
+    assert (rows[3].tok_start, rows[3].tok_end) == (12, 14)
+    assert (rows[0].chunk_first, rows[0].chunk_last) == (0, 0)
+    assert (rows[1].chunk_first, rows[1].chunk_last) == (0, 1)
+    assert (rows[2].chunk_first, rows[2].chunk_last) == (1, 2)
+    # bucket size must not change the answer (two-phase prefix sum)
+    alt = {r.doc_id: (r.tok_start, r.tok_end) for r in
+           pack_sequences(d, "n", seq_len=4, order_col="doc_id",
+                          bucket_size=1000).collect()}
+    assert alt == {k: (v.tok_start, v.tok_end) for k, v in rows.items()}

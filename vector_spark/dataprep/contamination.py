@@ -1,0 +1,78 @@
+"""Benchmark-contamination detection for training corpora.
+
+The standard decontamination step in LLM data pipelines: flag training
+documents sharing word n-grams with an evaluation/benchmark set (the
+method popularized by the GPT-3 and PaLM papers — n-gram collision
+against held-out eval data). Engine shape:
+
+- benchmark set → distinct n-gram digest dim (small: benchmarks are
+  thousands of documents, corpora are billions) → broadcast
+- corpus → per-document DISTINCT n-gram digests → explode →
+  broadcast semi-join against the dim → per-doc overlap count
+
+The shuffle carries (doc_id, 16-byte digest) pairs only; the join is a
+broadcast hash join, so the corpus-side scan streams once with no
+corpus-sized shuffle. Digests are md5 hex strings reproducible by any
+SQL engine (the DuckDB oracle recomputes them exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.dataprep.text import _word_ngrams, words
+
+
+def ngram_digests(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """doc rows → (doc_id, digest) with one row per DISTINCT word n-gram."""
+    grams = F.array_distinct(_word_ngrams(words(F.col(text_col)), n))
+    return df.select(
+        "doc_id", F.explode(F.transform(grams, F.md5)).alias("digest")
+    )
+
+
+def benchmark_digest_dim(
+    benchmark: DataFrame, text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """The broadcastable benchmark dim: distinct n-gram digests."""
+    return ngram_digests(benchmark, text_col, n).select("digest").distinct()
+
+
+def contamination_scores(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document contamination: overlapping / total distinct n-grams.
+
+    Returns (doc_id, ngrams_total, ngrams_overlap, contamination) — filter
+    ``contamination >= tau`` (typically 0.3-0.8) to drop contaminated docs.
+    Documents with fewer than ``n`` words score 0 (no n-grams).
+    """
+    dim = F.broadcast(benchmark_digest_dim(benchmark, text_col, n))
+    shingles = ngram_digests(corpus, text_col, n)
+    hits = (
+        shingles.join(dim.withColumn("__hit", F.lit(1)), "digest", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ngrams_total"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("ngrams_overlap"),
+        )
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ngrams_total", F.lit(0)).alias("ngrams_total"),
+            F.coalesce("ngrams_overlap", F.lit(0)).alias("ngrams_overlap"),
+            F.when(
+                F.coalesce("ngrams_total", F.lit(0)) > 0,
+                F.round(F.col("ngrams_overlap") / F.col("ngrams_total"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination"),
+        )
+    )

@@ -121,6 +121,32 @@ def lang_scores_exprs(col: str = "text") -> dict[str, str]:
     return out
 
 
+def ngrams_expr(col: str = "text", n: int = 2) -> str:
+    """Non-distinct word n-gram list (empty when the doc has < n words)."""
+    ws = words_expr(col)
+    return (
+        f"list_transform(range(1, greatest(len({ws}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({ws}, i, i + {n - 1}), ' '))"
+    )
+
+
+def top_ngram_frac_expr(col: str = "text", n: int = 2) -> str:
+    """Fraction of n-gram occurrences held by the most frequent n-gram
+    (mirrors text.repetition_features)."""
+    g = ngrams_expr(col, n)
+    return (
+        f"CASE WHEN len({g}) > 0 THEN "
+        f"round(list_max(list_transform(list_distinct({g}), "
+        f"x -> len(list_filter({g}, y -> y = x)))) / len({g}), 4) "
+        f"ELSE 0.0 END"
+    )
+
+
+def dup_word_frac_expr(col: str = "text") -> str:
+    ws = words_expr(col)
+    return f"round(1.0 - len(list_distinct({ws})) / len({ws}), 4)"
+
+
 def lang_id_sql_expr(col: str = "text", min_hits: int = 1) -> str:
     s = lang_scores_exprs(col)
     langs = list(STOPWORDS)

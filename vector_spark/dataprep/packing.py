@@ -1,0 +1,74 @@
+"""Training-sequence packing: concat-then-chunk document → sequence
+assignment (the standard GPT-style pretraining layout — documents are
+concatenated in a fixed order and sliced into fixed-length token windows).
+
+Given per-document token counts and a total order, each document owns the
+half-open token interval ``[tok_start, tok_end)`` of the concatenated
+stream and therefore spans training chunks ``floor(tok_start/L) ..
+floor((tok_end-1)/L)``. Downstream loaders use (chunk_first, chunk_last)
+to route documents to shard writers.
+
+Scale shape — the naive plan is a single global window
+``SUM(n) OVER (ORDER BY order_col)``: one task sees every row. Instead
+the prefix sum is two-phase over a coarse BUCKET of the order column
+(≙ the classic distributed scan):
+
+  1. per-bucket totals  — tiny aggregate (one row per bucket)
+  2. running offset across buckets — window over the tiny bucket table
+  3. broadcast-join offsets back; intra-bucket window runs per bucket
+
+Buckets are value-derived from the order column (deterministic under
+retry — no partition ids, no sampling), and each intra-bucket window task
+handles ~bucket_size rows regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    count_col: str,
+    seq_len: int,
+    order_col: str = "doc_id",
+    bucket_size: int = 8192,
+) -> DataFrame:
+    """Assign each document its token interval and chunk span.
+
+    ``order_col`` must be numeric, unique, and define the concatenation
+    order; ``count_col`` is the per-document token count. Adds
+    ``tok_start``, ``tok_end``, ``chunk_first``, ``chunk_last`` (chunks of
+    ``seq_len`` tokens).
+    """
+    bkt = F.floor(F.col(order_col) / bucket_size).alias("__bkt")
+    d = df.withColumn("__bkt", bkt)
+
+    totals = d.groupBy("__bkt").agg(F.sum(count_col).alias("__tot"))
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # the bucket table is tiny (rows / bucket_size) — a driver-size window
+    offsets = totals.select(
+        "__bkt", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off")
+    )
+
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        d.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__cum", F.col("__off") + F.sum(count_col).over(w_in))
+        .withColumn("tok_end", F.col("__cum"))
+        .withColumn("tok_start", F.col("__cum") - F.col(count_col))
+        .withColumn("chunk_first", F.floor(F.col("tok_start") / seq_len))
+        .withColumn(
+            "chunk_last",
+            F.floor((F.col("tok_end") - 1) / seq_len),
+        )
+        .drop("__bkt", "__off", "__cum")
+    )
+    return out

@@ -116,3 +116,56 @@ def quality_score(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (exact-dup key)."""
     return F.md5(normalize(col))
+
+
+def _word_ngrams(ws: Column, n: int) -> Column:
+    """Word n-grams of an already-tokenized array (space-joined strings).
+    Documents shorter than ``n`` words yield an empty array (``F.sequence``
+    would otherwise count DOWN from 0 and emit garbage grams)."""
+    if n == 1:
+        return ws
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_ngram_frac(ws: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences taken by the single most frequent
+    n-gram (the Gopher repetition signal). Quadratic in DISTINCT n-grams
+    per document — bounded by document length, not corpus size, so it
+    parallelizes trivially."""
+    grams = _word_ngrams(ws, n)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return F.when(F.size(grams) > 0, F.round(top / F.size(grams), 4)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def repetition_features(col: Column) -> Column:
+    """Gopher-style repetition signals (Rae et al. 2021, public thresholds)
+    → struct(dup_word_frac, top_bigram_frac, top_trigram_frac, rep_ok).
+
+    ``rep_ok`` applies the published cutoffs: top 2-gram ≤ 0.20,
+    top 3-gram ≤ 0.18, duplicated-word fraction ≤ 0.70. Pure column
+    expressions — no shuffle, no Python."""
+    ws = words(col)
+    dup_word = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws), 4
+    )
+    top2 = _top_ngram_frac(ws, 2)
+    top3 = _top_ngram_frac(ws, 3)
+    return F.struct(
+        dup_word.alias("dup_word_frac"),
+        top2.alias("top_bigram_frac"),
+        top3.alias("top_trigram_frac"),
+        ((top2 <= 0.20) & (top3 <= 0.18) & (dup_word <= 0.70)).alias("rep_ok"),
+    )
