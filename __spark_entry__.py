@@ -2389,7 +2389,40 @@ def _register_dataprep2() -> None:
         )
 
 
+def _register_mixing() -> None:
+    from vector_spark.dataprep.mixing import allocate_quotas
+
+    _MIX_W = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    _MIX_Q = allocate_quotas(_MIX_W, 120)
+    _case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_Q.items())
+
+    @_q(
+        "doc_sample_mixture",
+        f"""
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+          FROM documents WHERE source IN ('src0','src1','src2')
+        )
+        SELECT doc_id, source FROM ranked
+        WHERE rk <= CASE source {_case} END
+        """,
+    )
+    def doc_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic mixture sampling: exact largest-remainder quotas
+        per source (50/30/20 of 120), hash-ranked so the oracle reproduces
+        the identical sample. Sources smaller than their quota surface the
+        shortfall (no silent redistribution)."""
+        from vector_spark.dataprep.mixing import sample_mixture
+
+        d = _docs(spark, sf_dir)
+        return sample_mixture(d, _MIX_W, 120).select("doc_id", "source")
+
+
 _register_dataprep2()
+_register_mixing()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

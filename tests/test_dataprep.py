@@ -268,3 +268,28 @@ def test_pack_sequences(spark):
            pack_sequences(d, "n", seq_len=4, order_col="doc_id",
                           bucket_size=1000).collect()}
     assert alt == {k: (v.tok_start, v.tok_end) for k, v in rows.items()}
+
+
+def test_allocate_quotas_and_sample_mixture(spark):
+    from vector_spark.dataprep.mixing import allocate_quotas, sample_mixture
+
+    q = allocate_quotas({"a": 1, "b": 1, "c": 1}, 100)
+    assert sum(q.values()) == 100 and sorted(q.values()) == [33, 33, 34]
+    assert allocate_quotas({"a": 0.5, "b": 0.3, "c": 0.2}, 120) == {
+        "a": 60, "b": 36, "c": 24,
+    }
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = sample_mixture(df, {"a": 0.7, "b": 0.3}, 20)
+    counts = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts == {"a": 14, "b": 6}
+    # deterministic: same sample on re-execution
+    again = sample_mixture(df, {"a": 0.7, "b": 0.3}, 20)
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+    # shortfall surfaces: tiny source can't fill its quota
+    small = sample_mixture(df.filter("doc_id < 4"), {"a": 0.9, "b": 0.1}, 20)
+    got = {r.source: r["count"] for r in small.groupBy("source").count().collect()}
+    assert got["a"] == 2 and got.get("b", 0) == 2
