@@ -2421,8 +2421,100 @@ def _register_mixing() -> None:
         return sample_mixture(d, _MIX_W, 120).select("doc_id", "source")
 
 
+def _register_curation() -> None:
+    from vector_spark.dataprep import oracles as osql
+    from vector_spark.dataprep import text as tx
+
+    _top2 = osql.top_ngram_frac_expr("text", 2)
+    _top3 = osql.top_ngram_frac_expr("text", 3)
+    _dupw = osql.dup_word_frac_expr("text")
+    _qscore = osql.quality_score_sql_expr("text")
+    _norm = osql.NORM.format(col="text")
+
+    @_q(
+        "doc_curation_pipeline",
+        f"""
+        WITH bench AS (
+          SELECT DISTINCT md5(gram) AS d FROM (
+            SELECT unnest(list_distinct({osql.ngrams_expr('text', 5)})) AS gram
+            FROM documents WHERE doc_id % 20 = 0)
+        ),
+        filtered AS (
+          SELECT doc_id, text FROM documents
+          WHERE {_qscore} >= 0.5
+            AND {_top2} <= 0.20 AND {_top3} <= 0.18 AND {_dupw} <= 0.70
+        ),
+        shingled AS (
+          SELECT doc_id,
+                 unnest(list_distinct({osql.ngrams_expr('text', 5)})) AS gram
+          FROM filtered
+        ),
+        scored AS (
+          SELECT f.doc_id, f.text,
+                 COALESCE(s.frac, 0.0) AS contamination
+          FROM filtered f LEFT JOIN (
+            SELECT doc_id,
+                   round(SUM(CASE WHEN md5(gram) IN (SELECT d FROM bench)
+                             THEN 1 ELSE 0 END) / COUNT(*), 4) AS frac
+            FROM shingled GROUP BY 1) s ON f.doc_id = s.doc_id
+        ),
+        clean AS (SELECT doc_id, text FROM scored WHERE contamination < 0.5),
+        deduped AS (
+          SELECT doc_id, text FROM clean
+          QUALIFY row_number() OVER (
+            PARTITION BY md5({_norm}) ORDER BY doc_id) = 1
+        ),
+        counted AS (
+          SELECT doc_id, len({osql.words_expr('text')}) AS n FROM deduped
+        ),
+        packed AS (
+          SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) AS cum FROM counted
+        )
+        SELECT doc_id, (cum - n)::BIGINT AS tok_start, cum::BIGINT AS tok_end,
+               ((cum - n) // 512)::BIGINT AS chunk_first,
+               ((cum - 1) // 512)::BIGINT AS chunk_last
+        FROM packed
+        """,
+    )
+    def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The end-to-end corpus-curation pipeline, composed from the
+        individually-verified ops: quality + Gopher repetition filters →
+        5-gram benchmark decontamination (< 0.5) → exact dedup (min-id
+        witness) → 512-token sequence packing. One oracle pins the whole
+        chain, proving the ops compose without semantic drift."""
+        from vector_spark.dataprep.contamination import contamination_scores
+        from vector_spark.dataprep.dedup import exact_dedup
+        from vector_spark.dataprep.packing import pack_sequences
+
+        d = _docs(spark, sf_dir)
+        bench = d.filter(F.col("doc_id") % 20 == 0)
+        rep = tx.repetition_features(F.col("text"))
+        filtered = d.filter(
+            (tx.quality_score(F.col("text")) >= 0.5) & rep["rep_ok"]
+        ).select("doc_id", "text")
+        scores = contamination_scores(filtered, bench, "text", n=5)
+        clean = (
+            filtered.join(
+                scores.filter(F.col("contamination") < 0.5).select("doc_id"),
+                "doc_id",
+            )
+        )
+        deduped = exact_dedup(clean)
+        counted = deduped.select(
+            "doc_id", tx.token_count(F.col("text")).alias("n_tok_doc")
+        )
+        out = pack_sequences(
+            counted, "n_tok_doc", seq_len=512, order_col="doc_id",
+            bucket_size=128,
+        )
+        return out.select(
+            "doc_id", "tok_start", "tok_end", "chunk_first", "chunk_last"
+        )
+
+
 _register_dataprep2()
 _register_mixing()
+_register_curation()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
