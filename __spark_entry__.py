@@ -2290,6 +2290,44 @@ _register_codecs()
 # --- batch 5: training-corpus curation (repetition / contamination / packing)
 
 
+def _register_enrich6() -> None:
+    @_q(
+        "ev_enrich_geoip6",
+        """
+        SELECT event_id,
+               '2001:db8::' || lower(to_hex(user_id % 256)) AS ip6,
+               'zone-' || ((user_id % 256) // 64) AS zone
+        FROM events
+        """,
+    )
+    def ev_enrich_geoip6(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IPv6 geoip-style enrichment: Spark PARSES the compressed v6
+        string (zero-compression expansion, pure column math) and range-
+        joins it against hex ranges via the bucketed broadcast hash join;
+        the oracle reconstructs the zone from the generator formula."""
+        from vector_spark.operators.enrich import enrich_ip6_range
+
+        ev = _events(spark, sf_dir).select(
+            "event_id",
+            F.concat(
+                F.lit("2001:db8::"), F.lower(F.hex(F.col("user_id") % 256))
+            ).alias("ip6"),
+        )
+        pre = "20010db8" + "0" * 20
+        dim = spark.createDataFrame(
+            [
+                (pre + format(k * 64, "04x"), pre + format((k + 1) * 64, "04x"),
+                 f"zone-{k}")
+                for k in range(4)
+            ],
+            "ip6_lo string, ip6_hi string, zone string",
+        )
+        return enrich_ip6_range(ev, dim, "ip6")
+
+
+_register_enrich6()
+
+
 def _register_dataprep2() -> None:
     from vector_spark.dataprep import oracles as osql
     from vector_spark.dataprep import text as tx

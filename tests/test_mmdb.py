@@ -43,7 +43,8 @@ def enc_array(items: list[bytes]) -> bytes:
     return bytes([(0 << 5) | len(items), 11 - 7]) + b"".join(items)
 
 
-def build_mmdb(networks: dict[tuple[int, int], bytes], record_size: int = 24) -> bytes:
+def build_mmdb(networks: dict[tuple[int, int], bytes], record_size: int = 24,
+               total_bits: int = 32, ip_version: int = 4) -> bytes:
     """networks: {(prefix_int, prefix_len): encoded_data_item}"""
     # 1. data section: concatenate items, remember offsets
     data, offsets = b"", {}
@@ -55,7 +56,7 @@ def build_mmdb(networks: dict[tuple[int, int], bytes], record_size: int = 24) ->
     for (prefix, plen), _ in networks.items():
         node = root
         for i in range(plen):
-            bit = (prefix >> (31 - i)) & 1
+            bit = (prefix >> (total_bits - 1 - i)) & 1
             if i == plen - 1:
                 node[bit] = ("data", (prefix, plen))
             else:
@@ -98,7 +99,7 @@ def build_mmdb(networks: dict[tuple[int, int], bytes], record_size: int = 24) ->
             "build_epoch": enc_uint64(1700000000),
             "database_type": enc_str("Test-Country"),
             "description": enc_map({"en": enc_str("tiny fixture")}),
-            "ip_version": enc_uint(4, typ=5),
+            "ip_version": enc_uint(ip_version, typ=5),
             "languages": enc_array([enc_str("en")]),
             "node_count": enc_uint(node_count, typ=6),
             "record_size": enc_uint(record_size, typ=5),
@@ -168,3 +169,64 @@ def test_mmdb_feeds_enrich_ip_range(mmdb_path, spark):
     out = enrich_ip_range(events, ranges, ip_col="ip")
     got = {r.ip: r.country_iso_code for r in out.collect()}
     assert got == {"10.1.2.3": "AA", "192.168.9.9": "BB", "8.8.8.8": None}
+
+
+@pytest.fixture(scope="module")
+def mmdb6_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("mmdb6") / "test6.mmdb"
+    nets = {
+        # 2001:db8::/32
+        (0x20010db8 << 96, 32): enc_map(
+            {"country": enc_map({"iso_code": enc_str("DD")})}
+        ),
+        # ::ffff:10.0.0.0/104 (v4-mapped 10.0.0.0/8)
+        ((0xffff << 32) | (10 << 24), 104): enc_map(
+            {"country": enc_map({"iso_code": enc_str("AA")})}
+        ),
+        # 8000::/1 — exercises the address-space-top exclusive bound
+        (1 << 127, 1): enc_map(
+            {"country": enc_map({"iso_code": enc_str("TOP")})}
+        ),
+        # ::/96-rooted v4 (the MaxMind v4-in-v6 convention): 10.0.0.0/8
+        (10 << 24, 104): enc_map(
+            {"country": enc_map({"iso_code": enc_str("A4")})}
+        ),
+    }
+    p.write_bytes(build_mmdb(nets, total_bits=128, ip_version=6))
+    return str(p)
+
+
+def test_networks6_and_rows6(mmdb6_path):
+    from tools.mmdb_to_ranges import MMDBReader, mmdb_to_rows6
+
+    r = MMDBReader.open(mmdb6_path)
+    assert r.metadata["ip_version"] == 6
+    nets = {(pfx, plen) for pfx, plen, _ in r.networks6()}
+    assert (0x20010db8 << 96, 32) in nets
+    assert (1 << 127, 1) in nets
+    rows = {row["ip6_lo"]: row for row in mmdb_to_rows6(mmdb6_path)}
+    dd = rows["20010db8" + "0" * 24]
+    assert dd["country_iso_code"] == "DD"
+    assert dd["ip6_hi"] == "20010db9" + "0" * 24
+    top = rows["8" + "0" * 31]
+    assert top["ip6_hi"] == "f" * 33  # top-of-space exclusive bound
+    # the v4-mapped subtree also appears in the legacy v4 enumeration
+    v4rows = {row["ip_lo"] for row in __import__("tools.mmdb_to_ranges",
+              fromlist=["mmdb_to_rows"]).mmdb_to_rows(mmdb6_path)}
+    assert (10 << 24) in v4rows
+
+
+def test_mmdb6_feeds_enrich_ip6_range(mmdb6_path, spark):
+    from tools.mmdb_to_ranges import mmdb_to_rows6
+    from vector_spark.operators.enrich import enrich_ip6_range
+
+    dim = spark.createDataFrame(mmdb_to_rows6(mmdb6_path)).select(
+        "ip6_lo", "ip6_hi", F.col("country_iso_code").alias("cc")
+    )
+    events = spark.createDataFrame(
+        [(1, "2001:db8::1"), (2, "::ffff:10.1.2.3"),
+         (3, "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff"), (4, "2001:dc0::1")],
+        "id long, ip string",
+    )
+    got = {r.id: r.cc for r in enrich_ip6_range(events, dim, "ip").collect()}
+    assert got == {1: "DD", 2: "AA", 3: "TOP", 4: None}

@@ -154,6 +154,39 @@ def test_ip_range_join_is_hash_not_nested_loop(spark):
     assert all(net == f"net-{i % 4}" for i, net in got)
 
 
+def test_ip6_range_join_is_hash_not_nested_loop(spark):
+    """enrich_ip6_range: hex-string ranges, same bucketed-hash-join shape
+    as v4 — lexicographic compare on equal-length hex == numeric compare,
+    no 128-bit arithmetic."""
+    from vector_spark.operators.enrich import enrich_ip6_range
+
+    df = spark.createDataFrame(
+        [
+            (1, "2001:db8::1"),
+            (2, "2001:db8:ffff::42"),
+            (3, "2001:dc0::1"),
+            (4, "::ffff:10.1.2.3"),
+            (5, "fe80::1"),
+        ],
+        "id long, ip string",
+    )
+    dim = spark.createDataFrame(
+        [
+            ("20010db8" + "0" * 24, "20010db9" + "0" * 24, "doc-net"),
+            ("00000000000000000000ffff0a000000",
+             "00000000000000000000ffff0b000000", "v4-mapped-10"),
+        ],
+        "ip6_lo string, ip6_hi string, net string",
+    )
+    out = enrich_ip6_range(df, dim, "ip")
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+    got = {r.id: r.net for r in out.collect()}
+    assert got == {1: "doc-net", 2: "doc-net", 3: None,
+                   4: "v4-mapped-10", 5: None}
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Co-located join demo: two tables bucketed (bucketBy) on the join key
     join WITHOUT an Exchange on either side — the 10^12-tier mechanism for

@@ -67,7 +67,6 @@ class MMDBReader:
         """DFS enumeration: yields (prefix_int, prefix_len, data_dict) over
         the v4 tree (ip_version 4 databases, or the ::ffff:0:0/96 subtree
         of v6 databases)."""
-        depth_total = 32
         root = 0
         if self.ip_version == 6:
             # descend 96 zero bits to the IPv4-mapped subtree
@@ -75,6 +74,18 @@ class MMDBReader:
                 root = self._record(root, 0)
                 if root >= self.node_count:
                     return  # no v4 data
+        yield from self._walk(root, 32)
+
+    def networks6(self):
+        """DFS over the FULL tree of an ip_version-6 database: yields
+        (prefix_int [128-bit], prefix_len, data_dict). Python ints carry
+        the 128-bit prefixes; see mmdb_to_rows6 for the hex range shape
+        that feeds enrich_ip6_range."""
+        if self.ip_version != 6:
+            return
+        yield from self._walk(0, 128)
+
+    def _walk(self, root: int, depth_total: int):
         stack = [(root, 0, 0)]
         while stack:
             node, prefix, depth = stack.pop()
@@ -184,6 +195,24 @@ def mmdb_to_rows(path: str) -> list[dict]:
         span = 1 << (32 - plen)
         rows.append({"ip_lo": prefix, "ip_hi": prefix + span, **_flatten(data)})
     return sorted(rows, key=lambda x: x["ip_lo"])
+
+
+def mmdb_to_rows6(path: str) -> list[dict]:
+    """[(ip6_lo, ip6_hi, **flattened geo fields)] with 32-char hex bounds —
+    the enrich_ip6_range dimension shape (half-open, lexicographic ==
+    numeric for equal-length hex)."""
+    r = MMDBReader.open(path)
+    rows = []
+    for prefix, plen, data in r.networks6():
+        hi = prefix + (1 << (128 - plen))
+        # a range reaching the address-space top has no 32-char exclusive
+        # bound; "f"*33 sorts after every 32-char hex (so `addr < hi` holds
+        # for all addresses incl. ffff…ffff) and stays conv()-parseable
+        hi_str = "f" * 33 if hi >= (1 << 128) else f"{hi:032x}"
+        rows.append(
+            {"ip6_lo": f"{prefix:032x}", "ip6_hi": hi_str, **_flatten(data)}
+        )
+    return sorted(rows, key=lambda x: x["ip6_lo"])
 
 
 def main() -> int:

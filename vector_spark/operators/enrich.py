@@ -113,6 +113,63 @@ def enrich_ip_range(
     )
 
 
+def enrich_ip6_range(
+    df: DataFrame,
+    dim: DataFrame,
+    ip_col: str,
+    lo_col: str = "ip6_lo",
+    hi_col: str = "ip6_hi",
+    prefix_chars: int | None = None,
+) -> DataFrame:
+    """IPv6 variant of :func:`enrich_ip_range`. ``dim`` carries the
+    half-open range ``[lo_col, hi_col)`` as 32-char lowercase hex strings
+    (:func:`vector_spark.functions.ip.ip6_expand_hex`) — equal-length hex
+    compares lexicographically == numerically, so no 128-bit arithmetic
+    is needed anywhere.
+
+    Same scale shape as the v4 path: each range explodes to the hex-prefix
+    buckets it overlaps (``prefix_chars`` leading nibbles) and the probe
+    joins on bucket equality — Broadcast Hash Join with the bounds as a
+    residual string-compare filter. ``prefix_chars`` auto-selects the
+    longest prefix in {12,10,8,6,4} whose total bucket expansion stays
+    ≤ 4× the dim (dim is broadcast-sized by contract, so the driver-side
+    stat is cheap)."""
+    from vector_spark.functions.ip import ip6_expand_hex
+
+    dim = dim.filter(F.col(hi_col) > F.col(lo_col))
+    pval = lambda c, p: F.conv(F.substring(c, 1, p), 16, 10).cast("long")  # noqa: E731
+    if prefix_chars is None:
+        n_ranges, stats = 0, {}
+        row = dim.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    pval(F.col(hi_col), p) - pval(F.col(lo_col), p) + 1
+                ).alias(f"s{p}")
+                for p in (12, 10, 8, 6, 4)
+            ],
+        ).collect()[0]
+        n_ranges = row["n"] or 0
+        prefix_chars = 4
+        for p in (12, 10, 8, 6, 4):
+            if (row[f"s{p}"] or 0) <= 4 * max(n_ranges, 1):
+                prefix_chars = p
+                break
+    p = prefix_chars
+    exp = dim.withColumn(
+        "__bkt", F.explode(F.sequence(pval(F.col(lo_col), p), pval(F.col(hi_col), p)))
+    )
+    hex32 = ip6_expand_hex(df[ip_col])
+    cond = (
+        (pval(hex32, p) == exp["__bkt"])
+        & (hex32 >= exp[lo_col])
+        & (hex32 < exp[hi_col])
+    )
+    return df.join(F.broadcast(exp), on=cond, how="left").drop(
+        lo_col, hi_col, "__bkt"
+    )
+
+
 def enrich_between_dates(
     df: DataFrame,
     dim: DataFrame,
