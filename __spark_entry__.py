@@ -2332,20 +2332,26 @@ def _register_dataprep2() -> None:
     from vector_spark.dataprep import oracles as osql
     from vector_spark.dataprep import text as tx
 
-    _top2 = osql.top_ngram_frac_expr("text", 2)
-    _top3 = osql.top_ngram_frac_expr("text", 3)
-    _dupw = osql.dup_word_frac_expr("text")
+    _top2 = osql.top_ngram_frac_on("g2")
+    _top3 = osql.top_ngram_frac_on("g3")
+    _dupw = "round(1.0 - len(list_distinct(ws)) / len(ws), 4)"
 
     @_q(
         "doc_repetition",
         f"""
+        WITH g AS MATERIALIZED (
+          SELECT doc_id, {osql.words_expr('text')} AS ws,
+                 {osql.ngrams_expr('text', 2)} AS g2,
+                 {osql.ngrams_expr('text', 3)} AS g3
+          FROM documents
+        )
         SELECT doc_id,
                {_dupw} AS dup_word_frac,
                {_top2} AS top_bigram_frac,
                {_top3} AS top_trigram_frac,
                ({_top2} <= 0.20 AND {_top3} <= 0.18 AND {_dupw} <= 0.70)
                  AS rep_ok
-        FROM documents
+        FROM g
         """,
     )
     def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2463,29 +2469,34 @@ def _register_curation() -> None:
     from vector_spark.dataprep import oracles as osql
     from vector_spark.dataprep import text as tx
 
-    _top2 = osql.top_ngram_frac_expr("text", 2)
-    _top3 = osql.top_ngram_frac_expr("text", 3)
-    _dupw = osql.dup_word_frac_expr("text")
+    _top2 = osql.top_ngram_frac_on("g2")
+    _top3 = osql.top_ngram_frac_on("g3")
+    _dupw = "round(1.0 - len(list_distinct(ws)) / len(ws), 4)"
     _qscore = osql.quality_score_sql_expr("text")
     _norm = osql.NORM.format(col="text")
 
     @_q(
         "doc_curation_pipeline",
         f"""
-        WITH bench AS (
+        WITH base AS MATERIALIZED (
+          SELECT doc_id, text, {osql.words_expr('text')} AS ws,
+                 {osql.ngrams_expr('text', 2)} AS g2,
+                 {osql.ngrams_expr('text', 3)} AS g3,
+                 list_distinct({osql.ngrams_expr('text', 5)}) AS g5,
+                 {_qscore} AS q
+          FROM documents
+        ),
+        bench AS (
           SELECT DISTINCT md5(gram) AS d FROM (
-            SELECT unnest(list_distinct({osql.ngrams_expr('text', 5)})) AS gram
-            FROM documents WHERE doc_id % 20 = 0)
+            SELECT unnest(g5) AS gram FROM base WHERE doc_id % 20 = 0)
         ),
         filtered AS (
-          SELECT doc_id, text FROM documents
-          WHERE {_qscore} >= 0.5
+          SELECT doc_id, text, g5 FROM base
+          WHERE q >= 0.5
             AND {_top2} <= 0.20 AND {_top3} <= 0.18 AND {_dupw} <= 0.70
         ),
         shingled AS (
-          SELECT doc_id,
-                 unnest(list_distinct({osql.ngrams_expr('text', 5)})) AS gram
-          FROM filtered
+          SELECT doc_id, unnest(g5) AS gram FROM filtered
         ),
         scored AS (
           SELECT f.doc_id, f.text,

@@ -130,16 +130,26 @@ def ngrams_expr(col: str = "text", n: int = 2) -> str:
     )
 
 
-def top_ngram_frac_expr(col: str = "text", n: int = 2) -> str:
-    """Fraction of n-gram occurrences held by the most frequent n-gram
-    (mirrors text.repetition_features)."""
-    g = ngrams_expr(col, n)
+def top_ngram_frac_on(list_col: str) -> str:
+    """top-n-gram fraction over an ALREADY-MATERIALIZED gram-list column.
+    Always reference a ``MATERIALIZED`` CTE column here — inlining the
+    full n-gram expression makes DuckDB recompute it inside every lambda
+    evaluation (measured 160 s vs <1 s for 500 docs)."""
+    g = list_col
     return (
         f"CASE WHEN len({g}) > 0 THEN "
         f"round(list_max(list_transform(list_distinct({g}), "
         f"x -> len(list_filter({g}, y -> y = x)))) / len({g}), 4) "
         f"ELSE 0.0 END"
     )
+
+
+def top_ngram_frac_expr(col: str = "text", n: int = 2) -> str:
+    """Fraction of n-gram occurrences held by the most frequent n-gram
+    (mirrors text.repetition_features). Prefer :func:`top_ngram_frac_on`
+    over a materialized CTE column for anything bigger than a handful of
+    rows (see its note)."""
+    return top_ngram_frac_on(ngrams_expr(col, n))
 
 
 def dup_word_frac_expr(col: str = "text") -> str:
