@@ -2358,8 +2358,8 @@ def _register_dataprep2() -> None:
         """Gopher-style repetition filters (Rae et al. 2021): duplicated-
         word fraction + top-2/3-gram occupancy with the published cutoffs.
         Pure column math — per-document cost, no shuffle."""
-        d = _docs(spark, sf_dir)
-        f = tx.repetition_features(F.col("text"))
+        d = _docs(spark, sf_dir).withColumn("__ws", tx.words(F.col("text")))
+        f = tx.repetition_features(F.col("text"), ws=F.col("__ws"))
         return d.select(
             "doc_id",
             f["dup_word_frac"].alias("dup_word_frac"),
@@ -2537,10 +2537,15 @@ def _register_curation() -> None:
 
         d = _docs(spark, sf_dir)
         bench = d.filter(F.col("doc_id") % 20 == 0)
-        rep = tx.repetition_features(F.col("text"))
-        filtered = d.filter(
-            (tx.quality_score(F.col("text")) >= 0.5) & rep["rep_ok"]
-        ).select("doc_id", "text")
+        rep = tx.repetition_features(F.col("text"), ws=F.col("__ws"))
+        filtered = (
+            d.withColumn("__ws", tx.words(F.col("text")))
+            .filter((tx.quality_score(F.col("text")) >= 0.5) & rep["rep_ok"])
+            .select("doc_id", "text")
+            # reused three times downstream (shingles, score base, clean
+            # join) — cache so the quality+repetition scan runs once
+            .cache()
+        )
         scores = contamination_scores(filtered, bench, "text", n=5)
         clean = (
             filtered.join(

@@ -159,14 +159,17 @@ def enrich_ip6_range(
     exp = dim.withColumn(
         "__bkt", F.explode(F.sequence(pval(F.col(lo_col), p), pval(F.col(hi_col), p)))
     )
-    hex32 = ip6_expand_hex(df[ip_col])
+    # materialize the (expensive) expansion once — the join condition
+    # references it three times (bucket key + both bounds)
+    probe = df.withColumn("__hex32", ip6_expand_hex(df[ip_col]))
+    hex32 = probe["__hex32"]
     cond = (
         (pval(hex32, p) == exp["__bkt"])
         & (hex32 >= exp[lo_col])
         & (hex32 < exp[hi_col])
     )
-    return df.join(F.broadcast(exp), on=cond, how="left").drop(
-        lo_col, hi_col, "__bkt"
+    return probe.join(F.broadcast(exp), on=cond, how="left").drop(
+        lo_col, hi_col, "__bkt", "__hex32"
     )
 
 
