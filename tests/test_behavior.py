@@ -377,3 +377,34 @@ def test_aws_ec2_metadata_stamping(spark):
     assert "ec2_vpc_id" not in out.columns  # allowlist respected
     with _pt.raises(RuntimeError, match="IMDS"):
         aws_ec2_metadata(df)  # no metadata and no endpoint → explicit error
+
+
+def test_reduce_starts_when_and_max_events(spark):
+    from vector_spark.operators.reduce import reduce_events
+
+    df = spark.createDataFrame(
+        [(i, "g", 1 if i in (3, 7) else 0, i * 10) for i in range(10)],
+        "i long, g string, is_start long, event_ts long",
+    )
+    # starts_when opens a new session AT the matching event:
+    # sessions = [0,1,2], [3,4,5,6], [7,8,9]
+    out = reduce_events(
+        df, group_by=["g"], merge_strategies={"i": "array"},
+        order_by="i", starts_when=".is_start == 1",
+    )
+    sessions = sorted(r.i for r in out.collect())
+    assert sessions == [[0, 1, 2], [3, 4, 5, 6], [7, 8, 9]]
+    # max_events additionally splits every 4 events
+    out2 = reduce_events(
+        df, group_by=["g"], merge_strategies={"i": "array"},
+        order_by="i", max_events=4,
+    )
+    assert sorted(r.i for r in out2.collect()) == [
+        [0, 1, 2, 3], [4, 5, 6, 7], [8, 9]]
+    # composed: starts_when sessions then capped at 2
+    out3 = reduce_events(
+        df, group_by=["g"], merge_strategies={"i": "array"},
+        order_by="i", starts_when=".is_start == 1", max_events=2,
+    )
+    assert sorted(r.i for r in out3.collect()) == [
+        [0, 1], [2], [3, 4], [5, 6], [7, 8], [9]]

@@ -75,6 +75,8 @@ def reduce_events(
     expire_after_secs: float | None = None,
     ts_col: str = "event_ts",
     ends_when: ConditionLike | None = None,
+    starts_when: ConditionLike | None = None,
+    max_events: int | None = None,
     count_col: str | None = "events_count",
 ) -> DataFrame:
     """Merge each group into one row; optionally sessionize first.
@@ -85,9 +87,18 @@ def reduce_events(
     when the gap since the previous event in the group exceeds this.
     ``ends_when``: a matching event closes the current session (the closer is
     INCLUDED in the closing session, reference transform.rs:258-304).
+    ``starts_when``: a matching event OPENS a new session (the opener is the
+    first event of the new session — the reference's starts_when flushes the
+    running group before processing the matching event).
+    ``max_events``: a session additionally splits every ``max_events``
+    events (reference config max_events cap).
     """
     keys = list(group_by)
-    if expire_after_secs is not None or ends_when is not None:
+    if (
+        expire_after_secs is not None
+        or ends_when is not None
+        or starts_when is not None
+    ):
         w = Window.partitionBy(*keys).orderBy(order_by)
         boundary = F.lit(False)
         if expire_after_secs is not None:
@@ -99,6 +110,9 @@ def reduce_events(
             # previous event ended a session → this row starts a new one
             prev_end = F.lag(to_column(ends_when, df).cast("int"), 1, 0).over(w)
             boundary = boundary | (prev_end == 1)
+        if starts_when is not None:
+            # the matching event itself opens the new session
+            boundary = boundary | to_column(starts_when, df)
         # first row of a group: lag is null → null boundary must read as
         # "no boundary" (null OR x = null in SQL — coalesce explicitly)
         boundary = F.coalesce(boundary, F.lit(False))
@@ -109,6 +123,13 @@ def reduce_events(
             ),
         )
         keys = keys + ["session_id"]
+    if max_events is not None:
+        w_sub = Window.partitionBy(*keys).orderBy(order_by)
+        df = df.withColumn(
+            "session_sub",
+            F.floor((F.row_number().over(w_sub) - 1) / max_events),
+        )
+        keys = keys + ["session_sub"]
     aggs = [
         _agg_for(f, s, order_by).alias(f) for f, s in merge_strategies.items()
     ]

@@ -272,6 +272,8 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
                 expire_after_secs=cfg.get("expire_after_secs"),
                 ts_col=cfg.get("ts_col", "event_ts"),
                 ends_when=cfg.get("ends_when"),
+                starts_when=cfg.get("starts_when"),
+                max_events=cfg.get("max_events"),
             )
         }
     if t == "aggregate":
