@@ -408,3 +408,28 @@ def test_reduce_starts_when_and_max_events(spark):
     )
     assert sorted(r.i for r in out3.collect()) == [
         [0, 1], [2], [3, 4], [5, 6], [7, 8], [9]]
+
+
+def test_log_to_metric_all_roundtrip(spark):
+    from vector_spark.operators.log_to_metric import log_to_metric
+    from vector_spark.operators.metric_to_log import (
+        log_to_metric_all,
+        metric_to_log,
+    )
+
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0, 0), 2.5),
+         (2, datetime(2024, 1, 1, 0, 0, 10), 4.0)],
+        "i long, event_ts timestamp, v double",
+    )
+    metrics = log_to_metric(df, "gauge", "cpu", field="v")
+    logs = metric_to_log(metrics)
+    back = log_to_metric_all(logs)
+    want = sorted((r.name, r.kind, r.event_ts, r.value) for r in metrics.collect())
+    got = sorted((r.name, r.kind, r.event_ts, r.value) for r in back.collect())
+    assert got == want
+    # junk rows are dropped, not nulled
+    junk = spark.createDataFrame([("not json",)], "message string")
+    assert log_to_metric_all(junk).count() == 0
