@@ -2324,6 +2324,46 @@ def _register_enrich6() -> None:
         )
         return enrich_ip6_range(ev, dim, "ip6")
 
+    @_q(
+        "ev_reduce_starts_max",
+        """
+        WITH b AS (
+          SELECT *, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS st
+          FROM events
+        ),
+        s AS (
+          SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY event_id)
+                      AS session_id
+          FROM b
+        ),
+        sub AS (
+          SELECT *, (ROW_NUMBER() OVER (
+                       PARTITION BY user_id, session_id ORDER BY event_id)
+                     - 1) // 5 AS session_sub
+          FROM s
+        )
+        SELECT user_id, session_id::BIGINT AS session_id,
+               session_sub::BIGINT AS session_sub,
+               SUM(value) AS value, COUNT(*)::BIGINT AS events_count
+        FROM sub GROUP BY 1, 2, 3
+        """,
+    )
+    def ev_reduce_starts_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """reduce with the two round-2 session triggers hard-verified:
+        starts_when opens a session at each matching event and max_events
+        caps sessions at 5 — the oracle mirrors both with window SQL."""
+        from vector_spark.operators.reduce import reduce_events
+
+        ev = _events(spark, sf_dir)
+        return reduce_events(
+            ev,
+            group_by=["user_id"],
+            merge_strategies={"value": "sum"},
+            order_by="event_id",
+            starts_when='.event_type == "error"',
+            max_events=5,
+        ).select("user_id", "session_id", "session_sub", "value", "events_count")
+
 
 _register_enrich6()
 
