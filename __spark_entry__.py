@@ -2325,6 +2325,39 @@ def _register_enrich6() -> None:
         return enrich_ip6_range(ev, dim, "ip6")
 
     @_q(
+        "ev_ec2_metadata",
+        """
+        SELECT event_id, event_type,
+               'i-0123456789abcdef0' AS aws_instance_id,
+               'us-east-1' AS aws_region,
+               'us-east-1a' AS aws_availability_zone
+        FROM events WHERE event_type = 'error'
+        """,
+    )
+    def ev_ec2_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """aws_ec2_metadata: config-injected metadata (no IMDS in this
+        sandbox — same once-per-driver fetch shape as on EC2) stamped as
+        namespaced literal columns through the fields allowlist."""
+        from vector_spark.operators.ec2_metadata import aws_ec2_metadata
+
+        ev = _events(spark, sf_dir).filter(F.col("event_type") == "error")
+        out = aws_ec2_metadata(
+            ev,
+            metadata={
+                "instance-id": "i-0123456789abcdef0",
+                "region": "us-east-1",
+                "availability-zone": "us-east-1a",
+                "ami-id": "ami-never-stamped",
+            },
+            fields=["instance-id", "region", "availability-zone"],
+            namespace="aws",
+        )
+        return out.select(
+            "event_id", "event_type", "aws_instance_id", "aws_region",
+            "aws_availability_zone",
+        )
+
+    @_q(
         "ev_reduce_starts_max",
         """
         WITH b AS (
