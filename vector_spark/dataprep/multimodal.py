@@ -89,13 +89,22 @@ def _fake_decode(blob: bytes, dim: int) -> list[float]:
 
 
 def extract_features(
-    media: DataFrame, dim: int = 8, fake: bool = True, batch_label: bool = False
+    media: DataFrame,
+    dim: int = 8,
+    fake: bool = True,
+    batch_label: bool = False,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Decode/feature-extract via ``mapInPandas`` (Arrow batch iterator).
 
     ``fake=True`` uses the deterministic stand-in; ``fake=False`` raises
     ``DecodeUnavailable`` (no media libs in this container) — the plumbing
     (schema, batching, partitioning) is identical either way.
+
+    ``partitions``: opt-in repartition for inputs arriving as a few fat
+    files (decode is CPU-bound — spread it). Default None: no shuffle;
+    a blind same-count repartition would round-robin every blob byte
+    through an exchange for zero parallelism gain.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -113,10 +122,9 @@ def extract_features(
                 }
             )
 
-    # fat binary rows: cap rows-per-task independent of file layout
-    return media.repartition(max(media.rdd.getNumPartitions(), 1)).mapInPandas(
-        run, FEATURE_SCHEMA
-    )
+    if partitions:
+        media = media.repartition(partitions)
+    return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
