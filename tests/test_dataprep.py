@@ -293,3 +293,16 @@ def test_allocate_quotas_and_sample_mixture(spark):
     small = sample_mixture(df.filter("doc_id < 4"), {"a": 0.9, "b": 0.1}, 20)
     got = {r.source: r["count"] for r in small.groupBy("source").count().collect()}
     assert got["a"] == 2 and got.get("b", 0) == 2
+
+
+def test_pack_and_mixing_input_validation(spark):
+    from vector_spark.dataprep.mixing import allocate_quotas
+    from vector_spark.dataprep.packing import pack_sequences
+
+    d = spark.createDataFrame([("a", 3)], "k string, n long")
+    with pytest.raises(ValueError, match="numeric"):
+        pack_sequences(d, "n", seq_len=4, order_col="k")
+    with pytest.raises(ValueError):
+        allocate_quotas({}, 10)
+    with pytest.raises(ValueError):
+        allocate_quotas({"a": -1.0, "b": 2.0}, 10)

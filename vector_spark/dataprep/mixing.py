@@ -24,7 +24,11 @@ def allocate_quotas(weights: dict[str, float], total: int) -> dict[str, int]:
     """Largest-remainder apportionment: integer quotas summing to
     ``total``, proportional to ``weights`` (deterministic tie-break by
     source name)."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
     s = float(sum(weights.values()))
+    if s <= 0:
+        raise ValueError("weights must sum to a positive value")
     raw = {k: total * w / s for k, w in weights.items()}
     base = {k: int(v) for k, v in raw.items()}
     short = total - sum(base.values())

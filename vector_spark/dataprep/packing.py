@@ -42,6 +42,11 @@ def pack_sequences(
     ``tok_start``, ``tok_end``, ``chunk_first``, ``chunk_last`` (chunks of
     ``seq_len`` tokens).
     """
+    dt = dict(df.dtypes).get(order_col, "")
+    if dt not in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"):
+        # floor(string/N) silently yields null → every row lands in ONE
+        # bucket and the "distributed" prefix sum degenerates to a single task
+        raise ValueError(f"order_col {order_col!r} must be numeric, got {dt!r}")
     bkt = F.floor(F.col(order_col) / bucket_size).alias("__bkt")
     d = df.withColumn("__bkt", bkt)
 
