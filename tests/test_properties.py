@@ -152,3 +152,39 @@ def test_route_copy_semantics_vs_pandas(spark, rows, thr):
     if unmatched:
         want["_unmatched"] = unmatched
     assert got == want
+
+
+cef_field = st.text(
+    alphabet=st.characters(
+        codec="ascii", min_codepoint=0x20, max_codepoint=0x7E
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(
+    vendor=cef_field, product=cef_field, name=cef_field,
+    sev=st.integers(min_value=0, max_value=10),
+)
+@settings(**SETTINGS)
+def test_encode_cef_parse_cef_roundtrip(spark, vendor, product, name, sev):
+    """Header fields containing pipes/backslashes/equals survive the
+    encode→parse round-trip losslessly (escape-aware on both sides)."""
+    from vector_spark.functions.parse import encode_cef, parse_cef
+
+    df = spark.createDataFrame([(vendor, product, name, sev)],
+                               "v string, p string, n string, s long")
+    line = df.select(
+        encode_cef(F.col("v"), F.col("p"), F.lit("1.0"), F.lit("100"),
+                   F.col("n"), F.col("s"), []).alias("c")
+    ).collect()[0].c
+    r = (
+        spark.createDataFrame([(line,)], "m string")
+        .select(parse_cef(F.col("m")).alias("r"))
+        .collect()[0].r
+    )
+    assert r.device_vendor == vendor
+    assert r.device_product == product
+    assert r.name == name
+    assert r.severity == str(sev)
