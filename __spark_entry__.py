@@ -2639,9 +2639,84 @@ def _register_curation() -> None:
         )
 
 
+def _register_cfg_curation() -> None:
+    from vector_spark.dataprep import oracles as osql
+
+    _top2 = osql.top_ngram_frac_on("g2")
+    _top3 = osql.top_ngram_frac_on("g3")
+    _dupw = "round(1.0 - len(list_distinct(ws)) / len(ws), 4)"
+    _norm = osql.NORM.format(col="text")
+
+    @_q(
+        "cfg_curation",
+        f"""
+        WITH base AS MATERIALIZED (
+          SELECT doc_id, text, {osql.words_expr('text')} AS ws,
+                 {osql.ngrams_expr('text', 2)} AS g2,
+                 {osql.ngrams_expr('text', 3)} AS g3,
+                 {osql.quality_score_sql_expr('text')} AS q
+          FROM documents
+        ),
+        filtered AS (
+          SELECT doc_id, text, len(ws) AS n FROM base
+          WHERE q >= 0.5
+            AND {_top2} <= 0.20 AND {_top3} <= 0.18 AND {_dupw} <= 0.70
+        ),
+        deduped AS (
+          SELECT doc_id, n FROM filtered
+          QUALIFY row_number() OVER (
+            PARTITION BY md5({_norm}) ORDER BY doc_id) = 1
+        ),
+        packed AS (
+          SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) AS cum FROM deduped
+        )
+        SELECT doc_id, (cum - n)::BIGINT AS tok_start, cum::BIGINT AS tok_end,
+               ((cum - n) // 512)::BIGINT AS chunk_first,
+               ((cum - 1) // 512)::BIGINT AS chunk_last
+        FROM packed
+        """,
+    )
+    def cfg_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Corpus curation FROM CONFIG: the same topology compiler that
+        runs log pipelines chains quality_filter → exact_dedup →
+        pack_sequences declared as a plain config dict — proving the
+        curation ops are first-class topology citizens."""
+        from vector_spark.plans import compile_config
+
+        config = {
+            "sources": {
+                "docs": {
+                    "type": "parquet",
+                    "path": f"{sf_dir}/documents.parquet",
+                }
+            },
+            "transforms": {
+                "clean": {
+                    "type": "quality_filter",
+                    "inputs": ["docs"],
+                    "min_quality": 0.5,
+                    "repetition_ok": True,
+                },
+                "uniq": {"type": "exact_dedup", "inputs": ["clean"]},
+                "packed": {
+                    "type": "pack_sequences",
+                    "inputs": ["uniq"],
+                    "seq_len": 512,
+                    "bucket_size": 128,
+                },
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["packed"]}},
+        }
+        topo = compile_config(spark, config)
+        return topo.resolve("packed").select(
+            "doc_id", "tok_start", "tok_end", "chunk_first", "chunk_last"
+        )
+
+
 _register_dataprep2()
 _register_mixing()
 _register_curation()
+_register_cfg_curation()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

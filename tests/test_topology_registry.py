@@ -129,3 +129,41 @@ def test_registry_remap_dropped_port(spark):
     dropped = topo.resolve("parse.dropped")
     assert dropped.count() == 5  # 'click'/'error' never cast to long
     assert dropped.select("metadata_dropped.component_id").first()[0] == "parse"
+
+
+def test_curation_transform_types(spark, tmp_path):
+    """quality_filter / exact_dedup / decontaminate / pack_sequences are
+    first-class topology types composable from plain config."""
+    from vector_spark.plans import compile_config
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30))),
+         (2, " ".join(f"w{i}" for i in range(30))),   # exact dup of 1
+         (3, "the quick brown fox jumps over the lazy dog today and more"),
+         (4, "spam spam spam spam spam spam spam spam spam spam")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "docs")
+    docs.write.parquet(p)
+    config = {
+        "sources": {"d": {"type": "parquet", "path": p}},
+        "transforms": {
+            "clean": {"type": "quality_filter", "inputs": ["d"],
+                      "min_quality": 0.3, "repetition_ok": True},
+            "uniq": {"type": "exact_dedup", "inputs": ["clean"]},
+            "decon": {"type": "decontaminate", "inputs": ["uniq"],
+                      "benchmark_rows": [
+                          (99, "the quick brown fox jumps over the lazy dog today and more")],
+                      "benchmark_schema": "doc_id long, text string",
+                      "max_contamination": 0.5},
+            "packed": {"type": "pack_sequences", "inputs": ["decon"],
+                       "seq_len": 16, "bucket_size": 2},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["packed"]}},
+    }
+    topo = compile_config(spark, config)
+    rows = {r.doc_id: r for r in topo.resolve("packed").collect()}
+    # 4 dropped by repetition, 2 deduped into 1, 3 dropped as contaminated
+    assert set(rows) == {1}
+    assert rows[1].tok_start == 0 and rows[1].tok_end == 30
+    assert rows[1].chunk_first == 0 and rows[1].chunk_last == 1

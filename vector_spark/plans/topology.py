@@ -326,12 +326,75 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
                 required=cfg.get("required", False),
             )
         }
+    if t == "quality_filter":
+        # corpus curation as config: quality + Gopher repetition filters
+        from vector_spark.dataprep import text as tx
+
+        text_col = cfg.get("text_col", "text")
+        out = df.withColumn("__ws", tx.words(F.col(text_col)))
+        keep = F.lit(True)
+        if "min_quality" in cfg:
+            keep = keep & (
+                tx.quality_score(F.col(text_col)) >= float(cfg["min_quality"])
+            )
+        if cfg.get("repetition_ok", False):
+            rep = tx.repetition_features(F.col(text_col), ws=F.col("__ws"))
+            keep = keep & rep["rep_ok"]
+        return {"__default": out.filter(keep).drop("__ws")}
+    if t == "exact_dedup":
+        from vector_spark.dataprep.dedup import exact_dedup
+
+        return {
+            "__default": exact_dedup(
+                df,
+                text_col=cfg.get("text_col", "text"),
+                id_col=cfg.get("id_col", "doc_id"),
+            )
+        }
+    if t == "decontaminate":
+        from vector_spark.dataprep.contamination import contamination_scores
+
+        spark = df.sparkSession
+        bench = (
+            spark.createDataFrame(cfg["benchmark_rows"], cfg["benchmark_schema"])
+            if "benchmark_rows" in cfg
+            else spark.read.parquet(cfg["benchmark_path"])
+        )
+        scores = contamination_scores(
+            df, bench, text_col=cfg.get("text_col", "text"),
+            n=int(cfg.get("ngram", 5)),
+        )
+        tau = float(cfg.get("max_contamination", 0.5))
+        keep = scores.filter(F.col("contamination") < tau).select("doc_id")
+        return {"__default": df.join(keep, "doc_id")}
+    if t == "pack_sequences":
+        from vector_spark.dataprep.packing import pack_sequences
+
+        count_col = cfg.get("count_col")
+        if count_col is None:
+            # text corpora: derive whitespace token counts in-config
+            from vector_spark.dataprep.text import token_count
+
+            count_col = "n_tok_doc"
+            df = df.withColumn(
+                count_col, token_count(F.col(cfg.get("text_col", "text")))
+            )
+        return {
+            "__default": pack_sequences(
+                df,
+                count_col=count_col,
+                seq_len=int(cfg["seq_len"]),
+                order_col=cfg.get("order_col", "doc_id"),
+                bucket_size=int(cfg.get("bucket_size", 8192)),
+            )
+        }
     raise ValueError(f"unknown transform type {t!r}")
 
 
 TRANSFORM_TYPES = (
     "filter remap route exclusive_route sample throttle dedupe reduce "
-    "aggregate log_to_metric metric_to_log tag_cardinality_limit enrich script"
+    "aggregate log_to_metric metric_to_log tag_cardinality_limit enrich script "
+    "quality_filter exact_dedup decontaminate pack_sequences"
 ).split()
 
 
