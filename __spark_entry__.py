@@ -809,6 +809,70 @@ def _register_dataprep() -> None:
             F.size("feature").cast("long").alias("n_feature"),
         )
 
+    @_q(
+        "emb_ivf_topk",
+        osql.ivf_topk_sql(_EMB_CTE, n_cells=8, nprobe=2, k=3),
+    )
+    def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF ANN search: corpus coarse-quantized into cells around
+        SAMPLED centroids (copied vectors — no arithmetic, so the oracle
+        reproduces cell assignment bit-exactly), queries probe the top-2
+        cells by centroid dot product, exact cosine inside. At the 10^12
+        tier the assigned corpus is written partitionBy(cell) and a query
+        touches nprobe partitions (ivf.py module docstring)."""
+        from vector_spark.dataprep import ivf
+
+        emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ivf.ivf_topk(emb, queries_df, n_cells=8, nprobe=2, k=3)
+        return out.withColumn("rank", F.col("rank").cast("long"))
+
+    @_q(
+        "emb_ivf_recall",
+        osql.ivf_recall_sql(_EMB_CTE, n_cells=8, nprobe=2, k=3,
+                            min_recall=0.8),
+    )
+    def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """HARD recall gate for the IVF path (same pattern as
+        emb_lsh_recall): IVF top-k vs brute-force top-k on the same
+        corpus/queries; RAISES below the 0.8 bound, and the one-row
+        summary is bit-exact vs the oracle."""
+        from vector_spark.dataprep import ivf
+
+        emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivf.ivf_recall_summary(
+            emb, queries_df, n_cells=8, nprobe=2, k=3, min_recall=0.8
+        )
+
+    @_q("doc_winnow", osql.winnow_sql(k=8, w=4))
+    def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+        rolling char-8-gram hashes → window-of-4 minima → per-doc
+        fingerprint set, digested to a string for exact cross-engine
+        comparison. Each hash/fingerprint array is materialized as its
+        own projection column — inline HOF subtrees re-evaluate per
+        element (memory: O(n³) trap)."""
+        d = _docs(spark, sf_dir)
+        return (
+            d.withColumn("__norm", tx.normalize(F.col("text")))
+            .withColumn("__h", tx.char_gram_hashes(F.col("__norm"), k=8))
+            .withColumn("__fp", tx.winnow(F.col("__h"), w=4))
+            .select(
+                "doc_id",
+                F.size("__fp").cast("long").alias("n_fp"),
+                tx.winnow_digest(F.col("__fp")).alias("fp_digest"),
+            )
+        )
+
 
 _register_dataprep()
 

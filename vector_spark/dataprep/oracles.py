@@ -346,3 +346,143 @@ def lsh_recall_sql(
                (SELECT COUNT(*) FROM hits)::DOUBLE /
                      (SELECT COUNT(*) FROM exact) >= {min_recall} AS meets_bound
     """
+
+
+def winnow_sql(
+    col: str = "text", k: int = 8, w: int = 4, table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """Mirror of text.char_gram_hashes + text.winnow + text.winnow_digest:
+    per-document winnowing fingerprint count and digest. Every list is
+    hoisted into a MATERIALIZED CTE — an inline list expr inside a lambda
+    is re-evaluated per element (the O(n³) DuckDB trap)."""
+    norm = NORM.format(col=col)
+    # gram-position variable must NOT be `i`: _HASH64's nibble fold binds
+    # its own `i`, which would shadow the outer lambda's
+    h = hash64_expr(f"substring(s, gp, {k})")
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT {id_col}, {norm} AS s FROM {table}
+        ),
+        hashed AS MATERIALIZED (
+          SELECT {id_col},
+                 CASE WHEN len(s) >= {k}
+                      THEN list_transform(range(1, len(s) - {k} + 2),
+                                          gp -> {h})
+                      ELSE [{hash64_expr('s')}]
+                 END AS h
+          FROM base
+        ),
+        winnowed AS MATERIALIZED (
+          SELECT {id_col},
+                 CASE WHEN len(h) >= {w}
+                      THEN list_sort(list_distinct(
+                             list_transform(range(1, len(h) - {w} + 2),
+                               j -> list_min(list_slice(h, j, j + {w} - 1)))))
+                      ELSE list_sort(list_distinct(h))
+                 END AS fp
+          FROM hashed
+        )
+        SELECT {id_col},
+               len(fp)::BIGINT AS n_fp,
+               md5(array_to_string(list_transform(fp, x -> x::VARCHAR), ','))
+                 AS fp_digest
+        FROM winnowed
+    """
+
+
+def ivf_cells_sql(
+    corpus_cte: str, n_cells: int, nprobe: int, query_cap: int = 5,
+) -> str:
+    """Shared CTE block for the IVF oracles over a corpus CTE exposing
+    (vec_id, v DOUBLE[]): sampled centroids (the ``n_cells`` smallest
+    ids, copied verbatim), nearest-cell assignment (max dot, ties → lower
+    cell — mirrors array_position-first-max), and per-query top-``nprobe``
+    probe cells."""
+    return f"""
+        corpus AS MATERIALIZED ({corpus_cte}),
+        cent AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM corpus QUALIFY row_number() OVER (ORDER BY vec_id) <= {n_cells}
+        ),
+        assigned AS (
+          SELECT c.vec_id, c.v, ct.cell
+          FROM corpus c CROSS JOIN cent ct
+          QUALIFY row_number() OVER (PARTITION BY c.vec_id
+                  ORDER BY list_dot_product(c.v, ct.cv) DESC, ct.cell) = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM corpus
+              WHERE vec_id < {query_cap}),
+        probes AS (
+          SELECT q.query_id, q.qv, ct.cell
+          FROM q CROSS JOIN cent ct
+          QUALIFY row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY list_dot_product(q.qv, ct.cv) DESC, ct.cell)
+                  <= {nprobe}
+        )"""
+
+
+def ivf_topk_sql(
+    corpus_cte: str, n_cells: int = 8, nprobe: int = 2, k: int = 3,
+    query_cap: int = 5,
+) -> str:
+    """Mirror of ivf.ivf_topk (sampled centroids)."""
+    cells = ivf_cells_sql(corpus_cte, n_cells, nprobe, query_cap)
+    cos = COSINE_SQL.format(a="a.v", b="p.qv")
+    return f"""
+        WITH {cells},
+        scored AS (
+          SELECT p.query_id, a.vec_id, ROUND({cos}, 6) AS cosine
+          FROM assigned a JOIN probes p USING (cell)
+        )
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
+def ivf_recall_sql(
+    corpus_cte: str, n_cells: int = 8, nprobe: int = 2, k: int = 3,
+    query_cap: int = 5, min_recall: float = 0.8,
+) -> str:
+    """Mirror of ivf.ivf_recall_summary: IVF top-k vs brute-force top-k →
+    one (n_exact, n_recalled, recall, meets_bound) row."""
+    cells = ivf_cells_sql(corpus_cte, n_cells, nprobe, query_cap)
+    icos = COSINE_SQL.format(a="a.v", b="p.qv")
+    cos = COSINE_SQL.format(a="c.v", b="q.qv")
+    return f"""
+        WITH {cells},
+        exact AS (
+          SELECT q.query_id, c.vec_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ROUND({cos}, 6) DESC, c.vec_id) AS rank
+          FROM corpus c CROSS JOIN q
+          QUALIFY rank <= {k}
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id, ROUND({icos}, 6) AS cosine
+          FROM assigned a JOIN probes p USING (cell)
+        ),
+        ivf AS (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored
+          QUALIFY rank <= {k}
+        ),
+        hits AS (
+          SELECT e.query_id, e.vec_id FROM exact e
+          WHERE EXISTS (SELECT 1 FROM ivf i
+                        WHERE i.query_id = e.query_id
+                          AND i.vec_id = e.vec_id)
+        )
+        SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+               (SELECT COUNT(*) FROM hits) AS n_recalled,
+               ROUND((SELECT COUNT(*) FROM hits)::DOUBLE /
+                     (SELECT COUNT(*) FROM exact), 4) AS recall,
+               (SELECT COUNT(*) FROM hits)::DOUBLE /
+                     (SELECT COUNT(*) FROM exact) >= {min_recall}
+                 AS meets_bound
+    """

@@ -118,6 +118,55 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize(col))
 
 
+def char_gram_hashes(norm: Column, k: int = 8) -> Column:
+    """Rolling character k-gram hashes of an already-NORMALIZED string
+    column → array<long>, one 60-bit hash per position (the winnowing
+    input stream). Texts shorter than ``k`` chars hash as one gram.
+
+    Pass a MATERIALIZED normalized column (``withColumn("__norm",
+    normalize(col))``) — an inline ``normalize`` subtree would re-run its
+    regex once per character position inside the HOF lambda."""
+    from vector_spark.dataprep.dedup import shingle_hash64
+
+    n = F.length(norm)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: shingle_hash64(F.substring(norm, i, k)),
+        ),
+    ).otherwise(F.array(shingle_hash64(norm)))
+
+
+def winnow(hashes: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): slide a window of ``w`` consecutive k-gram hashes and
+    keep each window's minimum → sorted distinct array<long>.
+
+    Guarantee: any shared substring of length ≥ k + w - 1 between two
+    documents contributes at least one IDENTICAL selected fingerprint to
+    both — so near-dup/plagiarism detection is an equi-join on exploded
+    fingerprints, never a pairwise scan. Fewer than ``w`` hashes → keep
+    them all. Pass a MATERIALIZED hash-array column (HOF recompute,
+    same caveat as :func:`char_gram_hashes`)."""
+    m = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), m - (w - 1)),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.array_sort(
+        F.array_distinct(F.when(m >= w, mins).otherwise(hashes))
+    )
+
+
+def winnow_digest(fp: Column) -> Column:
+    """md5 digest of a fingerprint array (engine-portable string form for
+    exact comparison — array columns defeat the driver canonicalizer)."""
+    return F.md5(
+        F.array_join(F.transform(fp, lambda x: x.cast("string")), ",")
+    )
+
+
 def _word_ngrams(ws: Column, n: int) -> Column:
     """Word n-grams of an already-tokenized array (space-joined strings).
     Documents shorter than ``n`` words yield an empty array (``F.sequence``
