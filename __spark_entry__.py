@@ -2672,12 +2672,21 @@ def _register_curation() -> None:
         from vector_spark.dataprep.dedup import exact_dedup
         from vector_spark.dataprep.packing import pack_sequences
 
+        from vector_spark.functions.objects import let
+
         d = _docs(spark, sf_dir)
         bench = d.filter(F.col("doc_id") % 20 == 0)
-        rep = tx.repetition_features(F.col("text"), ws=F.col("__ws"))
+        # let-bind the words array: the quality+repetition predicate
+        # references it ~14×, and predicate pushdown substitutes a
+        # materialized __ws column back into the filter (full re-tokenize
+        # per reference — measured 38.8 s for this one scan at sf0.1)
+        keep = let(
+            tx.words(F.col("text")),
+            lambda ws: (tx.quality_score(F.col("text"), ws=ws) >= 0.5)
+            & tx.repetition_features(F.col("text"), ws=ws)["rep_ok"],
+        )
         filtered = (
-            d.withColumn("__ws", tx.words(F.col("text")))
-            .filter((tx.quality_score(F.col("text")) >= 0.5) & rep["rep_ok"])
+            d.filter(keep)
             .select("doc_id", "text")
             # reused three times downstream (shingles, score base, clean
             # join) — cache so the quality+repetition scan runs once
@@ -2690,7 +2699,10 @@ def _register_curation() -> None:
                 "doc_id",
             )
         )
-        deduped = exact_dedup(clean)
+        # pack_sequences reads its input twice (bucket totals + offset
+        # join); cache here so the dedup/decontamination chain above runs
+        # once instead of once per pass
+        deduped = exact_dedup(clean).cache()
         counted = deduped.select(
             "doc_id", tx.token_count(F.col("text")).alias("n_tok_doc")
         )
@@ -2760,8 +2772,16 @@ def _register_cfg_curation() -> None:
                     "inputs": ["docs"],
                     "min_quality": 0.5,
                     "repetition_ok": True,
+                    # exact_dedup + pack_sequences each read their input
+                    # twice; without persist the quality+repetition scan
+                    # re-executes per consumer (measured 71 s -> ~30 s)
+                    "persist": True,
                 },
-                "uniq": {"type": "exact_dedup", "inputs": ["clean"]},
+                "uniq": {
+                    "type": "exact_dedup",
+                    "inputs": ["clean"],
+                    "persist": True,
+                },
                 "packed": {
                     "type": "pack_sequences",
                     "inputs": ["uniq"],

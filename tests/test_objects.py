@@ -50,3 +50,35 @@ def test_histogram_buckets_with_clamping(spark):
     out = {r.bucket: r.n for r in histogram_buckets(df, "v", 0.0, 10.0, 5).collect()}
     # buckets of width 2: -5→clamp 0, 0→0, 1→0, 2.5→1, 9.9→4, 15→clamp 4
     assert out == {0: 3, 1: 1, 4: 2}
+
+
+def test_let_binding_equals_inline(spark):
+    from vector_spark.functions.objects import let
+
+    df = spark.createDataFrame([("a b c a",), ("x",)], "t string")
+    bound = df.select(
+        let(
+            F.split(F.col("t"), " "),
+            lambda ws: F.size(ws) + F.size(F.array_distinct(ws)),
+        ).alias("v")
+    ).collect()
+    inline = df.select(
+        (
+            F.size(F.split(F.col("t"), " "))
+            + F.size(F.array_distinct(F.split(F.col("t"), " ")))
+        ).alias("v")
+    ).collect()
+    assert [r.v for r in bound] == [r.v for r in inline] == [7, 2]
+
+
+def test_let_survives_filter_pushdown(spark):
+    from vector_spark.functions.objects import let
+
+    df = spark.createDataFrame([(i, "w " * (i + 1)) for i in range(10)], "id long, t string")
+    out = df.filter(
+        let(F.split(F.trim(F.col("t")), " "), lambda ws: F.size(ws) >= 5)
+    )
+    assert out.count() == 6
+    # the binding stays a single transform over a one-element array
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split") <= 2  # bound once (+1 for the array wrap at most)

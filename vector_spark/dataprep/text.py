@@ -75,14 +75,22 @@ def lang_id(col: Column, min_hits: int = 1) -> Column:
     return expr
 
 
-def quality_features(col: Column) -> Column:
+def quality_features(col: Column, ws: Column | None = None) -> Column:
     """Quality-scoring features → struct(n_chars, n_words, mean_word_len,
     punct_ratio, digit_ratio, upper_ratio, stop_ratio_en, uniq_ratio).
 
     All closed-form (reproducible anywhere); ratios are double.
+
+    ``ws``: optional pre-bound words array (a materialized column or a
+    :func:`vector_spark.functions.objects.let` lambda variable). The
+    struct references the array ~6×; without a binding each reference
+    re-tokenizes — and predicate pushdown substitutes projection aliases
+    into filters, so a materialized column does NOT survive inside a
+    filter predicate (use ``let`` there).
     """
     raw_len = F.length(col)
-    ws = words(col)
+    if ws is None:
+        ws = words(col)
     n_words = F.size(ws)
     punct = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()\[\]{}-]", ""))
     digits = F.length(F.regexp_replace(col, r"[^0-9]", ""))
@@ -101,10 +109,10 @@ def quality_features(col: Column) -> Column:
     )
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, ws: Column | None = None) -> Column:
     """Composite quality score in [0,1]: length sweet-spot + lexical
     diversity + bounded punctuation/digit density. Deterministic weights."""
-    f = quality_features(col)
+    f = quality_features(col, ws=ws)
     length_ok = F.when((f.n_words >= 10) & (f.n_words <= 10_000), 1.0).otherwise(0.3)
     diversity = F.least(f.uniq_ratio * 2, F.lit(1.0))
     clean = F.lit(1.0) - F.least(
@@ -182,19 +190,11 @@ def _word_ngrams(ws: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _top_ngram_frac(ws: Column, n: int) -> Column:
-    """Fraction of n-gram occurrences taken by the single most frequent
-    n-gram (the Gopher repetition signal).
-
-    Shape matters: the obvious ``transform(distinct(g), x -> count in g)``
-    embeds the gram-list subtree inside both lambdas, and Spark re-evaluates
-    it per element — O(n³) per document (measured: hung a 5000-doc scan for
-    minutes). Instead sort once and take the longest equal-run with a
-    single O(n) ``aggregate`` fold; every subexpression is referenced
-    exactly once, so nothing is recomputed."""
-    grams = F.array_sort(_word_ngrams(ws, n))
-    top = F.aggregate(
-        grams,
+def _top_run(sorted_grams: Column) -> Column:
+    """Longest equal-run length of an already-SORTED gram array — one
+    O(n) ``aggregate`` fold, every subexpression referenced once."""
+    return F.aggregate(
+        sorted_grams,
         F.struct(
             F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         ),
@@ -208,6 +208,26 @@ def _top_ngram_frac(ws: Column, n: int) -> Column:
         ),
         lambda acc: acc["best"],
     )
+
+
+def _top_ngram_frac(ws: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences taken by the single most frequent
+    n-gram (the Gopher repetition signal).
+
+    Shape matters: the obvious ``transform(distinct(g), x -> count in g)``
+    embeds the gram-list subtree inside both lambdas, and Spark re-evaluates
+    it per element — O(n³) per document (measured: hung a 5000-doc scan for
+    minutes). Instead sort once and take the longest equal-run with a
+    single O(n) ``aggregate`` fold.
+
+    Deliberately a pure Column expression even though it embeds the
+    gram-array subtree three times (fold + two size refs): materializing
+    the gram arrays as projection columns was MEASURED SLOWER (29 s →
+    60 s on the sf0.1 curation pipeline) — carrying the per-doc string
+    arrays through row buffers costs more than recomputing them, and
+    filter-predicate pushdown re-inlines the subtree anyway."""
+    grams = F.array_sort(_word_ngrams(ws, n))
+    top = _top_run(grams)
     return F.when(
         F.size(_word_ngrams(ws, n)) > 0,
         F.round(top / F.size(_word_ngrams(ws, n)), 4),

@@ -104,3 +104,21 @@ def histogram_buckets(
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("bucket_lo", F.round(F.lit(lo) + F.col("bucket") * w, 6))
     )
+
+
+def let(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE per row
+    and pass the bound result to ``body`` (a lambda Column → Column).
+
+    Why this exists: Spark has no common-subexpression sharing across an
+    expression tree — an alias referenced N times inside one predicate is
+    evaluated N times, and predicate pushdown makes it worse by
+    substituting projection aliases into the pushed filter (a filter on
+    quality+repetition features re-ran the ``words()`` regex+tokenize
+    ~14× per row after pushdown; with this binding the sf0.1 curation
+    pipeline dropped 32.8 s → 12.8 s cold, the config-compiled variant
+    71 s → 19 s). ``transform`` over a one-element
+    array binds the evaluated value to a lambda variable, which is free
+    to reference.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)

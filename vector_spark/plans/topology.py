@@ -148,6 +148,14 @@ class Topology:
         cfg = self.config["transforms"][name]
         df = self._inputs_df(cfg["inputs"])
         outs = _build_transform(name, cfg, df)
+        if cfg.get("persist"):
+            # Spark-level persist, not just plan-object reuse: an output
+            # consumed by several downstream components (or re-read inside
+            # a two-pass operator like exact_dedup / pack_sequences) would
+            # otherwise re-EXECUTE its whole upstream subtree per consumer.
+            # Opt-in per component — exactly where a user materializes an
+            # intermediate table in a real pipeline.
+            outs = {k: v.persist() for k, v in outs.items()}
         self._cache[cache_key] = outs  # type: ignore[assignment]
         return outs
 
@@ -330,17 +338,28 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
         # corpus curation as config: quality + Gopher repetition filters
         from vector_spark.dataprep import text as tx
 
+        from vector_spark.functions.objects import let
+
         text_col = cfg.get("text_col", "text")
-        out = df.withColumn("__ws", tx.words(F.col(text_col)))
-        keep = F.lit(True)
-        if "min_quality" in cfg:
-            keep = keep & (
-                tx.quality_score(F.col(text_col)) >= float(cfg["min_quality"])
-            )
-        if cfg.get("repetition_ok", False):
-            rep = tx.repetition_features(F.col(text_col), ws=F.col("__ws"))
-            keep = keep & rep["rep_ok"]
-        return {"__default": out.filter(keep).drop("__ws")}
+
+        # let-bind the tokenization: the combined predicate references
+        # the words array many times and pushdown would re-inline a
+        # materialized column into the filter (see objects.let)
+        def _pred(ws):
+            keep = F.lit(True)
+            if "min_quality" in cfg:
+                keep = keep & (
+                    tx.quality_score(F.col(text_col), ws=ws)
+                    >= float(cfg["min_quality"])
+                )
+            if cfg.get("repetition_ok", False):
+                rep = tx.repetition_features(F.col(text_col), ws=ws)
+                keep = keep & rep["rep_ok"]
+            return keep
+
+        return {
+            "__default": df.filter(let(tx.words(F.col(text_col)), _pred))
+        }
     if t == "exact_dedup":
         from vector_spark.dataprep.dedup import exact_dedup
 
