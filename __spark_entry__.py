@@ -2347,6 +2347,70 @@ def _register_codecs() -> None:
             F.replace(rt["name"], F.lit("evt|"), F.lit("")),
         )
 
+    @_q(
+        "ev_parse_influxdb",
+        """
+        WITH e AS (
+          SELECT event_id, event_type, user_id, value,
+                 epoch_ms(ts) * 1000000 AS ts_ns,
+                 event_id % 7 AS cnt, (user_id % 2 = 0) AS okb
+          FROM events
+        )
+        SELECT event_id, 0 AS pos,
+               'metrics_' || event_type || '_value' AS name,
+               ROUND(value, 6) AS value,
+               'h' || (user_id % 10) AS host, 'dc' || (user_id % 3) AS dc,
+               ts_ns
+        FROM e
+        UNION ALL
+        SELECT event_id, 1, 'metrics_' || event_type || '_count',
+               cnt::DOUBLE, 'h' || (user_id % 10), 'dc' || (user_id % 3),
+               ts_ns
+        FROM e
+        UNION ALL
+        SELECT event_id, 2, 'metrics_' || event_type || '_ok',
+               CASE WHEN okb THEN 1.0 ELSE 0.0 END,
+               'h' || (user_id % 10), 'dc' || (user_id % 3), ts_ns
+        FROM e
+        """,
+    )
+    def ev_parse_influxdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """InfluxDB line-protocol decode (reference decoding format
+        ``influxdb``, lib/codecs/src/decoding/format/influxdb.rs): build a
+        real wire line per event, parse it with the pure-JVM
+        parse_influxdb, explode to one row per numeric field — gauge name
+        ``{measurement}_{field}``, bool → 1/0, tags + nanosecond ts
+        carried. The oracle computes the expected gauges directly."""
+        from vector_spark.functions.parse import parse_influxdb
+
+        ev = _events(spark, sf_dir)
+        okb = F.col("user_id") % 2 == 0
+        line = F.concat(
+            F.lit("metrics_"), F.col("event_type"),
+            F.lit(",host=h"), (F.col("user_id") % 10).cast("string"),
+            F.lit(",dc=dc"), (F.col("user_id") % 3).cast("string"),
+            F.lit(" value="), F.col("value").cast("string"),
+            F.lit(",count="), (F.col("event_id") % 7).cast("string"),
+            F.lit("i"),
+            F.lit(",ok="), F.when(okb, F.lit("t")).otherwise(F.lit("f")),
+            F.lit(" "),
+            (F.unix_millis(F.col("ts").cast("timestamp")) * 1000000).cast(
+                "string"
+            ),
+        )
+        parsed = ev.select(
+            "event_id", F.posexplode(parse_influxdb(line)).alias("pos", "f")
+        )
+        return parsed.select(
+            "event_id",
+            "pos",
+            F.col("f.name").alias("name"),
+            F.round(F.col("f.value"), 6).alias("value"),
+            F.col("f.tags")["host"].alias("host"),
+            F.col("f.tags")["dc"].alias("dc"),
+            F.col("f.ts_ns").alias("ts_ns"),
+        )
+
 
 _register_codecs()
 

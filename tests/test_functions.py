@@ -433,3 +433,36 @@ def test_ip_v4_v6_conversions(spark):
     assert one(spark, ip.ipv6_to_ipv4(x), x="::ffff:192.168.1.1") == "192.168.1.1"
     assert one(spark, ip.ipv6_to_ipv4(x), x="192.168.1.1") == "192.168.1.1"
     assert one(spark, ip.ipv6_to_ipv4(x), x="2001:db8::1") is None
+
+
+def test_parse_influxdb(spark):
+    """Line-protocol decode parity with the reference influxdb
+    deserializer (one gauge per numeric field, strings dropped, bool →
+    1/0, i-suffixed ints, escaped separators in identifiers)."""
+    lines = [
+        "cpu,host=h1,region=us usage=0.64,idle=99i 155681356109800",
+        'disk,host=h\\ 2 free=10i,label="big disk" 7',
+        "weird,t\\,ag=a\\=b va\\,lue=3.5,flag=t,off=F 8",
+        "nots temp=1.5",
+        'strs only="just text" 9',
+        "sci big=1.5e3,neg=-2e-2 10",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    rows = df.select(
+        F.explode_outer(P.parse_influxdb(F.col("line"))).alias("m")
+    ).select("m.*").collect()
+    got = {
+        r.name: (r.value, dict(r.tags or {}), r.ts_ns)
+        for r in rows
+        if r.name is not None
+    }
+    assert got["cpu_usage"] == (0.64, {"host": "h1", "region": "us"}, 155681356109800)
+    assert got["cpu_idle"][0] == 99.0
+    assert got["disk_free"] == (10.0, {"host": "h 2"}, 7)
+    assert "disk_label" not in got  # string field dropped
+    assert got["weird_va,lue"] == (3.5, {"t,ag": "a=b"}, 8)
+    assert got["weird_flag"][0] == 1.0 and got["weird_off"][0] == 0.0
+    assert got["nots_temp"] == (1.5, {}, None)  # no timestamp
+    assert got["sci_big"][0] == 1500.0 and got["sci_neg"][0] == -0.02
+    # all-string fields → empty array (explode_outer null row only)
+    assert not any(r.name is not None and r.name.startswith("strs") for r in rows)

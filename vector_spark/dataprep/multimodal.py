@@ -59,10 +59,16 @@ class DecodeUnavailable(NotImplementedError):
 
 
 def synth_media(spark, n: int, blob_bytes: int = 256) -> DataFrame:
-    """Deterministic synthetic media table (blob = repeated md5 bytes)."""
+    """Deterministic synthetic media table (blob = repeated md5 bytes).
+
+    Partition count scales with n (~64 rows/partition) instead of
+    inheriting default parallelism: a 300-row demo on local[32] would
+    otherwise spin 32 Python workers in extract_features for ~10 rows
+    each — worker startup dominating real work."""
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
     i = F.col("id")
-    return spark.range(n).select(
+    parts = max(1, min(32, n // 64))
+    return spark.range(0, n, 1, parts).select(
         F.format_string("m-%08d", i).alias("media_id"),
         F.element_at(kinds, (i % 3 + 1).cast("int")).alias("kind"),
         F.lit("application/octet-stream").alias("mime"),

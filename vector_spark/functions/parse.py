@@ -487,6 +487,107 @@ def parse_xml(col: Column, schema: str) -> Column:
     return from_xml(col, schema)
 
 
+# InfluxDB line protocol: measurement[,tag=v...] field=v[,field=v...] [ts]
+# Escapes: `\,` `\ ` `\=` in identifiers; string field values are quoted.
+_ILP_KEY = r"(?:\\.|[^=,\s\\])+"
+_ILP_BOOL_TRUE = ("t", "T", "true", "True", "TRUE")
+_ILP_BOOL_FALSE = ("f", "F", "false", "False", "FALSE")
+
+
+def parse_influxdb(col: Column) -> Column:
+    """parse_influxdb (InfluxDB line protocol) → ``array<struct(name,
+    value double, tags map<string,string>, ts_ns long)>`` — one element
+    per NUMERIC field, mirroring the reference decoder which emits one
+    absolute gauge per field named ``{measurement}_{field}`` with i64/u64
+    cast to f64, booleans → 1.0/0.0, and string fields dropped
+    (lib/codecs/src/decoding/format/influxdb.rs:108-145). Missing
+    timestamp → null ts_ns; unparseable line → empty array.
+
+    Pure JVM regex (lookbehind splits on unescaped separators). Known
+    divergence (documented): a raw double-quote inside a TAG value can
+    confuse the string-field stripper — quotes in tags are pathological
+    and rejected by most ILP writers anyway.
+    """
+    from vector_spark.functions.objects import let
+
+    un = lambda c: F.regexp_replace(c, r"\\(.)", "$1")  # noqa: E731
+    # string fields are never emitted — strip `k="..."` tokens up front so
+    # quoted values containing spaces/commas can't break segment splits
+    no_str = F.regexp_replace(
+        col, r',' + _ILP_KEY + r'="(?:\\.|[^"\\])*"', ""
+    )
+    no_str = F.regexp_replace(
+        no_str, _ILP_KEY + r'="(?:\\.|[^"\\])*",', ""
+    )
+    no_str = F.regexp_replace(
+        no_str, r' ' + _ILP_KEY + r'="(?:\\.|[^"\\])*"', " "
+    )
+    parts = F.split(no_str, r"(?<!\\) +")
+    series = F.element_at(parts, 1)
+    fields_seg = F.element_at(parts, 2)
+    ts_ns = F.try_element_at(parts, F.lit(3)).cast("long")
+
+    measurement = un(F.regexp_extract(series, r"^((?:\\.|[^,\\])+)", 1))
+    tag_tokens = F.filter(
+        F.split(F.regexp_replace(series, r"^(?:\\.|[^,\\])+", ""), r"(?<!\\),"),
+        lambda t: t != "",
+    )
+    tags = F.map_from_entries(
+        F.transform(
+            tag_tokens,
+            lambda t: F.struct(
+                un(F.regexp_extract(t, r"^(" + _ILP_KEY + r")=", 1)),
+                un(F.regexp_replace(t, r"^" + _ILP_KEY + r"=", "")),
+            ),
+        )
+    )
+
+    def field_value(v: Column) -> Column:
+        num = v.rlike(r"^-?[0-9]+(\.[0-9]*)?([eE][+-]?[0-9]+)?$")
+        intsuf = v.rlike(r"^-?[0-9]+[iu]$")
+        return (
+            F.when(intsuf, F.substring(v, 1, F.length(v) - 1).cast("double"))
+            .when(num, v.cast("double"))
+            .when(v.isin(*_ILP_BOOL_TRUE), F.lit(1.0))
+            .when(v.isin(*_ILP_BOOL_FALSE), F.lit(0.0))
+        )
+
+    # a token must be `key=...` — guards against the trailing timestamp
+    # sliding into the field segment when every field was a stripped string
+    field_tokens = F.filter(
+        F.split(fields_seg, r"(?<!\\),"),
+        lambda t: t.rlike(r"^" + _ILP_KEY + r"="),
+    )
+    # bind series-level values once — the per-field lambda would otherwise
+    # re-evaluate the measurement/tags regex subtrees per field element
+    return let(
+        F.struct(
+            measurement.alias("m"),
+            tags.alias("tg"),
+            ts_ns.alias("ts"),
+            field_tokens.alias("fts"),
+        ),
+        lambda b: F.filter(
+            F.transform(
+                b["fts"],
+                lambda t: F.struct(
+                    F.concat_ws(
+                        "_",
+                        b["m"],
+                        un(F.regexp_extract(t, r"^(" + _ILP_KEY + r")=", 1)),
+                    ).alias("name"),
+                    field_value(
+                        F.regexp_replace(t, r"^" + _ILP_KEY + r"=", "")
+                    ).alias("value"),
+                    b["tg"].alias("tags"),
+                    b["ts"].alias("ts_ns"),
+                ),
+            ),
+            lambda s: s["value"].isNotNull(),
+        ),
+    )
+
+
 def uuid_v7(ts: Column, entropy: Column) -> Column:
     """uuid_v7 (VRL uuid_v7.cue): RFC 9562 layout — 48-bit unix-millis
     timestamp, version nibble 7, variant bits 10. The 74 "random" bits are
