@@ -853,6 +853,17 @@ def _register_dataprep() -> None:
             emb, queries_df, n_cells=8, nprobe=2, k=3, min_recall=0.8
         )
 
+    @_q("doc_winnow_dups", osql.winnow_near_dups_sql())
+    def doc_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Winnowing near-duplicate pairs: any shared substring ≥ k+w−1
+        (23 chars) guarantees a shared fingerprint, so candidates come
+        from an EQUI-JOIN on exploded fingerprints — never a pairwise
+        scan. Stop-fingerprints (> fp_cap docs — boilerplate) are dropped
+        before pairing, the same cap-and-log shape as the minhash mega-
+        bucket guard; the join shuffles (id, fp) longs only."""
+        d = _docs(spark, sf_dir)
+        return dd.winnow_near_dups(d).select("id_a", "id_b", "shared")
+
     @_q("doc_winnow", osql.winnow_sql(k=8, w=4))
     def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):

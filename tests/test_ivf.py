@@ -149,3 +149,16 @@ def test_winnow_fingerprints_subset_of_hashes(spark):
     assert set(out.fp) <= set(out["__h"])
     assert sorted(out.fp) == list(out.fp)  # sorted, distinct
     assert len(out.fp) < len(out["__h"])  # winnowing actually compresses
+
+
+def test_winnow_near_dups_planted(spark):
+    from vector_spark.dataprep.dedup import winnow_near_dups
+
+    shared = "a long enough shared passage that winnowing must fingerprint identically" * 2
+    rows = [("d1", f"unique opening one {shared} ending alpha"),
+            ("d2", f"different preamble {shared} other tail"),
+            ("d3", "totally different text with nothing in common here at all, " * 4)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = winnow_near_dups(df, min_shared=3, fp_cap=3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [("d1", "d2")]
+    assert pairs[0].shared >= 3

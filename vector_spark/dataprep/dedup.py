@@ -417,3 +417,58 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# --- winnowing near-dups (fingerprint equi-join) ----------------------------
+
+
+def winnow_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 8,
+    fp_cap: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs via winnowing fingerprints (text.winnow): two
+    documents sharing any substring of length ≥ k+w−1 share a fingerprint,
+    so candidate generation is an EQUI-JOIN on exploded fingerprints —
+    never a pairwise scan. Returns (id_a, id_b, shared) with
+    ``shared`` = number of common selected fingerprints ≥ ``min_shared``.
+
+    Scale guards (same shape as the minhash band join):
+
+    - ``fp_cap``: fingerprints appearing in more than ``fp_cap`` documents
+      are dropped before pairing (boilerplate/stop-fingerprints — a
+      fingerprint shared by B docs generates B² pairs). Deterministic
+      count predicate, mirrored exactly by the SQL oracle.
+    - the join carries (id, fp) longs only; texts are never shuffled.
+    """
+    from vector_spark.dataprep import text as tx
+
+    fps = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        .withColumn("__norm", tx.normalize(F.col(text_col)))
+        .withColumn("__h", tx.char_gram_hashes(F.col("__norm"), k=k))
+        .select("__id", F.explode(tx.winnow(F.col("__h"), w=w)).alias("__fp"))
+    )
+    ok = F.count(F.lit(1)).alias("__n")
+    keep = fps.groupBy("__fp").agg(ok).filter(F.col("__n") <= fp_cap)
+    pruned = fps.join(keep.select("__fp"), "__fp").persist()
+    pairs = (
+        pruned.alias("l")
+        .join(
+            pruned.alias("r"),
+            on=[
+                F.col("l.__fp") == F.col("r.__fp"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .groupBy(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return pairs

@@ -348,20 +348,20 @@ def lsh_recall_sql(
     """
 
 
-def winnow_sql(
+def winnow_cte_sql(
     col: str = "text", k: int = 8, w: int = 4, table: str = "documents",
     id_col: str = "doc_id",
 ) -> str:
-    """Mirror of text.char_gram_hashes + text.winnow + text.winnow_digest:
-    per-document winnowing fingerprint count and digest. Every list is
-    hoisted into a MATERIALIZED CTE — an inline list expr inside a lambda
-    is re-evaluated per element (the O(n³) DuckDB trap)."""
+    """CTE block mirroring text.char_gram_hashes + text.winnow → a
+    ``winnowed({id_col}, fp BIGINT[])`` relation. Every list is hoisted
+    into a MATERIALIZED CTE — an inline list expr inside a lambda is
+    re-evaluated per element (the O(n³) DuckDB trap)."""
     norm = NORM.format(col=col)
     # gram-position variable must NOT be `i`: _HASH64's nibble fold binds
     # its own `i`, which would shadow the outer lambda's
     h = hash64_expr(f"substring(s, gp, {k})")
     return f"""
-        WITH base AS MATERIALIZED (
+        base AS MATERIALIZED (
           SELECT {id_col}, {norm} AS s FROM {table}
         ),
         hashed AS MATERIALIZED (
@@ -382,12 +382,45 @@ def winnow_sql(
                       ELSE list_sort(list_distinct(h))
                  END AS fp
           FROM hashed
-        )
+        )"""
+
+
+def winnow_sql(
+    col: str = "text", k: int = 8, w: int = 4, table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """Mirror of the per-document winnowing fingerprint count + digest."""
+    cte = winnow_cte_sql(col, k, w, table, id_col)
+    return f"""
+        WITH {cte}
         SELECT {id_col},
                len(fp)::BIGINT AS n_fp,
                md5(array_to_string(list_transform(fp, x -> x::VARCHAR), ','))
                  AS fp_digest
         FROM winnowed
+    """
+
+
+def winnow_near_dups_sql(
+    col: str = "text", k: int = 16, w: int = 8, min_shared: int = 8,
+    fp_cap: int = 50, table: str = "documents", id_col: str = "doc_id",
+) -> str:
+    """Mirror of dedup.winnow_near_dups: explode fingerprints, drop
+    stop-fingerprints (> fp_cap docs), equi-join pairs, count shared."""
+    cte = winnow_cte_sql(col, k, w, table, id_col)
+    return f"""
+        WITH {cte},
+        fps AS MATERIALIZED (
+          SELECT {id_col} AS id, unnest(fp) AS fp FROM winnowed
+        ),
+        keep AS (
+          SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {fp_cap}
+        ),
+        pruned AS (SELECT f.id, f.fp FROM fps f JOIN keep USING (fp))
+        SELECT l.id AS id_a, r.id AS id_b, COUNT(*)::BIGINT AS shared
+        FROM pruned l JOIN pruned r ON l.fp = r.fp AND l.id < r.id
+        GROUP BY l.id, r.id
+        HAVING COUNT(*) >= {min_shared}
     """
 
 
