@@ -188,3 +188,61 @@ def test_encode_cef_parse_cef_roundtrip(spark, vendor, product, name, sev):
     assert r.device_product == product
     assert r.name == name
     assert r.severity == str(sev)
+
+
+ilp_ident = st.text(
+    alphabet=st.characters(
+        codec="ascii", min_codepoint=0x21, max_codepoint=0x7E,
+        exclude_characters='"\\',
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(
+    meas=ilp_ident, tagk=ilp_ident, tagv=ilp_ident,
+    fint=st.integers(min_value=-10**9, max_value=10**9),
+    ffloat=st.floats(allow_nan=False, allow_infinity=False, width=32),
+    fbool=st.booleans(),
+    ts=st.integers(min_value=0, max_value=2**62),
+)
+@settings(**SETTINGS)
+def test_encode_influxdb_parse_roundtrip(
+    spark, meas, tagk, tagv, fint, ffloat, fbool, ts
+):
+    """Identifiers containing commas/spaces/equals survive the
+    encode→parse round-trip; int/float/bool field values come back as
+    the reference decoder's gauge doubles."""
+    from vector_spark.functions.parse import (
+        encode_influxdb, ilp_field_bool, ilp_field_float, ilp_field_int,
+        parse_influxdb,
+    )
+
+    df = spark.createDataFrame(
+        [(meas, tagv, fint, float(ffloat), fbool, ts)],
+        "m string, tv string, fi long, ff double, fb boolean, ts long",
+    )
+    line_df = df.select(
+        encode_influxdb(
+            F.col("m"),
+            [(tagk, F.col("tv"))],
+            [
+                ("i1", ilp_field_int(F.col("fi"))),
+                ("f1", ilp_field_float(F.col("ff"))),
+                ("b1", ilp_field_bool(F.col("fb"))),
+            ],
+            ts_ns=F.col("ts"),
+        ).alias("line")
+    )
+    rows = line_df.select(
+        F.explode(parse_influxdb(F.col("line"))).alias("g")
+    ).select("g.*").collect()
+    got = {r.name: r for r in rows}
+    assert set(got) == {f"{meas}_i1", f"{meas}_f1", f"{meas}_b1"}
+    for r in rows:
+        assert dict(r.tags) == {tagk: tagv}
+        assert r.ts_ns == ts
+    assert got[f"{meas}_i1"].value == float(fint)
+    assert got[f"{meas}_f1"].value == float(ffloat)
+    assert got[f"{meas}_b1"].value == (1.0 if fbool else 0.0)

@@ -487,6 +487,76 @@ def parse_xml(col: Column, schema: str) -> Column:
     return from_xml(col, schema)
 
 
+def _ilp_escape(c: Column) -> Column:
+    """Escape `,`, ` ` and `=` for ILP identifiers (measurement/tag/key)."""
+    return F.regexp_replace(c, r"([,= ])", r"\\$1")
+
+
+def encode_influxdb(
+    measurement: Column,
+    tags: list[tuple[str, Column]],
+    fields: list[tuple[str, Column]],
+    ts_ns: Column | None = None,
+) -> Column:
+    """encode_influxdb (reference influxdb metrics sink wire format): one
+    line-protocol string ``measurement,tag=v field=v[,field=v] ts``.
+
+    ``tags``/``fields`` are ordered (key, value-column) lists — tag order
+    is caller-declared like the CEF extension order. Numeric field values
+    are emitted as-is (double formatting), long columns get the ``i``
+    suffix, booleans become ``t``/``f``; identifiers are escaped. Pure
+    JVM string expressions; round-trips through :func:`parse_influxdb`
+    (property-tested).
+
+    Field VALUES are pre-formatted strings — use the ``ilp_field_*``
+    helpers (``42i`` ints, ``t``/``f`` bools, quoted-escaped strings) so
+    the wire type is explicit at the call site, exactly like the
+    reference sink's typed field encoding."""
+    parts = [_ilp_escape(measurement.cast("string"))]
+    for k, v in tags:
+        parts.append(
+            F.concat(
+                F.lit(","), F.lit(k.replace(",", "\\,").replace(" ", "\\ ").replace("=", "\\=")),
+                F.lit("="), _ilp_escape(v.cast("string")),
+            )
+        )
+
+    fparts = []
+    for i, (k, v) in enumerate(fields):
+        key = F.lit(("," if i else "") + k.replace(",", "\\,").replace(" ", "\\ ").replace("=", "\\=") + "=")
+        fparts.append(F.concat(key, v))
+    line = F.concat(*parts, F.lit(" "), *fparts)
+    if ts_ns is not None:
+        line = F.concat(line, F.lit(" "), ts_ns.cast("string"))
+    return line
+
+
+def ilp_field_int(v: Column) -> Column:
+    """Format an integer column as an ILP int field value (``42i``)."""
+    return F.concat(v.cast("long").cast("string"), F.lit("i"))
+
+
+def ilp_field_float(v: Column) -> Column:
+    """Format a float column as an ILP float field value."""
+    return v.cast("double").cast("string")
+
+
+def ilp_field_bool(v: Column) -> Column:
+    """Format a boolean column as an ILP bool field value (``t``/``f``)."""
+    return F.when(v, F.lit("t")).otherwise(F.lit("f"))
+
+
+def ilp_field_str(v: Column) -> Column:
+    """Format a string column as a quoted ILP string field value."""
+    return F.concat(
+        F.lit('"'),
+        F.regexp_replace(
+            F.regexp_replace(v, r"\\", r"\\\\"), r'"', r'\\"'
+        ),
+        F.lit('"'),
+    )
+
+
 # InfluxDB line protocol: measurement[,tag=v...] field=v[,field=v...] [ts]
 # Escapes: `\,` `\ ` `\=` in identifiers; string field values are quoted.
 _ILP_KEY = r"(?:\\.|[^=,\s\\])+"
