@@ -54,6 +54,7 @@ def main() -> None:
 
     from vector_spark import tables
     from vector_spark.conditions import compile_condition
+    from vector_spark.functions.parse import parse_influxdb
     from vector_spark.operators.aggregate import aggregate_metrics
     from vector_spark.operators.dedupe import dedupe
     from vector_spark.operators.enrich import enrich, enrich_ip_range
@@ -127,6 +128,15 @@ def main() -> None:
         ("parse_json", df.withColumn(
             "p", F.from_json("props", "status int, path string, host string")
         )),
+        ("parse_influxdb", df.select("doc_id", parse_influxdb(
+            F.concat(
+                F.lit("req,source="), F.col("source"),
+                F.lit(",host="), F.col("host"),
+                F.lit(" bytes="), F.col("bytes").cast("string"), F.lit("i"),
+                F.lit(",status="), F.col("status").cast("string"), F.lit("i"),
+                F.lit(" 1700000000000000000"),
+            )
+        ).alias("m"))),
         ("remap_field_ops", remap_ops(df)),
         ("filter", df.filter(compile_condition(".status >= 400"))),
         ("route_nonexclusive", route_label(df.drop("message", "props"), ROUTES)),
