@@ -355,23 +355,40 @@ def winnow_cte_sql(
     """CTE block mirroring text.char_gram_hashes + text.winnow → a
     ``winnowed({id_col}, fp BIGINT[])`` relation. Every list is hoisted
     into a MATERIALIZED CTE — an inline list expr inside a lambda is
-    re-evaluated per element (the O(n³) DuckDB trap)."""
+    re-evaluated per element (the O(n³) DuckDB trap).
+
+    Gram hashing is the polynomial chain ``(h*B + c) % M`` over code
+    points (text.GRAM_HASH_BASE/MOD): pure BIGINT math, bit-exact across
+    engines. ``list_reduce`` seeds with the first element — identical to
+    Spark's explicit ``h = codes[gp]`` seed because ``(0*B + c1) % M ==
+    c1`` for any code point < M."""
     norm = NORM.format(col=col)
-    # gram-position variable must NOT be `i`: _HASH64's nibble fold binds
-    # its own `i`, which would shadow the outer lambda's
-    h = hash64_expr(f"substring(s, gp, {k})")
+    from vector_spark.dataprep.text import GRAM_HASH_BASE as B
+    from vector_spark.dataprep.text import GRAM_HASH_MOD as M
+
+    step = f"(h * {B} + c) % {M}"
+    gram = (
+        f"list_reduce(list_slice(cp, gp, gp + {k - 1}), "
+        f"(h, c) -> {step})"
+    )
     return f"""
         base AS MATERIALIZED (
           SELECT {id_col}, {norm} AS s FROM {table}
         ),
+        coded AS MATERIALIZED (
+          SELECT {id_col}, len(s) AS n,
+                 list_transform(string_split(s, ''),
+                                ch -> ascii(ch)::BIGINT) AS cp
+          FROM base
+        ),
         hashed AS MATERIALIZED (
           SELECT {id_col},
-                 CASE WHEN len(s) >= {k}
-                      THEN list_transform(range(1, len(s) - {k} + 2),
-                                          gp -> {h})
-                      ELSE [{hash64_expr('s')}]
+                 CASE WHEN n >= {k}
+                      THEN list_transform(range(1, n - {k} + 2),
+                                          gp -> {gram})
+                      ELSE [list_reduce(cp, (h, c) -> {step})]
                  END AS h
-          FROM base
+          FROM coded
         ),
         winnowed AS MATERIALIZED (
           SELECT {id_col},

