@@ -22,11 +22,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vector_spark.dataprep.text import _word_ngrams, words
+from vector_spark.functions.objects import let
 
 
 def ngram_digests(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """doc rows → (doc_id, digest) with one row per DISTINCT word n-gram."""
-    grams = F.array_distinct(_word_ngrams(words(F.col(text_col)), n))
+    """doc rows → (doc_id, digest) with one row per DISTINCT word n-gram.
+
+    The words array is bound ONCE per row via a let-binding: an inline
+    ``words()`` subtree inside the n-gram lambda is re-evaluated per gram
+    position (regex + split per gram — measured ~4× the whole scan)."""
+    grams = let(
+        words(F.col(text_col)),
+        lambda ws: F.array_distinct(_word_ngrams(ws, n)),
+    )
     return df.select(
         "doc_id", F.explode(F.transform(grams, F.md5)).alias("digest")
     )
