@@ -1969,6 +1969,178 @@ def _register_more() -> None:
 _register_more()
 
 
+# --- batch 4b: §2.8 join-shape widening (semi / anti / outer / corr-scalar) --
+
+
+def _register_join_shapes() -> None:
+    """TPC-H-shaped queries exercising the join strategies the reference
+    engine lacks entirely (SURVEY §2.8): LEFT SEMI (Q4), LEFT OUTER with an
+    extra join predicate + two-level agg (Q13), correlated scalar subquery
+    decorrelated to an agg-join (Q17), and LEFT ANTI + broadcast scalar
+    threshold (Q22). Catalyst plans these as broadcast/shuffled hash
+    semi/anti joins — no EXISTS loop, no driver-side collect."""
+
+    @_q(
+        "tpch_q4_semijoin",
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate <  DATE '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """,
+    )
+    def tpch_q4_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Q4 shape: EXISTS → left-semi join. The semi side is projected to
+        the join key only before the shuffle, so at 100 TB the exchange
+        carries 8-byte keys, not lineitem rows."""
+        o = tables.load(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        li_r = (
+            tables.load(spark, sf_dir, "lineitem")
+            .filter(F.col("l_returnflag") == "R")
+            .select("l_orderkey")
+        )
+        return (
+            o.join(li_r, o.o_orderkey == li_r.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+        )
+
+    @_q(
+        "tpch_q13_outer_dist",
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        """,
+    )
+    def tpch_q13_outer_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Q13 shape: left outer join with a non-key predicate folded into
+        the join condition (NOT a post-filter — that would turn the outer
+        join inner), then a two-level aggregation."""
+        c = tables.load(spark, sf_dir, "customer")
+        o = tables.load(spark, sf_dir, "orders")
+        return (
+            c.join(
+                o,
+                (c.c_custkey == o.o_custkey)
+                & (o.o_orderpriority != "1-URGENT"),
+                "left_outer",
+            )
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+        )
+
+    @_q(
+        "tpch_q17_corr_scalar",
+        """
+        SELECT ROUND(SUM(l.l_extendedprice::DECIMAL(14,2)) / 7.0, 2)::DOUBLE
+                 AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity * 5 * (SELECT COUNT(*) FROM lineitem l2
+                                  WHERE l2.l_partkey = l.l_partkey)
+              < (SELECT SUM(l2.l_quantity) FROM lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey)
+        """,
+    )
+    def tpch_q17_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Q17 shape: correlated scalar subquery (qty < 0.2 * per-part avg)
+        decorrelated into a per-part agg joined back. The threshold compare
+        is kept in integer space (5*qty*n < sum) so Spark and the oracle
+        agree bit-exactly with no double-rounding at the boundary.
+        Brand parts are broadcast; per-part sums ride one shuffle."""
+        li = tables.load(spark, sf_dir, "lineitem")
+        p = (
+            tables.load(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#23")
+            .select("p_partkey")
+        )
+        brand_li = li.join(
+            F.broadcast(p), li.l_partkey == F.col("p_partkey")
+        )
+        per_part = brand_li.groupBy("l_partkey").agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("__qty_sum"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        return (
+            brand_li.join(per_part.withColumnRenamed("l_partkey", "__pk"),
+                          F.col("l_partkey") == F.col("__pk"))
+            .filter(
+                F.col("l_quantity").cast("long") * 5 * F.col("__n")
+                < F.col("__qty_sum")
+            )
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+                    / 7.0,
+                    2,
+                ).cast("double").alias("avg_yearly")
+            )
+        )
+
+    @_q(
+        "tpch_q22_antijoin",
+        """
+        SELECT c_nationkey,
+               COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal::DECIMAL(14,2)), 2)::DOUBLE AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2)
+                           FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        """,
+    )
+    def tpch_q22_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Q22 shape: NOT EXISTS → left-anti join, plus a scalar global
+        threshold delivered as a broadcast 1-row cross join (no collect).
+        The threshold is rounded to 2 dp in both engines so the comparison
+        cannot flip on a last-ulp AVG difference."""
+        c = tables.load(spark, sf_dir, "customer")
+        urgent = (
+            tables.load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_custkey")
+        )
+        thresh = (
+            c.filter(F.col("c_acctbal") > 0.0)
+            .agg(F.round(F.avg("c_acctbal"), 2).alias("__thresh"))
+        )
+        return (
+            c.crossJoin(F.broadcast(thresh))
+            .filter(F.col("c_acctbal") > F.col("__thresh"))
+            .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("numcust"),
+                F.round(F.sum(F.col("c_acctbal").cast("decimal(14,2)")), 2)
+                .cast("double").alias("totacctbal"),
+            )
+        )
+
+
+_register_join_shapes()
+
+
 # --- batch 4: binary wire codecs + search conditions ------------------------
 
 

@@ -216,3 +216,30 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS bk_right_{tag}")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_join_shapes_plan_as_hash_semi_anti(spark):
+    """§2.8 join widening: EXISTS compiles to a LeftSemi hash join and
+    NOT EXISTS to a LeftAnti hash join — never a nested-loop over the
+    fact table, and the semi/anti build side carries only the join key."""
+    import os
+
+    from __spark_entry__ import queries
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    qs = queries()
+
+    semi = qs["tpch_q4_semijoin"](spark, sf)
+    plan = plan_of(semi)
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan
+    # build side projected to the key only: no lineitem payload columns
+    assert "l_extendedprice" not in plan
+
+    anti = qs["tpch_q22_antijoin"](spark, sf)
+    aplan = plan_of(anti)
+    assert "LeftAnti" in aplan
+    assert "o_orderkey" not in aplan  # anti side pruned to o_custkey
+
+    assert semi.count() > 0
+    assert anti.count() >= 0
