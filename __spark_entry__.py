@@ -2594,6 +2594,54 @@ def _register_codecs() -> None:
             F.col("f.ts_ns").alias("ts_ns"),
         )
 
+    @_q(
+        "ev_parse_ruby_hash",
+        """
+        SELECT event_id,
+               'type=>' || event_type || ' nil ok' AS msg,
+               user_id AS uid,
+               'b-' || (user_id % 3) AS tag2,
+               (user_id % 2 = 0) AS ok,
+               'it''s #' || user_id AS raw,
+               TRUE AS note_null
+        FROM events
+        """,
+    )
+    def ev_parse_ruby_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Ruby-hash payload decode (VRL ``parse_ruby_hash``,
+        website/cue/reference/remap/functions/parse_ruby_hash.cue): build a
+        Ruby hash literal per event whose strings contain ``=>``/``nil``/
+        escaped quotes (the cases a regex rewrite corrupts), parse it with
+        the recursive-descent Arrow UDF to canonical JSON, then extract
+        every field JVM-side via get_json_object. The oracle computes the
+        expected values directly from the generator formulas."""
+        from vector_spark.functions.ruby_hash import parse_ruby_hash
+
+        ev = _events(spark, sf_dir)
+        uid = F.col("user_id").cast("string")
+        okb = F.col("user_id") % 2 == 0
+        line = F.concat(
+            F.lit('{ "msg" => "type=>'), F.col("event_type"),
+            F.lit(' nil ok", :uid => '), uid,
+            F.lit(', "tags" => ["a", "b-'), (F.col("user_id") % 3).cast("string"),
+            F.lit('"], "meta" => { "ok" => '),
+            F.when(okb, F.lit("true")).otherwise(F.lit("false")),
+            F.lit(", \"note\" => nil }, 'raw' => 'it\\'s #"), uid,
+            F.lit("' }"),
+        )
+        js = parse_ruby_hash(line)
+        return ev.select(
+            "event_id",
+            F.get_json_object(js, "$.msg").alias("msg"),
+            F.get_json_object(js, "$.uid").cast("long").alias("uid"),
+            F.get_json_object(js, "$.tags[1]").alias("tag2"),
+            F.get_json_object(js, "$.meta.ok").cast("boolean").alias("ok"),
+            F.get_json_object(js, "$.raw").alias("raw"),
+            # nil must parse as JSON null: the key exists, the value doesn't
+            (F.get_json_object(js, "$.meta.note").isNull()
+             & F.get_json_object(js, "$.meta").isNotNull()).alias("note_null"),
+        )
+
 
 _register_codecs()
 

@@ -466,3 +466,52 @@ def test_parse_influxdb(spark):
     assert got["sci_big"][0] == 1500.0 and got["sci_neg"][0] == -0.02
     # all-string fields → empty array (explode_outer null row only)
     assert not any(r.name is not None and r.name.startswith("strs") for r in rows)
+
+
+def test_parse_ruby_hash_str():
+    from vector_spark.functions.ruby_hash import parse_ruby_hash_str as p
+    import json
+
+    # the canonical VRL doc example (parse_ruby_hash.cue)
+    got = json.loads(p('{ "test" => "value", "testNum" => 0.2, '
+                       '"testObj" => { "testBool" => true } }'))
+    assert got == {"test": "value", "testNum": 0.2,
+                   "testObj": {"testBool": True}}
+    # the cases a regex→JSON rewrite corrupts: '=>', 'nil', braces in strings
+    got = json.loads(p('{"a" => "x => nil } {", "b" => nil}'))
+    assert got == {"a": "x => nil } {", "b": None}
+    # symbol keys, arrays, ints with underscores, floats, sci, bools
+    got = json.loads(p('{:sym => [1, 2_000, -3.5, 1e2, true, false, nil]}'))
+    assert got == {"sym": [1, 2000, -3.5, 100.0, True, False, None]}
+    # single-quoted strings: only \' and \\ unescape; others literal
+    got = json.loads(p(r"{'k' => 'it\'s a \\ \n'}"))
+    assert got == {"k": "it's a \\ \\n"}
+    # double-quoted escapes incl. \u
+    got = json.loads(p('{"k" => "a\\tb\\u00e9\\"q\\""}'))
+    assert got == {"k": 'a\tb\xe9"q"'}
+    # nested + empty collections
+    assert json.loads(p('{"a" => {}, "b" => []}')) == {"a": {}, "b": []}
+    # misses → None: not a hash, trailing garbage, unterminated, bad token
+    for bad in ("[1,2]", '{"a" => 1} x', '{"a" => ', '{"a" => foo}',
+                '{"a" = 1}', "", "plain text"):
+        assert p(bad) is None
+
+
+def test_parse_ruby_hash_column(spark):
+    from vector_spark.functions.ruby_hash import parse_ruby_hash
+
+    df = spark.createDataFrame(
+        [('{"u" => 7, :tags => ["a","b"], "m" => {"ok" => true}}',),
+         ("not a hash",), (None,)],
+        "line string",
+    )
+    out = df.select(
+        parse_ruby_hash(F.col("line")).alias("js")
+    ).select(
+        F.get_json_object("js", "$.u").cast("long").alias("u"),
+        F.get_json_object("js", "$.tags[1]").alias("t1"),
+        F.get_json_object("js", "$.m.ok").cast("boolean").alias("ok"),
+        F.col("js").isNull().alias("miss"),
+    ).collect()
+    assert (out[0].u, out[0].t1, out[0].ok, out[0].miss) == (7, "b", True, False)
+    assert out[1].miss and out[2].miss
