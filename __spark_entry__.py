@@ -1253,6 +1253,65 @@ def _register_more() -> None:
         )
 
     @_q(
+        "ev_approx_distinct",
+        """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_card,
+               TRUE AS within_bound
+        FROM events GROUP BY event_type
+        """,
+    )
+    def ev_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """HARD error gate for the sketch path of set-cardinality metrics:
+        at the 10^12-row tier ``count_distinct`` shuffles every distinct
+        key, so tag_cardinality planning / internal_metrics use the HLL++
+        sketch (``approx_count_distinct``, mergeable map-side partials, a
+        few KB per group). The gate computes BOTH in one pass and emits
+        ``within_bound`` = (|approx − exact| / exact ≤ 5%); any sketch
+        drift past the bound mismatches the oracle's TRUE row. Same
+        pattern as emb_lsh_recall: approximation verified against its own
+        exact baseline, summary row bit-exact."""
+        ev = _events(spark, sf_dir)
+        agg = ev.groupBy("event_type").agg(
+            F.count_distinct("user_id").alias("exact_card"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+        )
+        err = F.abs(F.col("__approx") - F.col("exact_card")) / F.col("exact_card")
+        return agg.select(
+            "event_type", "exact_card", (err <= 0.05).alias("within_bound")
+        )
+
+    @_q(
+        "ev_random_bytes",
+        """
+        SELECT event_id,
+               substr(sha256(event_id || ':u:0'), 1, 32) AS tok16,
+               substr(sha256(event_id || ':s:0') || sha256(event_id || ':s:1'),
+                      1, 96) AS tok48
+        FROM events
+        """,
+    )
+    def ev_random_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic random_bytes (counter-mode SHA-256 PRF,
+        functions/crypto.py): 16-byte single-block and 48-byte two-block
+        draws per event, hex-digested for the gate; the oracle replays the
+        identical PRF — the determinism contract IS the thing verified
+        (VRL's OS-RNG version cannot survive distributed retries)."""
+        from vector_spark.functions.crypto import random_bytes
+
+        ev = _events(spark, sf_dir)
+        sid = F.col("event_id").cast("string")
+        return ev.select(
+            "event_id",
+            F.lower(F.hex(random_bytes(16, F.concat(sid, F.lit(":u"))))).alias(
+                "tok16"
+            ),
+            F.lower(F.hex(random_bytes(48, F.concat(sid, F.lit(":s"))))).alias(
+                "tok48"
+            ),
+        )
+
+    @_q(
         "ev_sample_keyed",
         """
         WITH h AS (

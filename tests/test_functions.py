@@ -515,3 +515,26 @@ def test_parse_ruby_hash_column(spark):
     ).collect()
     assert (out[0].u, out[0].t1, out[0].ok, out[0].miss) == (7, "b", True, False)
     assert out[1].miss and out[2].miss
+
+
+def test_random_bytes_deterministic(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("seed-a",), ("seed-b",)], "s string")
+    out = df.select(
+        "s",
+        F.hex(crypto.random_bytes(16, F.col("s"))).alias("h16"),
+        F.hex(crypto.random_bytes(48, F.col("s"))).alias("h48"),
+        F.length(crypto.random_bytes(48, F.col("s"))).alias("n"),
+    ).collect()
+    by_seed = {r.s: r for r in out}
+    # reference PRF: sha256(seed:0) || sha256(seed:1), truncated
+    for s, r in by_seed.items():
+        b0 = hashlib.sha256(f"{s}:0".encode()).hexdigest()
+        b1 = hashlib.sha256(f"{s}:1".encode()).hexdigest()
+        assert r.h16.lower() == b0[:32]
+        assert r.h48.lower() == (b0 + b1)[:96]
+        assert r.n == 48
+    assert by_seed["seed-a"].h16 != by_seed["seed-b"].h16
+    with pytest.raises(ValueError):
+        crypto.random_bytes(0, F.lit("x"))

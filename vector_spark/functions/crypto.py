@@ -229,3 +229,25 @@ def uuid_from_friendly_id(col: Column) -> Column:
         return s.map(go)
 
     return _dec(col)
+
+
+def random_bytes(n: int, seed: Column) -> Column:
+    """Deterministic random bytes: counter-mode SHA-256 PRF over ``seed``.
+
+    Parity: VRL ``random_bytes`` (website/cue/reference/remap/functions/
+    random_bytes.cue) draws from the OS RNG — acceptable in a single-pass
+    stream processor, but wrong in a distributed engine where a retried
+    task must reproduce its partition's output (the same reason skew salts
+    here are data-derived, operators/skew.py). The engine variant therefore
+    REQUIRES an explicit per-row seed column; same seed → same bytes on
+    every executor, every retry, every engine (oracle-reproducible).
+
+    ``n`` ≤ 1024. Output is BINARY; use ``F.hex`` for a portable digest.
+    """
+    if not 0 < n <= 1024:
+        raise ValueError("random_bytes: n must be in 1..1024")
+    blocks = [
+        F.sha2(F.concat(seed.cast("string"), F.lit(f":{i}")), 256)
+        for i in range((n * 2 + 63) // 64)
+    ]
+    return F.unhex(F.substring(F.concat(*blocks), 1, n * 2))
