@@ -1486,6 +1486,92 @@ def _register_more() -> None:
         )
 
     @_q(
+        "stream_enrich_route",
+        """
+        WITH mx AS (SELECT MAX(ts) AS m FROM events),
+        e AS (
+          SELECT ts,
+                 'tier' || ((user_id % 10) % 3) AS tier,
+                 CASE WHEN event_type = 'error' THEN 'err'
+                      WHEN value >= 400 THEN 'hot'
+                      ELSE '_unmatched' END AS route
+          FROM events)
+        SELECT route, tier,
+               strftime(time_bucket(INTERVAL 600 SECOND, ts),
+                        '%Y-%m-%d %H:%M:%S') AS ws,
+               COUNT(*) AS n
+        FROM e, mx
+        GROUP BY 1, 2, 3, mx.m
+        HAVING time_bucket(INTERVAL 600 SECOND, MIN(ts)) + INTERVAL 600 SECOND
+               <= mx.m - INTERVAL 600 SECOND
+        """,
+    )
+    def stream_enrich_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAM-STATIC ENRICHMENT in the correctness gate: the streaming
+        leg broadcast-joins a static dimension (the reference's enrichment
+        tables are exactly this — a small table resident on every worker,
+        src/enrichment_tables/file.rs), routes first-match-wins
+        (exclusive_route — pure column exprs, so the SAME operator code
+        runs in batch and streaming), then a watermarked windowed count in
+        append mode. Emitted windows compare bit-exact against batch SQL
+        with the one-window safety margin (see stream_agg_events)."""
+        global _STREAM_Q_N
+        _STREAM_Q_N += 1
+        name = f"__stream_enr_{_STREAM_Q_N}"
+        import os
+
+        from vector_spark.operators.route import exclusive_route
+
+        static = _events(spark, sf_dir)
+        max_ts = static.agg(F.max("ts")).collect()[0][0]
+        link_dir = f"/tmp/vs_stream_events_{abs(hash(sf_dir)) % 10**8}"
+        os.makedirs(link_dir, exist_ok=True)
+        link = os.path.join(link_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        dim = spark.createDataFrame(
+            [(b, f"tier{b % 3}") for b in range(10)], "uid_b int, tier string"
+        )
+        sdf = (
+            spark.readStream.schema(static.schema)
+            .parquet(link_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("uid_b", (F.col("user_id") % 10).cast("int"))
+            .join(F.broadcast(dim), "uid_b", "left")
+        )
+        routed = exclusive_route(
+            sdf,
+            {
+                "err": F.col("event_type") == "error",
+                "hot": F.col("value") >= 400,
+            },
+        )
+        agg = (
+            routed.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "600 seconds").alias("__w"), "route", "tier")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("__w.end").alias("wend"), F.col("__w.start").alias("wstart"),
+                "route", "tier", "n",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return (
+            spark.table(name)
+            .filter(F.col("wend") <= F.lit(max_ts) - F.expr("INTERVAL 600 SECONDS"))
+            .select(
+                "route", "tier",
+                F.date_format("wstart", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "n",
+            )
+        )
+
+    @_q(
         "seq_grok_parse",
         f"""
         {_SEQ_FULL_CTE}
