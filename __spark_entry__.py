@@ -596,6 +596,61 @@ def _register_dataprep() -> None:
         )
 
     @_q(
+        "doc_redact_pii",
+        """
+        WITH pii AS (
+          SELECT doc_id,
+                 'contact user' || doc_id || '@example.com ip=10.0.'
+                   || (doc_id % 256) || '.7 call +1-555-'
+                   || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ' || text
+                   AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               + len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+               + len(regexp_extract_all(t, '\\+1-555-\\d{4}')) AS n_pii,
+               md5(regexp_replace(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[REDACTED]', 'g'),
+                   '\\+1-555-\\d{4}', '[REDACTED]', 'g')) AS redacted_md5
+        FROM pii
+        """,
+    )
+    def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PII redaction for training corpora (VRL ``redact``,
+        functions/strings.py:85 ≙ website/cue/reference/remap/functions/
+        redact.cue): deterministic email/IPv4/phone strings are injected
+        per document, counted, and redacted JVM-side; the digest of the
+        redacted text is compared bit-exact against the oracle replaying
+        the same patterns. Pure regexp_replace — whole-stage codegen, no
+        Python in the path."""
+        from vector_spark.functions.strings import redact
+
+        pats = [
+            r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+            r"\+1-555-\d{4}",
+        ]
+        d = _docs(spark, sf_dir)
+        t = F.concat(
+            F.lit("contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip=10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7 call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" "), F.col("text"),
+        )
+        n_pii = sum(
+            F.size(F.regexp_extract_all(t, F.lit(f"({p})"), F.lit(1)))
+            for p in pats
+        )
+        return d.select(
+            "doc_id",
+            n_pii.cast("long").alias("n_pii"),
+            F.md5(redact(t, pats)).alias("redacted_md5"),
+        )
+
+    @_q(
         "doc_exact_dedup",
         f"""
         WITH keyed AS (
