@@ -1337,6 +1337,41 @@ def _register_more() -> None:
         )
 
     @_q(
+        "ev_approx_percentile",
+        """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+               ROUND(quantile_cont(value, 0.95), 4) AS exact_p95,
+               TRUE AS within_bound
+        FROM events GROUP BY event_type
+        """,
+    )
+    def ev_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """HARD error gate for the quantile-sketch path of summary metrics
+        (companion to ev_approx_distinct): exact interpolated percentiles
+        AND the mergeable KLL/GK-style sketch (``approx_percentile``) in
+        one aggregate pass; ``within_bound`` requires the sketch to land
+        within 2% relative error of exact at p50/p95. At the 10^12-row
+        tier the summary metric ships the sketch, never the values."""
+        ev = _events(spark, sf_dir)
+        agg = ev.groupBy("event_type").agg(
+            F.percentile("value", F.lit(0.5)).alias("__e50"),
+            F.percentile("value", F.lit(0.95)).alias("__e95"),
+            F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("__a50"),
+            F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("__a95"),
+        )
+        ok = (
+            (F.abs(F.col("__a50") - F.col("__e50")) / F.col("__e50") <= 0.02)
+            & (F.abs(F.col("__a95") - F.col("__e95")) / F.col("__e95") <= 0.02)
+        )
+        return agg.select(
+            "event_type",
+            F.round("__e50", 4).alias("exact_p50"),
+            F.round("__e95", 4).alias("exact_p95"),
+            ok.alias("within_bound"),
+        )
+
+    @_q(
         "ev_random_bytes",
         """
         SELECT event_id,

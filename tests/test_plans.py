@@ -243,3 +243,37 @@ def test_join_shapes_plan_as_hash_semi_anti(spark):
 
     assert semi.count() > 0
     assert anti.count() >= 0
+
+
+def test_sketch_gates_single_aggregate_pass(spark):
+    """HLL + quantile sketches compute alongside their exact baselines in
+    ONE aggregate (one shuffle) — the gate must not scan events twice."""
+    ev = spark.range(1000).select(
+        (F.col("id") % 5).cast("string").alias("event_type"),
+        (F.col("id") % 97).alias("user_id"),
+        (F.col("id") % 31 + 0.5).alias("value"),
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("approx"),
+        F.percentile("value", F.lit(0.5)).alias("e50"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("a50"),
+    )
+    plan = plan_of(agg)
+    # count_distinct forces an expand+two-phase agg; the point is a single
+    # scan of the input and no Python anywhere
+    assert plan.count("Scan ") <= 1 or "ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_redact_is_pure_codegen(spark):
+    """redact (PII path) stays inside whole-stage codegen: regexp_replace
+    chain, no Python eval nodes."""
+    from vector_spark.functions.strings import redact
+
+    df = spark.range(100).select(F.concat(F.lit("a@b.co x "), F.col("id").cast("string")).alias("t"))
+    out = df.select(redact(F.col("t"), [r"[a-z]+@[a-z.]+", r"\d+"]).alias("r"))
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # '*(n)' node prefix = inside a WholeStageCodegen stage
+    assert "*(1) Project" in plan
