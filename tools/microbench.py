@@ -64,6 +64,8 @@ def main() -> None:
     from vector_spark.operators.sample import sample
     from vector_spark.operators.tag_cardinality import tag_cardinality_limit
     from vector_spark.operators.throttle import throttle
+    from vector_spark.functions.ruby_hash import parse_ruby_hash
+    from vector_spark.functions.strings import redact
     from vector_spark.session import get_spark
 
     spark = get_spark(
@@ -164,6 +166,28 @@ def main() -> None:
         ("tag_cardinality_limit", tag_cardinality_limit(
             df, ["path"], value_limit=500, order_by="event_ts",
         )),
+        ("redact_pii", df.select("doc_id", redact(
+            F.concat(
+                F.lit("u"), F.col("doc_id").cast("string"),
+                F.lit("@ex.com "), F.col("client_ip"), F.lit(" "),
+                F.col("message"),
+            ),
+            [
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+                r"\+1-555-\d{4}",
+            ],
+        ).alias("r"))),
+        # the one deliberate Python row in this table: a recursive-descent
+        # parser in an Arrow UDF — records what the pandas path costs vs
+        # the JVM rows above
+        ("parse_ruby_hash_arrow", df.select("doc_id", parse_ruby_hash(
+            F.concat(
+                F.lit('{"h" => "'), F.col("host"),
+                F.lit('", :s => '), F.col("status").cast("string"),
+                F.lit(', "p" => "'), F.col("path"), F.lit('"}'),
+            )
+        ).alias("js"))),
     ]
 
     results: dict[str, float] = {}
