@@ -865,6 +865,44 @@ def _register_dataprep() -> None:
         )
 
     @_q(
+        "media_resize",
+        """
+        WITH m AS (
+          SELECT 'm-' || lpad(i::VARCHAR, 8, '0') AS media_id,
+                 (32 + i % 64) AS w, (32 + (i * 7) % 64) AS h
+          FROM range(300) t(i) WHERE i % 3 = 0
+        )
+        SELECT media_id, 'image' AS kind,
+               CASE WHEN 48 * h <= 40 * w THEN 48 ELSE (w * 40) // h END
+                 AS out_w,
+               CASE WHEN 48 * h <= 40 * w THEN (h * 48) // w ELSE 40 END
+                 AS out_h,
+               3 * (CASE WHEN 48 * h <= 40 * w THEN 48 ELSE (w * 40) // h END)
+                 * (CASE WHEN 48 * h <= 40 * w THEN (h * 48) // w ELSE 40 END)
+                 AS out_bytes
+        FROM m
+        """,
+    )
+    def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multimodal resize in the VERIFIED gate: blobs flow through the
+        mapInPandas resize (integer aspect-fit into a 48×40 box; the
+        deterministic fake raster is 3·w·h bytes, so out_bytes proves the
+        resample ran per-row); the oracle replays the integer ratio math.
+        Blob content digests are pinned by pytest (array/binary columns
+        defeat the driver canonicalizer — same posture as media_features).
+        """
+        from vector_spark.dataprep import multimodal as mm
+
+        media = mm.synth_media(spark, 300)
+        rs = mm.resize_media(media, 48, 40)
+        return rs.select(
+            "media_id", "kind",
+            F.col("out_w").cast("long").alias("out_w"),
+            F.col("out_h").cast("long").alias("out_h"),
+            "out_bytes",
+        )
+
+    @_q(
         "emb_ivf_topk",
         osql.ivf_topk_sql(_EMB_CTE, n_cells=8, nprobe=2, k=3),
     )

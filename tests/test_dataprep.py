@@ -306,3 +306,22 @@ def test_pack_and_mixing_input_validation(spark):
         allocate_quotas({}, 10)
     with pytest.raises(ValueError):
         allocate_quotas({"a": -1.0, "b": 2.0}, 10)
+
+
+def test_media_resize_plumbing(spark):
+    media = mm.synth_media(spark, 60)
+    out = mm.resize_media(media, 48, 40).orderBy("media_id").collect()
+    assert out and all(r.kind == "image" for r in out)
+    for r in out:
+        # aspect fit: one dimension hits the box, neither exceeds it
+        assert r.out_w <= 48 and r.out_h <= 40
+        assert r.out_w == 48 or r.out_h == 40
+        # fake raster contract: blob IS the resampled size
+        assert r.out_bytes == 3 * r.out_w * r.out_h == len(r.blob)
+    # deterministic across re-execution (retry safety)
+    again = [r.blob for r in mm.resize_media(media, 48, 40)
+             .orderBy("media_id").collect()]
+    assert [r.blob for r in out] == again
+    with pytest.raises(Exception) as ei:
+        mm.resize_media(media, 48, 40, fake=False).collect()
+    assert "resize" in str(ei.value).lower() or "DecodeUnavailable" in str(ei.value)

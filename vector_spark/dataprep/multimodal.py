@@ -143,3 +143,78 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("out_w", IntegerType(), True),
+        StructField("out_h", IntegerType(), True),
+        StructField("out_bytes", LongType(), True),
+        StructField("blob", BinaryType(), True),
+    ]
+)
+
+
+def _fake_resize(blob: bytes, out_w: int, out_h: int) -> bytes:
+    """Deterministic stand-in for a real resample: output size is
+    3·out_w·out_h bytes (RGB raster) filled from an md5 chain seeded by
+    (blob, dims) — byte-exact across executors/retries, so tests can pin
+    digests the way they do for _fake_decode."""
+    need = 3 * out_w * out_h
+    h = hashlib.md5((blob or b"") + f":{out_w}x{out_h}".encode()).digest()
+    chunks = [h]
+    while sum(len(c) for c in chunks) < need:
+        h = hashlib.md5(h).digest()
+        chunks.append(h)
+    return b"".join(chunks)[:need]
+
+
+def resize_media(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    fake: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Resize/resample images via ``mapInPandas`` — identical plumbing
+    contract to ``extract_features``: Arrow batch iterator bounds peak
+    memory at (batch size × blob size); ``fake=False`` raises
+    ``DecodeUnavailable`` where a real deployment would call
+    ``PIL.Image.resize`` inside the same iterator. Aspect-preserving fit
+    into the (out_w, out_h) box in PURE INTEGER math (width-bound iff
+    out_w·height ≤ out_h·width; the free dimension is a floor division) —
+    float scale factors round differently across engines, integer ratios
+    don't, so the oracle mirrors this exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise DecodeUnavailable(
+                    "real media resize needs PIL/ffmpeg — not in this image"
+                )
+            wb = (out_w * pdf["height"]) <= (out_h * pdf["width"])
+            w = (
+                wb * out_w + ~wb * ((pdf["width"] * out_h) // pdf["height"])
+            ).astype("int32")
+            hgt = (
+                wb * ((pdf["height"] * out_w) // pdf["width"]) + ~wb * out_h
+            ).astype("int32")
+            blobs = [
+                _fake_resize(b, int(ww), int(hh))
+                for b, ww, hh in zip(pdf["blob"], w, hgt)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_w": w,
+                    "out_h": hgt,
+                    "out_bytes": [len(b) for b in blobs],
+                    "blob": blobs,
+                }
+            )
+
+    if partitions:
+        media = media.repartition(partitions)
+    return media.filter(F.col("kind") == "image").mapInPandas(run, RESIZE_SCHEMA)
