@@ -903,6 +903,24 @@ def _register_dataprep() -> None:
         )
 
     @_q(
+        "media_frame_sample",
+        """
+        SELECT 'm-' || lpad(i::VARCHAR, 8, '0') AS media_id,
+               unnest(generate_series(0, 1000 + i % 9000, 1000)) AS frame_ts_ms
+        FROM range(300) t(i) WHERE i % 3 = 2
+        """,
+    )
+    def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Video frame-sampling fan-out (dataprep/multimodal.py::
+        frame_sample_plan): one row per planned frame timestamp via
+        explode(sequence(...)) — the Generate node that precedes per-frame
+        decode in a real corpus job; the oracle replays the series."""
+        from vector_spark.dataprep import multimodal as mm
+
+        media = mm.synth_media(spark, 300)
+        return mm.frame_sample_plan(media, every_ms=1000)
+
+    @_q(
         "emb_ivf_topk",
         osql.ivf_topk_sql(_EMB_CTE, n_cells=8, nprobe=2, k=3),
     )
