@@ -58,3 +58,29 @@ def test_compact_flat_dir(spark, tmp_path):
     stats = compact(spark, root, target_mb=64)
     assert stats["files_before"] >= 12 and stats["files_after"] == 1
     assert _fingerprint(spark, root) == fp
+
+
+def test_topology_parquet_sink_compacts(spark, tmp_path):
+    from vector_spark.plans.topology import compile_config
+
+    out = str(tmp_path / "topo_sink")
+    topo = compile_config(
+        spark,
+        {
+            "sources": {"gen": {"type": "sequences", "n": 5000}},
+            "sinks": {
+                "store": {
+                    "type": "parquet",
+                    "inputs": ["gen"],
+                    "path": out,
+                    "compact": True,
+                    "compact_target_mb": 256,
+                }
+            },
+        },
+    )
+    results = topo.write_sinks()
+    assert "compacted" in str(results["store"])
+    files = _data_files(out)
+    assert len(files) == 1  # 5k demo rows pack into one file
+    assert spark.read.parquet(out).count() == 5000

@@ -180,7 +180,21 @@ class Topology:
                 if cfg.get("partition_by"):
                     w = w.partitionBy(*cfg["partition_by"])
                 w.parquet(cfg["path"])
-                results[sname] = cfg["path"]
+                if cfg.get("compact"):
+                    # post-write bin-packing rewrite (Delta OPTIMIZE /
+                    # Iceberg rewriteDataFiles posture) — see sinks/compact.py
+                    from vector_spark.sinks.compact import compact
+
+                    st = compact(
+                        self.spark, cfg["path"],
+                        target_mb=int(cfg.get("compact_target_mb", 128)),
+                    )
+                    results[sname] = (
+                        f"{cfg['path']} (compacted "
+                        f"{st['files_before']}->{st['files_after']})"
+                    )
+                else:
+                    results[sname] = cfg["path"]
             elif t == "console":
                 df.show(int(cfg.get("n", 20)), truncate=False)
                 results[sname] = "console"
