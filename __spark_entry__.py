@@ -705,6 +705,56 @@ def _register_dataprep() -> None:
             F.col("member").alias("doc_id"), F.col("cluster")
         )
 
+    @_q("doc_paragraph_dedup", osql.paragraph_dedup_sql())
+    def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sub-document (paragraph-level) dedup, CCNet-style: corpus-wide
+        keep-first over segment hashes, documents reassembled from the
+        surviving segments (digest compared bit-exact)."""
+        d = _docs(spark, sf_dir)
+        return dd.paragraph_dedup(d)
+
+    @_q(
+        "doc_cluster_reps",
+        f"""
+        WITH RECURSIVE pairs AS (
+          SELECT id_a, id_b FROM ({osql.minhash_near_dups_sql()})
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        labels AS (SELECT a AS member, MIN(b) AS lab FROM reach GROUP BY a),
+        q AS (
+          SELECT doc_id, {osql.quality_score_sql_expr('text')} AS quality
+          FROM documents
+        )
+        SELECT COALESCE(l.lab, q.doc_id) AS cluster, q.doc_id, q.quality
+        FROM q LEFT JOIN labels l ON q.doc_id = l.member
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY COALESCE(l.lab, q.doc_id)
+          ORDER BY q.quality DESC, q.doc_id) = 1
+        """,
+    )
+    def doc_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The KEEP side of near-dup dedup: highest-quality representative
+        per connected component (singletons keep themselves) — the final
+        step that turns pair/cluster discovery into an output corpus."""
+        d = _docs(spark, sf_dir).select(
+            "doc_id", tx.quality_score(F.col("text")).alias("quality")
+        )
+        pairs = dd.minhash_near_dups(_docs(spark, sf_dir))
+        clusters = dd.dup_clusters(pairs)
+        return dd.cluster_representatives(d, clusters).select(
+            "cluster", "doc_id", "quality"
+        )
+
     @_q(
         "doc_simhash",
         f"SELECT doc_id, {osql.simhash_sql_expr('text')} AS simhash FROM documents",
@@ -3157,6 +3207,7 @@ def _register_dataprep2() -> None:
 
 
 def _register_mixing() -> None:
+    from vector_spark.dataprep import oracles as osql
     from vector_spark.dataprep.mixing import allocate_quotas
 
     _MIX_W = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
@@ -3186,6 +3237,23 @@ def _register_mixing() -> None:
 
         d = _docs(spark, sf_dir)
         return sample_mixture(d, _MIX_W, 120).select("doc_id", "source")
+
+    @_q(
+        "doc_sample_temperature",
+        osql.hash_threshold_mixture_sql(total=200, alpha=0.5),
+    )
+    def doc_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Temperature-scaled mixture sampling (w_s = n_s^0.5 — the
+        standard multilingual up-sampling rule) via the NO-SHUFFLE
+        hash-threshold path: membership is a scan-side 60-bit-hash
+        comparison against a broadcast per-source threshold; the oracle
+        recomputes the identical thresholds from counts."""
+        from vector_spark.dataprep.mixing import hash_threshold_mixture
+
+        d = _docs(spark, sf_dir)
+        return hash_threshold_mixture(d, total=200, alpha=0.5).select(
+            "doc_id", "source"
+        )
 
 
 def _register_curation() -> None:

@@ -325,3 +325,59 @@ def test_media_resize_plumbing(spark):
     with pytest.raises(Exception) as ei:
         mm.resize_media(media, 48, 40, fake=False).collect()
     assert "resize" in str(ei.value).lower() or "DecodeUnavailable" in str(ei.value)
+
+
+def test_paragraph_dedup_drops_shared_segments(spark):
+    # doc 1 and doc 2 share their first 10-word segment; doc 2's copy drops
+    seg_a = " ".join(f"w{i}" for i in range(10))
+    seg_b = " ".join(f"x{i}" for i in range(10))
+    seg_c = " ".join(f"y{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, f"{seg_a} {seg_b}"), (2, f"{seg_a} {seg_c}"), (3, seg_c)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dd.paragraph_dedup(df).collect()}
+    assert out[1].n_segs == 2 and out[1].n_kept == 2
+    assert out[2].n_segs == 2 and out[2].n_kept == 1  # seg_a already seen
+    assert out[3].n_segs == 1 and out[3].n_kept == 0  # seg_c taken by doc 2
+    assert out[3].text_digest is None
+    # doc 2's surviving text is exactly seg_c
+    import hashlib
+
+    assert out[2].text_digest == hashlib.md5(seg_c.encode()).hexdigest()
+
+
+def test_cluster_representatives_keep_best(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.7)],
+        "doc_id long, quality double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "member long, cluster long"
+    )
+    kept = {
+        r.doc_id: r.cluster
+        for r in dd.cluster_representatives(docs, clusters).collect()
+    }
+    # cluster 1: quality tie 2 vs 3 → min id 2 wins; 4 is a singleton
+    assert kept == {2: 1, 4: 4}
+
+
+def test_hash_threshold_mixture_temperature(spark, docs):
+    from vector_spark.dataprep.mixing import hash_threshold_mixture
+
+    total = 40
+    out = hash_threshold_mixture(docs, total=total, alpha=0.5)
+    rows = out.select("doc_id", "source").collect()
+    again = hash_threshold_mixture(docs, total=total, alpha=0.5)
+    assert sorted((r.doc_id, r.source) for r in rows) == sorted(
+        (r.doc_id, r.source)
+        for r in again.select("doc_id", "source").collect()
+    )  # deterministic — no RNG state
+    # binomial around the quota: loose 3-sigma-ish bound
+    assert 0 < len(rows) < 3 * total
+    # explicit-weights path: sources not in the weight map are dropped
+    only = hash_threshold_mixture(
+        docs, total=20, weights={"src0": 1.0}
+    )
+    assert {r.source for r in only.select("source").collect()} <= {"src0"}

@@ -20,7 +20,7 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_spark.dataprep.text import normalize, words
@@ -472,3 +472,115 @@ def winnow_near_dups(
         .filter(F.col("shared") >= min_shared)
     )
     return pairs
+
+
+# --- segment-level (paragraph) dedup ----------------------------------------
+
+
+def segment_chunks(col: Column, seg_words: int = 10) -> Column:
+    """Fixed-width word segments of ``col`` → array<string>.
+
+    Stand-in for paragraph splitting (CCNet splits on newline; the synth
+    corpus has none, so segmentation is every ``seg_words`` words — the
+    dedup machinery downstream is delimiter-agnostic). The last segment
+    may be shorter; ``slice`` clamps in both engines.
+    """
+    ws = F.split(col, " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(seg_words)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.slice(ws, i * seg_words + F.lit(1), F.lit(seg_words))
+        ),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Sub-document (paragraph/segment-level) exact dedup, CCNet-style
+    (≙ the dedup stage of CCNet/RefinedWeb: hash every paragraph, keep the
+    FIRST occurrence corpus-wide, reassemble documents from surviving
+    paragraphs).
+
+    Returns (id, n_segs, n_kept, text_digest) where text_digest is
+    md5 of the reassembled text (null when every segment was a dup).
+
+    Plan shape / 100 TB posture: segments explode scan-side (narrow);
+    shuffle #1 hash-partitions segments by md5(segment) for the
+    keep-first rank — the canonical CCNet shape (the corpus text volume
+    crosses the wire once, unavoidable since surviving text must be
+    reassembled); shuffle #2 regroups by doc id. First-occurrence order
+    is (doc_id, position) — deterministic under retries, reproducible by
+    any engine.
+    """
+    seg = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(segment_chunks(F.col(text_col), seg_words)).alias(
+            "__pos", "__seg"
+        ),
+    )
+    w = Window.partitionBy(F.md5(F.col("__seg"))).orderBy("__id", "__pos")
+    ranked = seg.withColumn("__rk", F.row_number().over(w))
+    kept = F.when(F.col("__rk") == 1, F.struct("__pos", "__seg"))
+    out = ranked.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.count(kept).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["__seg"]
+            ),
+        ).alias("__txt"),
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_segs",
+        "n_kept",
+        F.when(F.col("n_kept") > 0, F.md5(F.col("__txt"))).alias(
+            "text_digest"
+        ),
+    )
+
+
+# --- cluster representative selection ---------------------------------------
+
+
+def cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    member_col: str = "member",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """The KEEP side of near-dup dedup: one representative per cluster —
+    highest ``quality_col``, id as the deterministic tie-break; documents
+    in no cluster represent themselves (singleton cluster = own id).
+
+    ``clusters`` is (member, cluster) from :func:`dup_clusters`. Returns
+    ``df``'s surviving rows plus the ``cluster`` label.
+
+    Scale: the label join is small-side (clusters ≈ dup members only —
+    broadcast when it fits); the argmax is a per-cluster window rank,
+    one shuffle on the cluster key (skew-bounded: dup clusters are
+    typically 2–50 docs).
+    """
+    lab = clusters.select(
+        F.col(member_col).alias(id_col), F.col(cluster_col).alias("__c")
+    )
+    j = df.join(F.broadcast(lab), on=id_col, how="left").withColumn(
+        "__c", F.coalesce(F.col("__c"), F.col(id_col))
+    )
+    w = Window.partitionBy("__c").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return (
+        j.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+        .withColumnRenamed("__c", cluster_col)
+    )

@@ -63,3 +63,63 @@ def sample_mixture(
         .filter(F.col("__rk") <= qmap[F.col(source_col)])
         .drop("__rk")
     )
+
+
+def hash_threshold_mixture(
+    df: DataFrame,
+    total: int,
+    alpha: float = 1.0,
+    weights: dict[str, float] | None = None,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """The NO-SHUFFLE mixture sampler (the scale path promised in the
+    module docstring): keep a row iff ``hash64(key) < p_source * 2^60``
+    — a scan-side filter after a broadcast join with a per-source
+    probability dim. Counts are approximate (binomial around the quota)
+    but no corpus-wide sort/shuffle happens, so it is the shape to use
+    when even per-source window ranking is too hot.
+
+    ``weights=None`` derives TEMPERATURE-SCALED weights from the observed
+    source sizes: ``w_s = n_s ** alpha`` (alpha<1 up-samples small
+    sources, the standard multilingual-LM mixing rule; alpha=1 is
+    proportional, alpha=0 uniform). Keep probability is
+    ``min(1, total * w_s / (sum_w * n_s))``, ROUNDed to 12 decimals so
+    any engine recomputing it from the same counts lands on the same
+    double, making the integer threshold — and therefore the exact
+    sample membership — engine-portable and retry-stable.
+
+    The selection hash is the 60-bit md5 family (`dedup.shingle_hash64`)
+    — uniform, deterministic, reproducible in plain SQL.
+    """
+    from vector_spark.dataprep.dedup import shingle_hash64
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    if weights is None:
+        wcol = F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    else:
+        wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+        wcol = wmap[F.col(source_col)].cast("double")
+        counts = counts.filter(wcol.isNotNull())
+    dim = counts.withColumn("__w", wcol)
+    # global window over the SOURCE DIM (a handful of rows), not the corpus
+    dim = dim.withColumn("__sw", F.sum("__w").over(Window.partitionBy()))
+    dim = dim.withColumn(
+        "__p",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(total)) * F.col("__w") / (F.col("__sw") * F.col("__n")),
+            ),
+            12,
+        ),
+    ).withColumn(
+        "__thr", (F.col("__p") * F.lit(float(1 << 60))).cast("long")
+    )
+    return (
+        df.join(
+            F.broadcast(dim.select(source_col, "__thr")), on=source_col
+        )
+        .filter(shingle_hash64(F.col(key_col).cast("string")) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -536,3 +536,69 @@ def ivf_recall_sql(
                      (SELECT COUNT(*) FROM exact) >= {min_recall}
                  AS meets_bound
     """
+
+
+def paragraph_dedup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+) -> str:
+    """≙ dedup.paragraph_dedup: fixed-width segments, corpus-wide
+    keep-first by md5(segment) in (id, pos) order, reassemble + digest."""
+    k = seg_words
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, str_split({text_col}, ' ') AS w FROM {table}
+    ), chunked AS (
+      SELECT id,
+             list_transform(range(((len(w) + {k} - 1) // {k})::BIGINT),
+               i -> array_to_string(w[(i*{k}+1):(i*{k}+{k})], ' ')) AS chunks
+      FROM base
+    ), seg AS (
+      SELECT id, unnest(range(len(chunks))) AS pos, unnest(chunks) AS seg
+      FROM chunked
+    ), ranked AS (
+      SELECT id, pos, seg,
+             ROW_NUMBER() OVER (PARTITION BY md5(seg) ORDER BY id, pos) AS rk
+      FROM seg
+    )
+    SELECT id AS {id_col},
+           COUNT(*) AS n_segs,
+           COUNT(*) FILTER (WHERE rk = 1) AS n_kept,
+           CASE WHEN COUNT(*) FILTER (WHERE rk = 1) > 0
+                THEN md5(string_agg(seg, ' ' ORDER BY pos)
+                         FILTER (WHERE rk = 1))
+                END AS text_digest
+    FROM ranked GROUP BY id
+    """
+
+
+def hash_threshold_mixture_sql(
+    table: str = "documents",
+    total: int = 200,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> str:
+    """≙ mixing.hash_threshold_mixture (temperature path): per-source
+    keep probability from observed counts, 60-bit md5 hash threshold.
+    ROUND(p, 12) pins the double across engines before the threshold
+    multiply, so membership is bit-identical."""
+    h = hash64_expr(f"{key_col}::VARCHAR")
+    return f"""
+    WITH c AS (
+      SELECT {source_col} AS src, COUNT(*)::DOUBLE AS n
+      FROM {table} GROUP BY 1
+    ), d AS (
+      SELECT src, n, POWER(n, {alpha}) AS w FROM c
+    ), p AS (
+      SELECT src,
+             CAST(ROUND(least(1.0, {total} * w / (SUM(w) OVER () * n)), 12)
+                  * 1152921504606846976.0 AS BIGINT) AS thr
+      FROM d
+    )
+    SELECT t.{key_col}, t.{source_col}
+    FROM {table} t JOIN p ON t.{source_col} = p.src
+    WHERE {h} < p.thr
+    """
