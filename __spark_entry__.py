@@ -1662,12 +1662,21 @@ def _register_more() -> None:
             .select(F.col("__w.start").alias("wstart"), F.col("__w.end").alias("wend"),
                     "event_type", "n", "total")
         )
-        q = (
-            sdf.writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-        )
-        q.processAllAvailable()
-        q.stop()
+        # state-store instances = shuffle partitions AT QUERY START; size to
+        # the stream's key cardinality (types × windows ≪ 32 here), not the
+        # batch shuffle width — each instance pays per-batch checkpoint I/O.
+        # Cluster deployments size this to throughput instead.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                sdf.writeStream.format("memory").queryName(name)
+                .outputMode("append").start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
         out = spark.table(name)
         return (
             out.filter(
@@ -1751,12 +1760,18 @@ def _register_more() -> None:
                 "route", "tier", "n",
             )
         )
-        q = (
-            agg.writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-        )
-        q.processAllAvailable()
-        q.stop()
+        # bounded state partitioning — see stream_agg_events
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.format("memory").queryName(name)
+                .outputMode("append").start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
         return (
             spark.table(name)
             .filter(F.col("wend") <= F.lit(max_ts) - F.expr("INTERVAL 600 SECONDS"))
