@@ -167,3 +167,37 @@ def test_curation_transform_types(spark, tmp_path):
     assert set(rows) == {1}
     assert rows[1].tok_start == 0 and rows[1].tok_end == 30
     assert rows[1].chunk_first == 0 and rows[1].chunk_last == 1
+
+
+def test_paragraph_dedup_and_mixture_transform_types(spark, tmp_path):
+    """paragraph_dedup / sample_mixture are first-class topology types."""
+    from vector_spark.plans import compile_config
+
+    seg_a = " ".join(f"w{i}" for i in range(10))
+    seg_b = " ".join(f"x{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, f"{seg_a} {seg_b}", "s0"), (2, seg_a, "s0"), (3, seg_b, "s1")],
+        "doc_id long, text string, source string",
+    )
+    p = str(tmp_path / "docs2")
+    docs.write.parquet(p)
+    config = {
+        "sources": {"d": {"type": "parquet", "path": p}},
+        "transforms": {
+            "pdedup": {"type": "paragraph_dedup", "inputs": ["d"]},
+            "mix_exact": {"type": "sample_mixture", "inputs": ["d"],
+                          "total": 2, "weights": {"s0": 1.0, "s1": 1.0}},
+            "mix_temp": {"type": "sample_mixture", "inputs": ["d"],
+                         "total": 3, "mode": "threshold", "alpha": 0.5},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["pdedup"]}},
+    }
+    topo = compile_config(spark, config)
+    pd_rows = {r.doc_id: r for r in topo.resolve("pdedup").collect()}
+    assert pd_rows[1].n_kept == 2  # doc 1 owns both segments
+    assert pd_rows[2].n_kept == 0 and pd_rows[3].n_kept == 0
+    mix = topo.resolve("mix_exact").collect()
+    assert len(mix) == 2  # one per source under equal weights
+    assert {r.source for r in mix} == {"s0", "s1"}
+    temp = topo.resolve("mix_temp").collect()
+    assert all(r.source in {"s0", "s1"} for r in temp)

@@ -421,13 +421,53 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
                 bucket_size=int(cfg.get("bucket_size", 8192)),
             )
         }
+    if t == "paragraph_dedup":
+        from vector_spark.dataprep.dedup import paragraph_dedup
+
+        return {
+            "__default": paragraph_dedup(
+                df,
+                text_col=cfg.get("text_col", "text"),
+                id_col=cfg.get("id_col", "doc_id"),
+                seg_words=int(cfg.get("seg_words", 10)),
+            )
+        }
+    if t == "sample_mixture":
+        from vector_spark.dataprep.mixing import (
+            hash_threshold_mixture,
+            sample_mixture,
+        )
+
+        total = int(cfg["total"])
+        src = cfg.get("source_col", "source")
+        key = cfg.get("key_col", "doc_id")
+        if cfg.get("mode", "exact") == "exact":
+            # exact largest-remainder quotas (one per-source window sort)
+            return {
+                "__default": sample_mixture(
+                    df, cfg["weights"], total, source_col=src, key_col=key
+                )
+            }
+        # "threshold": the no-shuffle scale path; weights optional
+        # (temperature-derived from counts when omitted)
+        return {
+            "__default": hash_threshold_mixture(
+                df,
+                total,
+                alpha=float(cfg.get("alpha", 1.0)),
+                weights=cfg.get("weights"),
+                source_col=src,
+                key_col=key,
+            )
+        }
     raise ValueError(f"unknown transform type {t!r}")
 
 
 TRANSFORM_TYPES = (
     "filter remap route exclusive_route sample throttle dedupe reduce "
     "aggregate log_to_metric metric_to_log tag_cardinality_limit enrich script "
-    "quality_filter exact_dedup decontaminate pack_sequences"
+    "quality_filter exact_dedup decontaminate pack_sequences paragraph_dedup "
+    "sample_mixture"
 ).split()
 
 
