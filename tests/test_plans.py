@@ -277,3 +277,28 @@ def test_redact_is_pure_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # '*(n)' node prefix = inside a WholeStageCodegen stage
     assert "*(1) Project" in plan
+
+
+def test_load_spread_keeps_pushdown(spark, tmp_path_factory):
+    """tables.load's scan-spread (single-file fixtures → defaultParallelism
+    partitions) must not block predicate pushdown or column pruning: the
+    filter still reaches the parquet scan below the round-robin exchange."""
+    import os
+
+    p = str(tmp_path_factory.mktemp("spread") / "events.parquet")
+    spark.range(5_000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+        F.array(F.lit(1), F.lit(2)).alias("tokens"),
+    ).coalesce(1).write.parquet(p)
+    df = tables.load(spark, os.path.dirname(p), "events")
+    out = df.filter(F.col("source") == "3").select("id")
+    plan = plan_of(out)
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,3)]" in plan.replace(
+        "`", ""
+    ), f"spread exchange blocked pushdown:\n{plan[:800]}"
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and all("tokens" not in l for l in scan_lines)
+    # the spread itself: one round-robin exchange, scan fans out to all cores
+    assert "Exchange RoundRobinPartitioning" in plan
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism

@@ -62,7 +62,9 @@ def aggregate_metrics(
     if mode not in MODES:
         raise ValueError(f"unknown aggregate mode {mode!r}")
     win = F.window(F.col(ts_col), f"{interval_secs} seconds")
-    order = F.unix_timestamp(F.col(ts_col))
+    # full-precision event time: unix_timestamp() truncates to seconds,
+    # which turns sub-second orderings into scan-order-dependent ties
+    order = F.col(ts_col)
     value = F.col(value_col)
 
     if mode == "auto":

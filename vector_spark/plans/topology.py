@@ -98,7 +98,14 @@ class Topology:
                 df = tables.with_message(df)
             return df
         if t == "parquet":
-            return self.spark.read.parquet(cfg["path"])
+            df = self.spark.read.parquet(cfg["path"])
+            # single-row-group fixture files plan as ONE scan task; spread
+            # like Iceberg split planning would (tables.load docstring)
+            if cfg.get("spread", True):
+                goal = self.spark.sparkContext.defaultParallelism
+                if tables._planned_splits(cfg["path"]) < goal:
+                    df = df.repartition(goal)
+            return df
         if t == "csv":
             return self.spark.read.csv(
                 cfg["path"], header=cfg.get("header", True), schema=cfg.get("schema")

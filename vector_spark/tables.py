@@ -175,6 +175,48 @@ def enrich_sources_sql() -> str:
     )
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-generated testdata table (TESTDATA.md)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _planned_splits(path: str) -> int:
+    """Scan parallelism Spark will plan for ``path``: one split per data
+    file here (every fixture file is a single parquet row group far below
+    ``spark.sql.files.maxPartitionBytes``, and a row group is the atomic
+    parquet split unit — byte-range splitting cannot divide it)."""
+    import os
+
+    if os.path.isfile(path):
+        return 1
+    try:
+        return max(
+            1,
+            sum(
+                1
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ),
+        )
+    except OSError:
+        return 1
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
+    """Load one driver-generated testdata table (TESTDATA.md).
+
+    At real scale an Iceberg/parquet table arrives as hundreds of file
+    splits and the scan parallelizes on its own. The small-SF fixtures are
+    single-row-group files, whose scans plan as ONE task no matter how many
+    cores exist — so every CPU-bound per-row stage (regex parse, gram
+    hashing, UDF decode) downstream would run single-threaded. When the
+    planned scan parallelism is below the session default, spread the rows
+    with one narrow round-robin repartition: the same split fan-out
+    Iceberg's split planning gives for free on real tables, paid once per
+    query as a tiny exchange (the whole file is < 2 MiB at sf0.1).
+    Predicate pushdown and column pruning pass through the Exchange
+    unchanged (pinned in test_plans.py)."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if spread:
+        goal = spark.sparkContext.defaultParallelism
+        if _planned_splits(path) < goal:
+            df = df.repartition(goal)
+    return df
