@@ -185,14 +185,17 @@ def _planned_splits(path: str) -> int:
     if os.path.isfile(path):
         return 1
     try:
-        return max(
-            1,
-            sum(
+        n = 0
+        for _root, dirs, files in os.walk(path):
+            # skip hidden/metadata dirs (e.g. _delta_log, .crc shadows) but
+            # descend into hive-partition key=value dirs
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            n += sum(
                 1
-                for f in os.listdir(path)
+                for f in files
                 if f.endswith(".parquet") and not f.startswith(("_", "."))
-            ),
-        )
+            )
+        return max(1, n)
     except OSError:
         return 1
 
