@@ -302,3 +302,20 @@ def test_load_spread_keeps_pushdown(spark, tmp_path_factory):
     # the spread itself: one round-robin exchange, scan fans out to all cores
     assert "Exchange RoundRobinPartitioning" in plan
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_community_id_plan_stays_bounded(spark):
+    """community_id must keep its intermediates let-bound: without the
+    bindings the _addr_hex/ip6_expand_hex trees inline multiplicatively
+    (722 regexp nodes, 64 KB plan, codegen fallback, ~50 us/row); bound
+    form is ~18 regexp nodes and runs in milliseconds."""
+    from vector_spark.functions.network import community_id
+
+    df = spark.createDataFrame([("1.2.3.4", "5.6.7.8", 1, 2)], ["s", "d", "sp", "dp"])
+    out = df.select(
+        community_id(F.col("s"), F.col("d"), F.col("sp"), F.col("dp"), "tcp").alias("cid")
+    )
+    plan = optimized_of(out)
+    assert plan.count("regexp_extract") <= 40, (
+        f"community_id expression tree re-inlined: {plan.count('regexp_extract')} regexp nodes"
+    )

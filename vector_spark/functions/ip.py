@@ -70,46 +70,77 @@ def ip6_expand_hex(col: Column) -> Column:
     - each group is left-padded to 4 nibbles.
 
     Returns NULL for strings that don't look like IPv6.
+
+    Every intermediate (canonical form, split halves, group arrays, packed
+    hex) is let-bound: Spark shares no common subexpressions across an
+    expression tree, so the naive form inlined the whole upstream tree at
+    each reference (~350 regexp nodes per address; one copy each here).
     """
-    # embedded IPv4 tail → two hex groups (v4-mapped/compat forms)
+    from vector_spark.functions.objects import let
+
+    def canon_of(tail4: Column) -> Column:
+        # embedded IPv4 tail → two hex groups (v4-mapped/compat forms)
+        v4num = (
+            F.regexp_extract(tail4, IPV4_RE, 1).cast("long") * 16777216
+            + F.regexp_extract(tail4, IPV4_RE, 2).cast("long") * 65536
+            + F.regexp_extract(tail4, IPV4_RE, 3).cast("long") * 256
+            + F.regexp_extract(tail4, IPV4_RE, 4).cast("long")
+        )
+        return F.when(
+            tail4 != "",
+            let(
+                v4num,
+                lambda n: F.concat(
+                    F.regexp_replace(col, r"((\d{1,3}\.){3}\d{1,3})$", ""),
+                    F.lower(F.lpad(F.hex((n / 65536).cast("long")), 4, "0")),
+                    F.lit(":"),
+                    F.lower(F.lpad(F.hex(n % 65536), 4, "0")),
+                ),
+            ),
+        ).otherwise(col)
+
+    def expand(canon: Column) -> Column:
+        def with_halves(halves: Column) -> Column:
+            left = F.filter(
+                F.split(F.element_at(halves, 1), ":"), lambda g: g != ""
+            )
+            right = F.when(
+                F.size(halves) > 1,
+                F.filter(F.split(F.element_at(halves, 2), ":"), lambda g: g != ""),
+            ).otherwise(F.array().cast("array<string>"))
+
+            def with_lr(l: Column, r: Column) -> Column:
+                # zero-group filling is only legal with '::' compression
+                # present; an uncompressed address must have all 8 groups
+                missing = F.when(
+                    canon.contains("::"),
+                    F.greatest(F.lit(8) - F.size(l) - F.size(r), F.lit(0)),
+                ).otherwise(F.lit(0))
+                groups = F.concat(
+                    l, F.array_repeat(F.lit("0"), missing.cast("int")), r
+                )
+
+                def with_groups(g: Column) -> Column:
+                    hex32 = F.lower(
+                        F.concat_ws(
+                            "", F.transform(g, lambda x: F.lpad(x, 4, "0"))
+                        )
+                    )
+                    return let(
+                        hex32,
+                        lambda h: F.when(
+                            (F.size(g) == 8) & h.rlike("^[0-9a-f]{32}$"), h
+                        ),
+                    )
+
+                return let(groups, with_groups)
+
+            return let(left, lambda l: let(right, lambda r: with_lr(l, r)))
+
+        return let(F.split(canon, "::", 2), with_halves)
+
     tail4 = F.regexp_extract(col, r"((\d{1,3}\.){3}\d{1,3})$", 1)
-    v4num = (
-        F.regexp_extract(tail4, IPV4_RE, 1).cast("long") * 16777216
-        + F.regexp_extract(tail4, IPV4_RE, 2).cast("long") * 65536
-        + F.regexp_extract(tail4, IPV4_RE, 3).cast("long") * 256
-        + F.regexp_extract(tail4, IPV4_RE, 4).cast("long")
-    )
-    canon = F.when(
-        tail4 != "",
-        F.concat(
-            F.regexp_replace(col, r"((\d{1,3}\.){3}\d{1,3})$", ""),
-            F.lower(F.lpad(F.hex((v4num / 65536).cast("long")), 4, "0")),
-            F.lit(":"),
-            F.lower(F.lpad(F.hex(v4num % 65536), 4, "0")),
-        ),
-    ).otherwise(col)
-    halves = F.split(canon, "::", 2)
-    left = F.filter(F.split(F.element_at(halves, 1), ":"), lambda g: g != "")
-    right = F.when(
-        F.size(halves) > 1,
-        F.filter(F.split(F.element_at(halves, 2), ":"), lambda g: g != ""),
-    ).otherwise(F.array().cast("array<string>"))
-    # zero-group filling is only legal with '::' compression present;
-    # an uncompressed address must already have all 8 groups
-    missing = F.when(
-        canon.contains("::"),
-        F.greatest(F.lit(8) - F.size(left) - F.size(right), F.lit(0)),
-    ).otherwise(F.lit(0))
-    groups = F.concat(
-        left,
-        F.array_repeat(F.lit("0"), missing.cast("int")),
-        right,
-    )
-    hex32 = F.lower(
-        F.concat_ws("", F.transform(groups, lambda g: F.lpad(g, 4, "0")))
-    )
-    ok = (F.size(groups) == 8) & hex32.rlike("^[0-9a-f]{32}$")
-    return F.when(ok, hex32)
+    return let(tail4, lambda t4: let(canon_of(t4), expand))
 
 
 def ip_to_ipv6(col: Column) -> Column:
