@@ -175,6 +175,11 @@ def ivf_recall_summary(
     RAISES below ``min_recall`` so the driver query is pass/fail."""
     from vector_spark.dataprep.similarity import brute_force_topk
 
+    # corpus is referenced by the exact leg, the IVF leg, AND the centroid
+    # sample collect — truncate its lineage once so the (often synthetic)
+    # upstream expression tree isn't re-inlined and re-run per reference
+    # (same rationale as similarity.lsh_recall_summary)
+    corpus = corpus.localCheckpoint(eager=False)
     exact = brute_force_topk(
         corpus, queries, k=k, vec_col=vec_col, id_col=id_col,
         query_id_col=query_id_col,

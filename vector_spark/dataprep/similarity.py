@@ -221,6 +221,14 @@ def lsh_recall_summary(
     every number in the row is closed-form reproducible by a SQL oracle
     (the planes are literal arrays), so the row is also bit-exact checkable.
     """
+    # The corpus subtree (typically a planted-perturbation expression with
+    # literal plane/dim arrays) is referenced by BOTH self-join sides of the
+    # exact pass and by every plane-set of the LSH pass — inlined, the
+    # summary's optimized plan reached ~680 KB and the optimizer ran it per
+    # reference. The harness corpus is small by construction (the exact leg
+    # is quadratic), so truncate its lineage once; lazy so callers that
+    # already materialized pay nothing extra.
+    corpus = corpus.localCheckpoint(eager=False)
     exact = embedding_near_dups(
         corpus, threshold=threshold, vec_col=vec_col, id_col=id_col
     ).select("id_a", "id_b")
