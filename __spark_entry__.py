@@ -1783,6 +1783,70 @@ def _register_more() -> None:
         )
 
     @_q(
+        "stream_dedup_docs",
+        f"""
+        SELECT DISTINCT md5({{norm}}) AS fp FROM documents
+        """.format(norm="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"),
+    )
+    def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAMING EXACT-DEDUP in the correctness gate: the LLM-dataprep
+        content-fingerprint dedup (dataprep/dedup.py) as a stateful
+        streaming operator — file source → normalize + md5 fingerprint →
+        ``dropDuplicatesWithinWatermark`` keyed on the fingerprint (the
+        reference dedupe transform over a continuous stream,
+        src/transforms/dedupe/mod.rs, state bounded by the watermark like
+        its LRU cache bound). Only the fingerprint column is emitted: WHICH
+        duplicate row arrives first is arrival-order-dependent, but the
+        fingerprint SET is not — deterministic and bit-exact vs batch
+        DISTINCT."""
+        global _STREAM_Q_N
+        _STREAM_Q_N += 1
+        name = f"__stream_dedup_{_STREAM_Q_N}"
+        import os
+
+        from vector_spark.dataprep import text as tx
+        from vector_spark.streaming.stream import stream_dedupe
+
+        static = _docs(spark, sf_dir)
+        link_dir = f"/tmp/vs_stream_docs_{abs(hash(sf_dir)) % 10**8}"
+        os.makedirs(link_dir, exist_ok=True)
+        # the fixture has no exact duplicates — link the file TWICE so every
+        # document arrives twice and the stateful dedup provably halves the
+        # stream (2N rows in → N fingerprints out)
+        for stem in ("docs_a.parquet", "docs_b.parquet"):
+            link = os.path.join(link_dir, stem)
+            if not os.path.exists(link):
+                os.symlink(f"{sf_dir}/documents.parquet", link)
+        sdf = (
+            spark.readStream.schema(static.schema)
+            .parquet(link_dir)
+            # synthetic deterministic event time (documents carry none);
+            # the watermark only bounds dedup state, not the result
+            .withColumn(
+                "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+            )
+            .withColumn("fp", tx.fingerprint(F.col("text")))
+        )
+        # watermark must span the synthetic ts range: with "0 seconds" the
+        # second file's rows could arrive below the advanced watermark and
+        # be dropped as LATE rather than deduplicated — same count, wrong
+        # mechanism. 24 hours covers the doc_id-second range at every SF.
+        deduped = stream_dedupe(sdf, ["fp"], ts_col="ts", watermark="24 hours")
+        # bounded state partitioning — see stream_agg_events
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                deduped.select("fp").writeStream.format("memory")
+                .queryName(name).outputMode("append").start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return spark.table(name)
+
+    @_q(
         "seq_grok_parse",
         f"""
         {_SEQ_FULL_CTE}
