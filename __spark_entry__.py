@@ -1085,6 +1085,25 @@ def _register_more() -> None:
             salt_from=F.xxhash64("doc_id"),
         )
 
+    _SUBSTR_N, _SUBSTR_K = 5_000, 20
+
+    @_q(
+        "seq_substring_dedup",
+        osql.token_substring_dedup_sql(tables.sequences_sql(_SUBSTR_N), k=_SUBSTR_K),
+    )
+    def seq_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Token-level exact-substring dedup over the BASELINE `tokens`
+        payload (Lee et al. 2021 EXACTSUBSTR semantics, distributed as
+        double rolling k-gram hashes + corpus-wide keep-first + interval-
+        union coverage islands): every ≥k-token span already seen earlier
+        in (doc_id, position) order is cut; the surviving token stream is
+        digest-compared bit-exact."""
+        from vector_spark.dataprep.substring import token_substring_dedup
+
+        return token_substring_dedup(
+            tables.sequences(spark, _SUBSTR_N), k=_SUBSTR_K
+        )
+
     @_q(
         "seq_throttle",
         f"""

@@ -602,3 +602,93 @@ def hash_threshold_mixture_sql(
     FROM {table} t JOIN p ON t.{source_col} = p.src
     WHERE {h} < p.thr
     """
+
+
+def token_substring_dedup_sql(seq_sql: str, k: int = 50) -> str:
+    """≙ substring.token_substring_dedup over the closed-form sequences
+    table: per-position double polynomial k-gram hashes, corpus-wide
+    keep-first in (doc_id, position) order, interval-union coverage
+    islands, indexed-filter reassembly + digest. All integer math —
+    bit-exact across engines (DuckDB's lambda index is 1-based, matching
+    the 1-based positions the Spark side derives from posexplode+1)."""
+    from vector_spark.dataprep.substring import (
+        TOKEN_HASH_BASE_1,
+        TOKEN_HASH_BASE_2,
+        TOKEN_HASH_MOD_1,
+        TOKEN_HASH_MOD_2,
+    )
+
+    gram1 = (
+        f"list_reduce(lt[gp : gp + {k - 1}], "
+        f"(h, c) -> (h * {TOKEN_HASH_BASE_1} + c) % {TOKEN_HASH_MOD_1})"
+    )
+    gram2 = (
+        f"list_reduce(lt[gp : gp + {k - 1}], "
+        f"(h, c) -> (h * {TOKEN_HASH_BASE_2} + c) % {TOKEN_HASH_MOD_2})"
+    )
+    return f"""
+    WITH seq AS ({seq_sql}),
+    base AS MATERIALIZED (
+      SELECT doc_id, list_transform(tokens, t -> t::BIGINT) AS lt,
+             len(tokens) AS n
+      FROM seq
+    ),
+    occ AS MATERIALIZED (
+      SELECT doc_id, gp, {gram1} AS h1, {gram2} AS h2
+      FROM base, LATERAL unnest(range(1, greatest(n - {k} + 2, 1))) AS t(gp)
+    ),
+    dups AS (
+      SELECT doc_id, q, q + {k} - 1 AS e FROM (
+        SELECT doc_id, gp AS q,
+               ROW_NUMBER() OVER (PARTITION BY h1, h2
+                                  ORDER BY doc_id, gp) AS rk
+        FROM occ
+      ) WHERE rk > 1
+    ),
+    isl AS (
+      SELECT doc_id, q, e,
+             CASE WHEN q > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775807) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM dups
+    ),
+    merged AS (
+      SELECT doc_id, iid, min(q) AS s, max(e) AS e, count(*) AS n_occ
+      FROM (
+        SELECT doc_id, q, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+        FROM isl
+      ) GROUP BY doc_id, iid
+    ),
+    cover AS (
+      SELECT doc_id,
+             list({{'s': s, 'e': e}} ORDER BY s) AS islands,
+             sum(e - s + 1) AS n_cut,
+             sum(n_occ) AS n_dup_grams
+      FROM merged GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT b.doc_id, b.n,
+             coalesce(c.n_dup_grams, 0) AS n_dup_grams,
+             coalesce(c.n_cut, 0) AS n_cut,
+             list_filter(b.lt, (tok, i) ->
+               NOT len(list_filter(
+                 coalesce(c.islands, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+                 p -> p.s <= i AND i <= p.e)) > 0) AS kt
+      FROM base b LEFT JOIN cover c USING (doc_id)
+    )
+    SELECT doc_id,
+           n::BIGINT AS n_tok,
+           greatest(n - {k} + 1, 0)::BIGINT AS n_grams,
+           n_dup_grams::BIGINT AS n_dup_grams,
+           n_cut::BIGINT AS n_cut,
+           (n - n_cut)::BIGINT AS n_kept,
+           CASE WHEN len(kt) > 0
+                THEN md5(array_to_string(
+                       list_transform(kt, x -> x::VARCHAR), ','))
+                END AS kept_digest
+    FROM kept
+    """
