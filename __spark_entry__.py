@@ -1014,6 +1014,52 @@ def _register_dataprep() -> None:
             emb, queries_df, n_cells=8, nprobe=2, k=3, min_recall=0.8
         )
 
+    @_q(
+        "emb_pq_topk",
+        osql.pq_topk_sql(_EMB_CTE, m=8, ksub=32, dim=64, k=5),
+    )
+    def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Product-quantization ANN (Jégou et al., TPAMI 2011): corpus
+        encoded to m=8 one-byte codes (8 B/vector vs 256 B raw — the
+        compressed index IS what gets scanned at the 10^12 tier), queries
+        broadcast with per-subspace ADC tables, score = m BIGINT lookups
+        + adds per pair. Codebooks are sampled corpus vectors and every
+        distance is a micro-unit BIGINT, so the oracle replays encode and
+        scoring bit-exactly (dataprep/pq.py module docstring)."""
+        from vector_spark.dataprep import pq
+
+        emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = pq.pq_topk(emb, queries_df, m=8, ksub=32, k=5)
+        return out.withColumn("rank", F.col("rank").cast("long"))
+
+    @_q(
+        "emb_pq_recall",
+        osql.pq_recall_sql(_EMB_CTE, m=8, ksub=32, dim=64, k=5,
+                           shortlist=100, min_recall=0.75),
+    )
+    def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """HARD recall gate for the PQ path (pattern of emb_ivf_recall):
+        exact micro-L2 top-5 vs the ADC top-100 re-rank shortlist;
+        RAISES below 0.75 (0.92 at sf0.01, 0.88 at sf0.1), and the
+        one-row summary is bit-exact vs the oracle."""
+        from vector_spark.dataprep import pq
+
+        emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return pq.pq_recall_summary(
+            emb, queries_df, m=8, ksub=32, k=5, shortlist=100,
+            min_recall=0.75,
+        )
+
     @_q("doc_winnow_dups", osql.winnow_near_dups_sql())
     def doc_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Winnowing near-duplicate pairs: any shared substring ≥ k+w−1

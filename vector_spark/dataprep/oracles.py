@@ -692,3 +692,117 @@ def token_substring_dedup_sql(seq_sql: str, k: int = 50) -> str:
                 END AS kept_digest
     FROM kept
     """
+
+
+def pq_cte_sql(
+    corpus_cte: str, m: int = 4, ksub: int = 8, dim: int = 64,
+    query_cap: int = 5,
+) -> str:
+    """Shared CTE block for the PQ oracles over a corpus CTE exposing
+    (vec_id, v DOUBLE[]): codebooks are slices of the ``ksub``
+    smallest-id corpus vectors (copied verbatim — no arithmetic, same
+    trick as ivf_cells_sql), each vector is encoded per subspace by
+    argmin micro-unit squared L2 (ties -> lower codeword), and queries
+    (vec_id < query_cap) get per-(subspace, codeword) ADC distance rows.
+    All distances use the expression shape of pq._dists_u:
+    ``round(((self(a) - 2*dot(a,c)) + self(c)) * 1e6)::BIGINT``."""
+    dsub = dim // m
+    d_expr = (
+        "ROUND(((list_dot_product(sub, sub)"
+        " - 2.0 * list_dot_product(sub, b.cv))"
+        " + list_dot_product(b.cv, b.cv)) * 1000000)::BIGINT"
+    )
+    return f"""
+        corpus AS MATERIALIZED ({corpus_cte}),
+        cbase AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, v
+          FROM corpus QUALIFY row_number() OVER (ORDER BY vec_id) <= {ksub}
+        ),
+        cb AS MATERIALIZED (
+          SELECT s.s, c.cw,
+                 list_slice(c.v, s.s*{dsub}+1, s.s*{dsub}+{dsub}) AS cv
+          FROM cbase c CROSS JOIN (SELECT unnest(range({m})) AS s) s
+        ),
+        codes AS MATERIALIZED (
+          SELECT vec_id, s, cw AS code FROM (
+            SELECT c.vec_id, b.s, b.cw,
+                   list_slice(c.v, b.s*{dsub}+1, b.s*{dsub}+{dsub}) AS sub,
+                   {d_expr} AS d
+            FROM corpus c CROSS JOIN cb b
+          )
+          QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d, cw) = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM corpus
+              WHERE vec_id < {query_cap}),
+        qd AS MATERIALIZED (
+          SELECT q.query_id, b.s, b.cw,
+                 list_slice(q.qv, b.s*{dsub}+1, b.s*{dsub}+{dsub}) AS sub,
+                 {d_expr} AS d
+          FROM q CROSS JOIN cb b
+        ),
+        scored AS (
+          SELECT d.query_id, c.vec_id, SUM(d.d)::BIGINT AS adc_u
+          FROM codes c JOIN qd d ON d.s = c.s AND d.cw = c.code
+          GROUP BY d.query_id, c.vec_id
+        )"""
+
+
+def pq_topk_sql(
+    corpus_cte: str, m: int = 4, ksub: int = 8, dim: int = 64, k: int = 5,
+    query_cap: int = 5,
+) -> str:
+    """Mirror of pq.pq_topk (ADC scoring over sampled codebooks)."""
+    cte = pq_cte_sql(corpus_cte, m, ksub, dim, query_cap)
+    return f"""
+        WITH {cte}
+        SELECT query_id, vec_id, adc_u,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_u, vec_id) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
+def pq_recall_sql(
+    corpus_cte: str, m: int = 4, ksub: int = 8, dim: int = 64, k: int = 5,
+    query_cap: int = 5, min_recall: float = 0.5, shortlist: int | None = None,
+) -> str:
+    """Mirror of pq.pq_recall_summary: exact micro-unit squared-L2 top-k
+    vs the PQ/ADC top-``shortlist`` candidate set (the re-rank shortlist
+    — the set a real ADC scan hands to exact re-ranking) -> one summary
+    row."""
+    shortlist = k if shortlist is None else shortlist
+    cte = pq_cte_sql(corpus_cte, m, ksub, dim, query_cap)
+    return f"""
+        WITH {cte},
+        exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   list_transform(range(len(c.v)),
+                                  i -> c.v[i+1] - q.qv[i+1]) AS df,
+                   ROUND(list_dot_product(df, df) * 1000000)::BIGINT AS l2_u
+            FROM corpus c CROSS JOIN q
+          )
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY l2_u, vec_id) <= {k}
+        ),
+        pq AS (
+          SELECT query_id, vec_id FROM scored
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_u, vec_id) <= {shortlist}
+        ),
+        hits AS (
+          SELECT e.query_id, e.vec_id FROM exact e
+          WHERE EXISTS (SELECT 1 FROM pq p
+                        WHERE p.query_id = e.query_id
+                          AND p.vec_id = e.vec_id)
+        )
+        SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+               (SELECT COUNT(*) FROM hits) AS n_recalled,
+               ROUND((SELECT COUNT(*) FROM hits)::DOUBLE /
+                     (SELECT COUNT(*) FROM exact), 4) AS recall,
+               (SELECT COUNT(*) FROM hits)::DOUBLE /
+                     (SELECT COUNT(*) FROM exact) >= {min_recall}
+                 AS meets_bound
+    """
