@@ -2096,6 +2096,51 @@ def _register_more() -> None:
         )
 
     @_q(
+        "tpch_bucketed_join",
+        """
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*)::BIGINT AS n_orders,
+               ROUND(SUM(o.o_totalprice::DECIMAL(14,2)), 2)::DOUBLE AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """,
+    )
+    def tpch_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Storage-bucketed co-located join (sinks/bucketing.py): both
+        sides land once as catalog tables bucketed+sorted on the join
+        key, then the fact⋈dim join runs with ZERO Exchange nodes —
+        asserted in-plan, not just benched. At the 10^12 tier this is
+        the shuffle paid once at ingest instead of per query; the oracle
+        is the plain join (bucketing must not change a single row)."""
+        from vector_spark.sinks import bucketing as bk
+
+        tag = abs(hash(sf_dir)) % 10**8
+        to, tc = f"bk_orders_{tag}", f"bk_cust_{tag}"
+        o = tables.load(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice"
+        )
+        c = tables.load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        bk.write_bucketed(o, to, "o_custkey", n_buckets=8)
+        bk.write_bucketed(c, tc, "c_custkey", n_buckets=8)
+        j = (
+            spark.table(to)
+            .hint("merge")
+            .join(
+                spark.table(tc).hint("merge"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+        )
+        assert bk.n_shuffle_exchanges(j) == 0, "bucketed join must not shuffle"
+        return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+
+    @_q(
         "vrl_scalar_functions",
         """
         SELECT event_id,
