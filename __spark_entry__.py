@@ -1131,6 +1131,45 @@ def _register_more() -> None:
             salt_from=F.xxhash64("doc_id"),
         )
 
+    @_q(
+        "seq_heavy_hitters",
+        f"""
+        {_SEQ_CTE},
+        base AS (SELECT source || '-' || (_i % 97) AS key, _i FROM seq),
+        tot AS (SELECT COUNT(*) AS n FROM base),
+        cand AS (
+          SELECT key FROM base, tot
+          WHERE _i % 20 = 0
+          GROUP BY key, n
+          HAVING COUNT(*) >= 0.5 * (0.002::DOUBLE * n) / 20
+        )
+        SELECT b.key, COUNT(*)::BIGINT AS n_rows,
+               ROUND(COUNT(*) / ANY_VALUE(t.n), 6) AS share
+        FROM base b JOIN cand USING (key) CROSS JOIN tot t
+        GROUP BY b.key
+        HAVING COUNT(*) >= 0.002::DOUBLE * ANY_VALUE(t.n)
+        """,
+    )
+    def seq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Two-phase heavy hitters (top talkers) over the skewed
+        source×user key (operators/heavy_hitters.py): a deterministic
+        1/20 row sample nominates candidates, ONE exact pass counts only
+        those via broadcast semi-join — the shuffle carries candidate
+        keys, never the full key space. The naive alternative shuffles
+        every distinct key, the exact explosion tag_cardinality_limit
+        exists to prevent."""
+        from vector_spark.operators.heavy_hitters import heavy_hitters
+
+        seq = _seq(spark).withColumn(
+            "hh_key",
+            F.concat(
+                F.col("source"), F.lit("-"), (F.col("_i") % 97).cast("string")
+            ),
+        )
+        return heavy_hitters(
+            seq, "hh_key", min_share=0.002, sample_col="_i", sample_mod=20
+        )
+
     _SUBSTR_N, _SUBSTR_K = 5_000, 20
 
     @_q(
