@@ -34,7 +34,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_spark.dataprep.similarity import dot
 from vector_spark.functions.objects import let
 
 MICRO = 1_000_000  # micro-unit scale for integer distance math
@@ -59,8 +58,57 @@ def pq_codebooks(
     return [[v[s * dsub : (s + 1) * dsub] for v in vecs] for s in range(m)]
 
 
-def _lit_vec(v: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in v])
+def _let_sql(value: str, var: str, body: str) -> str:
+    """SQL twin of objects.let — bind ``value`` once via a one-element
+    transform (same construction, same evaluation semantics)."""
+    return f"element_at(transform(array({value}), {var} -> {body}), 1)"
+
+
+def _book_sql(book: list[list[float]]) -> str:
+    """The codebook as ONE SQL literal ``array<struct<cv array<double>,
+    sc double>>`` parsed in a single ``F.expr`` — Column-API construction
+    here would issue one py4j round trip per literal/lambda (ksub x dsub
+    = thousands of calls, ~50 s of pure driver time per query at m=8 /
+    ksub=32) while the SQL string parses JVM-side in milliseconds.
+    ``repr(float)`` round-trips binary64 exactly, so the literals are
+    bit-identical to the collected codebook values."""
+
+    def vec(v: list[float]) -> str:
+        return "array(" + ",".join(f"{float(x)!r}D" for x in v) + ")"
+
+    entries = ",".join(
+        f"struct({vec(c)} AS cv, {_self(c)!r}D AS sc)" for c in book
+    )
+    return f"array({entries})"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL twin of similarity.dot — identical fold order, so results are
+    bit-identical to the Column version and the oracle contract holds."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def _dists_sql(
+    vec_col: str, offset: int, dsub: int, book: list[list[float]]
+) -> str:
+    """SQL micro-unit distance array from the ``dsub``-wide subvector at
+    0-based ``offset`` of ``vec_col`` to each codeword — one transform
+    over the literal codebook, arithmetic shaped exactly as the module
+    docstring documents. (A fully unrolled literal-coefficient form was
+    tried and is SLOWER: the ~600-node-per-subspace tree blows the
+    codegen method limit and falls back to interpreting thousands of
+    element_at nodes per row.)"""
+    inner = _let_sql(
+        _dot_sql("sub", "sub"),
+        "selfa",
+        f"transform({_book_sql(book)}, e -> CAST(ROUND((selfa - 2.0D * "
+        + _dot_sql("sub", "e.cv")
+        + " + e.sc) * 1000000) AS BIGINT))",
+    )
+    return _let_sql(f"slice(`{vec_col}`, {offset + 1}, {dsub})", "sub", inner)
 
 
 def _self(v: list[float]) -> float:
@@ -68,23 +116,6 @@ def _self(v: list[float]) -> float:
     for x in v:  # sequential IEEE sum — same fold order as dot()
         acc += x * x
     return acc
-
-
-def _dists_u(sub: Column, book: list[list[float]]) -> Column:
-    """array<long> of micro-unit squared L2 distances from the bound
-    subvector to each codeword: round((self(a) - 2·dot(a,c) + self(c))·1e6)."""
-    return let(
-        dot(sub, sub),
-        lambda selfa: F.array(
-            *[
-                F.round(
-                    (selfa - 2.0 * dot(sub, _lit_vec(c)) + F.lit(_self(c)))
-                    * MICRO
-                ).cast("long")
-                for c in book
-            ]
-        ),
-    )
 
 
 def pq_encode(
@@ -99,16 +130,15 @@ def pq_encode(
     gets written out — ``m`` bytes/vector instead of the vector."""
     m, dsub = len(codebooks), len(codebooks[0][0])
 
-    def code_for(s: int) -> Column:
-        return let(
-            F.slice(F.col(vec_col), s * dsub + 1, dsub),
-            lambda sub: let(
-                _dists_u(sub, codebooks[s]),
-                lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
-            ),
+    def code_for(s: int) -> str:
+        return _let_sql(
+            _dists_sql(vec_col, s * dsub, dsub, codebooks[s]),
+            "d",
+            "CAST(array_position(d, array_min(d)) - 1 AS INT)",
         )
 
-    return df.withColumn(code_col, F.array(*[code_for(s) for s in range(m)]))
+    codes = "array(" + ",".join(code_for(s) for s in range(m)) + ")"
+    return df.withColumn(code_col, F.expr(codes))
 
 
 def pq_query_tables(
@@ -120,16 +150,10 @@ def pq_query_tables(
     """Per-query ADC table → ``array<array<long>>`` (m × ksub micro-unit
     distances), computed ONCE per query."""
     m, dsub = len(codebooks), len(codebooks[0][0])
-
-    def tab_for(s: int) -> Column:
-        # NB: a 2-arg lambda here would make `let`'s transform() pass the
-        # element index as the second positional — close over s instead.
-        return let(
-            F.slice(F.col(vec_col), s * dsub + 1, dsub),
-            lambda sub: _dists_u(sub, codebooks[s]),
-        )
-
-    return queries.withColumn(tab_col, F.array(*[tab_for(s) for s in range(m)]))
+    tab = "array(" + ",".join(
+        _dists_sql(vec_col, s * dsub, dsub, codebooks[s]) for s in range(m)
+    ) + ")"
+    return queries.withColumn(tab_col, F.expr(tab))
 
 
 def pq_topk(
