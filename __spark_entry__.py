@@ -1170,6 +1170,34 @@ def _register_more() -> None:
             seq, "hh_key", min_share=0.002, sample_col="_i", sample_mod=20
         )
 
+    from vector_spark.sinks.zorder import zorder_key_sql as _zk_sql
+
+    @_q(
+        "seq_zorder",
+        f"""
+        {_SEQ_CTE},
+        base AS (SELECT _i, _i % 1024 AS d1,
+                        (_i * 2654435761) % 100 AS d2 FROM seq)
+        SELECT _i, d1, d2, {_zk_sql(["d1", "d2"], bits=10)} AS z
+        FROM base
+        """,
+    )
+    def seq_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Z-order (Morton) layout key over two independent dimensions of
+        the BASELINE table (sinks/zorder.py): closed-form bit interleave,
+        reproduced bit-exactly by the oracle. The layout claim itself —
+        a point filter on EITHER dimension overlaps ~√F of F files after
+        zorder_write, vs all files for the unsorted one — is pinned
+        against real parquet footer stats in tests/test_zorder.py."""
+        from vector_spark.sinks import zorder as zo
+
+        base = _seq(spark).select(
+            "_i",
+            (F.col("_i") % 1024).alias("d1"),
+            ((F.col("_i") * 2654435761) % 100).alias("d2"),
+        )
+        return base.withColumn("z", zo.zorder_key(["d1", "d2"], bits=10))
+
     _SUBSTR_N, _SUBSTR_K = 5_000, 20
 
     @_q(
