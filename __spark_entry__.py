@@ -1170,6 +1170,54 @@ def _register_more() -> None:
             seq, "hh_key", min_share=0.002, sample_col="_i", sample_mod=20
         )
 
+    @_q(
+        "seq_token_topk",
+        f"""
+        {_SEQ_CTE},
+        ex AS (SELECT unnest(tokens) AS token FROM seq)
+        SELECT token, COUNT(*)::BIGINT AS n
+        FROM ex GROUP BY token
+        ORDER BY n DESC, token LIMIT 100
+        """,
+    )
+    def seq_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Corpus token-frequency top-k (dataprep/tokens.py): map-side
+        combined count bounded by vocab size, TakeOrderedAndProject cut
+        with a total-order tie-break so the result is deterministic."""
+        from vector_spark.dataprep import tokens as tk
+
+        return tk.token_topk(_seq(spark), k=100)
+
+    @_q(
+        "seq_vocab_oov",
+        f"""
+        {_SEQ_CTE},
+        ex AS (SELECT doc_id, unnest(tokens) AS token FROM seq),
+        hist AS (SELECT token, COUNT(*) AS n FROM ex GROUP BY token),
+        vocab AS (SELECT token FROM hist ORDER BY n DESC, token LIMIT 1000),
+        oov AS (
+          SELECT e.doc_id, COUNT(*) AS n_oov FROM ex e
+          WHERE NOT EXISTS (SELECT 1 FROM vocab v WHERE v.token = e.token)
+          GROUP BY e.doc_id
+        )
+        SELECT s.doc_id, s.n_tok::BIGINT AS n_tok,
+               COALESCE(o.n_oov, 0)::BIGINT AS n_oov,
+               ROUND(COALESCE(o.n_oov, 0) / s.n_tok, 6) AS oov_rate
+        FROM seq s LEFT JOIN oov o USING (doc_id)
+        """,
+    )
+    def seq_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-document out-of-vocabulary rate against a corpus-derived
+        top-1000 vocab (dataprep/tokens.py::vocab_oov): vocab broadcasts,
+        OOV occurrences are a broadcast LEFT ANTI join on the exploded
+        stream, per-doc re-agg ships (doc_id, count) partials — the token
+        stream itself is never shuffled."""
+        from vector_spark.dataprep import tokens as tk
+
+        seq = _seq(spark)
+        vocab = tk.corpus_vocab(seq, 1000)
+        return tk.vocab_oov(seq, vocab)
+
     from vector_spark.sinks.zorder import zorder_key_sql as _zk_sql
 
     @_q(

@@ -1,0 +1,76 @@
+"""Token-id corpus statistics over the BASELINE ``tokens array<int>``
+payload — the vocabulary-level view a training-data pipeline needs
+before and after curation (the reference engine has no token surface;
+beyond-reference dataprep like the dedup/ANN family).
+
+Scale shapes:
+
+- :func:`token_topk` — explode + count + distributed top-k. The groupBy
+  is map-side combined, so the shuffle carries ≤ |vocab| partial rows
+  per task (a tokenizer vocab is 32k-256k ids — kilobytes), and the
+  top-k plans as TakeOrderedAndProject, never a global sort.
+- :func:`vocab_oov` — per-document out-of-vocabulary occurrence rate
+  against a vocab dimension: the vocab broadcasts (≤ a few MB for any
+  real tokenizer), OOV occurrences are a broadcast LEFT ANTI join on the
+  exploded stream, and the per-doc re-aggregation ships (doc_id, count)
+  partials only. No step shuffles the token stream itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_topk(
+    df: DataFrame,
+    k: int = 100,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """The ``k`` most frequent token ids (count desc, token asc — a total
+    order, so the cut is deterministic). Returns (token, n)."""
+    return (
+        df.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+    )
+
+
+def vocab_oov(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Per-document OOV stats against ``vocab`` (a one-column ``token``
+    dimension): occurrence count of tokens outside the vocab and the
+    rate over the document's length. Documents fully in-vocab are kept
+    (n_oov = 0). Returns (doc_id, n_tok, n_oov, oov_rate)."""
+    ex = df.select(id_col, F.explode(tokens_col).alias("token"))
+    oov = (
+        ex.join(F.broadcast(vocab.select("token")), "token", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    return (
+        df.select(id_col, F.col(n_tok_col).cast("long").alias("n_tok"))
+        .join(oov, id_col, "left")
+        .withColumn("n_oov", F.coalesce(F.col("n_oov"), F.lit(0)))
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") / F.col("n_tok"), 6)
+        )
+    )
+
+
+def corpus_vocab(
+    df: DataFrame,
+    size: int,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """A corpus-derived vocab: the ``size`` most frequent tokens (the
+    deterministic :func:`token_topk` cut), as a (token) dimension —
+    what a frequency-truncated tokenizer retraining would keep."""
+    return token_topk(df, k=size, tokens_col=tokens_col).select("token")
