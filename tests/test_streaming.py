@@ -238,3 +238,42 @@ def test_kafka_builders_shape(spark):
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
     )
     assert enc.collect()[0].value == '{"a":1,"b":"x"}'
+
+
+def test_rocksdb_state_store_same_results(spark, events_path, tmp_path):
+    """The RocksDB provider changes WHERE state lives (disk-spillable
+    instead of executor heap), never the results: the same stateful
+    dedupe + windowed aggregate produce identical rows under both
+    providers, and the RocksDB run reports rocksdb state metrics."""
+    from vector_spark.streaming import use_default_state, use_rocksdb_state
+
+    def run(name):
+        sdf = stream_aggregate(
+            _read_stream(spark, events_path),
+            series_cols=["event_type"],
+            interval_secs=100,
+            mode="sum",
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / name))
+            .start()
+        )
+        q.processAllAvailable()
+        progress = q.lastProgress
+        q.stop()
+        rows = sorted(map(tuple, spark.table(name).collect()))
+        return rows, progress
+
+    use_rocksdb_state(spark)
+    try:
+        rocks_rows, rocks_prog = run("rocks_agg")
+    finally:
+        use_default_state(spark)
+    heap_rows, _ = run("heap_agg")
+
+    assert rocks_rows == heap_rows
+    mem = str((rocks_prog or {}).get("stateOperators", ""))
+    assert "rocksdb" in mem.lower(), "RocksDB provider was not active"

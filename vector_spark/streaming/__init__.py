@@ -3,4 +3,6 @@ from vector_spark.streaming.stream import (  # noqa: F401
     stream_dedupe,
     stream_reduce_sessions,
     stream_throttle,
+    use_default_state,
+    use_rocksdb_state,
 )

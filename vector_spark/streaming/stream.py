@@ -217,3 +217,36 @@ def stream_throttle(
     return events.groupBy(key_field).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(
+    spark, changelog_checkpointing: bool = True
+) -> None:
+    """Switch stateful streaming queries started AFTER this call to the
+    RocksDB state store (bundled with Spark 4).
+
+    Why at the 10^12 tier: the default HDFS-backed provider keeps every
+    key's state in executor HEAP — a watermark-bounded dedupe or windowed
+    aggregate over a high-cardinality key (user, doc fingerprint) grows
+    state past memory and the executor dies. RocksDB spills state to
+    local disk with bounded memtables, and changelog checkpointing ships
+    only per-batch deltas to the checkpoint location instead of full
+    snapshots. The provider changes WHERE state lives, not what it
+    contains — results are identical (pinned by
+    tests/test_streaming.py::test_rocksdb_state_store_same_results).
+    """
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true" if changelog_checkpointing else "false",
+    )
+
+
+def use_default_state(spark) -> None:
+    """Revert to the HDFS-backed (heap) provider for later queries."""
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
