@@ -2293,6 +2293,62 @@ def _register_more() -> None:
         )
 
     @_q(
+        "ev_upsert",
+        """
+        SELECT event_type,
+               COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN event_id % 10 = 0 THEN 2 ELSE 1 END)::BIGINT
+                 AS version_sum,
+               ROUND(SUM((CASE WHEN event_id % 10 = 0 THEN value * 2
+                          ELSE value END)::DECIMAL(18,6)), 4)::DOUBLE
+                 AS value_sum
+        FROM events GROUP BY event_type
+        """,
+    )
+    def ev_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Keyed upsert via dynamic partition overwrite (sinks/upsert.py):
+        the events table lands partitioned by event_type at version 1, a
+        correction batch (every 10th event, value doubled, version 2) is
+        merged in, and the post-merge table must equal the oracle's
+        directly-computed final state. Only touched partitions are
+        rewritten (byte-pinned in tests/test_upsert.py); decimal sums
+        keep the check order-independent."""
+        import shutil
+
+        from vector_spark.sinks.upsert import upsert_partitioned
+
+        tag = abs(hash(sf_dir)) % 10**8
+        path = f"/tmp/vs_upsert_{tag}"
+        shutil.rmtree(path, ignore_errors=True)
+        base = _events(spark, sf_dir).select(
+            "event_id", "event_type", F.lit(1).alias("version"), "value"
+        )
+        base.write.partitionBy("event_type").parquet(path)
+        updates = (
+            _events(spark, sf_dir)
+            .filter(F.col("event_id") % 10 == 0)
+            .select(
+                "event_id", "event_type",
+                F.lit(2).alias("version"),
+                (F.col("value") * 2).alias("value"),
+            )
+        )
+        upsert_partitioned(
+            spark, path, updates, "event_id", "version", "event_type"
+        )
+        return (
+            spark.read.parquet(path)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("version").alias("version_sum"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")), 4
+                ).cast("double").alias("value_sum"),
+            )
+        )
+
+    @_q(
         "checkpointed_resume",
         """
         SELECT 'errors' AS sink,
