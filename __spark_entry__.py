@@ -2302,7 +2302,7 @@ def _register_more() -> None:
                ROUND(SUM((CASE WHEN event_id % 10 = 0 THEN value * 2
                           ELSE value END)::DECIMAL(18,6)), 4)::DOUBLE
                  AS value_sum
-        FROM events GROUP BY event_type
+        FROM events WHERE event_id % 4 = 0 GROUP BY event_type
         """,
     )
     def ev_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2320,13 +2320,19 @@ def _register_more() -> None:
         tag = abs(hash(sf_dir)) % 10**8
         path = f"/tmp/vs_upsert_{tag}"
         shutil.rmtree(path, ignore_errors=True)
-        base = _events(spark, sf_dir).select(
-            "event_id", "event_type", F.lit(1).alias("version"), "value"
+        # a 1/4 subset keeps the gate's write+rewrite volume bounded; the
+        # mechanics are identical at any size
+        base = (
+            _events(spark, sf_dir)
+            .filter(F.col("event_id") % 4 == 0)
+            .select(
+                "event_id", "event_type", F.lit(1).alias("version"), "value"
+            )
         )
         base.write.partitionBy("event_type").parquet(path)
         updates = (
             _events(spark, sf_dir)
-            .filter(F.col("event_id") % 10 == 0)
+            .filter((F.col("event_id") % 4 == 0) & (F.col("event_id") % 10 == 0))
             .select(
                 "event_id", "event_type",
                 F.lit(2).alias("version"),
