@@ -185,3 +185,27 @@ def test_framing_codecs(spark, tmp_path):
     assert [bytes(r.value) for r in rows] == msgs
     # newline INSIDE a frame survives octet counting (the point of RFC 6587)
     assert b"\n" in bytes(rows[1].value)
+
+
+def test_exec_source_stdout_and_stderr(spark):
+    from vector_spark.sources.exec import read_exec
+
+    df = read_exec(
+        spark,
+        ["sh", "-c", 'echo \'{"a": 1}\'; echo oops >&2'],
+        decoder="json",
+    )
+    rows = {r.data_stream: r for r in df.collect()}
+    assert set(rows) == {"stdout", "stderr"}
+    assert rows["stdout"].decoded["a"] == "1"
+    assert rows["stdout"].command.startswith("sh -c")
+    assert rows["stdout"].pid > 0 and rows["stdout"].host
+
+
+def test_exec_source_nonzero_exit_raises(spark):
+    import pytest as _pytest
+
+    from vector_spark.sources.exec import read_exec
+
+    with _pytest.raises(RuntimeError, match="exited 3"):
+        read_exec(spark, ["sh", "-c", "echo boom >&2; exit 3"])
