@@ -3817,10 +3817,91 @@ def _register_cfg_curation() -> None:
         )
 
 
+def _register_templates() -> None:
+    """Log template mining (operators/templates.py) — the Splunk
+    ``| patterns`` / Drain triage view, built from events with a
+    deterministic message synthesis so the oracle reproduces it."""
+    # message: 5 common shapes (one per digit-free event_type) plus a
+    # rare FATAL shape every 499th event — a distinct token count, so it
+    # can never merge with the common templates.
+    _MSG_SPARK = lambda: F.when(  # noqa: E731
+        F.col("event_id") % 499 == 0,
+        F.concat(
+            F.lit("FATAL disk "),
+            F.col("event_id").cast("string"),
+            F.lit(" offline now"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.col("event_type"),
+            F.lit(" user="),
+            F.col("user_id").cast("string"),
+            F.lit(" req-"),
+            F.col("event_id").cast("string"),
+            F.lit(" done"),
+        )
+    )
+    _MSG_SQL = """
+      CASE WHEN event_id % 499 = 0
+           THEN 'FATAL disk ' || event_id || ' offline now'
+           ELSE event_type || ' user=' || user_id
+                || ' req-' || event_id || ' done' END"""
+    _TPL_SQL = """array_to_string(list_transform(string_split(message, ' '),
+        t -> CASE WHEN regexp_matches(t, '[0-9]') THEN '<*>' ELSE t END), ' ')"""
+
+    @_q(
+        "ev_log_templates",
+        f"""
+        WITH base AS (SELECT event_id, {_MSG_SQL} AS message FROM events)
+        SELECT {_TPL_SQL} AS template,
+               COUNT(*)::BIGINT AS n_events,
+               MIN(event_id)::BIGINT AS first_id
+        FROM base GROUP BY template
+        ORDER BY n_events DESC, template
+        """,
+    )
+    def ev_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Template mining: mask digit-bearing tokens, group, rank.
+        Collapses the synthetic stream to its 6 message shapes with
+        exact counts — pure column math, map-side-combined aggregate
+        (operators/templates.py; beyond-reference log-analytics op)."""
+        from vector_spark.operators.templates import log_templates
+
+        ev = _events(spark, sf_dir).withColumn("message", _MSG_SPARK())
+        return log_templates(ev, "message", id_col="event_id")
+
+    @_q(
+        "ev_template_outliers",
+        f"""
+        WITH base AS (SELECT event_id, {_MSG_SQL} AS message FROM events),
+        tpl AS (SELECT event_id, {_TPL_SQL} AS template FROM base),
+        dim AS (
+          SELECT template,
+                 COUNT(*) / (SELECT COUNT(*) FROM base) AS template_share
+          FROM tpl GROUP BY template
+        )
+        SELECT t.event_id, t.template, d.template_share
+        FROM tpl t JOIN dim d USING (template)
+        WHERE d.template_share < 0.01
+        """,
+    )
+    def ev_template_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Rare-shape anomaly rows: keep raw events whose template share
+        is < 1% (the FATAL shape). Template-count dimension is broadcast
+        back — the event stream itself never shuffles."""
+        from vector_spark.operators.templates import template_outliers
+
+        ev = _events(spark, sf_dir).withColumn("message", _MSG_SPARK())
+        return template_outliers(ev, "message", max_share=0.01).select(
+            "event_id", "template", "template_share"
+        )
+
+
 _register_dataprep2()
 _register_mixing()
 _register_curation()
 _register_cfg_curation()
+_register_templates()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,83 @@
+"""Log template mining (operators/templates.py).
+
+Oracle strategy: a hand-built line set with known shapes — the miner must
+recover the exact templates, counts, example ids, and outlier rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_spark.operators.templates import (
+    log_templates,
+    mask_message,
+    template_outliers,
+)
+
+LINES = [
+    # 4x "GET" shape, 3x "timeout" shape, 1x rare "disk" shape
+    (1, "GET /api/users/17 took 12ms"),
+    (2, "GET /api/users/99 took 7ms"),
+    (3, "GET /api/orders/3 took 130ms"),
+    (4, "GET /api/users/52 took 9ms"),
+    (5, "timeout connecting to db-7 after 30s"),
+    (6, "timeout connecting to db-2 after 30s"),
+    (7, "timeout connecting to cache-1 after 5s"),
+    (8, "disk /dev/sda1 offline"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(LINES, "id int, message string")
+
+
+def test_mask_preserves_constants_and_token_count(spark):
+    got = (
+        _df(spark)
+        .select(mask_message(F.col("message")).alias("t"))
+        .orderBy("t")
+        .collect()
+    )
+    tpls = {r.t for r in got}
+    assert "GET <*> took <*>" in tpls
+    assert "timeout connecting to <*> after <*>" in tpls
+    assert "disk <*> offline" in tpls
+    # token counts survive masking — shapes can never merge
+    assert all(len(r.t.split(" ")) in (3, 4, 6) for r in got)
+
+
+def test_log_templates_counts_and_examples(spark):
+    rows = log_templates(_df(spark), "message", id_col="id").collect()
+    got = {r.template: (r.n_events, r.first_id) for r in rows}
+    assert got == {
+        "GET <*> took <*>": (4, 1),
+        "timeout connecting to <*> after <*>": (3, 5),
+        "disk <*> offline": (1, 8),
+    }
+    # most-frequent-first ordering
+    assert [r.n_events for r in rows] == [4, 3, 1]
+
+
+def test_template_outliers_keeps_rare_rows_only(spark):
+    out = template_outliers(_df(spark), "message", max_share=0.2).collect()
+    assert [r.id for r in out] == [8]
+    assert abs(out[0].template_share - 1 / 8) < 1e-9
+
+
+def test_custom_variable_predicate(spark):
+    # domain rule: only hex-ish device names are variables
+    rows = (
+        _df(spark)
+        .select(
+            mask_message(
+                F.col("message"), is_var=lambda t: t.rlike("^db-[0-9]+$")
+            ).alias("t")
+        )
+        .where(F.col("t").startswith("timeout"))
+        .collect()
+    )
+    tpls = sorted({r.t for r in rows})
+    assert tpls == [
+        "timeout connecting to <*> after 30s",
+        "timeout connecting to cache-1 after 5s",
+    ]

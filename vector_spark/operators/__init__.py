@@ -28,3 +28,7 @@ __all__ = [
 ]
 from vector_spark.operators.script import script_transform  # noqa: E402,F401
 from vector_spark.operators.ec2_metadata import aws_ec2_metadata  # noqa: E402,F401
+from vector_spark.operators.templates import (  # noqa: E402,F401
+    log_templates,
+    template_outliers,
+)

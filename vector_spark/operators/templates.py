@@ -1,0 +1,106 @@
+"""Log template mining — collapse free-text log lines into their constant
+"templates" by masking variable tokens, then count/rank the patterns.
+
+Every log-analytics surface has this operator (Splunk ``| patterns``,
+Datadog Log Patterns, the Drain algorithm of He et al. 2017); the
+reference engine itself stops at parsing (``parse_grok``/``parse_regex``,
+lib/codecs) and leaves "what are the distinct message shapes in this
+stream?" to the user. Over a 10^12-row corpus it is THE triage query:
+a terabyte of lines usually collapses to a few thousand templates.
+
+Spark-first shape:
+
+- **Masking is pure column math** (`split` → `transform` + `rlike` →
+  `array_join`): whole-stage codegen, no Python, reproducible by any
+  engine with regex support (DuckDB oracle `ev_log_templates`).
+- The Drain paper's variable heuristic — a token containing a digit is a
+  parameter — is the mask rule (``TOKEN_HAS_DIGIT``); pass a custom
+  ``is_var`` lambda for domain rules (hex ids, emails, quoted strings).
+- **The aggregate is skew-proof by construction**: groupBy(template) with
+  count/min is map-side partially aggregated, so the hottest template
+  (often >90% of a stream) ships ONE partial row per task, not its raw
+  rows. Template cardinality is tiny (that is the operator's premise),
+  so the reduce side is a broadcast-sized dimension.
+- :func:`template_outliers` inverts the view — keep the RAW rows whose
+  template share is below ``max_share`` (the rare-shape anomalies). The
+  counted template dimension is broadcast back against the stream, so
+  the full corpus is scanned once more but never shuffled.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Drain's variable heuristic: any token containing a digit is a parameter.
+TOKEN_HAS_DIGIT = "[0-9]"
+MASK = "<*>"
+
+
+def mask_message(
+    message: Column,
+    is_var: Callable[[Column], Column] | None = None,
+    mask: str = MASK,
+) -> Column:
+    """Whitespace-tokenize ``message`` and replace every variable token
+    (default: contains a digit) with ``mask``; returns the template
+    string. Token COUNT is preserved, so lines of different shapes can
+    never share a template."""
+    pred = is_var if is_var is not None else (lambda t: t.rlike(TOKEN_HAS_DIGIT))
+    toks = F.split(message, r"\s+")
+    masked = F.transform(
+        toks, lambda t: F.when(pred(t), F.lit(mask)).otherwise(t)
+    )
+    return F.array_join(masked, " ")
+
+
+def log_templates(
+    df: DataFrame,
+    message_col: str = "message",
+    id_col: str | None = None,
+    is_var: Callable[[Column], Column] | None = None,
+    mask: str = MASK,
+) -> DataFrame:
+    """Mine (template, n_events[, first_id]) from ``df[message_col]``,
+    most-frequent first (ties broken by template for determinism).
+    ``first_id`` (min of ``id_col``) is the canonical example row."""
+    tpl = mask_message(F.col(message_col), is_var, mask).alias("template")
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if id_col is not None:
+        aggs.append(F.min(id_col).alias("first_id"))
+    return (
+        df.groupBy(tpl)
+        .agg(*aggs)
+        .orderBy(F.desc("n_events"), "template")
+    )
+
+
+def template_outliers(
+    df: DataFrame,
+    message_col: str = "message",
+    max_share: float = 0.01,
+    total: int | None = None,
+    is_var: Callable[[Column], Column] | None = None,
+    mask: str = MASK,
+) -> DataFrame:
+    """Rows whose message template accounts for < ``max_share`` of the
+    stream — the rare-shape anomalies a triage query surfaces first.
+    Adds ``template`` and ``template_share`` to the surviving rows.
+
+    Two passes over the input, zero row shuffles: pass 1 builds the
+    (tiny) template-count dimension, pass 2 broadcast-joins it back.
+    Pass ``total`` when the caller already knows the row count (saves
+    the count action)."""
+    n = total if total is not None else df.count()
+    tpl = mask_message(F.col(message_col), is_var, mask)
+    dim = (
+        df.select(tpl.alias("template"))
+        .groupBy("template")
+        .agg((F.count(F.lit(1)) / F.lit(n)).alias("template_share"))
+        .filter(F.col("template_share") < max_share)
+    )
+    return df.withColumn("template", tpl).join(
+        F.broadcast(dim), "template", "inner"
+    )
