@@ -3897,7 +3897,115 @@ def _register_templates() -> None:
         )
 
 
+def _register_lm() -> None:
+    from vector_spark.dataprep import lm as lmod
+    from vector_spark.dataprep import oracles as osql
+
+    _w = osql.words_expr("text")
+    _ppl = "round(pow(2, ce_micro / (n_words * 1000000.0)), 4)"
+
+    @_q(
+        "doc_lm_perplexity",
+        f"""
+        WITH refw AS (
+          SELECT unnest({_w}) AS word FROM documents WHERE doc_id % 10 = 0
+        ),
+        lm AS (
+          SELECT word, COUNT(*) AS c FROM refw GROUP BY 1
+          ORDER BY c DESC, md5(word) LIMIT 4096
+        ),
+        tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM lm),
+        dw AS (SELECT doc_id, unnest({_w}) AS word FROM documents),
+        scored AS (
+          SELECT dw.doc_id,
+                 round(-log2((COALESCE(lm.c, 0) + 0.5)
+                       / (tot.n + 0.5 * (tot.v + 1))) * 1000000)::BIGINT AS m
+          FROM dw LEFT JOIN lm USING (word) CROSS JOIN tot
+        ),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_words, SUM(m) AS ce_micro
+          FROM scored GROUP BY 1
+        )
+        SELECT doc_id, n_words::BIGINT AS n_words,
+               ce_micro::BIGINT AS ce_micro, {_ppl} AS ppl,
+               CASE WHEN {_ppl} <= 30.0 THEN 'head'
+                    WHEN {_ppl} <= 30.5 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM agg
+        """,
+    )
+    def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CCNet-style LM quality filter (Wenzek et al. 2020): score every
+        document by cross-entropy under an add-k unigram LM trained on the
+        trusted subset (doc_id % 10 == 0), bucket into head/middle/tail.
+        Per-word log-probs are micro-quantized in the broadcast vocabulary
+        dim, so the per-doc score is an exact INTEGER sum — bit-stable
+        across engines/partitionings (dataprep/lm.py)."""
+        d = _docs(spark, sf_dir)
+        ref = d.filter(F.col("doc_id") % 10 == 0)
+        lmdf = lmod.unigram_lm(ref, vocab_size=4096)
+        scored = lmod.doc_cross_entropy(d, lmdf)
+        return scored.withColumn(
+            "bucket", lmod.ppl_bucket(F.col("ppl"), head=30.0, tail=30.5)
+        )
+
+    _big = (
+        "list_transform(range(1, greatest(len(ws) - 1, 0) + 1), "
+        "i -> array_to_string(list_slice(ws, i, i + 1), ' '))"
+    )
+
+    @_q(
+        "doc_dsir_weights",
+        f"""
+        WITH base AS MATERIALIZED (
+          SELECT doc_id, {_w} AS ws FROM documents
+        ),
+        g AS (
+          SELECT doc_id, unnest(list_concat(ws, {_big})) AS gram FROM base
+        ),
+        cg AS (
+          SELECT doc_id, {osql.hash64_expr('gram')} % 8192 AS bucket FROM g
+        ),
+        q AS (SELECT bucket, COUNT(*) AS qc FROM cg GROUP BY 1),
+        p AS (
+          SELECT bucket, COUNT(*) AS pc FROM cg
+          WHERE doc_id % 20 = 0 GROUP BY 1
+        ),
+        tot AS (
+          SELECT (SELECT COUNT(*) FROM cg) AS nq,
+                 (SELECT COUNT(*) FROM cg WHERE doc_id % 20 = 0) AS np
+        ),
+        dim AS (
+          SELECT q.bucket,
+                 round((log2((COALESCE(pc, 0) + 0.5) / (np + 0.5 * 8192))
+                      - log2((qc + 0.5) / (nq + 0.5 * 8192)))
+                       * 1000000)::BIGINT AS lam
+          FROM q LEFT JOIN p USING (bucket) CROSS JOIN tot
+        ),
+        agg AS (
+          SELECT cg.doc_id, COUNT(*) AS n_grams, SUM(lam) AS imp_micro
+          FROM cg JOIN dim USING (bucket) GROUP BY 1
+        )
+        SELECT doc_id, n_grams::BIGINT AS n_grams,
+               imp_micro::BIGINT AS imp_micro,
+               round(imp_micro / (n_grams * 1000000.0), 4) AS imp
+        FROM agg
+        """,
+    )
+    def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DSIR importance weights (Xie et al., NeurIPS 2023): hashed
+        uni+bigram features (8192 md5-derived buckets), per-doc integer sum
+        of micro-quantized log(p_target/q_raw) bucket ratios; target = the
+        benchmark-like subset (doc_id % 20 == 0). Both distributions are
+        B-row broadcast dims; the corpus streams scan-side
+        (dataprep/lm.py)."""
+        d = _docs(spark, sf_dir)
+        target = d.filter(F.col("doc_id") % 20 == 0)
+        return lmod.dsir_weights(d, target, buckets=8192)
+
+
 _register_dataprep2()
+_register_lm()
 _register_mixing()
 _register_curation()
 _register_cfg_curation()
