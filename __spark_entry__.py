@@ -2505,6 +2505,70 @@ def _register_more() -> None:
         )
 
     @_q(
+        "ev_cube",
+        """
+        SELECT COALESCE(event_type, '<all>') AS event_type,
+               COALESCE((user_id % 4)::VARCHAR, '<all>') AS user_bucket,
+               GROUPING(event_type)::INT * 2
+                 + GROUPING(user_id % 4)::INT AS gid,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        FROM events
+        GROUP BY CUBE (event_type, user_id % 4)
+        """,
+    )
+    def ev_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CUBE: all 2^2 grouping combinations of (event_type, user bucket)
+        in ONE pass (Spark expands to a single Expand+hash-agg — not 4
+        scans); grouping_id disambiguates '<all>' from a null value."""
+        ev = _events(spark, sf_dir)
+        ub = (F.col("user_id") % 4).alias("__ub")
+        return (
+            ev.cube("event_type", ub)
+            .agg(
+                F.grouping_id().alias("gid"),
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total"),
+            )
+            .select(
+                F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+                F.coalesce(F.col("__ub").cast("string"), F.lit("<all>")).alias(
+                    "user_bucket"
+                ),
+                F.col("gid").cast("int").alias("gid"),
+                "n",
+                "total",
+            )
+        )
+
+    @_q(
+        "ev_grouping_sets",
+        """
+        SELECT COALESCE(event_type, '<all>') AS event_type,
+               COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'),
+                        '<all>') AS day,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)))
+        """,
+    )
+    def ev_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Explicit GROUPING SETS — per-type totals and per-day totals from
+        one scan (the two marginals without the cross table CUBE would
+        add). SQL surface: Spark's GROUP BY GROUPING SETS."""
+        ev = _events(spark, sf_dir)
+        ev.createOrReplaceTempView("__ev_gsets")
+        return spark.sql(
+            """
+            SELECT COALESCE(event_type, '<all>') AS event_type,
+                   COALESCE(date_format(date_trunc('day', ts), 'yyyy-MM-dd'),
+                            '<all>') AS day,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+            FROM __ev_gsets
+            GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)))
+            """
+        )
+
+    @_q(
         "ev_pivot",
         """
         SELECT user_id,
