@@ -3366,6 +3366,138 @@ def _register_codecs() -> None:
         )
 
     @_q(
+        "ev_parse_statsd",
+        """
+        WITH e AS (
+          SELECT event_id, event_type AS et, user_id, value,
+                 (event_id % 6)::INT AS v, (event_id % 7)::DOUBLE AS cnt,
+                 user_id % 3 AS d3, user_id % 4 AS t4, user_id % 20 AS u20,
+                 (user_id % 2 = 0) AS pos_sign, (user_id % 10 = 0) AS bad
+          FROM events
+        )
+        SELECT event_id, v AS variant,
+          CASE WHEN v = 1 AND bad THEN NULL
+               WHEN v = 0 THEN 'ctr.' || et
+               WHEN v = 1 THEN 'app_metrics-' || et
+               WHEN v IN (2, 3) THEN 'gauge.' || et
+               WHEN v = 4 THEN 'lat.' || et
+               ELSE 'uniq.' || et END AS name,
+          CASE WHEN v = 1 AND bad THEN NULL
+               WHEN v IN (0, 1) THEN 'counter'
+               WHEN v IN (2, 3) THEN 'gauge'
+               WHEN v = 4 THEN 'distribution'
+               ELSE 'set' END AS metric_type,
+          CASE WHEN v = 1 AND bad THEN NULL
+               WHEN v = 2 THEN 'absolute'
+               ELSE 'incremental' END AS kind,
+          CASE WHEN v = 1 AND bad THEN NULL
+               WHEN v = 0 THEN round(cnt * 2.0, 6)
+               WHEN v = 1 THEN round(cnt, 6)
+               WHEN v = 2 THEN round(abs(value), 6)
+               WHEN v = 3 THEN round(CASE WHEN pos_sign THEN cnt + 0.5
+                                          ELSE -(cnt + 0.5) END, 6)
+               WHEN v = 4 THEN round(cnt * 10 / 1000.0, 6)
+               ELSE NULL END AS value,
+          CASE WHEN v = 5 THEN 'u' || u20::VARCHAR END AS set_value,
+          CASE WHEN v = 1 AND bad THEN NULL
+               WHEN v = 0 THEN 0.5 WHEN v = 4 THEN 0.1
+               ELSE 1.0 END AS sample_rate,
+          CASE WHEN v = 4 THEN 'histogram' END AS statistic,
+          CASE WHEN v = 0 THEN 'prod' END AS env,
+          CASE WHEN v = 0 THEN 'dc' || d3::VARCHAR END AS dc,
+          CASE WHEN v = 5 THEN 't' || t4::VARCHAR END AS team,
+          (v = 5) AS flagged,
+          NOT (v = 1 AND bad) AS ok
+        FROM e
+        """,
+    )
+    def ev_parse_statsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """statsd/dogstatsd datagram decode (reference statsd source,
+        src/sources/statsd/parser.rs): build a wire datagram per event
+        covering every branch — sampled counter with tags, sanitized key,
+        absolute gauge, signed gauge delta, ms timer (base-unit + rate),
+        set with bare+kv tags, and malformed lines — parse with the pure-
+        JVM parse_statsd, flatten the metric struct. The oracle computes
+        the expected metric directly per variant."""
+        from vector_spark.functions.parse import parse_statsd
+
+        ev = _events(spark, sf_dir)
+        et = F.col("event_type")
+        v = (F.col("event_id") % 6).cast("int")
+        cnt = (F.col("event_id") % 7).cast("string")
+        sign = F.when(F.col("user_id") % 2 == 0, F.lit("+")).otherwise(
+            F.lit("-")
+        )
+        s = lambda c: c.cast("string")  # noqa: E731
+        line = (
+            F.when(
+                v == 0,
+                F.concat(
+                    F.lit("ctr."), et, F.lit(":"), cnt,
+                    F.lit("|c|@0.5|#env:prod,dc:dc"), s(F.col("user_id") % 3),
+                ),
+            )
+            .when(
+                v == 1,
+                F.when(
+                    F.col("user_id") % 10 == 0, F.lit("malformed no colon")
+                ).otherwise(
+                    F.concat(
+                        F.lit("app metrics/"), et, F.lit(":"), cnt, F.lit("|c")
+                    )
+                ),
+            )
+            .when(
+                v == 2,
+                F.concat(
+                    F.lit("gauge."), et, F.lit(":"),
+                    s(F.abs(F.col("value"))), F.lit("|g"),
+                ),
+            )
+            .when(
+                v == 3,
+                F.concat(
+                    F.lit("gauge."), et, F.lit(":"), sign, cnt, F.lit(".5|g")
+                ),
+            )
+            .when(
+                v == 4,
+                F.concat(
+                    F.lit("lat."), et, F.lit(":"),
+                    s(F.col("event_id") % 7 * 10), F.lit("|ms|@0.1"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("uniq."), et, F.lit(":u"), s(F.col("user_id") % 20),
+                    F.lit("|s|#flagged,team:t"), s(F.col("user_id") % 4),
+                )
+            )
+        )
+        m = parse_statsd(line)
+        out = ev.select(
+            "event_id", v.alias("variant"), m.alias("m")
+        )
+        return out.select(
+            "event_id",
+            "variant",
+            F.col("m.name").alias("name"),
+            F.col("m.metric_type").alias("metric_type"),
+            F.col("m.kind").alias("kind"),
+            F.round(F.col("m.value"), 6).alias("value"),
+            F.col("m.set_value").alias("set_value"),
+            F.col("m.sample_rate").alias("sample_rate"),
+            F.col("m.statistic").alias("statistic"),
+            F.col("m.tags")["env"].alias("env"),
+            F.col("m.tags")["dc"].alias("dc"),
+            F.col("m.tags")["team"].alias("team"),
+            F.coalesce(
+                F.map_contains_key(F.col("m.tags"), "flagged"), F.lit(False)
+            ).alias("flagged"),
+            F.col("m").isNotNull().alias("ok"),
+        )
+
+    @_q(
         "ev_parse_ruby_hash",
         """
         SELECT event_id,

@@ -693,3 +693,124 @@ def uuid_v7(ts: Column, entropy: Column) -> Column:
         F.concat(variant, F.substring(r, 5, 3)),
         F.substring(r, 8, 12),
     )
+
+
+def _statsd_sanitize_key(key: Column) -> Column:
+    """Reference key sanitization (src/sources/statsd/parser.rs:169-178),
+    including its quirk of replacing ``/`` with ``'-``: whitespace runs →
+    ``_``, then every char outside ``[a-zA-Z_\\-0-9.]`` is dropped."""
+    s = F.replace(key, F.lit("/"), F.lit("'-"))
+    s = F.regexp_replace(s, r"\s+", "_")
+    return F.regexp_replace(s, r"[^a-zA-Z_\-0-9\.]", "")
+
+
+def parse_statsd(col: Column, sanitize_keys: bool = True) -> Column:
+    """statsd/dogstatsd datagram → typed metric struct; malformed → null.
+
+    Mirrors the reference parser (src/sources/statsd/parser.rs:30-125):
+    ``<key>:<value>|<type>[|@<rate>][|#<tags>]`` with types
+    c (counter, value scaled by 1/rate), g (gauge; leading +/- makes it
+    an incremental delta, otherwise absolute), ms/h (histogram samples —
+    ms converted to base seconds), d (summary sample), s (set). A
+    position-3 component not starting with ``@`` and a tags component not
+    starting with ``#`` are ignored, not errors (reference behavior).
+    Tags keep dogstatsd semantics: ``k:v`` pairs, bare tags map to null.
+
+    Struct: (name, metric_type counter|gauge|distribution|set,
+    kind absolute|incremental, value, set_value, sample_rate, statistic
+    histogram|summary, tags map<string,string>).
+    """
+    from vector_spark.functions.objects import let
+
+    def from_parts(kv: Column) -> Column:
+        key = F.element_at(kv, 1)
+        body = F.try_element_at(kv, F.lit(2))
+        return let(F.split(body, r"\|"), lambda parts: _statsd_body(key, parts, sanitize_keys))
+
+    return let(F.split(col, ":", 2), from_parts)
+
+
+def _statsd_body(key: Column, parts: Column, sanitize_keys: bool) -> Column:
+    val_str = F.try_element_at(parts, F.lit(1))
+    mtype = F.try_element_at(parts, F.lit(2))
+    p3 = F.try_element_at(parts, F.lit(3))
+    p4 = F.try_element_at(parts, F.lit(4))
+
+    has_sampling = p3.isNotNull() & p3.startswith("@")
+    raw_rate = F.substring(p3, 2, 2_000_000).try_cast("double")
+    # reference: rate 0 sanitized to 1; negative rate is an error
+    rate = F.when(raw_rate == 0.0, F.lit(1.0)).otherwise(raw_rate)
+    mult = F.when(has_sampling, 1.0 / rate).otherwise(F.lit(1.0))
+    bad_rate = has_sampling & (raw_rate.isNull() | (raw_rate < 0))
+
+    tags_part = F.when(has_sampling, p4).otherwise(p3)
+    tags = F.when(
+        tags_part.isNotNull() & tags_part.startswith("#"),
+        F.str_to_map(
+            F.substring(tags_part, 2, 2_000_000), F.lit(","), F.lit(":")
+        ),
+    )
+
+    num = val_str.try_cast("double")
+    first = F.substring(val_str, 1, 1)
+    g_signed = first.isin("+", "-")
+    g_num = (
+        F.when(g_signed, F.substring(val_str, 2, 2_000_000))
+        .otherwise(val_str)
+        .try_cast("double")
+    )
+
+    name = _statsd_sanitize_key(key) if sanitize_keys else key
+    mk = lambda metric_type, kind, value, set_value, stat: F.struct(  # noqa: E731
+        name.alias("name"),
+        F.lit(metric_type).alias("metric_type"),
+        F.lit(kind).alias("kind"),
+        value.alias("value"),
+        set_value.alias("set_value"),
+        F.when(has_sampling, rate).otherwise(F.lit(1.0)).alias("sample_rate"),
+        stat.alias("statistic"),
+        tags.alias("tags"),
+    )
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+
+    out = (
+        F.when(mtype == "c", mk("counter", "incremental", num * mult, snull, snull))
+        .when(
+            mtype.isin("ms", "h", "d"),
+            mk(
+                "distribution",
+                "incremental",
+                F.when(mtype == "ms", num / 1000.0).otherwise(num),
+                snull,
+                F.when(mtype == "d", F.lit("summary")).otherwise(
+                    F.lit("histogram")
+                ),
+            ),
+        )
+        .when(
+            mtype == "g",
+            F.when(
+                g_signed,
+                mk(
+                    "gauge",
+                    "incremental",
+                    F.when(first == "-", -g_num).otherwise(g_num),
+                    snull,
+                    snull,
+                ),
+            ).otherwise(mk("gauge", "absolute", g_num, snull, snull)),
+        )
+        .when(mtype == "s", mk("set", "incremental", dnull, val_str, snull))
+    )
+    # malformed: no ':' (body null), <2 body parts, unknown type (falls
+    # through the when-chain), unparseable value, negative/garbage rate,
+    # gauge not starting with digit/+/-
+    valid_value = (
+        F.when(mtype == "g", g_num.isNotNull() & (g_signed | first.rlike(r"^[0-9]$")))
+        .when(mtype == "s", val_str.isNotNull())
+        .otherwise(num.isNotNull())
+    )
+    return F.when(
+        mtype.isNotNull() & valid_value & ~bad_rate, out
+    )
