@@ -111,3 +111,45 @@ def test_statsd_no_sanitize(spark):
         parse_statsd(F.col("line"), sanitize_keys=False).alias("m")
     ).collect()[0]["m"]
     assert r["name"] == "sp ace/key"
+
+
+ROUNDTRIP = [
+    "foo:1|c",
+    "bar:2.5|c",
+    "g1:1.5|g",
+    "g2:-2.5|g",
+    "g3:+0.5|g",
+    "baz:0.1|h|@0.2",
+    "qux:3|d",
+    "s1:uniq|s",
+    "t1:2|c|#bare,env:prod",
+    "t2:+4|g|#a:b",
+]
+
+
+def test_statsd_encode_roundtrip(spark):
+    """encode(parse(line)) == line for canonical datagrams (sorted tags,
+    no redundant rate/zero padding) — the statsd sink's wire format is the
+    exact inverse of the source's parser for these."""
+    from vector_spark.functions.parse import encode_statsd_struct
+
+    df = spark.createDataFrame([(l,) for l in ROUNDTRIP], ["line"])
+    out = df.select(
+        "line",
+        encode_statsd_struct(parse_statsd(F.col("line"))).alias("enc"),
+    ).collect()
+    for r in out:
+        assert r["enc"] == r["line"], r
+
+
+def test_statsd_encode_scaled_counter(spark):
+    """A sampled counter re-encodes as its scaled value with no rate
+    component (reference: scaling happens once at the source; the sink
+    never re-emits @rate for counters)."""
+    from vector_spark.functions.parse import encode_statsd_struct
+
+    df = spark.createDataFrame([("c1:2|c|@0.5",)], ["line"])
+    r = df.select(
+        encode_statsd_struct(parse_statsd(F.col("line"))).alias("enc")
+    ).collect()[0]
+    assert r["enc"] == "c1:4|c"

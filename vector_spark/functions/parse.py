@@ -814,3 +814,82 @@ def _statsd_body(key: Column, parts: Column, sanitize_keys: bool) -> Column:
     return F.when(
         mtype.isNotNull() & valid_value & ~bad_rate, out
     )
+
+
+def _statsd_num(v: Column) -> Column:
+    """Rust ``Display``-style float formatting: integral values print with
+    no fraction (``1`` not ``1.0``), everything else via the double's
+    shortest round-trip repr."""
+    return F.when(
+        v == F.floor(v), v.cast("long").cast("string")
+    ).otherwise(v.cast("string"))
+
+
+def encode_statsd(
+    name: Column,
+    metric_type: Column,
+    kind: Column,
+    value: Column,
+    set_value: Column,
+    sample_rate: Column,
+    statistic: Column,
+    tags: Column,
+) -> Column:
+    """Metric struct fields → statsd datagram (reference statsd sink,
+    src/sinks/statsd/encoder.rs:45-155): ``name:value|type[|@rate][|#tags]``
+    — incremental gauges print an explicit sign, the rate component is
+    omitted when 1, tags are sorted by key with bare tags as the key alone.
+    One sample per row (our distribution model), so one line per metric.
+    Inverse of :func:`parse_statsd` for sanitized names (round-trip
+    tested)."""
+    tchar = (
+        F.when(metric_type == "counter", F.lit("c"))
+        .when(metric_type == "gauge", F.lit("g"))
+        .when(metric_type == "set", F.lit("s"))
+        .when(
+            metric_type == "distribution",
+            F.when(statistic == "summary", F.lit("d")).otherwise(F.lit("h")),
+        )
+    )
+    signed = F.when(
+        value >= 0, F.concat(F.lit("+"), _statsd_num(value))
+    ).otherwise(_statsd_num(value))
+    val = (
+        F.when(metric_type == "set", set_value)
+        .when(
+            (metric_type == "gauge") & (kind == "incremental"), signed
+        )
+        .otherwise(_statsd_num(value))
+    )
+    # the reference writes the sampling component only for distributions
+    # (counter values are already 1/rate-scaled at parse; encoder.rs:52-67
+    # passes None for counter/gauge/set)
+    rate = F.when(
+        (metric_type == "distribution")
+        & sample_rate.isNotNull()
+        & (sample_rate != 1.0),
+        F.concat(F.lit("|@"), _statsd_num(sample_rate)),
+    ).otherwise(F.lit(""))
+    entries = F.sort_array(F.map_entries(tags))
+    tag_str = F.array_join(
+        F.transform(
+            entries,
+            lambda e: F.when(e["value"].isNull(), e["key"]).otherwise(
+                F.concat(e["key"], F.lit(":"), e["value"])
+            ),
+        ),
+        ",",
+    )
+    tag_part = F.when(
+        tags.isNotNull() & (F.size(F.map_keys(tags)) > 0),
+        F.concat(F.lit("|#"), tag_str),
+    ).otherwise(F.lit(""))
+    return F.concat(name, F.lit(":"), val, F.lit("|"), tchar, rate, tag_part)
+
+
+def encode_statsd_struct(m: Column) -> Column:
+    """``encode_statsd`` over a :func:`parse_statsd`-shaped struct."""
+    return encode_statsd(
+        m["name"], m["metric_type"], m["kind"], m["value"], m["set_value"],
+        m["sample_rate"], m["statistic"], m["tags"],
+    )
