@@ -234,7 +234,10 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
             res["dropped"] = outs["dropped"]
         return res
     if t == "route":
-        outs = route(df, cfg["routes"], cfg.get("reroute_unmatched", True))
+        # accept both our shape (routes = {name: condition}) and the
+        # reference TOML shape ([transforms.X.route.NAME] condition tables)
+        routes = cfg.get("routes") or cfg["route"]
+        outs = route(df, routes, cfg.get("reroute_unmatched", True))
         res = {k: v for k, v in outs.items()}
         res["__default"] = df  # route has no default port in the reference;
         # keep the passthrough for convenience but named ports are the API
@@ -576,3 +579,113 @@ def run_unit_test(
             passed.append(bool(ok))
         results[ref] = {"rows": n, "passed": passed}
     return results
+
+
+def run_config_tests(spark: SparkSession, config_or_path) -> list[dict]:
+    """Run a config's embedded ``[[tests]]`` sections — full `vector test`
+    parity (src/config/unit_test/mod.rs): each test lists
+    ``[[tests.inputs]]`` (``insert_at`` + ``value`` | ``log_fields``),
+    ``[[tests.outputs]]`` (``extract_from`` + ``[[...conditions]]`` in
+    either condition language), and optional ``no_outputs_from``.
+
+    Semantics: each input is delivered INTO the named component (its
+    configured inputs are replaced by the injected test frame, exactly
+    like the reference rewires unit-test sources); an outputs block
+    passes when at least one event reaches ``extract_from`` and EVERY
+    event satisfies every condition; ``no_outputs_from`` components must
+    produce zero events. Returns one dict per test:
+    {name, passed, failures: [human-readable strings]}.
+    """
+    import copy
+
+    config = load_config(config_or_path)
+    tests = config.get("tests", [])
+    results: list[dict] = []
+    for t in tests:
+        cfg = copy.deepcopy(
+            {k: v for k, v in config.items() if k != "tests"}
+        )
+        inserts: dict[str, list[dict]] = {}
+        for inp in t.get("inputs", []):
+            at = inp["insert_at"]
+            if "value" in inp:
+                row = {"message": inp["value"]}
+            else:
+                row = dict(inp.get("log_fields", {}))
+            inserts.setdefault(at, []).append(row)
+
+        overrides: dict[str, DataFrame] = {}
+        for at, rows in inserts.items():
+            src = f"__insert_{at}"
+            if at not in cfg.get("transforms", {}):
+                raise ValueError(
+                    f"test {t.get('name')!r}: insert_at {at!r} is not a "
+                    f"transform"
+                )
+            cfg["transforms"][at]["inputs"] = [src]
+            overrides[src] = spark.createDataFrame(
+                _pd().DataFrame(rows)
+            )
+
+        # prune to the subgraph downstream of the injected inputs — the
+        # reference builds the unit-test topology only from components on
+        # paths between test inputs and outputs, so siblings with
+        # unresolvable production sources don't block the test
+        transforms = cfg.get("transforms", {})
+        keep = set(inserts)
+        grew = True
+        while grew:
+            grew = False
+            for tname, tcfg in transforms.items():
+                if tname in keep:
+                    continue
+                if any(ref.split(".", 1)[0] in keep for ref in tcfg["inputs"]):
+                    keep.add(tname)
+                    grew = True
+        cfg["transforms"] = {k: v for k, v in transforms.items() if k in keep}
+        cfg.pop("sinks", None)
+
+        failures: list[str] = []
+        try:
+            topo = compile_config(spark, cfg, overrides=overrides)
+        except ValueError as e:
+            results.append(
+                {"name": t.get("name"), "passed": False,
+                 "failures": [f"compile error: {e}"]}
+            )
+            continue
+
+        for out in t.get("outputs", []):
+            ref = out["extract_from"]
+            refs = ref if isinstance(ref, list) else [ref]
+            for r in refs:
+                df = topo.resolve(r)
+                n = df.count()
+                if n == 0:
+                    failures.append(f"no events extracted from {r!r}")
+                    continue
+                for cond in out.get("conditions", []):
+                    c = to_column(cond)
+                    bad = df.filter(~F.coalesce(c, F.lit(False))).count()
+                    if bad:
+                        failures.append(
+                            f"{r!r}: {bad}/{n} events fail condition "
+                            f"{cond.get('source', cond)!r}"
+                        )
+        for ref in t.get("no_outputs_from", []):
+            n = topo.resolve(ref).count()
+            if n:
+                failures.append(
+                    f"{ref!r} produced {n} events, expected none"
+                )
+        results.append(
+            {"name": t.get("name"), "passed": not failures,
+             "failures": failures}
+        )
+    return results
+
+
+def _pd():
+    import pandas as pd
+
+    return pd
