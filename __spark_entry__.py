@@ -3498,6 +3498,64 @@ def _register_codecs() -> None:
         )
 
     @_q(
+        "ev_encode_statsd",
+        """
+        WITH e AS (
+          SELECT event_id, event_type AS et, user_id,
+                 (event_id % 3)::INT AS v, (event_id % 7) AS cnt,
+                 user_id % 3 AS d3, (user_id % 2 = 0) AS pos
+          FROM events
+        )
+        SELECT event_id, v AS variant,
+          CASE
+            WHEN v = 0 THEN 'm.' || et || ':' || cnt
+                 || '|c|#dc:dc' || d3 || ',env:prod'
+            WHEN v = 1 THEN 'm.' || et || ':'
+                 || CASE WHEN pos THEN '+' ELSE '-' END || cnt || '.5|g'
+            ELSE 'm.' || et || ':' || cnt || '|h|@0.25'
+          END AS line
+        FROM e
+        """,
+    )
+    def ev_encode_statsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """statsd sink encode (src/sinks/statsd/encoder.rs): counters with
+        sorted k:v tags, signed incremental gauge deltas, histogram samples
+        with the distribution-only @rate component, integral doubles
+        printed without a fraction. The oracle builds the exact wire lines
+        per variant."""
+        from vector_spark.functions.parse import encode_statsd
+
+        ev = _events(spark, sf_dir)
+        et = F.col("event_type")
+        v = (F.col("event_id") % 3).cast("int")
+        cnt = (F.col("event_id") % 7).cast("double")
+        sign = F.when(F.col("user_id") % 2 == 0, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        )
+        line = encode_statsd(
+            name=F.concat(F.lit("m."), et),
+            metric_type=F.when(v == 0, F.lit("counter"))
+            .when(v == 1, F.lit("gauge"))
+            .otherwise(F.lit("distribution")),
+            kind=F.lit("incremental"),
+            value=F.when(v == 1, sign * (cnt + 0.5)).otherwise(cnt),
+            set_value=F.lit(None).cast("string"),
+            sample_rate=F.when(v == 2, F.lit(0.25)).otherwise(F.lit(1.0)),
+            statistic=F.when(v == 2, F.lit("histogram")),
+            tags=F.when(
+                v == 0,
+                F.create_map(
+                    F.lit("env"), F.lit("prod"),
+                    F.lit("dc"),
+                    F.concat(F.lit("dc"), (F.col("user_id") % 3).cast("string")),
+                ),
+            ),
+        )
+        return ev.select(
+            "event_id", v.alias("variant"), line.alias("line")
+        )
+
+    @_q(
         "ev_parse_ruby_hash",
         """
         SELECT event_id,
