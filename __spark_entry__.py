@@ -4203,6 +4203,70 @@ def _register_lm() -> None:
             "bucket", lmod.ppl_bucket(F.col("ppl"), head=30.0, tail=30.5)
         )
 
+    @_q(
+        "doc_lm_bigram_ppl",
+        f"""
+        WITH base AS MATERIALIZED (
+          SELECT doc_id, {_w} AS ws FROM documents
+        ),
+        uni AS (
+          SELECT word, COUNT(*) AS c FROM (
+            SELECT unnest(ws) AS word FROM base WHERE doc_id % 10 = 0)
+          GROUP BY 1 ORDER BY c DESC, md5(word) LIMIT 4096
+        ),
+        bi AS (
+          SELECT gram, COUNT(*) AS cb FROM (
+            SELECT unnest(list_transform(
+              range(1, greatest(len(ws) - 1, 0) + 1),
+              i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS gram
+            FROM base WHERE doc_id % 10 = 0)
+          GROUP BY 1 ORDER BY cb DESC, md5(gram) LIMIT 16384
+        ),
+        tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM uni),
+        pairs AS (
+          SELECT doc_id, (p).prev AS prev, (p).cur AS cur FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+              i -> struct_pack(prev := CASE WHEN i > 1 THEN ws[i-1] END,
+                               cur := ws[i]))) AS p
+            FROM base)
+        ),
+        scored AS (
+          SELECT pairs.doc_id,
+            round(-log2(CASE WHEN prev IS NULL
+              THEN (COALESCE(u2.c, 0) + 0.5) / (tot.n + 0.5 * (tot.v + 1))
+              ELSE 0.7 * ((COALESCE(bi.cb, 0) + 0.5)
+                          / (COALESCE(u1.c, 0) + 0.5 * (tot.v + 1)))
+                 + (1.0 - 0.7) * ((COALESCE(u2.c, 0) + 0.5)
+                          / (tot.n + 0.5 * (tot.v + 1)))
+              END) * 1000000)::BIGINT AS m
+          FROM pairs
+          LEFT JOIN uni u2 ON pairs.cur = u2.word
+          LEFT JOIN uni u1 ON pairs.prev = u1.word
+          LEFT JOIN bi ON prev || ' ' || cur = bi.gram
+          CROSS JOIN tot
+        ),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_words, SUM(m) AS ce_micro
+          FROM scored GROUP BY 1
+        )
+        SELECT doc_id, n_words::BIGINT AS n_words,
+               ce_micro::BIGINT AS ce_micro,
+               round(pow(2, ce_micro / (n_words * 1000000.0)), 4) AS ppl
+        FROM agg
+        """,
+    )
+    def doc_lm_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Interpolated bigram LM perplexity (Jelinek-Mercer λ=0.7 over
+        add-k bigram + unigram terms, first word unigram-only) — the
+        CCNet-style filter upgraded to second-order context. Three bounded
+        broadcast dims (top-V vocab twice + top-B bigrams); per-doc score
+        stays an exact integer sum (dataprep/lm.py)."""
+        d = _docs(spark, sf_dir)
+        ref = d.filter(F.col("doc_id") % 10 == 0)
+        uni = lmod.unigram_lm(ref, vocab_size=4096)
+        bi = lmod.bigram_lm(ref, bigram_size=16384)
+        return lmod.doc_cross_entropy_bigram(d, uni, bi)
+
     _big = (
         "list_transform(range(1, greatest(len(ws) - 1, 0) + 1), "
         "i -> array_to_string(list_slice(ws, i, i + 1), ' '))"

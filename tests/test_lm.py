@@ -148,3 +148,83 @@ def test_dsir_partition_invariance(spark, docs):
     a = lm.dsir_weights(docs.repartition(1), target, buckets=32).collect()
     b = lm.dsir_weights(docs.repartition(9), target, buckets=32).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bigram_cross_entropy_matches_python(spark, docs):
+    ref = docs.filter(F.col("doc_id").isin(list(REF_IDS)))
+    uni = lm.unigram_lm(ref, vocab_size=100)
+    bi = lm.bigram_lm(ref, bigram_size=100)
+    got = {
+        r["doc_id"]: (r["n_words"], r["ce_micro"], r["ppl"])
+        for r in lm.doc_cross_entropy_bigram(docs, uni, bi).collect()
+    }
+
+    lm_d, N, V = _py_lm(100)
+    bic: Counter = Counter()
+    for i, t in DOCS:
+        if i in REF_IDS:
+            ws = _norm_words(t)
+            bic.update(
+                " ".join(ws[j : j + 2]) for j in range(len(ws) - 1)
+            )
+    k, lam = 0.5, 0.7
+    for i, t in DOCS:
+        ws = _norm_words(t)
+        micros = []
+        for j, w in enumerate(ws):
+            p_uni = (lm_d.get(w, 0) + k) / (N + k * (V + 1))
+            if j == 0:
+                p = p_uni
+            else:
+                gram = ws[j - 1] + " " + w
+                p_bi = (bic.get(gram, 0) + k) / (
+                    lm_d.get(ws[j - 1], 0) + k * (V + 1)
+                )
+                p = lam * p_bi + (1.0 - lam) * p_uni
+            micros.append(round(-math.log2(p) * 1e6))
+        ce = sum(micros)
+        ppl = round(2 ** (ce / (len(ws) * 1e6)), 4)
+        assert got[i] == (len(ws), ce, ppl), f"doc {i}"
+    # second-order context separates the repeated-word doc from prose
+    assert got[3][2] != got[0][2]
+
+
+def test_lm_perplexity_topology_type(spark, docs):
+    from vector_spark.plans.topology import compile_config
+
+    topo = compile_config(
+        spark,
+        {
+            "transforms": {
+                "lmq": {
+                    "inputs": ["corpus"],
+                    "type": "lm_perplexity",
+                    "ref_condition": ".doc_id == 0 || .doc_id == 1 || .doc_id == 4",
+                    "vocab_size": 100,
+                    "max_ppl": 1e9,
+                }
+            }
+        },
+        overrides={"corpus": docs},
+    )
+    out = topo.resolve("lmq")
+    assert "ppl" in out.columns
+    assert out.count() == len(DOCS)  # max_ppl generous: all pass, stamped
+    # tightening the threshold actually filters
+    topo2 = compile_config(
+        spark,
+        {
+            "transforms": {
+                "lmq": {
+                    "inputs": ["corpus"],
+                    "type": "lm_perplexity",
+                    "ref_condition": ".doc_id == 0 || .doc_id == 1 || .doc_id == 4",
+                    "vocab_size": 100,
+                    "max_ppl": 15.0,
+                }
+            }
+        },
+        overrides={"corpus": docs},
+    )
+    kept = {r["doc_id"] for r in topo2.resolve("lmq").collect()}
+    assert 2 not in kept  # the all-OOV doc scores worst

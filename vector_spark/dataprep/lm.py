@@ -182,3 +182,90 @@ def dsir_weights(
     )
     imp = F.round(F.col("imp_micro") / (F.col("n_grams") * MICRO), 4)
     return agg.withColumn("imp", imp)
+
+
+def bigram_lm(
+    ref: DataFrame, text_col: str = "text", bigram_size: int = 16384
+) -> DataFrame:
+    """Top-B bigram counts from the reference corpus → (gram, cb) with
+    ``gram = 'w1 w2'``. Same deterministic TakeOrdered cap + md5
+    tie-break as :func:`unigram_lm`."""
+    g = ref.select(
+        F.explode(
+            let(words(F.col(text_col)), lambda ws: _word_ngrams(ws, 2))
+        ).alias("gram")
+    )
+    counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cb"))
+    return counts.orderBy(F.col("cb").desc(), F.md5("gram")).limit(
+        bigram_size
+    )
+
+
+def doc_cross_entropy_bigram(
+    corpus: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram cross-entropy (Jelinek-Mercer):
+    ``p(w|prev) = λ·p_bi + (1−λ)·p_uni`` with add-k smoothing on both
+    terms — ``p_bi = (c(prev w)+k)/(c(prev)+k·(V+1))``, first word of a
+    document scores with the unigram term alone. Three BOUNDED broadcast
+    dims (unigram × 2 roles + bigram); the per-doc score stays an exact
+    integer sum like :func:`doc_cross_entropy`."""
+    totals = uni.agg(
+        F.sum("c").alias("__N"), F.count(F.lit(1)).alias("__V")
+    )
+    pairs = corpus.select(
+        id_col,
+        F.explode(
+            let(
+                words(F.col(text_col)),
+                lambda ws: F.arrays_zip(
+                    F.concat(
+                        F.array(F.lit(None).cast("string")),
+                        F.slice(ws, 1, F.size(ws) - 1),
+                    ).alias("prev"),
+                    ws.alias("cur"),
+                ),
+            )
+        ).alias("__p"),
+    ).select(id_col, F.col("__p.prev").alias("__prev"), F.col("__p.cur").alias("__cur"))
+
+    u_cur = F.broadcast(
+        uni.select(F.col("word").alias("__cur"), F.col("c").alias("__c2"))
+    )
+    u_prev = F.broadcast(
+        uni.select(F.col("word").alias("__prev"), F.col("c").alias("__c1"))
+    )
+    b_dim = F.broadcast(bi.select("gram", "cb"))
+    j = (
+        pairs.join(u_cur, "__cur", "left")
+        .join(u_prev, "__prev", "left")
+        .join(
+            b_dim,
+            F.concat_ws(" ", F.col("__prev"), F.col("__cur")) == F.col("gram"),
+            "left",
+        )
+        .join(F.broadcast(totals))
+    )
+    denom = F.col("__N") + F.lit(add_k) * (F.col("__V") + 1)
+    p_uni = (F.coalesce(F.col("__c2"), F.lit(0)) + F.lit(add_k)) / denom
+    p_bi = (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(add_k)) / (
+        F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(add_k) * (F.col("__V") + 1)
+    )
+    p = F.when(F.col("__prev").isNull(), p_uni).otherwise(
+        F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni
+    )
+    micro = F.round(-F.log2(p) * MICRO).cast("long")
+    agg = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(micro).alias("ce_micro"),
+    )
+    ppl = F.round(
+        F.pow(F.lit(2.0), F.col("ce_micro") / (F.col("n_words") * MICRO)), 4
+    )
+    return agg.withColumn("ppl", ppl)

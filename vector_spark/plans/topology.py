@@ -410,6 +410,23 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
         tau = float(cfg.get("max_contamination", 0.5))
         keep = scores.filter(F.col("contamination") < tau).select("doc_id")
         return {"__default": df.join(keep, "doc_id")}
+    if t == "lm_perplexity":
+        # corpus curation as config: CCNet-style LM quality filter — train
+        # an add-k unigram LM on the in-corpus reference subset selected
+        # by ref_condition, stamp each doc's perplexity, optionally filter
+        from vector_spark.dataprep import lm as lmod
+
+        text_col = cfg.get("text_col", "text")
+        id_col = cfg.get("id_col", "doc_id")
+        ref = df.filter(to_column(cfg["ref_condition"]))
+        uni = lmod.unigram_lm(
+            ref, text_col, vocab_size=int(cfg.get("vocab_size", 4096))
+        )
+        scored = lmod.doc_cross_entropy(df, uni, text_col, id_col)
+        out = df.join(scored.select(id_col, "ppl"), id_col)
+        if "max_ppl" in cfg:
+            out = out.filter(F.col("ppl") <= float(cfg["max_ppl"]))
+        return {"__default": out}
     if t == "pack_sequences":
         from vector_spark.dataprep.packing import pack_sequences
 
@@ -477,6 +494,7 @@ TRANSFORM_TYPES = (
     "filter remap route exclusive_route sample throttle dedupe reduce "
     "aggregate log_to_metric metric_to_log tag_cardinality_limit enrich script "
     "quality_filter exact_dedup decontaminate pack_sequences paragraph_dedup "
+    "lm_perplexity "
     "sample_mixture"
 ).split()
 
