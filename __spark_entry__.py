@@ -668,6 +668,41 @@ def _register_dataprep() -> None:
             .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
         )
 
+    @_q(
+        "doc_incremental_dedup",
+        f"""
+        WITH hist AS (
+          SELECT md5({osql.NORM.format(col='text')}) AS fp
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        batch AS (
+          SELECT doc_id, md5({osql.NORM.format(col='text')}) AS fp
+          FROM documents WHERE doc_id % 3 <> 0
+        ),
+        batch_keep AS (
+          SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp
+        )
+        SELECT b.doc_id, b.fp AS fp
+        FROM batch_keep b
+        WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+        """,
+    )
+    def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Daily-increment dedup: today's batch (doc_id%3≠0) deduped
+        within itself then anti-joined against the historical fingerprint
+        store (doc_id%3=0) — dedup.incremental_dedup; the store is a
+        16-byte digest table, bucketed by fp at scale so the anti-join is
+        co-located (reference dedupe LRU made persistent+exact,
+        src/transforms/dedupe/transform.rs:69-139)."""
+        d = _docs(spark, sf_dir)
+        hist = d.filter(F.col("doc_id") % 3 == 0)
+        store = hist.select(tx.fingerprint(F.col("text")).alias("fp"))
+        batch = d.filter(F.col("doc_id") % 3 != 0)
+        kept, new_fps = dd.incremental_dedup(batch, store)
+        return kept.select(
+            "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+        )
+
     @_q("doc_minhash_near_dups", osql.minhash_near_dups_sql())
     def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = _docs(spark, sf_dir)

@@ -36,6 +36,30 @@ def test_exact_dedup_keeps_min_id(spark):
     assert kept == [1, 3]  # 2 is a normalized dup of 1
 
 
+def test_incremental_dedup(spark):
+    store_src = spark.createDataFrame(
+        [(0, "seen before"), (9, "ancient text")], "doc_id long, text string"
+    )
+    store = store_src.select(tx.fingerprint(F.col("text")).alias("fp"))
+    batch = spark.createDataFrame(
+        [
+            (10, "Seen  Before"),      # dup of history → dropped
+            (11, "brand new doc"),     # fresh → kept
+            (12, "brand  NEW doc"),    # within-batch dup of 11 → dropped
+            (13, "also fresh"),        # fresh → kept
+        ],
+        "doc_id long, text string",
+    )
+    kept, new_fps = dd.incremental_dedup(batch, store)
+    assert sorted(r.doc_id for r in kept.collect()) == [11, 13]
+    fps = {r.fp: r.first_doc_id for r in new_fps.collect()}
+    assert len(fps) == 2 and set(fps.values()) == {11, 13}
+    # appending new_fps to the store makes a rerun of the same batch empty
+    store2 = store.unionByName(new_fps.select("fp"))
+    kept2, _ = dd.incremental_dedup(batch, store2)
+    assert kept2.count() == 0
+
+
 def test_exact_dup_groups(spark):
     df = spark.createDataFrame(
         [(1, "a b"), (2, "A  b"), (3, "c")], "doc_id long, text string"

@@ -56,6 +56,46 @@ def exact_dup_groups(
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    store_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against a persisted historical fingerprint store —
+    the daily-increment corpus workflow: today's crawl is deduped within
+    itself (min-id witness, same rule as :func:`exact_dedup`) and then
+    anti-joined against every fingerprint ever admitted.
+
+    Returns ``(kept, new_fingerprints)``: the surviving rows of ``new_df``,
+    and their ``(fp, id)`` rows to append to the store for the next run.
+
+    100 TB posture: the store is a 16-byte-digest table, ~1/1000 the corpus
+    bytes. Persist it BUCKETED by ``fp`` (`DataFrameWriter.bucketBy`) so the
+    anti-join against each new batch is co-located — no store-side shuffle,
+    only the (small) batch shuffles into the store's bucketing. The batch
+    never carries text through the join: it joins on the digest and
+    re-attaches rows by id. Reference parity: dedupe transform's
+    seen-fingerprint cache (src/transforms/dedupe/transform.rs:69-139)
+    made persistent and exact instead of a 5000-entry LRU.
+    """
+    keyed = new_df.withColumn("__fp", F.md5(normalize(F.col(text_col))))
+    # within-batch: min-id witness per fingerprint (digest+id shuffle only)
+    batch_keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    # vs history: drop any fingerprint the store has already admitted
+    fresh = batch_keep.join(
+        store_df.select(F.col(fp_col).alias("__fp")).distinct(),
+        on="__fp",
+        how="left_anti",
+    )
+    kept = keyed.join(fresh, on=["__fp", id_col], how="inner").drop("__fp")
+    new_fps = fresh.select(
+        F.col("__fp").alias(fp_col), F.col(id_col).alias("first_" + id_col)
+    )
+    return kept, new_fps
+
+
 # --- shingles / minhash ------------------------------------------------------
 
 
