@@ -433,3 +433,79 @@ def test_log_to_metric_all_roundtrip(spark):
     # junk rows are dropped, not nulled
     junk = spark.createDataFrame([("not json",)], "message string")
     assert log_to_metric_all(junk).count() == 0
+
+
+def test_graph_dot_export():
+    """`vector graph` parity: DOT with the reference's default shapes and
+    port-labeled edges (src/graph.rs:80-159)."""
+    from vector_spark.plans import graph_dot
+
+    config = {
+        "sources": {"in": {"type": "inline", "rows": [(1,)], "schema": "a long"}},
+        "transforms": {
+            "rt": {
+                "type": "exclusive_route",
+                "inputs": ["in"],
+                "routes": {"ok": ".a > 0"},
+                "graph": {"node_attributes": {"color": "red"}},
+            }
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["rt.ok"]}},
+    }
+    dot = graph_dot(config)
+    assert dot.startswith("digraph {") and dot.endswith("}")
+    assert '"in" [shape="trapezium"]' in dot
+    # user node_attributes merge with the default shape
+    assert '"rt" [color="red" shape="diamond"]' in dot
+    assert '"out" [shape="invtrapezium"]' in dot
+    assert '"in" -> "rt"' in dot
+    # port-qualified input becomes an edge label
+    assert '"rt" -> "out" [label="ok"]' in dot
+
+
+def test_tap_samples_matched_outputs(spark):
+    """`vector tap` parity: glob-matched component outputs sampled as
+    JSON lines, --meta envelope layout (lib/vector-tap/src/lib.rs:47-99)."""
+    import json as _json
+
+    from vector_spark.plans import compile_config, tap
+
+    config = {
+        "sources": {
+            "logs": {
+                "type": "inline",
+                "rows": [(i, "web" if i % 2 else "db") for i in range(10)],
+                "schema": "a long, source string",
+            }
+        },
+        "transforms": {
+            "rt": {
+                "type": "exclusive_route",
+                "inputs": ["logs"],
+                "routes": {"web": '.source == "web"', "db": '.source == "db"'},
+            }
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["rt.web"]}},
+    }
+    topo = compile_config(spark, config)
+
+    # glob over named ports; limit bounds rows per output
+    lines = tap(topo, "rt.*", limit=3)
+    assert len(lines) == 6  # two ports × 3
+    assert all(_json.loads(ln)["source"] in ("web", "db") for ln in lines)
+
+    # meta envelope: flat component fields + nested event
+    (ln,) = tap(topo, "logs", limit=1, meta=True)
+    ev = _json.loads(ln)
+    assert ev["component_id"] == "logs"
+    assert ev["component_kind"] == "source"
+    assert ev["component_type"] == "inline"
+    assert ev["event"]["a"] == 0
+
+    # logfmt encoding
+    (lf,) = tap(topo, "rt.db", limit=1, format="logfmt", meta=True)
+    assert lf.startswith("component_id=rt.db component_kind=transform ")
+    assert 'source="db"' in lf
+
+    # no match → empty, not an error
+    assert tap(topo, "nope*") == []

@@ -1,1 +1,7 @@
-from vector_spark.plans.topology import Topology, compile_config, run_unit_test  # noqa: F401
+from vector_spark.plans.topology import (  # noqa: F401
+    Topology,
+    compile_config,
+    graph_dot,
+    run_unit_test,
+    tap,
+)

@@ -703,6 +703,107 @@ def run_config_tests(spark: SparkSession, config_or_path) -> list[dict]:
     return results
 
 
+def graph_dot(config_or_path) -> str:
+    """Render the topology DAG as Graphviz DOT — `vector graph` parity
+    (src/graph.rs:80-159): sources draw as ``trapezium``, transforms as
+    ``diamond``, sinks as ``invtrapezium``; a port-qualified input
+    (``name.port``) becomes an edge label; per-component
+    ``graph.node_attributes`` in the config override the default shape
+    (src/graph.rs:70-78). Pure config walk — no SparkSession needed."""
+    cfg = load_config(config_or_path)
+
+    def attrs(component_cfg: dict, default_shape: str) -> str:
+        a = dict(component_cfg.get("graph", {}).get("node_attributes", {}))
+        a.setdefault("shape", default_shape)
+        return " ".join(f'{k}="{v}"' for k, v in sorted(a.items()))
+
+    def edges(target: str, inputs: list[str]) -> list[str]:
+        out = []
+        for ref in inputs:
+            name, _, port = ref.partition(".")
+            if port:
+                out.append(f'  "{name}" -> "{target}" [label="{port}"]')
+            else:
+                out.append(f'  "{name}" -> "{target}"')
+        return out
+
+    lines = ["digraph {"]
+    for sid, scfg in cfg.get("sources", {}).items():
+        lines.append(f'  "{sid}" [{attrs(scfg, "trapezium")}]')
+    for tid, tcfg in cfg.get("transforms", {}).items():
+        lines.append(f'  "{tid}" [{attrs(tcfg, "diamond")}]')
+        lines.extend(edges(tid, tcfg.get("inputs", [])))
+    for kid, kcfg in cfg.get("sinks", {}).items():
+        lines.append(f'  "{kid}" [{attrs(kcfg, "invtrapezium")}]')
+        lines.extend(edges(kid, kcfg.get("inputs", [])))
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def tap(
+    topo: Topology,
+    outputs_patterns,
+    limit: int = 100,
+    meta: bool = False,
+    format: str = "json",
+) -> list[str]:
+    """Sample events at matching component outputs — `vector tap` parity
+    (src/tap/cmd.rs:38-57; glob component matching ≙
+    lib/vector-tap/src/controller.rs:315-347; the ``meta`` envelope ≙
+    EventFormatter, lib/vector-tap/src/lib.rs:47-99).
+
+    ``outputs_patterns`` are shell globs matched against source names,
+    transform names (default port) and ``name.port`` named outputs. Up
+    to ``limit`` events per matched output are returned as JSON (or
+    logfmt) lines. Encoding is JVM-side (``DataFrame.toJSON`` on a
+    ``limit(n)`` plan — Spark stops the scan after n rows; no Python row
+    loop on the hot path). With ``meta=True`` each line is wrapped as
+    ``{"component_id":…,"component_kind":…,"component_type":…,"event":…}``
+    exactly like the reference's ``--meta`` JSON layout."""
+    import fnmatch
+
+    if isinstance(outputs_patterns, str):
+        outputs_patterns = [outputs_patterns]
+    if format not in ("json", "logfmt"):
+        raise ValueError(f"unsupported tap format {format!r}")
+
+    # addressable outputs: sources, plus every port of every transform
+    refs: dict[str, tuple[str, str]] = {}
+    for sname, scfg in topo.config.get("sources", {}).items():
+        refs[sname] = ("source", scfg.get("type", "source"))
+    for tname, tcfg in topo.config.get("transforms", {}).items():
+        for port in topo._transform_outputs(tname):
+            ref = tname if port == "__default" else f"{tname}.{port}"
+            refs[ref] = ("transform", tcfg.get("type", "transform"))
+
+    lines: list[str] = []
+    for ref in sorted(refs):
+        if not any(fnmatch.fnmatchcase(ref, p) for p in outputs_patterns):
+            continue
+        kind, ctype = refs[ref]
+        for ev in topo.resolve(ref).limit(limit).toJSON().collect():
+            if format == "logfmt":
+                fields = json.loads(ev)
+                body = " ".join(
+                    f"{k}={json.dumps(v) if isinstance(v, str) else v}"
+                    for k, v in fields.items()
+                )
+                lines.append(
+                    f"component_id={ref} component_kind={kind} "
+                    f"component_type={ctype} {body}"
+                    if meta
+                    else body
+                )
+            elif meta:
+                lines.append(
+                    f'{{"component_id":"{ref}","component_kind":"{kind}",'
+                    f'"component_type":"{ctype}","event":{ev}}}'
+                )
+            else:
+                lines.append(ev)
+    return lines
+
+
 def _pd():
     import pandas as pd
 
