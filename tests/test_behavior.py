@@ -509,3 +509,61 @@ def test_tap_samples_matched_outputs(spark):
 
     # no match → empty, not an error
     assert tap(topo, "nope*") == []
+
+
+# --- internal metrics / `vector top` (src/top/state.rs ComponentRow) --------
+
+
+def test_topology_top_flow_counters(spark):
+    """observe=True attaches CollectMetrics to every component edge; after
+    write_sinks the `top()` snapshot reports per-component event counts —
+    `vector top` parity (src/top/state.rs:110-125) with ZERO extra jobs
+    (Observation rides the sink action, it never re-executes the subtree)."""
+    config = {
+        "sources": {"seq": {"type": "sequences", "n": 100}},
+        "transforms": {
+            "keep": {
+                "type": "filter",
+                "inputs": ["seq"],
+                "condition": ".n_tok >= 0",  # pass-through
+            },
+            "rt": {
+                "type": "route",
+                "inputs": ["keep"],
+                "routes": {"big": ".n_tok >= 64", "small": ".n_tok < 64"},
+            },
+        },
+        "sinks": {
+            "big_sink": {"type": "memory", "inputs": ["rt.big"]},
+            "small_sink": {"type": "memory", "inputs": ["rt.small"]},
+        },
+    }
+    topo = compile_config(spark, config, observe=True)
+    results = topo.write_sinks()
+    assert results["big_sink"] + results["small_sink"] == 100
+    rows = {r["component_id"]: r for r in topo.top()}
+    # source + both sink edges fired; counters match the memory-sink counts
+    assert rows["seq"]["sent_events_total"] == 100
+    assert rows["seq"]["kind"] == "source"
+    assert rows["big_sink"]["received_events_total"] == results["big_sink"]
+    assert rows["small_sink"]["received_events_total"] == results["small_sink"]
+    # the source edge carries a message column → byte counter present
+    assert rows["seq"]["sent_bytes_total"] > 0
+    # every reported row carries the `vector top` table columns
+    for r in rows.values():
+        assert {"component_id", "kind", "type"} <= set(r)
+
+
+def test_topology_top_unfired_edges_omitted(spark):
+    """A component compiled with observe=True but never consumed by an
+    action must be OMITTED from top() (not block on Observation.get)."""
+    config = {
+        "sources": {"seq": {"type": "sequences", "n": 10}},
+        "transforms": {
+            "keep": {"type": "filter", "inputs": ["seq"], "condition": ".n_tok >= 0"}
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["keep"]}},
+    }
+    topo = compile_config(spark, config, observe=True)
+    topo.outputs()  # resolve (attaches observations) but run NO action
+    assert topo.top() == []  # nothing fired, nothing blocks

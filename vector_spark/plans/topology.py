@@ -84,6 +84,8 @@ class Topology:
     order: list[str]  # topological order of transforms
     _cache: dict[str, DataFrame] = field(default_factory=dict)
     overrides: dict[str, DataFrame] = field(default_factory=dict)
+    observe: bool = False
+    _observations: dict = field(default_factory=dict)
 
     # -- resolution --------------------------------------------------------
 
@@ -132,6 +134,12 @@ class Topology:
             if port:
                 raise ValueError(f"sources have no ports: {ref}")
             df = self._source_df(name)
+            if self.observe:
+                stype = (
+                    self.config.get("sources", {}).get(name, {}).get("type")
+                    or "override"
+                )
+                df = self._observe(df, name, "source", stype, "sent")
         elif name in self.config.get("transforms", {}):
             outs = self._transform_outputs(name)
             key = port or "__default"
@@ -155,6 +163,17 @@ class Topology:
         cfg = self.config["transforms"][name]
         df = self._inputs_df(cfg["inputs"])
         outs = _build_transform(name, cfg, df)
+        if self.observe:
+            outs = {
+                k: self._observe(
+                    v,
+                    name if k == "__default" else f"{name}.{k}",
+                    "transform",
+                    cfg["type"],
+                    "sent",
+                )
+                for k, v in outs.items()
+            }
         if cfg.get("persist"):
             # Spark-level persist, not just plan-object reuse: an output
             # consumed by several downstream components (or re-read inside
@@ -165,6 +184,62 @@ class Topology:
             outs = {k: v.persist() for k, v in outs.items()}
         self._cache[cache_key] = outs  # type: ignore[assignment]
         return outs
+
+    # -- internal metrics (`vector top` counters) ---------------------------
+
+    def _observe(
+        self, df: DataFrame, cid: str, kind: str, ctype: str, direction: str
+    ) -> DataFrame:
+        """Attach flow counters to a component edge via Spark's
+        CollectMetrics (``DataFrame.observe``): the aggregates are computed
+        over the rows that actually flow through the edge DURING the next
+        action — zero extra jobs, unlike a ``count()`` probe that would
+        re-execute the upstream subtree. This is the Spark-native analog
+        of the reference's internal telemetry counters
+        (component_sent/received_events_total, src/top/state.rs:110-125)."""
+        from pyspark.sql import Observation
+
+        metrics = [F.count(F.lit(1)).alias(f"{direction}_events_total")]
+        if "message" in df.columns:
+            metrics.append(
+                F.coalesce(F.sum(F.octet_length("message")), F.lit(0)).alias(
+                    f"{direction}_bytes_total"
+                )
+            )
+        obs = Observation()
+        self._observations[(cid, kind, ctype)] = obs
+        return df.observe(obs, *metrics)
+
+    def top(self) -> list[dict]:
+        """Per-component flow-counter snapshot — `vector top` parity
+        (src/top/state.rs ComponentRow: kind, type,
+        received/sent_events_total; src/top/dashboard.rs renders the
+        table). Only components whose observation has FIRED (an action
+        consumed their edge) are reported; a component observed but never
+        executed is omitted rather than blocking. Throughput-per-sec
+        columns are meaningless for a finished batch and are omitted.
+
+        Counters reflect the FIRST action through each edge (Spark
+        Observation semantics) — a snapshot, exactly what `top` shows."""
+        # Observed metrics are delivered on the async listener bus AFTER the
+        # action returns; drain it so a just-finished write is visible, then
+        # probe each Observation's future non-blockingly (Observation.get
+        # would hang forever on an edge no action ever consumed).
+        try:
+            self.spark._jsparkSession.sparkContext().listenerBus().waitUntilEmpty(
+                10_000
+            )
+        except Exception:
+            pass  # non-classic session (connect) — futures still resolve
+        rows = []
+        for (cid, kind, ctype), obs in self._observations.items():
+            jo = getattr(obs, "_jo", None)
+            if jo is None or not jo.future().isCompleted():
+                continue  # never attached, or attached but no action yet
+            rows.append(
+                {"component_id": cid, "kind": kind, "type": ctype, **obs.get}
+            )
+        return sorted(rows, key=lambda r: (r["kind"], r["component_id"]))
 
     # -- sinks -------------------------------------------------------------
 
@@ -182,6 +257,8 @@ class Topology:
         for sname, cfg in self.config.get("sinks", {}).items():
             df = self._inputs_df(cfg["inputs"])
             t = cfg.get("type", "blackhole")
+            if self.observe:
+                df = self._observe(df, sname, "sink", t, "received")
             if t == "parquet":
                 w = df.write.mode(cfg.get("mode", "overwrite"))
                 if cfg.get("partition_by"):
@@ -503,6 +580,7 @@ def compile_config(
     spark: SparkSession,
     config_or_path,
     overrides: dict[str, DataFrame] | None = None,
+    observe: bool = False,
 ) -> Topology:
     """Validate + compile a config into a Topology (≙ config::compile).
 
@@ -562,7 +640,9 @@ def compile_config(
         cyc = sorted(t for t, d in indeg.items() if d > 0)
         raise ValueError(f"cycle detected involving: {cyc}")
 
-    return Topology(spark, config, order, overrides=dict(overrides or {}))
+    return Topology(
+        spark, config, order, overrides=dict(overrides or {}), observe=observe
+    )
 
 
 # --------------------------------------------------------------------------
