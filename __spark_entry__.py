@@ -4000,13 +4000,16 @@ def _register_curation() -> None:
             # join) — cache so the quality+repetition scan runs once
             .cache()
         )
-        scores = contamination_scores(filtered, bench, "text", n=5)
-        clean = (
-            filtered.join(
-                scores.filter(F.col("contamination") < 0.5).select("doc_id"),
-                "doc_id",
-            )
+        # cache the surviving-id set (a slim doc_id column): the 5-gram
+        # md5 digest scan behind it is expensive and would otherwise be
+        # recomputed by every downstream pass over `clean`
+        clean_ids = (
+            contamination_scores(filtered, bench, "text", n=5)
+            .filter(F.col("contamination") < 0.5)
+            .select("doc_id")
+            .cache()
         )
+        clean = filtered.join(clean_ids, "doc_id")
         # pack_sequences reads its input twice (bucket totals + offset
         # join); cache here so the dedup/decontamination chain above runs
         # once instead of once per pass

@@ -123,24 +123,28 @@ def embedding_near_dups_lsh(
             for s in range(plane_sets)
         ],
     ).persist()  # bucket table computed once for every self-join side
-    all_pairs = None
-    for s in range(plane_sets):
-        # candidate ids only — the vectors are re-joined once after dedup
-        p = (
-            bucketed.alias("l")
-            .join(
-                bucketed.alias("r"),
-                on=[
-                    F.col(f"l.__bucket{s}") == F.col(f"r.__bucket{s}"),
-                    F.col("l.__id") < F.col("r.__id"),
-                ],
-            )
-            .select(
-                F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
-            )
+    # ONE self-join on the exploded (plane_set, bucket) key instead of
+    # plane_sets separate joins + union: same candidate set (a pair from
+    # set s matches at set==s), one shuffle, plane_sets× fewer stages.
+    keys = bucketed.select(
+        "__id",
+        F.posexplode(
+            F.array(*[F.col(f"__bucket{s}") for s in range(plane_sets)])
+        ).alias("__set", "__bkt"),
+    )
+    cand = (
+        keys.alias("l")
+        .join(
+            keys.alias("r"),
+            on=[
+                F.col("l.__set") == F.col("r.__set"),
+                F.col("l.__bkt") == F.col("r.__bkt"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
         )
-        all_pairs = p if all_pairs is None else all_pairs.unionAll(p)
-    cand = all_pairs.distinct()  # dedup BEFORE the expensive cosine verify
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()  # dedup BEFORE the expensive cosine verify
+    )
     va = bucketed.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
     vb = bucketed.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
     pairs = (

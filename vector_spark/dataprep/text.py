@@ -306,11 +306,15 @@ def _word_ngrams(ws: Column, n: int) -> Column:
 
 def _top_run(sorted_grams: Column) -> Column:
     """Longest equal-run length of an already-SORTED gram array — one
-    O(n) ``aggregate`` fold, every subexpression referenced once."""
+    O(n) ``aggregate`` fold, every subexpression referenced once.
+    Works for any element type; the initial NULL sentinel never equals a
+    real element, so the first element starts a run of 1."""
     return F.aggregate(
         sorted_grams,
         F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            F.lit(None).cast("long").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         ),
         lambda acc, x: F.struct(
             x.alias("prev"),
@@ -334,17 +338,26 @@ def _top_ngram_frac(ws: Column, n: int) -> Column:
     minutes). Instead sort once and take the longest equal-run with a
     single O(n) ``aggregate`` fold.
 
-    Deliberately a pure Column expression even though it embeds the
-    gram-array subtree three times (fold + two size refs): materializing
-    the gram arrays as projection columns was MEASURED SLOWER (29 s →
-    60 s on the sf0.1 curation pipeline) — carrying the per-doc string
-    arrays through row buffers costs more than recomputing them, and
-    filter-predicate pushdown re-inlines the subtree anyway."""
-    grams = F.array_sort(_word_ngrams(ws, n))
+    Deliberately a pure Column expression (materializing the gram arrays
+    as projection columns was MEASURED SLOWER — 29 s → 60 s on the sf0.1
+    curation pipeline: carrying per-doc string arrays through row buffers
+    costs more than recomputing them, and filter-predicate pushdown
+    re-inlines the subtree anyway). Two further shape choices:
+
+    - grams are hashed to int64 (``xxhash64``) BEFORE the sort — only
+      equal-gram GROUPING matters for the top run, not lexicographic
+      order, so sorting/comparing longs replaces string allocation +
+      comparison in the fold (same fraction; a same-doc 64-bit collision
+      is ~m²/2⁶⁴).
+    - the denominator is closed-form (``size(ws)-n+1``), not a second
+      evaluation of the gram subtree — the subtree is evaluated once."""
+    grams = F.array_sort(
+        F.transform(_word_ngrams(ws, n), lambda g: F.xxhash64(g))
+    )
+    n_grams = F.size(ws) - (n - 1)  # == size(_word_ngrams) when ≥ n words
     top = _top_run(grams)
     return F.when(
-        F.size(_word_ngrams(ws, n)) > 0,
-        F.round(top / F.size(_word_ngrams(ws, n)), 4),
+        n_grams > 0, F.round(top / n_grams, 4)
     ).otherwise(F.lit(0.0))
 
 
