@@ -3590,6 +3590,147 @@ def _register_codecs() -> None:
         )
 
     @_q(
+        "ev_prometheus",
+        """
+        WITH a AS (
+          SELECT event_type AS et, COUNT(*)::BIGINT AS n,
+                 ROUND(MAX(value), 2) AS vmax,
+                 SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END)::BIGINT AS c1,
+                 SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END)::BIGINT AS c2,
+                 SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END)::BIGINT AS c3,
+                 SUM(CASE WHEN value <= 250 THEN 1 ELSE 0 END)::BIGINT AS c4,
+                 (SUM(value::DECIMAL(18,2)))::DOUBLE AS vsum,
+                 ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                 ROUND(quantile_cont(value, 0.95), 4) AS p95
+          FROM events GROUP BY 1
+        ),
+        f AS (
+          SELECT *,
+            '{event_type="' || et || '"}' AS lbl,
+            CASE WHEN vmax = floor(vmax) THEN CAST(vmax::BIGINT AS VARCHAR)
+                 ELSE vmax::VARCHAR END AS fmax,
+            CASE WHEN vsum = floor(vsum) THEN CAST(vsum::BIGINT AS VARCHAR)
+                 ELSE vsum::VARCHAR END AS fsum,
+            CASE WHEN p50 = floor(p50) THEN CAST(p50::BIGINT AS VARCHAR)
+                 ELSE p50::VARCHAR END AS f50,
+            CASE WHEN p95 = floor(p95) THEN CAST(p95::BIGINT AS VARCHAR)
+                 ELSE p95::VARCHAR END AS f95
+          FROM a
+        )
+        SELECT 'app_events_total' AS fullname, 'counter' AS prom_type,
+               lbl AS labels, 0 AS ord,
+               'app_events_total' || lbl || ' ' || n::VARCHAR AS line FROM f
+        UNION ALL
+        SELECT 'app_value_max', 'gauge', lbl, 0,
+               'app_value_max' || lbl || ' ' || fmax FROM f
+        UNION ALL
+        SELECT 'app_value_hist', 'histogram',
+               '{event_type="' || et || '",le="' || le || '"}', ord,
+               'app_value_hist_bucket{event_type="' || et || '",le="' || le
+                 || '"} ' || cum::VARCHAR
+        FROM f, LATERAL (VALUES ('10', 0, c1), ('50', 1, c2),
+                                ('100', 2, c3), ('250', 3, c4),
+                                ('+Inf', 5, n)) b(le, ord, cum)
+        UNION ALL
+        SELECT 'app_value_hist', 'histogram', lbl, 6,
+               'app_value_hist_sum' || lbl || ' ' || fsum FROM f
+        UNION ALL
+        SELECT 'app_value_hist', 'histogram', lbl, 7,
+               'app_value_hist_count' || lbl || ' ' || n::VARCHAR FROM f
+        UNION ALL
+        SELECT 'app_value_summary', 'summary',
+               '{event_type="' || et || '",quantile="' || q || '"}', ord,
+               'app_value_summary{event_type="' || et || '",quantile="' || q
+                 || '"} ' || fq
+        FROM f, LATERAL (VALUES ('0.5', 0, f50), ('0.95', 1, f95)) s(q, ord, fq)
+        UNION ALL
+        SELECT 'app_value_summary', 'summary', lbl, 3,
+               'app_value_summary_sum' || lbl || ' ' || fsum FROM f
+        UNION ALL
+        SELECT 'app_value_summary', 'summary', lbl, 4,
+               'app_value_summary_count' || lbl || ' ' || n::VARCHAR FROM f
+        """,
+    )
+    def ev_prometheus(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Prometheus exposition encode (reference prometheus_exporter
+        sink, src/sinks/prometheus/collector.rs): counter, gauge,
+        cumulative-bucket histogram (+Inf/_sum/_count) and quantile
+        summary families over per-event_type absolute aggregates, one row
+        per wire line. Sums go through DECIMAL(18,2) so the cross-engine
+        value is exact (double accumulation is partition-order-dependent);
+        the oracle rebuilds every line byte-for-byte."""
+        from vector_spark.sinks import prometheus as prom
+
+        ev = _events(spark, sf_dir)
+        dec = F.col("value").cast("decimal(18,2)")
+        agg = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("value"), 2).alias("vmax"),
+            *[
+                F.sum(F.when(F.col("value") <= le, 1).otherwise(0))
+                .cast("long")
+                .alias(f"c{i}")
+                for i, le in enumerate([10, 50, 100, 250], 1)
+            ],
+            F.sum(dec).cast("double").alias("vsum"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        )
+        tags = F.create_map(F.lit("event_type"), F.col("event_type"))
+        no_buckets = F.lit(None).cast(
+            "array<struct<le:double,count:bigint>>"
+        )
+        no_q = F.lit(None).cast(
+            "array<struct<quantile:double,value:double>>"
+        )
+        no_long = F.lit(None).cast("long")
+        no_dbl = F.lit(None).cast("double")
+
+        def fam(name, mtype, value, buckets, quantiles, count, s):
+            return agg.select(
+                F.lit(name).alias("name"), F.lit("app").alias("namespace"),
+                F.lit(mtype).alias("metric_type"), value.alias("value"),
+                tags.alias("tags"), buckets.alias("buckets"),
+                quantiles.alias("quantiles"), count.alias("count"),
+                s.alias("sum"),
+            )
+
+        # the collector cumulates per-bucket counts; our aggregate already
+        # produced cumulative c1..c4, so hand it per-bucket deltas
+        deltas = [
+            F.col("c1"),
+            F.col("c2") - F.col("c1"),
+            F.col("c3") - F.col("c2"),
+            F.col("c4") - F.col("c3"),
+        ]
+        buckets = F.array(*[
+            F.struct(F.lit(float(le)).alias("le"), d.alias("count"))
+            for le, d in zip([10, 50, 100, 250], deltas)
+        ])
+        quantiles = F.array(
+            F.struct(F.lit(0.5).alias("quantile"), F.col("p50").alias("value")),
+            F.struct(F.lit(0.95).alias("quantile"), F.col("p95").alias("value")),
+        )
+        u = (
+            fam("events_total", "counter", F.col("n").cast("double"),
+                no_buckets, no_q, no_long, no_dbl)
+            .unionAll(fam("value_max", "gauge", F.col("vmax"),
+                          no_buckets, no_q, no_long, no_dbl))
+            .unionAll(fam("value_hist", "histogram", no_dbl, buckets, no_q,
+                          F.col("n"), F.col("vsum")))
+            .unionAll(fam("value_summary", "summary", no_dbl, no_buckets,
+                          quantiles, F.col("n"), F.col("vsum")))
+        )
+        out = prom.prometheus_samples(
+            u, buckets_col="buckets", quantiles_col="quantiles",
+            count_col="count", sum_col="sum",
+        )
+        return out.select(
+            "fullname", "prom_type", "labels",
+            F.col("ord").cast("int").alias("ord"), "line",
+        )
+
+    @_q(
         "ev_parse_ruby_hash",
         """
         SELECT event_id,
