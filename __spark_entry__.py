@@ -3731,6 +3731,61 @@ def _register_codecs() -> None:
         )
 
     @_q(
+        "ev_elasticsearch_bulk",
+        """
+        WITH e AS (
+          SELECT event_id, event_type, user_id, value,
+                 (event_id % 3)::INT AS v,
+                 'logs-' || strftime(ts, '%Y.%m.%d') AS idx,
+                 '{"event_id":' || event_id || ',"event_type":"'
+                   || event_type || '","value":' || value::VARCHAR || '}'
+                   AS doc
+          FROM events
+        )
+        SELECT event_id, v AS variant,
+          CASE
+            WHEN v = 0 THEN '{"index":{"_index":"' || idx || '","_id":"'
+                 || event_id || '"}}'
+            WHEN v = 1 THEN '{"create":{"_index":"' || idx
+                 || '","_type":"_doc"}}'
+            ELSE '{"update":{"_index":"' || idx || '","_id":"' || event_id
+                 || '","version_type":"external","version":' || user_id
+                 || '}}'
+          END || chr(10) || doc || chr(10) AS block
+        FROM e
+        """,
+    )
+    def ev_elasticsearch_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Elasticsearch bulk-API encode (reference elasticsearch sink,
+        src/sinks/elasticsearch/encoder.rs): index-with-id, create with
+        the pre-ES8 ``_type``, and update with external versioning, each
+        as the action line + newline + doc JSON + newline block over a
+        date-templated index. The oracle rebuilds every block
+        byte-for-byte."""
+        from vector_spark.sinks import elasticsearch as es
+
+        ev = _events(spark, sf_dir)
+        v = (F.col("event_id") % 3).cast("int")
+        idx = es.datestamped_index("logs", F.col("ts"))
+        doc = F.concat(
+            F.lit('{"event_id":'), F.col("event_id").cast("string"),
+            F.lit(',"event_type":"'), F.col("event_type"),
+            F.lit('","value":'), F.col("value").cast("string"), F.lit("}"),
+        )
+        eid = F.col("event_id").cast("string")
+        action = (
+            F.when(v == 0, es.bulk_action_line("index", idx, eid))
+            .when(v == 1, es.bulk_action_line(
+                "create", idx, suppress_type=False))
+            .otherwise(es.bulk_action_line(
+                "update", idx, eid, version=F.col("user_id")))
+        )
+        return ev.select(
+            "event_id", v.alias("variant"),
+            es.encode_bulk(action, doc).alias("block"),
+        )
+
+    @_q(
         "ev_parse_ruby_hash",
         """
         SELECT event_id,
