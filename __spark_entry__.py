@@ -1095,6 +1095,96 @@ def _register_dataprep() -> None:
             min_recall=0.75,
         )
 
+    @_q(
+        "doc_bpe_roundtrip",
+        f"""
+        SELECT doc_id, TRUE AS ok
+        FROM documents
+        """,
+    )
+    def doc_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """HARD per-doc gate for the BPE tokenizer (dataprep/bpe.py):
+        train merges on the corpus word dim, encode every document to
+        token ids, decode the ids back, and assert the round-trip
+        reproduces the normalized text EXACTLY — one boolean per doc,
+        bit-exact vs the oracle's all-TRUE column. Any training
+        nondeterminism, encode drift, or vocab-id corruption flips a row."""
+        from vector_spark.dataprep import bpe
+
+        d = _docs(spark, sf_dir)
+        wc = bpe.word_counts(d, top_v=5000).cache()
+        merges = bpe.bpe_train(wc, num_merges=200)
+        vocab = bpe.bpe_vocab(merges, bpe.corpus_alphabet(wc))
+        enc = bpe.bpe_encode(d, merges, vocab)
+        out = d.select("doc_id", tx.normalize(F.col("text")).alias("__norm"))
+        return (
+            out.join(enc, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(
+                        bpe.bpe_decode(F.col("tokens"), vocab), F.lit("")
+                    )
+                    == F.col("__norm")
+                ).alias("ok"),
+            )
+        )
+
+    @_q(
+        "doc_bpe_stats",
+        f"""
+        WITH w AS (
+          SELECT DISTINCT unnest({osql.words_expr('text')}) AS word
+          FROM documents
+        ),
+        wf AS (SELECT word FROM w WHERE word <> ''),
+        syms AS (
+          SELECT unnest(string_split(substring(word, 1, length(word) - 1),
+                                     '')) AS s
+          FROM wf WHERE length(word) > 1
+          UNION
+          SELECT substring(word, length(word), 1) || '</w>' AS s FROM wf
+        )
+        SELECT (SELECT COUNT(*) FROM wf)::BIGINT AS n_words,
+               (SELECT COUNT(DISTINCT s) FROM syms)::BIGINT AS n_alphabet,
+               TRUE AS vocab_ok, TRUE AS dim_roundtrip_ok
+        """,
+    )
+    def doc_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BPE vocab summary, oracle-anchored: distinct-word dim size and
+        alphabet size recomputed independently by the oracle; vocab_ok
+        pins alphabet < |vocab| ≤ alphabet + num_merges (each merge adds
+        at most one new token string), dim_roundtrip_ok asserts every
+        DISTINCT WORD's token ids decode back to the word — the dim-level
+        exactness behind doc_bpe_roundtrip."""
+        from vector_spark.dataprep import bpe
+
+        d = _docs(spark, sf_dir)
+        wc = bpe.word_counts(d).cache()  # uncapped: the oracle counts all
+        merges = bpe.bpe_train(wc, num_merges=200)
+        vocab = bpe.bpe_vocab(merges, bpe.corpus_alphabet(wc))
+        n_alpha = len(bpe.corpus_alphabet(wc))
+        dim = bpe.bpe_encode(
+            wc.select(F.col("word").alias("doc_id"),
+                      F.col("word").alias("text")),
+            merges, vocab, id_col="doc_id",
+        )
+        rt_ok = dim.select(
+            F.min(
+                bpe.bpe_decode(F.col("tokens"), vocab) == F.col("doc_id")
+            ).alias("ok")
+        )
+        return wc.agg(F.count(F.lit(1)).alias("n_words")).crossJoin(
+            rt_ok
+        ).select(
+            F.col("n_words").cast("long"),
+            F.lit(n_alpha).cast("long").alias("n_alphabet"),
+            F.lit(
+                n_alpha < len(vocab) <= n_alpha + 200
+            ).alias("vocab_ok"),
+            F.col("ok").alias("dim_roundtrip_ok"),
+        )
+
     @_q("doc_winnow_dups", osql.winnow_near_dups_sql())
     def doc_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Winnowing near-duplicate pairs: any shared substring ≥ k+w−1
