@@ -37,6 +37,12 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "doc_dsir_weights": {
         "bnl_join": (4, "1-row Np/Nq totals frames cross-joined"),
     },
+    "doc_lm_bigram_ppl": {
+        "bnl_join": (2, "1-row unigram/bigram totals frame cross-joined"),
+    },
+    "doc_bpe_stats": {
+        "bnl_join": (2, "1-row word-dim count × 1-row roundtrip flag"),
+    },
     "tpch_q22_antijoin": {
         "bnl_join": (2, "1-row scalar avg(acctbal) subquery frame"),
     },
