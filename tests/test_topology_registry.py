@@ -201,3 +201,42 @@ def test_paragraph_dedup_and_mixture_transform_types(spark, tmp_path):
     assert {r.source for r in mix} == {"s0", "s1"}
     temp = topo.resolve("mix_temp").collect()
     assert all(r.source in {"s0", "s1"} for r in temp)
+
+
+def test_tokenize_transform_type(spark, tmp_path):
+    """tokenize (BPE) is a first-class topology type: corpus-trained and
+    pre-trained (merges+alphabet in config) variants both round-trip."""
+    from vector_spark.dataprep import bpe
+    from vector_spark.plans import compile_config
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest news"), (3, "low news")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "docs3")
+    docs.write.parquet(p)
+    config = {
+        "sources": {"d": {"type": "parquet", "path": p}},
+        "transforms": {
+            "tok": {"type": "tokenize", "inputs": ["d"], "num_merges": 40},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["tok"]}},
+    }
+    topo = compile_config(spark, config)
+    rows = {r.doc_id: r for r in topo.resolve("tok").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(r.n_tok == len(r.tokens) > 0 for r in rows.values())
+
+    # pre-trained path: reuse the merges the corpus run would produce
+    wc = bpe.word_counts(docs)
+    merges = bpe.bpe_train(wc, num_merges=40)
+    alphabet = bpe.corpus_alphabet(wc)
+    config["transforms"]["tok"] = {
+        "type": "tokenize", "inputs": ["d"],
+        "merges": [list(m) for m in merges], "alphabet": alphabet,
+    }
+    topo2 = compile_config(spark, config)
+    rows2 = {r.doc_id: r for r in topo2.resolve("tok").collect()}
+    assert {k: v.tokens for k, v in rows2.items()} == {
+        k: v.tokens for k, v in rows.items()
+    }

@@ -525,6 +525,29 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
                 bucket_size=int(cfg.get("bucket_size", 8192)),
             )
         }
+    if t == "tokenize":
+        # corpus curation as config: BPE subword tokenization — train on
+        # the input corpus (the dim-bounded collect documented in
+        # dataprep/bpe.py) or load a pre-trained merge list, then stamp
+        # every row with the tokens payload
+        from vector_spark.dataprep import bpe
+
+        text_col = cfg.get("text_col", "text")
+        id_col = cfg.get("id_col", "doc_id")
+        if "merges" in cfg:
+            # pre-trained: a merge list + the alphabet it was trained over
+            merges = [tuple(m) for m in cfg["merges"]]
+            vocab = bpe.bpe_vocab(merges, list(cfg["alphabet"]))
+        else:
+            wc = bpe.word_counts(
+                df, text_col, top_v=int(cfg.get("top_v", 50_000))
+            ).cache()
+            merges = bpe.bpe_train(
+                wc, num_merges=int(cfg.get("num_merges", 200))
+            )
+            vocab = bpe.bpe_vocab(merges, bpe.corpus_alphabet(wc))
+        enc = bpe.bpe_encode(df, merges, vocab, text_col, id_col)
+        return {"__default": df.join(enc, id_col)}
     if t == "paragraph_dedup":
         from vector_spark.dataprep.dedup import paragraph_dedup
 
@@ -571,7 +594,7 @@ TRANSFORM_TYPES = (
     "filter remap route exclusive_route sample throttle dedupe reduce "
     "aggregate log_to_metric metric_to_log tag_cardinality_limit enrich script "
     "quality_filter exact_dedup decontaminate pack_sequences paragraph_dedup "
-    "lm_perplexity "
+    "lm_perplexity tokenize "
     "sample_mixture"
 ).split()
 
