@@ -3876,6 +3876,53 @@ def _register_codecs() -> None:
         )
 
     @_q(
+        "ev_loki_push",
+        """
+        WITH e AS (
+          SELECT event_type, epoch_ms(ts) * 1000000 AS ts_ns,
+                 'evt ' || event_type || ' #' || event_id AS line
+          FROM events WHERE event_id % 50 = 0
+        ),
+        s AS (
+          SELECT event_type,
+                 COUNT(*)::INT AS n_values,
+                 string_agg(
+                   '["' || ts_ns || '","' || line || '",{}]', ','
+                   ORDER BY ts_ns, '["' || ts_ns || '","' || line || '",{}]'
+                 ) AS vals
+          FROM e GROUP BY 1
+        )
+        SELECT 'app,' || event_type || ',env,prod,' AS stream_key,
+               n_values,
+               '{"stream":{"app":"' || event_type || '","env":"prod"},'
+                 || '"values":[' || vals || ']}' AS stream_json
+        FROM s
+        """,
+    )
+    def ev_loki_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Loki push-API encode (reference loki sink,
+        src/sinks/loki/event.rs): records group by the escaped sorted
+        label set, values sort by nanosecond timestamp, entries are
+        ["<ts_ns>","<line>",{metadata}] triples inside the stream block.
+        The oracle rebuilds every stream JSON byte-for-byte."""
+        from vector_spark.sinks import loki
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 50 == 0)
+        rec = ev.select(
+            F.create_map(
+                F.lit("app"), F.col("event_type"),
+                F.lit("env"), F.lit("prod"),
+            ).alias("labels"),
+            F.concat(
+                F.lit("evt "), F.col("event_type"), F.lit(" #"),
+                F.col("event_id").cast("string"),
+            ).alias("line"),
+            (F.unix_millis(F.col("ts").cast("timestamp"))
+             * F.lit(1_000_000)).alias("ts_ns"),
+        )
+        return loki.loki_streams(rec)
+
+    @_q(
         "ev_parse_ruby_hash",
         """
         SELECT event_id,
