@@ -1050,6 +1050,31 @@ def _register_dataprep() -> None:
         )
 
     @_q(
+        "emb_semantic_dedup",
+        osql.semantic_dedup_sql(
+            osql.planted_corpus_sql(dim=64, id_cap=300, every=5, eps=0.04),
+            n_cells=8, threshold=0.9,
+        ),
+    )
+    def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SemDeDup (Abbas et al. 2023): embedding-space duplicate
+        pruning — IVF-cell clustering, within-cell cosine pairs only,
+        keep-first drop rule — over the deterministically planted
+        near-dup corpus (≈0.95 planted cosine vs the 0.9 threshold).
+        Kept (vec_id, cell) rows are bit-exact vs the oracle's replay of
+        the cells, the pairs, and the drop rule."""
+        from vector_spark.dataprep import ivf
+
+        emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        corpus = sim.planted_near_dup_corpus(
+            emb.filter(F.col("vec_id") < 300), dim=64, every=5, eps=0.04
+        ).localCheckpoint(eager=False)  # literal-heavy planted subtree is
+        # referenced by centroids collect + both pair-join sides
+        return ivf.semantic_dedup(corpus, n_cells=8, threshold=0.9)
+
+    @_q(
         "emb_pq_topk",
         osql.pq_topk_sql(_EMB_CTE, m=8, ksub=32, dim=64, k=5),
     )

@@ -196,3 +196,33 @@ def test_winnow_near_dups_planted(spark):
     pairs = winnow_near_dups(df, min_shared=3, fp_cap=3).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [("d1", "d2")]
     assert pairs[0].shared >= 3
+
+
+def test_semantic_dedup_keep_first(spark):
+    """Planted near-identical vectors drop; the SMALLER id survives."""
+    import numpy as np
+
+    from vector_spark.dataprep.ivf import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # ids 100+i duplicate i (tiny perturbation, cosine ≈ 1)
+    rows += [
+        (100 + i, [float(x) for x in base[i] * 1.001]) for i in range(0, 40, 4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r.vec_id for r in semantic_dedup(df, n_cells=4, threshold=0.99).collect()}
+    assert set(range(40)) <= kept          # originals all kept
+    assert not kept & {100 + i for i in range(0, 40, 4)}  # copies dropped
+
+
+def test_semantic_dedup_no_dups_keeps_all(spark):
+    import numpy as np
+
+    from vector_spark.dataprep.ivf import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert semantic_dedup(df, n_cells=4, threshold=0.999).count() == 30

@@ -255,3 +255,54 @@ def kmeans_refine(
             nxt[r["cell"]] = vec
         cur = nxt
     return cur
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning in embedding space — coarse-cluster the
+    corpus, compare cosines only WITHIN a cell, and drop every vector
+    that has a >= ``threshold`` neighbor with a smaller id in its cell
+    (deterministic keep-first; the paper keeps one exemplar per
+    duplicate set, exemplar choice unspecified).
+
+    Returns the KEPT rows as (id, cell). Scale shape: the cross-cell
+    quadratic is avoided entirely — pairs form inside cells only, and
+    ``n_cells`` grows with the corpus so cell populations stay bounded
+    (the paper runs 50k clusters at LAION scale); the pair join carries
+    (id, vec) within co-partitioned cells, and the final step is a
+    broadcast anti-join of the dropped-id set.
+    """
+    cents = sampled_centroids(corpus, n_cells, vec_col=vec_col, id_col=id_col)
+    cells = assign_cells(corpus, cents, vec_col=vec_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "cell"
+    ).persist()
+    a = cells.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "cell"
+    )
+    b = cells.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "cell"
+    )
+    from vector_spark.dataprep.similarity import cosine
+
+    dropped = (
+        a.join(b, on=["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("__dropped"))
+        .distinct()
+    )
+    return (
+        cells.join(
+            dropped, cells["__id"] == dropped["__dropped"], "left_anti"
+        )
+        .select(F.col("__id").alias(id_col), "cell")
+    )

@@ -806,3 +806,24 @@ def pq_recall_sql(
                      (SELECT COUNT(*) FROM exact) >= {min_recall}
                  AS meets_bound
     """
+
+
+def semantic_dedup_sql(
+    corpus_cte: str, n_cells: int = 8, threshold: float = 0.9,
+) -> str:
+    """Mirror of ivf.semantic_dedup (SemDeDup keep-first pruning): reuse
+    the IVF cell-assignment CTEs, drop every vector with a >= threshold
+    same-cell neighbor of smaller id."""
+    cells = ivf_cells_sql(corpus_cte, n_cells, nprobe=1, query_cap=1)
+    cos = COSINE_SQL.format(a="x.v", b="y.v")
+    return f"""
+        WITH {cells},
+        dropped AS (
+          SELECT DISTINCT y.vec_id
+          FROM assigned x JOIN assigned y
+            ON x.cell = y.cell AND x.vec_id < y.vec_id
+          WHERE ROUND({cos}, 6) >= {threshold}
+        )
+        SELECT a.vec_id, a.cell::INT AS cell FROM assigned a
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
