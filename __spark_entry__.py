@@ -3948,6 +3948,49 @@ def _register_codecs() -> None:
         return loki.loki_streams(rec)
 
     @_q(
+        "ev_splunk_hec",
+        """
+        WITH e AS (
+          SELECT event_id, event_type, user_id,
+                 epoch_ms(ts) // 1000 AS secs,
+                 (epoch_ms(ts) % 1000)::INT AS frac
+          FROM events
+        )
+        SELECT event_id,
+               '{"event":"evt ' || event_type || ' #' || event_id
+               || '","fields":{"team":"t' || (user_id % 3) || '","type":"'
+               || event_type || '"},"time":' || secs || '.'
+               || CASE WHEN frac = 0 THEN '0'
+                       ELSE rtrim(lpad(frac::VARCHAR, 3, '0'), '0') END
+               || ',"host":"h' || (user_id % 10)
+               || '","source":"app","sourcetype":"_json"}' AS payload
+        FROM e
+        """,
+    )
+    def ev_splunk_hec(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Splunk HEC logs encode (reference splunk_hec sink, HecData
+        serialization order): text event + sorted indexed fields + f64
+        epoch-seconds time + host/source/sourcetype metadata, one JSON
+        payload per event, byte-for-byte vs the oracle."""
+        from vector_spark.sinks import splunk
+
+        ev = _events(spark, sf_dir)
+        payload = splunk.encode_hec_event(
+            F.concat(F.lit("evt "), F.col("event_type"), F.lit(" #"),
+                     F.col("event_id").cast("string")),
+            fields=F.create_map(
+                F.lit("type"), F.col("event_type"),
+                F.lit("team"),
+                F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")),
+            ),
+            ts_ms=F.unix_millis(F.col("ts").cast("timestamp")),
+            host=F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")),
+            source=F.lit("app"),
+            sourcetype=F.lit("_json"),
+        )
+        return ev.select("event_id", payload.alias("payload"))
+
+    @_q(
         "ev_parse_ruby_hash",
         """
         SELECT event_id,
