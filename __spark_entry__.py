@@ -595,6 +595,26 @@ def _register_dataprep() -> None:
             tx.quality_score(F.col("text")).alias("quality"),
         )
 
+    @_q("doc_quality_classifier", osql.quality_classifier_sql())
+    def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Distributed-trained quality classifier (classifier.py): the
+        rule-based quality_score teacher labels the corpus, a logistic
+        model distills it via 5 integer-quantized gradient steps (one
+        map-side-combined agg job each), and the oracle replays the
+        ENTIRE training loop as unrolled DuckDB CTEs — weights and
+        per-doc predictions are bit-exact across engines (rational
+        fast-sigmoid, no libm; order-independent BIGINT gradient sums).
+
+        Scale posture: per step, one scan of a persisted 6-column
+        feature frame with map-side partial aggregation; model state is
+        k=5 doubles on the driver. At 10^12 rows this is T bounded-
+        shuffle agg jobs — the same shape as any global metric."""
+        from vector_spark.dataprep import classifier as clf
+
+        feats = clf.feature_frame(_docs(spark, sf_dir)).persist()
+        w, _ = clf.train(feats)
+        return clf.predictions(feats, w)
+
     @_q(
         "doc_redact_pii",
         """

@@ -405,3 +405,38 @@ def test_hash_threshold_mixture_temperature(spark, docs):
         docs, total=20, weights={"src0": 1.0}
     )
     assert {r.source for r in only.select("source").collect()} <= {"src0"}
+
+
+# --- distributed-trained quality classifier (classifier.py) ----------------
+
+
+def test_classifier_trains_and_reproduces(spark, docs):
+    """Weights are a pure function of the corpus: two independent trainings
+    at different partitionings produce the identical weight vector (the
+    int64 micro-quantized gradient sums are order-independent), and the
+    student tracks the rule-based teacher on its own training corpus."""
+    from vector_spark.dataprep import classifier as clf
+
+    feats = clf.feature_frame(docs).persist()
+    w1, n = clf.train(feats)
+    w2, _ = clf.train(feats.repartition(13).persist())
+    assert w1 == w2  # bit-exact, not approx
+    assert n == docs.count()
+    preds = clf.predictions(feats, w1)
+    agree = preds.filter(F.col("label") == F.col("teacher")).count()
+    assert agree / n >= 0.8  # linear distill of a thresholded linear-ish rule
+
+
+def test_classifier_separates_planted_extremes(spark):
+    """Clean prose scores above keyboard-mash junk after training."""
+    from vector_spark.dataprep import classifier as clf
+
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "back home with a friend to share some food and water") 
+    bad = "0,1;2.3!4?5(6)7 8 9 0,1;2.3!4?5(6)7 8 9 0,1;2.3!4?5(6)7 8 9"
+    rows = [(i, good if i % 2 == 0 else bad) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = clf.feature_frame(df).persist()
+    w, _ = clf.train(feats)
+    out = {r.doc_id: r.score for r in clf.predictions(feats, w).collect()}
+    assert out[0] > out[1]

@@ -827,3 +827,90 @@ def semantic_dedup_sql(
         SELECT a.vec_id, a.cell::INT AS cell FROM assigned a
         WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
     """
+
+
+def quality_classifier_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lr: float = 0.5,
+    iters: int = 5,
+    scale: int = 10**6,
+) -> str:
+    """Mirror of classifier.train + classifier.predictions: the ENTIRE
+    T-step logistic-regression training loop unrolled into CTE stages.
+
+    Reproducibility rests on three invariants shared with the Spark side
+    (classifier.py): (1) the rational fast-sigmoid uses only +,·,/,abs —
+    IEEE-754-exact in every engine; (2) per-row gradient contributions
+    are micro-quantized to BIGINT before the SUM, so the gradient vector
+    is partition-order independent; (3) the weight update is the same
+    left-associated double expression ``w - lr * (g / (n*scale))``.
+    Weights therefore agree bit-for-bit and the per-doc predictions are
+    deterministic across engines."""
+    from vector_spark.dataprep.classifier import FEATURE_NAMES
+
+    f = quality_sql_exprs(text_col)
+    mirror = {
+        "bias": "1.0",
+        "uniq_ratio": f["uniq_ratio"],
+        "punct_ratio": f["punct_ratio"],
+        "digit_ratio": f["digit_ratio"],
+        "stop_ratio_en": f["stop_ratio_en"],
+    }
+    k = len(FEATURE_NAMES)
+    xs = ", ".join(
+        f"({mirror[n]})::DOUBLE AS x_{j}" for j, n in enumerate(FEATURE_NAMES)
+    )
+    y = (
+        f"CASE WHEN {quality_score_sql_expr(text_col)} >= 0.5 "
+        f"THEN 1.0 ELSE 0.0 END"
+    )
+
+    def z_chain(w_alias: str) -> str:
+        # left-associated like classifier._z: ((w0*x0 + w1*x1) + w2*x2)...
+        return " + ".join(f"{w_alias}.w_{j} * f.x_{j}" for j in range(k))
+
+    def sig(z: str) -> str:
+        return f"ROUND(0.5 + {z} / (2.0 * (1.0 + abs({z}))), 6)"
+
+    ctes = [
+        f"""feats AS MATERIALIZED (
+          SELECT {id_col} AS doc_id, {xs}, ({y})::DOUBLE AS y FROM {table}
+        )""",
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM feats)",
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0::DOUBLE AS w_{j}" for j in range(k))
+        + ")",
+    ]
+    for t in range(1, iters + 1):
+        grads = ", ".join(
+            f"SUM(ROUND((s - y) * x_{j} * {scale}, 0)::BIGINT)::BIGINT"
+            f" AS g_{j}"
+            for j in range(k)
+        )
+        ctes.append(
+            f"""g{t} AS (
+          SELECT {grads} FROM (
+            SELECT f.*, {sig('f.z')} AS s FROM (
+              SELECT f.*, ({z_chain('w')}) AS z
+              FROM feats f CROSS JOIN w{t - 1} w) f)
+        )"""
+        )
+        upd = ", ".join(
+            f"w.w_{j} - {lr} * (g.g_{j}::DOUBLE / (nn.n * {scale})::DOUBLE)"
+            f" AS w_{j}"
+            for j in range(k)
+        )
+        ctes.append(f"w{t} AS (SELECT {upd} FROM w{t - 1} w, g{t} g, nn)")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT doc_id, s AS score,
+               (s >= 0.5)::INT AS label,
+               y::INT AS teacher
+        FROM (
+          SELECT f.doc_id, f.y, {sig('f.z')} AS s FROM (
+            SELECT f.doc_id, f.y, ({z_chain('w')}) AS z
+            FROM feats f CROSS JOIN w{iters} w) f)
+    """
