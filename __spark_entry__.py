@@ -4780,12 +4780,272 @@ def _register_lm() -> None:
         return lmod.dsir_weights(d, target, buckets=8192)
 
 
+def _register_otlp() -> None:
+    @_q(
+        "ev_otlp_ingest",
+        """
+        SELECT 'evt ' || event_type || ' #' || event_id AS message,
+               make_timestamp(epoch_ms(ts) * 1000) AS ts,
+               CASE WHEN event_id % 3 = 0
+                    THEN make_timestamp(epoch_ms(ts) * 1000)
+                    ELSE TIMESTAMP '2026-01-01' END AS ots,
+               CASE WHEN user_id % 2 = 0 THEN event_type END
+                 AS severity_text,
+               NULLIF(event_id % 25, 0)::INT AS severity_number,
+               CASE WHEN user_id % 3 = 0 THEN md5(event_id::VARCHAR) END
+                 AS trace_id,
+               NULLIF(event_id % 3, 0)::INT AS flags,
+               (event_id % 5)::INT AS dropped,
+               event_type AS attr_type,
+               user_id::VARCHAR AS attr_uid,
+               'svc-' || (user_id % 7) AS service,
+               'app' AS scope_name,
+               '1.2' AS scope_version
+        FROM events WHERE event_id % 20 = 0
+        """,
+    )
+    def ev_otlp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """OTLP/JSON logs source decode (reference src/sources/opentelemetry
+        + lib/opentelemetry-proto/src/convert.rs:201-365): batch events
+        into multi-record ExportLogsServiceRequest payloads, then decode
+        via the triple-explode from_json path — legacy field mapping,
+        proto3 absent-field semantics (0 severity / empty text / empty
+        trace id → NULL), observed-timestamp fallback to the caller clock,
+        kv-list → map attributes. The oracle recomputes every flat field
+        from the generator formulas."""
+        from vector_spark.sources import otlp
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 20 == 0)
+        eid = F.col("event_id").cast("string")
+        ts_ns = (F.unix_millis(F.col("ts").cast("timestamp"))
+                 * F.lit(1_000_000)).cast("string")
+        obs = F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit('"observedTimeUnixNano":"'), ts_ns, F.lit('",')),
+        ).otherwise(F.lit(""))
+        sev_text = F.when(
+            F.col("user_id") % 2 == 0, F.col("event_type")
+        ).otherwise(F.lit(""))
+        trace = F.when(F.col("user_id") % 3 == 0, F.md5(eid)).otherwise(
+            F.lit("")
+        )
+        rec = F.concat(
+            F.lit('{"timeUnixNano":"'), ts_ns, F.lit('",'), obs,
+            F.lit('"severityNumber":'),
+            (F.col("event_id") % 25).cast("string"),
+            F.lit(',"severityText":"'), sev_text,
+            F.lit('","body":{"stringValue":"evt '), F.col("event_type"),
+            F.lit(" #"), eid,
+            F.lit('"},"attributes":[{"key":"type","value":{"stringValue":"'),
+            F.col("event_type"),
+            F.lit('"}},{"key":"uid","value":{"intValue":"'),
+            F.col("user_id").cast("string"),
+            F.lit('"}}],"droppedAttributesCount":'),
+            (F.col("event_id") % 5).cast("string"),
+            F.lit(',"flags":'), (F.col("event_id") % 3).cast("string"),
+            F.lit(',"traceId":"'), trace, F.lit('"}'),
+        )
+        req = (
+            ev.select(
+                (F.col("user_id") % 7).alias("req_key"),
+                F.struct(F.col("event_id"), rec.alias("rec")).alias("e"),
+            )
+            .groupBy("req_key")
+            .agg(F.array_sort(F.collect_list("e")).alias("recs"))
+            .select(
+                F.concat(
+                    F.lit('{"resourceLogs":[{"resource":{"attributes":'
+                          '[{"key":"service.name","value":{"stringValue":'
+                          '"svc-'),
+                    F.col("req_key").cast("string"),
+                    F.lit('"}}]},"scopeLogs":[{"scope":{"name":"app",'
+                          '"version":"1.2"},"logRecords":['),
+                    F.array_join(
+                        F.transform(F.col("recs"), lambda e: e["rec"]), ","
+                    ),
+                    F.lit("]}]}]}"),
+                ).alias("payload")
+            )
+        )
+        flat = otlp.parse_otlp_logs(
+            req, "payload",
+            observed_default=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+        )
+        return flat.select(
+            "message",
+            F.col("timestamp").alias("ts"),
+            F.col("observed_timestamp").alias("ots"),
+            "severity_text",
+            "severity_number",
+            "trace_id",
+            "flags",
+            F.col("dropped_attributes_count").alias("dropped"),
+            F.col("attributes")["type"].alias("attr_type"),
+            F.col("attributes")["uid"].alias("attr_uid"),
+            F.col("resources")["service.name"].alias("service"),
+            "scope_name",
+            "scope_version",
+        )
+
+    @_q(
+        "ev_otlp_export",
+        """
+        WITH e AS (
+          SELECT event_id, event_type, user_id,
+                 epoch_ms(ts) * 1000000 AS ns
+          FROM events WHERE event_id % 10 = 0
+        ),
+        r AS (
+          SELECT user_id % 5 AS k,
+                 ns,
+                 '{"timeUnixNano":"' || ns || '","severityNumber":'
+                 || (event_id % 24 + 1) || ',"severityText":"'
+                 || upper(event_type)
+                 || '","body":{"stringValue":"evt ' || event_type || ' #'
+                 || event_id
+                 || '"},"attributes":[{"key":"team","value":{"stringValue":"t'
+                 || (user_id % 3)
+                 || '"}},{"key":"type","value":{"stringValue":"'
+                 || event_type || '"}}]'
+                 || CASE WHEN user_id % 4 = 0
+                         THEN ',"traceId":"' || md5(event_id::VARCHAR) || '"'
+                         ELSE '' END
+                 || '}' AS rec
+          FROM e
+        )
+        SELECT 'env,prod,service.name,svc-' || k AS resource_key,
+               COUNT(*)::INT AS n_records,
+               '{"resource":{"attributes":[{"key":"env","value":'
+               || '{"stringValue":"prod"}},{"key":"service.name","value":'
+               || '{"stringValue":"svc-' || k
+               || '"}}]},"scopeLogs":[{"scope":{"name":"vector-spark"},'
+               || '"logRecords":['
+               || string_agg(rec, ',' ORDER BY ns, rec)
+               || ']}]}' AS resource_json
+        FROM r GROUP BY k
+        """,
+    )
+    def ev_otlp_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """OTLP/JSON logs sink encode (reference src/sinks/opentelemetry —
+        HTTP transport around the proto-JSON codec; inverse of
+        convert.rs's source mapping): events group by sorted resource
+        attribute set into one resourceLogs entry each, logRecords sort
+        by (timeUnixNano, record), attribute kv-lists sort by key,
+        optional traceId omitted when absent. Byte-exact vs the oracle's
+        string-built request entries."""
+        from vector_spark.sinks import otlp
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
+        ts_ns = (F.unix_millis(F.col("ts").cast("timestamp"))
+                 * F.lit(1_000_000))
+        resource = F.create_map(
+            F.lit("service.name"),
+            F.concat(F.lit("svc-"), (F.col("user_id") % 5).cast("string")),
+            F.lit("env"), F.lit("prod"),
+        )
+        rec = otlp.log_record_json(
+            message=F.concat(
+                F.lit("evt "), F.col("event_type"), F.lit(" #"),
+                F.col("event_id").cast("string"),
+            ),
+            ts_ns=ts_ns,
+            severity_number=(F.col("event_id") % 24 + 1).cast("int"),
+            severity_text=F.upper(F.col("event_type")),
+            attributes=F.create_map(
+                F.lit("type"), F.col("event_type"),
+                F.lit("team"),
+                F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")),
+            ),
+            trace_id=F.when(
+                F.col("user_id") % 4 == 0,
+                F.md5(F.col("event_id").cast("string")),
+            ),
+        )
+        return otlp.resource_logs(ev, resource, rec, ts_ns)
+
+
+def _register_journald() -> None:
+    @_q(
+        "ev_journald",
+        """
+        SELECT 'evt ' || event_type || ' #' || event_id AS message,
+               'h' || (user_id % 10) AS host,
+               make_timestamp(epoch_ms(ts) * 1000
+                 + CASE WHEN event_id % 4 <> 0 THEN 500 ELSE 0 END) AS ts,
+               'cur-' || event_id AS cursor,
+               CASE user_id % 4 WHEN 0 THEN 'nginx.service'
+                                WHEN 1 THEN 'sshd.service'
+                                ELSE 'app.scope' END AS unit,
+               CASE event_id % 9 WHEN 0 THEN 'EMERG' WHEN 1 THEN 'ALERT'
+                 WHEN 2 THEN 'CRIT' WHEN 3 THEN 'ERR' WHEN 4 THEN 'WARNING'
+                 WHEN 5 THEN 'NOTICE' WHEN 6 THEN 'INFO' WHEN 7 THEN 'DEBUG'
+                 ELSE 'UNKNOWN' END AS priority,
+               'c' || (user_id % 3) AS custom
+        FROM events
+        WHERE user_id % 4 <> 2 AND user_id % 3 <> 1
+        """,
+    )
+    def ev_journald(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """journald source decode (reference src/sources/journald.rs):
+        journalctl --output=json lines → events, with include_units
+        (fixup_unit appends .service), exclude_matches on an arbitrary
+        field, the filter_matches truth table, PRIORITY remap to level
+        keywords (8 → UNKNOWN), _SOURCE_REALTIME_TIMESTAMP-over-
+        __REALTIME_TIMESTAMP µs timestamp fallback, and _HOSTNAME → host
+        promotion. The oracle recomputes every field and the surviving
+        row set from the generator formulas."""
+        from vector_spark.sources import journald
+
+        ev = _events(spark, sf_dir)
+        eid = F.col("event_id").cast("string")
+        us = F.unix_millis(F.col("ts").cast("timestamp")) * F.lit(1000)
+        src_ts = F.when(
+            F.col("event_id") % 4 != 0,
+            F.concat(
+                F.lit('"_SOURCE_REALTIME_TIMESTAMP":"'),
+                (us + 500).cast("string"), F.lit('",'),
+            ),
+        ).otherwise(F.lit(""))
+        unit = (
+            F.when(F.col("user_id") % 4 == 0, F.lit("nginx.service"))
+            .when(F.col("user_id") % 4 == 1, F.lit("sshd.service"))
+            .when(F.col("user_id") % 4 == 2, F.lit("cron.service"))
+            .otherwise(F.lit("app.scope"))
+        )
+        line = F.concat(
+            F.lit('{"__CURSOR":"cur-'), eid,
+            F.lit('","__REALTIME_TIMESTAMP":"'), us.cast("string"),
+            F.lit('",'), src_ts,
+            F.lit('"_HOSTNAME":"h'), (F.col("user_id") % 10).cast("string"),
+            F.lit('","_SYSTEMD_UNIT":"'), unit,
+            F.lit('","PRIORITY":"'), (F.col("event_id") % 9).cast("string"),
+            F.lit('","MESSAGE":"evt '), F.col("event_type"), F.lit(" #"),
+            eid, F.lit('","CUSTOM":"c'),
+            (F.col("user_id") % 3).cast("string"), F.lit('"}'),
+        )
+        out = journald.parse_journald(
+            ev.select(line.alias("value")),
+            include_units=["nginx", "sshd", "app.scope"],
+            exclude_matches={"CUSTOM": ["c1"]},
+        )
+        return out.select(
+            "message", "host",
+            F.col("timestamp").alias("ts"),
+            "cursor",
+            F.col("fields")["_SYSTEMD_UNIT"].alias("unit"),
+            F.col("fields")["PRIORITY"].alias("priority"),
+            F.col("fields")["CUSTOM"].alias("custom"),
+        )
+
+
 _register_dataprep2()
+_register_journald()
 _register_lm()
 _register_mixing()
 _register_curation()
 _register_cfg_curation()
 _register_templates()
+_register_otlp()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
