@@ -5038,7 +5038,118 @@ def _register_journald() -> None:
         )
 
 
+def _register_vendor_sinks() -> None:
+    @_q(
+        "ev_datadog_logs",
+        """
+        SELECT event_id,
+               '{"ddsource":"app","ddtags":"env:prod,team:t'
+               || (user_id % 3) || '","hostname":"h' || (user_id % 10)
+               || '","message":"evt ' || event_type || ' #' || event_id
+               || '"'
+               || CASE WHEN user_id % 5 <> 0
+                       THEN ',"service":"svc' || (user_id % 5) || '"'
+                       ELSE '' END
+               || ',"status":"'
+               || CASE WHEN user_id % 2 = 0 THEN 'info' ELSE 'error' END
+               || '","timestamp":' || epoch_ms(ts)
+               || ',"type":"' || event_type
+               || '","uid":"' || user_id || '"}' AS payload
+        FROM events
+        """,
+    )
+    def ev_datadog_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Datadog logs-intake encode (reference
+        src/sinks/datadog/logs/sink.rs normalize_event + BTreeMap
+        serialization): reserved attributes at the root under intake
+        names, array ddtags comma-joined, timestamp as epoch ms integer,
+        NULL service omitted, extra attributes merged at the root,
+        sorted-key JSON. Byte-exact vs the oracle."""
+        from vector_spark.sinks import datadog as dd
+
+        ev = _events(spark, sf_dir)
+        payload = dd.encode_datadog_log(
+            message=F.concat(
+                F.lit("evt "), F.col("event_type"), F.lit(" #"),
+                F.col("event_id").cast("string"),
+            ),
+            ts_ms=F.unix_millis(F.col("ts").cast("timestamp")),
+            status=F.when(F.col("user_id") % 2 == 0, F.lit("info"))
+            .otherwise(F.lit("error")),
+            hostname=F.concat(
+                F.lit("h"), (F.col("user_id") % 10).cast("string")
+            ),
+            service=F.when(
+                F.col("user_id") % 5 != 0,
+                F.concat(F.lit("svc"), (F.col("user_id") % 5).cast("string")),
+            ),
+            ddsource=F.lit("app"),
+            ddtags=dd.normalize_ddtags(
+                F.array(
+                    F.lit("env:prod"),
+                    F.concat(F.lit("team:t"),
+                             (F.col("user_id") % 3).cast("string")),
+                )
+            ),
+            attributes=F.create_map(
+                F.lit("type"), F.col("event_type"),
+                F.lit("uid"), F.col("user_id").cast("string"),
+            ),
+        )
+        return ev.select("event_id", payload.alias("payload"))
+
+    @_q(
+        "ev_papertrail_syslog",
+        """
+        WITH e AS (
+          SELECT event_id, user_id,
+                 strftime(ts, '%b') || ' '
+                   || right(' ' || day(ts)::VARCHAR, 2) || ' '
+                   || strftime(ts, '%H:%M:%S') AS stamp,
+                 'h' || (user_id % 10) AS host,
+                 'evt ' || event_type || ' #' || event_id AS msg
+          FROM events WHERE event_id % 25 = 0
+        )
+        SELECT event_id,
+               '<14>' || stamp || ' ' || host || ' app[' || user_id
+                 || ']: ' || msg AS line,
+               1::INT AS facility, 6::INT AS severity,
+               stamp AS ts_raw, host AS hostname, 'app' AS appname,
+               user_id::INT AS procid, msg AS message
+        FROM e
+        """,
+    )
+    def ev_papertrail_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Papertrail sink wire format (reference src/sinks/papertrail.rs
+        Formatter3164, facility LOG_USER severity LOG_INFO → pri 14):
+        encode each event as an RFC 3164 line with space-padded
+        day-of-month, then round-trip through parse_bsd_syslog — the
+        oracle pins both the raw line and every parsed field."""
+        from vector_spark.functions import parse as parsefn
+        from vector_spark.functions.syslog import encode_syslog_3164
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 25 == 0)
+        line = encode_syslog_3164(
+            F.col("ts").cast("timestamp"),
+            hostname=F.concat(F.lit("h"),
+                              (F.col("user_id") % 10).cast("string")),
+            process=F.lit("app"),
+            message=F.concat(F.lit("evt "), F.col("event_type"),
+                             F.lit(" #"), F.col("event_id").cast("string")),
+            pid=F.col("user_id"),
+        )
+        p = parsefn.parse_bsd_syslog(line)
+        return ev.select(
+            "event_id", line.alias("line"),
+            p["facility"].alias("facility"), p["severity"].alias("severity"),
+            p["timestamp_raw"].alias("ts_raw"),
+            p["hostname"].alias("hostname"), p["appname"].alias("appname"),
+            p["procid"].alias("procid"), p["message"].alias("message"),
+        )
+
+
 _register_dataprep2()
+_register_vendor_sinks()
 _register_journald()
 _register_lm()
 _register_mixing()

@@ -39,3 +39,43 @@ def to_syslog_severity(level: Column) -> Column:
     return F.element_at(
         _lookup({name: i for i, name in enumerate(LEVELS)}), F.lower(level)
     ).cast("int")
+
+
+def encode_syslog_3164(
+    ts: Column,
+    hostname: Column,
+    process: Column,
+    message: Column,
+    pid: Column | None = None,
+    facility: Column | int = 1,
+    severity: Column | int = 6,
+) -> Column:
+    """RFC 3164 / BSD syslog line: ``<pri>Mmm dd hh:mm:ss host tag[pid]:
+    msg`` — the papertrail sink's wire format (reference
+    src/sinks/papertrail.rs:159-176: Formatter3164 with facility
+    LOG_USER and severity LOG_INFO around the encoded message; pri =
+    facility*8 + severity). Day-of-month is space-padded per the RFC.
+    Round-trips through ``parse.parse_bsd_syslog``."""
+    fac = facility if isinstance(facility, Column) else F.lit(facility)
+    sev = severity if isinstance(severity, Column) else F.lit(severity)
+    pri = (fac.cast("int") * 8 + sev.cast("int")).cast("string")
+    stamp = F.concat(
+        F.date_format(ts, "MMM"), F.lit(" "),
+        F.lpad(F.dayofmonth(ts).cast("string"), 2, " "), F.lit(" "),
+        F.date_format(ts, "HH:mm:ss"),
+    )
+    proc = (
+        process
+        if pid is None
+        else F.concat(
+            process,
+            F.when(
+                pid.isNotNull(),
+                F.concat(F.lit("["), pid.cast("string"), F.lit("]")),
+            ).otherwise(F.lit("")),
+        )
+    )
+    return F.concat(
+        F.lit("<"), pri, F.lit(">"), stamp, F.lit(" "), hostname,
+        F.lit(" "), proc, F.lit(": "), message,
+    )
