@@ -4964,6 +4964,93 @@ def _register_otlp() -> None:
         return otlp.resource_logs(ev, resource, rec, ts_ns)
 
 
+def _register_prometheus_scrape() -> None:
+    @_q(
+        "ev_prometheus_scrape",
+        """
+        SELECT event_type AS type,
+               COUNT(*)::BIGINT AS total,
+               (COUNT(*) FILTER (value <= 25))::BIGINT AS le25,
+               (COUNT(*) FILTER (value <= 75)
+                 - COUNT(*) FILTER (value <= 25))::BIGINT AS le75,
+               SUM(value) AS hsum,
+               COUNT(*)::BIGINT AS hcount,
+               MIN(value) AS q0,
+               MAX(value) AS q1,
+               SUM(value) AS ssum,
+               COUNT(*)::BIGINT AS scount
+        FROM events GROUP BY 1
+        """,
+    )
+    def ev_prometheus_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Prometheus scrape-source decode (reference
+        src/sources/prometheus/parser.rs): render a per-event-type
+        exposition body (histogram with cumulative buckets incl. +Inf,
+        counter, summary with min/max quantiles), parse it back with
+        parse_prometheus_text, and flatten the regrouped metrics — bucket
+        de-accumulation, +Inf drop, and sum/count attachment all
+        exercised. The oracle computes the same aggregates straight from
+        the events table."""
+        from vector_spark.sources import prometheus as prom
+
+        ev = _events(spark, sf_dir)
+        agg = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum((F.col("value") <= 25).cast("long")).alias("c25"),
+            F.sum((F.col("value") <= 75).cast("long")).alias("c75"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        t = F.col("event_type")
+        lbl = lambda extra="": F.concat(  # noqa: E731
+            F.lit('{type="'), t, F.lit('"'), F.lit(extra), F.lit("}")
+        )
+        num = lambda c: F.col(c).cast("string")  # noqa: E731
+        lines = F.array(
+            F.lit("# TYPE evt_lat histogram"),
+            F.concat(F.lit("evt_lat_bucket"), lbl(',le="25"'),
+                     F.lit(" "), num("c25")),
+            F.concat(F.lit("evt_lat_bucket"), lbl(',le="75"'),
+                     F.lit(" "), num("c75")),
+            F.concat(F.lit("evt_lat_bucket"), lbl(',le="+Inf"'),
+                     F.lit(" "), num("cnt")),
+            F.concat(F.lit("evt_lat_sum"), lbl(), F.lit(" "), num("s")),
+            F.concat(F.lit("evt_lat_count"), lbl(), F.lit(" "), num("cnt")),
+            F.lit("# TYPE evt_total counter"),
+            F.concat(F.lit("evt_total"), lbl(), F.lit(" "), num("cnt")),
+            F.lit("# TYPE evt_v summary"),
+            F.concat(F.lit("evt_v"), lbl(',quantile="0"'),
+                     F.lit(" "), num("vmin")),
+            F.concat(F.lit("evt_v"), lbl(',quantile="1"'),
+                     F.lit(" "), num("vmax")),
+            F.concat(F.lit("evt_v_sum"), lbl(), F.lit(" "), num("s")),
+            F.concat(F.lit("evt_v_count"), lbl(), F.lit(" "), num("cnt")),
+        )
+        body = agg.select(F.explode(lines).alias("value"))
+        m = prom.parse_prometheus_text(body)
+        mt = m.select(
+            F.col("tags")["type"].alias("type"), "name", "value",
+            "buckets", "count", "sum", "quantiles",
+        )
+        pick = lambda n, c: F.max(F.when(F.col("name") == n, c))  # noqa: E731
+        return mt.groupBy("type").agg(
+            pick("evt_total", F.col("value")).cast("long").alias("total"),
+            pick("evt_lat", F.element_at("buckets", 1)["count"])
+            .cast("long").alias("le25"),
+            pick("evt_lat", F.element_at("buckets", 2)["count"])
+            .cast("long").alias("le75"),
+            pick("evt_lat", F.col("sum")).alias("hsum"),
+            pick("evt_lat", F.col("count")).cast("long").alias("hcount"),
+            pick("evt_v", F.element_at("quantiles", 1)["value"])
+            .alias("q0"),
+            pick("evt_v", F.element_at("quantiles", 2)["value"])
+            .alias("q1"),
+            pick("evt_v", F.col("sum")).alias("ssum"),
+            pick("evt_v", F.col("count")).cast("long").alias("scount"),
+        )
+
+
 def _register_journald() -> None:
     @_q(
         "ev_journald",
@@ -5150,6 +5237,7 @@ def _register_vendor_sinks() -> None:
 
 _register_dataprep2()
 _register_vendor_sinks()
+_register_prometheus_scrape()
 _register_journald()
 _register_lm()
 _register_mixing()
