@@ -4964,6 +4964,286 @@ def _register_otlp() -> None:
         return otlp.resource_logs(ev, resource, rec, ts_ns)
 
 
+def _register_aws_dd_sources() -> None:
+    @_q(
+        "ev_firehose",
+        """
+        SELECT 'evt ' || event_type || ' #' || event_id AS message,
+               'req-' || (user_id % 6) AS request_id,
+               make_timestamp((1700000000000 + user_id % 6) * 1000)
+                 AS tsp,
+               'arn:aws:firehose:us-east-1:0:stream/s' AS source_arn
+        FROM events WHERE event_id % 8 = 1
+        """,
+    )
+    def ev_firehose(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Kinesis Firehose HTTP-delivery decode (reference
+        src/sources/aws_kinesis_firehose models.rs + handlers.rs):
+        batch events into protocol-1.0 request bodies whose records are
+        base64 data — half of them gzip-compressed — and decode with
+        compression='auto' (per-record magic sniff, UDF gated to the
+        gzip rows). The oracle recomputes message + request metadata."""
+        from vector_spark.functions.compression import encode_gzip
+        from vector_spark.sources import firehose
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 8 == 1)
+        text = F.concat(F.lit("evt "), F.col("event_type"), F.lit(" #"),
+                        F.col("event_id").cast("string"))
+        gz = F.col("event_id") % 2 == 0
+        payload = F.base64(
+            F.coalesce(
+                encode_gzip(F.when(gz, text)),
+                text.cast("binary"),
+            )
+        )
+        k = (F.col("user_id") % 6).cast("string")
+        req = (
+            ev.select(k.alias("k"), payload.alias("p"))
+            .groupBy("k")
+            .agg(F.collect_list("p").alias("ps"))
+            .select(
+                F.concat(
+                    F.lit('{"requestId":"req-'), F.col("k"),
+                    F.lit('","timestamp":'),
+                    (F.lit(1700000000000) + F.col("k").cast("long"))
+                    .cast("string"),
+                    F.lit(',"records":['),
+                    F.array_join(
+                        F.transform(
+                            F.col("ps"),
+                            lambda p: F.concat(
+                                F.lit('{"data":"'), p, F.lit('"}')
+                            ),
+                        ),
+                        ",",
+                    ),
+                    F.lit("]}"),
+                ).alias("value")
+            )
+        )
+        out = firehose.parse_firehose_request(
+            req, compression="auto",
+            source_arn=F.lit("arn:aws:firehose:us-east-1:0:stream/s"),
+        )
+        return out.select(
+            "message", "request_id",
+            F.col("timestamp").alias("tsp"), "source_arn",
+        )
+
+    @_q(
+        "ev_dd_agent_logs",
+        """
+        SELECT 'evt ' || event_type || ' #' || event_id AS message,
+               CASE WHEN user_id % 2 = 0 THEN 'info' ELSE 'error' END
+                 AS status,
+               make_timestamp(epoch_ms(ts) * 1000) AS tsp,
+               'h' || (user_id % 10) AS hostname,
+               'svc' || (user_id % 5) AS service,
+               'agent' AS ddsource,
+               'env:prod,team:t' || (user_id % 3) AS ddtags
+        FROM events WHERE event_id % 8 = 2
+        """,
+    )
+    def ev_dd_agent_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Datadog Agent logs decode (reference src/sources/datadog_agent
+        mod.rs:551-563 LogMsg): JSON-array request bodies built with
+        to_json over per-bucket collected LogMsg structs, exploded back
+        to one event per element with the epoch-ms timestamp. Oracle
+        recomputes every field."""
+        from vector_spark.sources import datadog as ddsrc
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 8 == 2)
+        msg = F.struct(
+            F.concat(F.lit("evt "), F.col("event_type"), F.lit(" #"),
+                     F.col("event_id").cast("string")).alias("message"),
+            F.when(F.col("user_id") % 2 == 0, F.lit("info"))
+            .otherwise(F.lit("error")).alias("status"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+            F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))
+            .alias("hostname"),
+            F.concat(F.lit("svc"), (F.col("user_id") % 5).cast("string"))
+            .alias("service"),
+            F.lit("agent").alias("ddsource"),
+            F.concat(F.lit("env:prod,team:t"),
+                     (F.col("user_id") % 3).cast("string")).alias("ddtags"),
+        )
+        req = (
+            ev.select((F.col("user_id") % 7).alias("k"), msg.alias("m"))
+            .groupBy("k")
+            .agg(F.to_json(F.collect_list("m")).alias("value"))
+        )
+        out = ddsrc.parse_agent_logs(req)
+        return out.select(
+            "message", "status", F.col("timestamp").alias("tsp"),
+            "hostname", "service", "ddsource", "ddtags",
+        )
+
+
+def _register_heroku() -> None:
+    @_q(
+        "ev_heroku_logplex",
+        """
+        SELECT make_timestamp(epoch_ms(ts) * 1000) AS tsp,
+               'host' AS host,
+               'app' AS app_name,
+               'web.' || (user_id % 3) AS proc_id,
+               'evt ' || event_type || ' #' || event_id
+                 || ' with spaces' AS message
+        FROM events WHERE event_id % 10 = 3
+        """,
+    )
+    def ev_heroku_logplex(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Heroku Logplex drain decode (reference src/sources/
+        heroku_logs.rs line_to_events): 8-part space split keeping the
+        spaced message tail intact; RFC 5424-shaped header fields
+        (timestamp/host/app/proc). Oracle recomputes every field."""
+        from vector_spark.sources import heroku
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 10 == 3)
+        iso = F.concat(
+            F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+            F.lit("+00:00"),
+        )
+        line = F.concat(
+            F.lit("119 <40>1 "), iso,
+            F.lit(" host app web."), (F.col("user_id") % 3).cast("string"),
+            F.lit(" - evt "), F.col("event_type"), F.lit(" #"),
+            F.col("event_id").cast("string"), F.lit(" with spaces"),
+        )
+        out = heroku.parse_logplex(ev.select(line.alias("value")))
+        return out.select(
+            F.col("timestamp").alias("tsp"), "host", "app_name",
+            "proc_id", "message",
+        )
+
+
+def _register_hec_ingest() -> None:
+    @_q(
+        "ev_hec_ingest",
+        """
+        SELECT 'evt ' || event_type || ' #' || event_id AS message,
+               CASE WHEN event_id % 3 = 0
+                    THEN make_timestamp(epoch_ms(ts) * 1000)
+                    ELSE make_timestamp((epoch_ms(ts) // 1000) * 1000000)
+               END AS tsp,
+               event_type AS f_type,
+               'h' || (user_id % 10) AS host,
+               'ch-' || (user_id % 4) AS channel,
+               'main' AS idx,
+               'app' AS src,
+               '_json' AS stype
+        FROM events WHERE event_id % 4 = 0
+        """,
+    )
+    def ev_hec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Splunk HEC source decode (reference src/sources/splunk_hec/
+        mod.rs): HEC event JSON with integer time in MILLISECONDS for a
+        third of the rows and SECONDS for the rest — exercising
+        parse_timestamp's magnitude cutoffs — plus indexed fields and the
+        splunk_* metadata extractors. The oracle recomputes every flat
+        field."""
+        from vector_spark.sources import splunk as hec
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 4 == 0)
+        ms = F.unix_millis(F.col("ts").cast("timestamp"))
+        t = F.when(F.col("event_id") % 3 == 0, ms).otherwise(
+            F.floor(ms / 1000).cast("long")
+        )
+        payload = F.concat(
+            F.lit('{"event":"evt '), F.col("event_type"), F.lit(" #"),
+            F.col("event_id").cast("string"),
+            F.lit('","fields":{"type":"'), F.col("event_type"),
+            F.lit('"},"time":'), t.cast("string"),
+            F.lit(',"host":"h'), (F.col("user_id") % 10).cast("string"),
+            F.lit('","index":"main","source":"app","sourcetype":"_json",'
+                  '"channel":"ch-'),
+            (F.col("user_id") % 4).cast("string"), F.lit('"}'),
+        )
+        out = hec.parse_hec_events(ev.select(payload.alias("value")))
+        return out.select(
+            "message",
+            F.col("timestamp").alias("tsp"),
+            F.col("fields")["type"].alias("f_type"),
+            "host",
+            F.col("splunk_channel").alias("channel"),
+            F.col("splunk_index").alias("idx"),
+            F.col("splunk_source").alias("src"),
+            F.col("splunk_sourcetype").alias("stype"),
+        )
+
+
+def _register_k8s() -> None:
+    @_q(
+        "ev_k8s_cri",
+        """
+        SELECT 'pod-' || (user_id % 4) AS file,
+               CASE WHEN user_id % 2 = 0 THEN 'stdout'
+                    ELSE 'stderr' END AS stream,
+               'evt ' || event_type || ' #' || event_id AS message,
+               make_timestamp(epoch_ms(ts) * 1000) AS tsp,
+               FALSE AS partial
+        FROM events
+        """,
+    )
+    def ev_k8s_cri(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """kubernetes_logs CRI decode + partial merge (reference
+        src/sources/kubernetes_logs/parser/cri.rs +
+        partial_events_merger.rs): every 5th event splits into a
+        P-continuation pair of CRI lines; parse + merge reconstructs the
+        original message per (file, stream) with the run's first
+        timestamp. The oracle recomputes the merged rows straight from
+        the generator formulas (split-invariant)."""
+        from vector_spark.sources import kubernetes as k8s
+
+        ev = _events(spark, sf_dir)
+        iso = F.concat(
+            F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+            F.lit("Z"),
+        )
+        stream = F.when(
+            F.col("user_id") % 2 == 0, F.lit("stdout")
+        ).otherwise(F.lit("stderr"))
+        head = F.concat(iso, F.lit(" "), stream, F.lit(" "))
+        msg = F.concat(F.lit("evt "), F.col("event_type"), F.lit(" #"),
+                       F.col("event_id").cast("string"))
+        split = F.col("event_id") % 5 == 0
+        # split rows: P("evt <type> ") at line_no*10, F("#<id>") at +1
+        lines = F.when(
+            split,
+            F.array(
+                F.struct(
+                    (F.col("event_id") * 10).alias("line_no"),
+                    F.concat(head, F.lit("P "), F.lit("evt "),
+                             F.col("event_type"), F.lit(" ")).alias("value"),
+                ),
+                F.struct(
+                    (F.col("event_id") * 10 + 1).alias("line_no"),
+                    F.concat(head, F.lit("F #"),
+                             F.col("event_id").cast("string")).alias("value"),
+                ),
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(
+                    (F.col("event_id") * 10).alias("line_no"),
+                    F.concat(head, F.lit("F "), msg).alias("value"),
+                )
+            )
+        )
+        raw = ev.select(
+            F.concat(F.lit("pod-"),
+                     (F.col("user_id") % 4).cast("string")).alias("file"),
+            F.explode(lines).alias("l"),
+        ).select("file", F.col("l.line_no").alias("line_no"),
+                 F.col("l.value").alias("value"))
+        parsed = k8s.parse_cri(raw)
+        merged = k8s.merge_partial_lines(parsed)
+        return merged.select(
+            "file", "stream", "message",
+            F.col("timestamp").alias("tsp"), "partial",
+        )
+
+
 def _register_prometheus_scrape() -> None:
     @_q(
         "ev_prometheus_scrape",
@@ -5237,6 +5517,10 @@ def _register_vendor_sinks() -> None:
 
 _register_dataprep2()
 _register_vendor_sinks()
+_register_aws_dd_sources()
+_register_heroku()
+_register_hec_ingest()
+_register_k8s()
 _register_prometheus_scrape()
 _register_journald()
 _register_lm()

@@ -51,8 +51,21 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: ALL executor threads live in the driver JVM — size it
-        # for the whole job (cluster mode overrides via spark-submit)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # for the whole job (cluster mode overrides via spark-submit).
+        # 24g beats 48g here: the flagship allocates several GB of token
+        # arrays per pass, and a larger heap just defers collection into
+        # multi-second majors mid-query (measured 16-50s/iter at 48g+G1
+        # vs a flat 4s/iter at 24g+ParallelGC).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Throughput collector for batch work: G1's concurrent cycles
+        # were measured spending 26s/iter on young GC in the flagship
+        # (allocation-heavy, no latency SLO — the classic ParallelGC
+        # case; on a cluster set the same via spark.executor.
+        # extraJavaOptions)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         # keep scan tasks ≥ cores at local data sizes (default 128m packs a
         # ~500MB input into ~5 tasks on 32 cores); cluster jobs at 100TB
