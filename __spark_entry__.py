@@ -5515,6 +5515,75 @@ def _register_vendor_sinks() -> None:
         )
 
 
+def _register_native_json() -> None:
+    @_q(
+        "ev_native_json",
+        """
+        WITH e AS (
+          SELECT event_id, user_id, event_type, ts,
+                 epoch_us(ts) % 1000000 AS us,
+                 (event_id % 7 + 1) AS v
+          FROM events WHERE event_id % 15 = 0
+        ), t AS (
+          SELECT *,
+            strftime(ts, '%Y-%m-%dT%H:%M:%S')
+              || CASE WHEN us = 0 THEN ''
+                      WHEN us % 1000 = 0
+                        THEN '.' || lpad((us // 1000)::VARCHAR, 3, '0')
+                      ELSE '.' || lpad(us::VARCHAR, 6, '0') END
+              || 'Z' AS tsr
+          FROM e
+        )
+        SELECT event_id,
+          '{"metric":{"name":"evt_' || event_type
+            || '","namespace":"app","tags":{"uid":"' || (user_id % 5)
+            || '","zone":"z' || (user_id % 3) || '"},"timestamp":"' || tsr
+            || '","kind":"incremental","counter":{"value":' || v || '.0}}}'
+            AS line,
+          'evt_' || event_type AS metric_name,
+          'app' AS namespace, 'incremental' AS kind,
+          'counter' AS metric_type, v::DOUBLE AS metric_value,
+          ts AS ts_rt,
+          (user_id % 5)::VARCHAR AS tag_uid,
+          'z' || (user_id % 3) AS tag_zone
+        FROM t
+        """,
+    )
+    def ev_native_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Vector native_json codec both directions (reference
+        lib/codecs/src/{decoding,encoding}/format/native_json.rs, layout
+        pinned by lib/codecs/tests/data/native_encoding/json/): project
+        events to the normalized metric frame, encode the serde envelope
+        (sorted tags, AutoSi timestamp, skipped empty options, ryu-form
+        value), then decode the lines back with parse_native_json. The
+        oracle rebuilds the exact wire line AND every decoded field."""
+        from vector_spark.functions import native_json as nj
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 15 == 0)
+        line = nj.encode_native_metric(
+            F.concat(F.lit("evt_"), F.col("event_type")),
+            F.lit("incremental"),
+            F.lit("counter"),
+            value=(F.col("event_id") % 7 + 1).cast("double"),
+            namespace=F.lit("app"),
+            tags=F.create_map(
+                F.lit("uid"), (F.col("user_id") % 5).cast("string"),
+                F.lit("zone"),
+                F.concat(F.lit("z"), (F.col("user_id") % 3).cast("string")),
+            ),
+            ts=F.col("ts").cast("timestamp"),
+        )
+        enc = ev.select("event_id", line.alias("line"))
+        dec = nj.parse_native_json(enc, "line")
+        return dec.select(
+            "event_id", "line", "metric_name", "namespace", "kind",
+            "metric_type", "metric_value",
+            F.col("event_ts").alias("ts_rt"),
+            F.col("tags")["uid"].alias("tag_uid"),
+            F.col("tags")["zone"].alias("tag_zone"),
+        )
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -5529,6 +5598,7 @@ _register_curation()
 _register_cfg_curation()
 _register_templates()
 _register_otlp()
+_register_native_json()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
