@@ -5584,6 +5584,158 @@ def _register_native_json() -> None:
         )
 
 
+def _register_server_status() -> None:
+    @_q(
+        "ev_apache_status",
+        """
+        WITH e AS (
+          SELECT event_id, user_id FROM events WHERE event_id % 40 = 0
+        ), m(name, metric_type, tag_key, tag_val, sel) AS (VALUES
+          ('uptime_seconds_total','counter',NULL,NULL,'u'),
+          ('access_total','counter',NULL,NULL,'a'),
+          ('sent_bytes_total','counter',NULL,NULL,'k'),
+          ('duration_seconds_total','counter',NULL,NULL,'d'),
+          ('cpu_seconds_total','gauge','type','user','cu'),
+          ('cpu_seconds_total','gauge','type','system','cs'),
+          ('cpu_seconds_total','gauge','type','children_user','ccu'),
+          ('cpu_seconds_total','gauge','type','children_system','ccs'),
+          ('cpu_load','gauge',NULL,NULL,'cl'),
+          ('workers','gauge','state','idle','wi'),
+          ('workers','gauge','state','busy','wb'),
+          ('connections','gauge','state','total','ct'),
+          ('connections','gauge','state','writing','cw'),
+          ('connections','gauge','state','keepalive','ck'),
+          ('connections','gauge','state','closing','cc'),
+          ('scoreboard','gauge','state','waiting','sbw'),
+          ('scoreboard','gauge','state','starting','z'),
+          ('scoreboard','gauge','state','reading','sbr'),
+          ('scoreboard','gauge','state','sending','z'),
+          ('scoreboard','gauge','state','keepalive','z'),
+          ('scoreboard','gauge','state','dnslookup','z'),
+          ('scoreboard','gauge','state','closing','z'),
+          ('scoreboard','gauge','state','logging','z'),
+          ('scoreboard','gauge','state','finishing','z'),
+          ('scoreboard','gauge','state','idle_cleanup','z'),
+          ('scoreboard','gauge','state','open','sbo'))
+        SELECT e.event_id, m.name, 'apache' AS namespace,
+               'absolute' AS kind, m.metric_type, m.tag_key, m.tag_val,
+               (CASE m.sel
+                  WHEN 'u' THEN event_id % 1000 + 5
+                  WHEN 'a' THEN user_id * 3 + 1
+                  WHEN 'k' THEN (event_id % 50) * 1024
+                  WHEN 'd' THEN user_id % 9
+                  WHEN 'cu' THEN (event_id % 4) + 0.25
+                  WHEN 'cs' THEN (user_id % 3) + 0.5
+                  WHEN 'cl' THEN (event_id % 7) + 0.5
+                  WHEN 'wi' THEN user_id % 20
+                  WHEN 'wb' THEN event_id % 15
+                  WHEN 'ct' THEN user_id % 8
+                  WHEN 'cw' THEN event_id % 5
+                  WHEN 'ck' THEN user_id % 6
+                  WHEN 'cc' THEN event_id % 2
+                  WHEN 'sbw' THEN user_id % 4
+                  WHEN 'sbr' THEN event_id % 3
+                  WHEN 'sbo' THEN 2
+                  ELSE 0 END)::DOUBLE AS value
+        FROM e CROSS JOIN m
+        """,
+    )
+    def ev_apache_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """apache_metrics source (reference src/sources/apache_metrics/
+        parser.rs): synthesize a mod_status ?auto body per event from
+        generator formulas, parse it with the pure-JVM status parser, and
+        emit the long metric frame — counters, per-type CPU gauges,
+        worker/connection state gauges, and all 11 scoreboard states with
+        char counts. The oracle cross-joins the fixed metric list against
+        the same formulas."""
+        from vector_spark.sources import server_status as ss
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 40 == 0)
+        eid, uid = F.col("event_id"), F.col("user_id")
+
+        def n(c):  # noqa: ANN001 — tiny cast helper
+            return c.cast("long").cast("string")
+
+        body = F.concat(
+            F.lit("ServerUptimeSeconds: "), n(eid % 1000 + 5),
+            F.lit("\nTotal Accesses: "), n(uid * 3 + 1),
+            F.lit("\nTotal kBytes: "), n(eid % 50),
+            F.lit("\nTotal Duration: "), n(uid % 9),
+            F.lit("\nCPUUser: "), n(eid % 4), F.lit(".25"),
+            F.lit("\nCPUSystem: "), n(uid % 3), F.lit(".5"),
+            F.lit("\nCPUChildrenUser: 0\nCPUChildrenSystem: 0"),
+            F.lit("\nCPULoad: "), n(eid % 7), F.lit(".5"),
+            F.lit("\nIdleWorkers: "), n(uid % 20),
+            F.lit("\nBusyWorkers: "), n(eid % 15),
+            F.lit("\nConnsTotal: "), n(uid % 8),
+            F.lit("\nConnsAsyncWriting: "), n(eid % 5),
+            F.lit("\nConnsAsyncKeepAlive: "), n(uid % 6),
+            F.lit("\nConnsAsyncClosing: "), n(eid % 2),
+            F.lit("\nScoreboard: "),
+            F.repeat(F.lit("_"), (uid % 4).cast("int")),
+            F.repeat(F.lit("R"), (eid % 3).cast("int")),
+            F.lit("..\n"),
+        )
+        parsed = ss.parse_apache_status(
+            ev.select("event_id", body.alias("body"))
+        )
+        return parsed.drop("body")
+
+    @_q(
+        "ev_nginx_status",
+        """
+        WITH e AS (
+          SELECT event_id, user_id FROM events WHERE event_id % 60 = 0
+        ), m(name, metric_type, sel) AS (VALUES
+          ('connections_active','gauge','act'),
+          ('connections_accepted_total','counter','acc'),
+          ('connections_handled_total','counter','han'),
+          ('http_requests_total','counter','req'),
+          ('connections_reading','gauge','rd'),
+          ('connections_writing','gauge','wr'),
+          ('connections_waiting','gauge','wa'))
+        SELECT e.event_id, m.name, 'nginx' AS namespace,
+               'absolute' AS kind, m.metric_type,
+               NULL::VARCHAR AS tag_key, NULL::VARCHAR AS tag_val,
+               (CASE m.sel
+                  WHEN 'act' THEN user_id % 300
+                  WHEN 'acc' THEN user_id * 7 + 3
+                  WHEN 'han' THEN user_id * 7 + 1
+                  WHEN 'req' THEN event_id * 2 + 9
+                  WHEN 'rd' THEN event_id % 10
+                  WHEN 'wr' THEN user_id % 50
+                  WHEN 'wa' THEN event_id % 25
+                  END)::DOUBLE AS value
+        FROM e CROSS JOIN m
+        """,
+    )
+    def ev_nginx_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """nginx_metrics source (reference src/sources/nginx_metrics/
+        {parser.rs,mod.rs:236-242}): synthesize the stub_status page per
+        event, parse with the pure-JVM parser, emit the 7-metric frame."""
+        from vector_spark.sources import server_status as ss
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 60 == 0)
+        eid, uid = F.col("event_id"), F.col("user_id")
+
+        def n(c):  # noqa: ANN001
+            return c.cast("long").cast("string")
+
+        body = F.concat(
+            F.lit("Active connections: "), n(uid % 300),
+            F.lit(" \nserver accepts handled requests\n "),
+            n(uid * 7 + 3), F.lit(" "), n(uid * 7 + 1), F.lit(" "),
+            n(eid * 2 + 9),
+            F.lit(" \nReading: "), n(eid % 10),
+            F.lit(" Writing: "), n(uid % 50),
+            F.lit(" Waiting: "), n(eid % 25), F.lit(" \n"),
+        )
+        parsed = ss.parse_nginx_stub_status(
+            ev.select("event_id", body.alias("body"))
+        )
+        return parsed.drop("body")
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -5599,6 +5751,7 @@ _register_cfg_curation()
 _register_templates()
 _register_otlp()
 _register_native_json()
+_register_server_status()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
