@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -5736,6 +5738,55 @@ def _register_server_status() -> None:
         return parsed.drop("body")
 
 
+def _register_fluent() -> None:
+    @_q(
+        "ev_fluent_forward",
+        """
+        SELECT event_id,
+               'app.' || (user_id % 4) AS tag,
+               ts + k * INTERVAL 1 SECOND AS event_ts,
+               '{"event_id":' || event_id || ',"k":' || k || ',"type":"'
+                 || event_type || '"}' AS record
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        WHERE event_id % 35 = 0
+        """,
+    )
+    def ev_fluent_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """fluent source (reference src/sources/fluent/message.rs): encode
+        each event as a Forward-mode msgpack message — tag + two
+        [EventTime, record] entries (EventTime ext type 0 carries the
+        nanosecond clock) — then decode the binary payloads back with the
+        from-scratch msgpack decoder in an Arrow-batched mapInPandas.
+        The oracle recomputes tag/timestamp/canonical-JSON record per
+        entry from the generator formulas."""
+        from pyspark.sql.functions import pandas_udf
+
+        from vector_spark.sources import fluent as fl
+
+        @pandas_udf("binary")
+        def enc(eid: pd.Series, uid: pd.Series, etype: pd.Series,
+                ts: pd.Series) -> pd.Series:
+            out = []
+            for e, u, t, tsv in zip(eid, uid, etype, ts):
+                us = tsv.value // 1000
+                secs, nanos = us // 1_000_000, (us % 1_000_000) * 1000
+                entries = [
+                    (fl.EventTime(int(secs) + k, int(nanos)),
+                     {"event_id": int(e), "k": k, "type": str(t)})
+                    for k in (0, 1)
+                ]
+                out.append(fl.encode_forward(f"app.{int(u) % 4}", entries))
+            return pd.Series(out, dtype=object)
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 35 == 0)
+        payload = ev.select(
+            "event_id",
+            enc(F.col("event_id"), F.col("user_id"), F.col("event_type"),
+                F.col("ts").cast("timestamp")).alias("payload"),
+        )
+        return fl.parse_fluent(payload)
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -5752,6 +5803,7 @@ _register_templates()
 _register_otlp()
 _register_native_json()
 _register_server_status()
+_register_fluent()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
