@@ -5787,6 +5787,170 @@ def _register_fluent() -> None:
         return fl.parse_fluent(payload)
 
 
+def _register_vendor_sinks2() -> None:
+    @_q(
+        "ev_new_relic_logs",
+        """
+        WITH o AS (
+          SELECT user_id % 8 AS grp,
+                 '{"message":"evt ' || event_type || ' #' || event_id
+                   || '","timestamp":' || epoch_ms(ts)
+                   || ',"attributes":{"type":"' || event_type
+                   || '","uid":' || user_id || '}}' AS obj
+          FROM events WHERE event_id % 45 = 0
+        )
+        SELECT grp, COUNT(*)::BIGINT AS n,
+               '[{"logs":[' || string_agg(obj, ',' ORDER BY obj) || ']}]'
+                 AS body
+        FROM o GROUP BY grp
+        """,
+    )
+    def ev_new_relic_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """New Relic Logs API body (reference src/sinks/new_relic/
+        model.rs:249-312): LogMessage field order message/timestamp/
+        attributes with sorted typed attributes, batched per group into
+        the [{"logs":[...]}] envelope (sorted-object canonical order —
+        the reference's arrival order has no distributed analog)."""
+        from vector_spark.sinks import new_relic as nr
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 45 == 0)
+        obj = nr.encode_new_relic_log(
+            F.concat(F.lit("evt "), F.col("event_type"), F.lit(" #"),
+                     F.col("event_id").cast("string")),
+            ts_ms=F.unix_millis(F.col("ts").cast("timestamp")),
+            attributes=F.create_map(
+                F.lit("uid"), F.col("user_id").cast("string"),
+                F.lit("type"),
+                F.concat(F.lit('"'), F.col("event_type"), F.lit('"')),
+            ),
+        )
+        return (
+            ev.select((F.col("user_id") % 8).alias("grp"), obj.alias("obj"))
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                nr.logs_body(F.sort_array(F.collect_list("obj")))
+                .alias("body"),
+            )
+        )
+
+    @_q(
+        "ev_new_relic_metrics",
+        """
+        SELECT event_id,
+          CASE
+            WHEN user_id % 3 = 0 AND user_id % 7 = 0 THEN NULL
+            WHEN user_id % 3 = 0 THEN
+              '{"interval.ms":15000,"name":"evt.' || event_type
+                || '","type":"count","value":' || (event_id % 9)
+                || '.5,"timestamp":' || epoch_ms(ts)
+                || ',"attributes":{"uid":' || user_id || '}}'
+            ELSE
+              '{"name":"evt.' || event_type || '","type":"gauge","value":'
+                || (event_id % 9) || '.5,"timestamp":' || epoch_ms(ts)
+                || ',"attributes":{"uid":' || user_id || '}}'
+          END AS obj
+        FROM events WHERE event_id % 45 = 0
+        """,
+    )
+    def ev_new_relic_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """New Relic Metrics API MetricData (model.rs:27-140): incremental
+        counters map to type=count and REQUIRE interval.ms (user_id%7==0
+        rows get a null interval and are dropped to NULL, the reference's
+        drop), absolute counters and gauges map to type=gauge with the
+        interval omitted."""
+        from vector_spark.sinks import new_relic as nr
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 45 == 0)
+        is_count = F.col("user_id") % 3 == 0
+        obj = nr.encode_new_relic_metric(
+            F.concat(F.lit("evt."), F.col("event_type")),
+            F.when(is_count, F.lit("incremental")).otherwise(
+                F.lit("absolute")),
+            F.when(is_count, F.lit("counter")).otherwise(F.lit("gauge")),
+            (F.col("event_id") % 9).cast("double") + 0.5,
+            F.unix_millis(F.col("ts").cast("timestamp")),
+            interval_ms=F.when(
+                is_count & (F.col("user_id") % 7 != 0), F.lit(15000)
+            ),
+            attributes=F.create_map(
+                F.lit("uid"), F.col("user_id").cast("string")
+            ),
+        )
+        return ev.select("event_id", obj.alias("obj"))
+
+    @_q(
+        "ev_azure_monitor",
+        """
+        SELECT event_id,
+          '{"Alpha":' || (event_id % 13) || ',"TimeGenerated":"'
+            || strftime(ts, '%Y-%m-%dT%H:%M:%S.')
+            || lpad((epoch_us(ts) % 1000000 // 1000)::VARCHAR, 3, '0')
+            || 'Z","host":"h' || (user_id % 10) || '","type":"'
+            || event_type || '"}' AS obj
+        FROM events WHERE event_id % 45 = 0
+        """,
+    )
+    def ev_azure_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """azure_monitor_logs encode (reference src/sinks/
+        azure_monitor_logs/sink.rs:80-128): the timestamp re-keys to
+        TimeGenerated rendered RFC 3339 SecondsFormat::Millis and sorts
+        INTO the BTreeMap key order (Alpha < TimeGenerated < host)."""
+        from vector_spark.sinks import azure as az
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 45 == 0)
+        obj = az.encode_azure_monitor_log(
+            F.create_map(
+                F.lit("host"),
+                F.concat(F.lit('"h'), (F.col("user_id") % 10).cast("string"),
+                         F.lit('"')),
+                F.lit("type"),
+                F.concat(F.lit('"'), F.col("event_type"), F.lit('"')),
+                F.lit("Alpha"), (F.col("event_id") % 13).cast("string"),
+            ),
+            F.col("ts").cast("timestamp"),
+        )
+        return ev.select("event_id", obj.alias("obj"))
+
+    @_q(
+        "ev_cloudwatch_logs",
+        """
+        WITH e AS (
+          SELECT 'app' AS log_group, 's' || (user_id % 6) AS log_stream,
+                 epoch_ms(ts) AS ts_ms,
+                 'evt ' || event_type || ' #' || event_id AS message
+          FROM events WHERE event_id % 45 = 0
+        )
+        SELECT log_group, log_stream, COUNT(*)::INT AS n_events,
+               '{"logEvents":['
+                 || string_agg('{"timestamp":' || ts_ms || ',"message":"'
+                               || message || '"}', ','
+                               ORDER BY ts_ms, message)
+                 || '],"logGroupName":"' || log_group
+                 || '","logStreamName":"' || log_stream || '"}' AS body
+        FROM e GROUP BY log_group, log_stream
+        """,
+    )
+    def ev_cloudwatch_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """aws_cloudwatch_logs PutLogEvents bodies (reference src/sinks/
+        aws_cloudwatch_logs/request_builder.rs:85-117): timestamp becomes
+        the epoch-millis InputLogEvent field, batches group per
+        (logGroupName, logStreamName) with entries sorted by (ts,
+        message)."""
+        from vector_spark.sinks import cloudwatch as cw
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 45 == 0)
+        framed = ev.select(
+            F.lit("app").alias("log_group"),
+            F.concat(F.lit("s"), (F.col("user_id") % 6).cast("string"))
+            .alias("log_stream"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.concat(F.lit("evt "), F.col("event_type"), F.lit(" #"),
+                     F.col("event_id").cast("string")).alias("message"),
+        )
+        return cw.put_log_events_body(framed)
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -5804,6 +5968,7 @@ _register_otlp()
 _register_native_json()
 _register_server_status()
 _register_fluent()
+_register_vendor_sinks2()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
