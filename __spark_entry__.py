@@ -5951,6 +5951,133 @@ def _register_vendor_sinks2() -> None:
         return cw.put_log_events_body(framed)
 
 
+def _register_host_metrics() -> None:
+    @_q(
+        "ev_host_cpu",
+        """
+        WITH e AS (
+          SELECT event_id, user_id FROM events WHERE event_id % 50 = 0
+        ), m(mode, cpu, sel) AS (VALUES
+          ('user','0','u0'), ('nice','0','n0'), ('system','0','s0'),
+          ('idle','0','i0'), ('io_wait','0','w0'),
+          ('user','1','u1'), ('nice','1','n1'), ('system','1','s1'),
+          ('idle','1','i1'), ('io_wait','1','w1'))
+        SELECT e.event_id, 'cpu_seconds_total' AS name,
+               'host' AS namespace, 'absolute' AS kind,
+               'counter' AS metric_type, m.mode, m.cpu,
+               (CASE m.sel
+                  WHEN 'u0' THEN event_id % 500 + 10
+                  WHEN 'n0' THEN user_id % 50
+                  WHEN 's0' THEN user_id % 200
+                  WHEN 'i0' THEN event_id % 9000 + 100
+                  WHEN 'w0' THEN user_id % 30
+                  WHEN 'u1' THEN event_id % 400 + 20
+                  WHEN 'n1' THEN user_id % 40
+                  WHEN 's1' THEN user_id % 100
+                  WHEN 'i1' THEN event_id % 8000 + 200
+                  WHEN 'w1' THEN user_id % 20
+                  END) / 100.0 AS value
+        FROM e CROSS JOIN m
+        """,
+    )
+    def ev_host_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """host_metrics cpu collector (reference src/sources/host_metrics/
+        cpu.rs): synthesize a /proc/stat body per event (aggregate 'cpu '
+        line present and skipped), parse to per-cpu mode counters in
+        USER_HZ seconds."""
+        from vector_spark.sources import host_metrics as hm
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 50 == 0)
+        eid, uid = F.col("event_id"), F.col("user_id")
+
+        def n(c):  # noqa: ANN001
+            return c.cast("long").cast("string")
+
+        body = F.concat(
+            F.lit("cpu  999 9 9 9 9 0 0 0 0 0\ncpu0 "),
+            n(eid % 500 + 10), F.lit(" "), n(uid % 50), F.lit(" "),
+            n(uid % 200), F.lit(" "), n(eid % 9000 + 100), F.lit(" "),
+            n(uid % 30), F.lit(" 0 0 0 0 0\ncpu1 "),
+            n(eid % 400 + 20), F.lit(" "), n(uid % 40), F.lit(" "),
+            n(uid % 100), F.lit(" "), n(eid % 8000 + 200), F.lit(" "),
+            n(uid % 20), F.lit(" 0 0 0 0 0\nctxt 12345\n"),
+        )
+        parsed = hm.parse_proc_stat(
+            ev.select("event_id", body.alias("body"))
+        )
+        return parsed.select(
+            "event_id", "name", "namespace", "kind", "metric_type",
+            F.col("tags")["mode"].alias("mode"),
+            F.col("tags")["cpu"].alias("cpu"),
+            "value",
+        )
+
+    @_q(
+        "ev_host_mem",
+        """
+        WITH e AS (
+          SELECT event_id, user_id,
+                 4000000 + event_id % 1000 AS mt,
+                 user_id % 100000 + 1000 AS mf,
+                 8388608 - user_id % 4096 AS sf
+          FROM events WHERE event_id % 50 = 0
+        ), m(name, sel) AS (VALUES
+          ('memory_total_bytes','mt'), ('memory_free_bytes','mf'),
+          ('memory_available_bytes','ma'), ('memory_active_bytes','ac'),
+          ('memory_buffers_bytes','bu'), ('memory_cached_bytes','cd'),
+          ('memory_shared_bytes','sh'), ('memory_swap_total_bytes','st'),
+          ('memory_swap_free_bytes','sfr'), ('memory_used_bytes','us'),
+          ('memory_swap_used_bytes','su'))
+        SELECT e.event_id, m.name, 'host' AS namespace,
+               'absolute' AS kind, 'gauge' AS metric_type,
+               (CASE m.sel
+                  WHEN 'mt' THEN mt
+                  WHEN 'mf' THEN mf
+                  WHEN 'ma' THEN mf + 500
+                  WHEN 'ac' THEN user_id % 50000
+                  WHEN 'bu' THEN event_id % 4096
+                  WHEN 'cd' THEN user_id % 8192
+                  WHEN 'sh' THEN event_id % 1024
+                  WHEN 'st' THEN 8388608
+                  WHEN 'sfr' THEN sf
+                  WHEN 'us' THEN mt - mf
+                  WHEN 'su' THEN 8388608 - sf
+                  END) * 1024.0 AS value
+        FROM e CROSS JOIN m
+        """,
+    )
+    def ev_host_mem(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """host_metrics memory collector (reference src/sources/
+        host_metrics/memory.rs): /proc/meminfo body per event → byte
+        gauges including the derived used/swap-used values; the
+        Active(anon) decoy line must not match the Active key."""
+        from vector_spark.sources import host_metrics as hm
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 50 == 0)
+        eid, uid = F.col("event_id"), F.col("user_id")
+
+        def n(c):  # noqa: ANN001
+            return c.cast("long").cast("string")
+
+        body = F.concat(
+            F.lit("MemTotal: "), n(eid % 1000 + 4000000), F.lit(" kB\n"),
+            F.lit("MemFree: "), n(uid % 100000 + 1000), F.lit(" kB\n"),
+            F.lit("MemAvailable: "), n(uid % 100000 + 1500), F.lit(" kB\n"),
+            F.lit("Active: "), n(uid % 50000), F.lit(" kB\n"),
+            F.lit("Active(anon): 777 kB\n"),
+            F.lit("Buffers: "), n(eid % 4096), F.lit(" kB\n"),
+            F.lit("Cached: "), n(uid % 8192), F.lit(" kB\n"),
+            F.lit("Shmem: "), n(eid % 1024), F.lit(" kB\n"),
+            F.lit("SwapTotal: 8388608 kB\n"),
+            F.lit("SwapFree: "), n(F.lit(8388608) - uid % 4096),
+            F.lit(" kB\n"),
+        )
+        parsed = hm.parse_meminfo(ev.select("event_id", body.alias("body")))
+        return parsed.select(
+            "event_id", "name", "namespace", "kind", "metric_type", "value"
+        )
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -5969,6 +6096,7 @@ _register_native_json()
 _register_server_status()
 _register_fluent()
 _register_vendor_sinks2()
+_register_host_metrics()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
