@@ -6078,6 +6078,57 @@ def _register_host_metrics() -> None:
         )
 
 
+def _register_logstash() -> None:
+    @_q(
+        "ev_logstash_lumberjack",
+        """
+        SELECT event_id, '2' AS protocol,
+               (event_id % 100 + k)::BIGINT AS sequence_number,
+               CASE k
+                 WHEN 0 THEN '{"host":"h' || (user_id % 10)
+                   || '","message":"evt ' || event_type || ' #' || event_id
+                   || '"}'
+                 ELSE '{"n":' || (user_id % 97) || ',"type":"'
+                   || event_type || '"}'
+               END AS fields
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        WHERE event_id % 55 = 0
+        """,
+    )
+    def ev_logstash_lumberjack(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """logstash source (reference src/sources/logstash.rs): per event,
+        synthesize a lumberjack stream chunk — window frame + a zlib
+        Compressed frame wrapping a Data frame (string pairs) and a Json
+        frame — and decode it back. The oracle reconstructs protocol,
+        per-frame sequence numbers and canonical sorted-key fields."""
+        from pyspark.sql.functions import pandas_udf
+
+        from vector_spark.sources import logstash as ls
+
+        @pandas_udf("binary")
+        def enc(eid: pd.Series, uid: pd.Series,
+                etype: pd.Series) -> pd.Series:
+            out = []
+            for e, u, t in zip(eid, uid, etype):
+                e, u = int(e), int(u)
+                inner = ls.encode_data_frame(
+                    e % 100,
+                    {"message": f"evt {t} #{e}", "host": f"h{u % 10}"},
+                ) + ls.encode_json_frame(
+                    e % 100 + 1, {"type": str(t), "n": u % 97}
+                )
+                out.append(ls.encode_window(2) + ls.encode_compressed(inner))
+            return pd.Series(out, dtype=object)
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 55 == 0)
+        payload = ev.select(
+            "event_id",
+            enc(F.col("event_id"), F.col("user_id"),
+                F.col("event_type")).alias("payload"),
+        )
+        return ls.parse_logstash(payload)
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -6097,6 +6148,7 @@ _register_server_status()
 _register_fluent()
 _register_vendor_sinks2()
 _register_host_metrics()
+_register_logstash()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
