@@ -6129,6 +6129,54 @@ def _register_logstash() -> None:
         return ls.parse_logstash(payload)
 
 
+def _register_bm25() -> None:
+    @_q(
+        "doc_bm25",
+        """
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                  'g')), ' ') AS ws
+          FROM documents
+        ), d AS (
+          SELECT doc_id, len(ws)::DOUBLE AS dl FROM w
+        ), stats AS (
+          SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM d
+        ), hits AS (
+          SELECT doc_id, term FROM w, unnest(ws) AS u(term)
+          WHERE term IN ('spark', 'join', 'hash', 'window')
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+          FROM hits GROUP BY 1, 2
+        ), dfq AS (
+          SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS dft
+          FROM hits GROUP BY 1
+        )
+        SELECT tf.doc_id, COUNT(*)::BIGINT AS n_terms,
+               SUM(ln(1 + (n - dft + 0.5) / (dft + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / avgdl)))
+                 AS bm25
+        FROM tf
+        JOIN dfq USING (term)
+        JOIN d ON tf.doc_id = d.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+        """,
+    )
+    def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BM25 keyword relevance (dataprep/bm25.py — Okapi BM25 with the
+        Lucene idf): score every document against a 4-term curation query.
+        The corpus streams once, the shuffle carries only query-term hits,
+        dfs and corpus stats ride broadcasts. Oracle replays the exact
+        formula; float tolerance is the driver's round-6 canonicalization."""
+        from vector_spark.dataprep.bm25 import bm25_scores
+
+        return bm25_scores(
+            _docs(spark, sf_dir), ["spark", "join", "hash", "window"]
+        )
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -6149,6 +6197,7 @@ _register_fluent()
 _register_vendor_sinks2()
 _register_host_metrics()
 _register_logstash()
+_register_bm25()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
