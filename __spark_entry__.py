@@ -6177,6 +6177,81 @@ def _register_bm25() -> None:
         )
 
 
+def _register_dnstap() -> None:
+    @_q(
+        "ev_dnstap",
+        """
+        WITH e AS (
+          SELECT event_id, user_id, ts,
+                 user_id % 11 = 0 AS nx,
+                 'svc-' || (user_id % 20) || '.example.com' AS qname,
+                 '10.' || (user_id % 200) || '.' || (event_id % 250)
+                   || '.' || (user_id % 250) AS ip
+          FROM events WHERE event_id % 65 = 0
+        )
+        SELECT event_id, 'CLIENT_RESPONSE' AS message_type,
+               'INET' AS socket_family, 'UDP' AS socket_protocol,
+               '192.168.' || (user_id % 250) || '.' || (event_id % 200)
+                 AS query_address,
+               '10.0.0.53' AS response_address,
+               (40000 + event_id % 20000)::INT AS query_port,
+               53::INT AS response_port,
+               ts AS event_ts,
+               (event_id % 65536)::INT AS dns_id,
+               CASE WHEN nx THEN 'NXDomain' ELSE 'NoError' END AS rcode,
+               TRUE AS aa, qname, 'A' AS qtype,
+               CASE WHEN nx THEN '[]'
+                    ELSE '[{"name":"' || qname || '","type":"A","ttl":'
+                      || (event_id % 3600) || ',"rdata":"' || ip || '"}]'
+               END AS answers
+        FROM e
+        """,
+    )
+    def ev_dnstap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """dnstap source (reference src/sources/dnstap + the public
+        dnstap.proto): per event, build a CLIENT_RESPONSE dnstap frame —
+        protobuf envelope via the from-scratch proto codec wrapping an
+        RFC 1035 response with a compression-pointer answer — then decode
+        it back through parse_dnstap. NXDomain rows carry no answers."""
+        from pyspark.sql.functions import pandas_udf
+
+        from vector_spark.sources import dnstap as dt
+
+        @pandas_udf("binary")
+        def enc(eid: pd.Series, uid: pd.Series, ts: pd.Series) -> pd.Series:
+            out = []
+            for e, u, tsv in zip(eid, uid, ts):
+                e, u = int(e), int(u)
+                nx = u % 11 == 0
+                qname = f"svc-{u % 20}.example.com"
+                answers = [] if nx else [
+                    (1, e % 3600,
+                     bytes([10, u % 200, e % 250, u % 250]))
+                ]
+                wire = dt.encode_dns_response(
+                    e % 65536, qname, qtype=1, answers=answers,
+                    rcode=3 if nx else 0, aa=True,
+                )
+                us = tsv.value // 1000
+                out.append(dt.encode_dnstap_frame(
+                    6, wire,
+                    query_address=bytes([192, 168, u % 250, e % 200]),
+                    response_address=bytes([10, 0, 0, 53]),
+                    query_port=40000 + e % 20000, response_port=53,
+                    time_sec=int(us // 1_000_000),
+                    time_nsec=int(us % 1_000_000) * 1000,
+                ))
+            return pd.Series(out, dtype=object)
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 65 == 0)
+        payload = ev.select(
+            "event_id",
+            enc(F.col("event_id"), F.col("user_id"),
+                F.col("ts").cast("timestamp")).alias("payload"),
+        )
+        return dt.parse_dnstap(payload)
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -6198,6 +6273,7 @@ _register_vendor_sinks2()
 _register_host_metrics()
 _register_logstash()
 _register_bm25()
+_register_dnstap()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
