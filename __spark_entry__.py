@@ -6252,6 +6252,114 @@ def _register_dnstap() -> None:
         return dt.parse_dnstap(payload)
 
 
+def _register_ecs_metrics() -> None:
+    @_q(
+        "ev_ecs_metrics",
+        """
+        WITH e AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_id % 70 = 0
+        ), m(name, metric_type, device, op, cpu, sel) AS (VALUES
+          ('cpu_online_cpus','gauge',NULL,NULL,NULL,'on'),
+          ('cpu_usage_system_jiffies_total','counter',NULL,NULL,NULL,'sys'),
+          ('cpu_usage_usermode_jiffies_total','counter',NULL,NULL,NULL,'usr'),
+          ('cpu_usage_kernelmode_jiffies_total','counter',NULL,NULL,NULL,'krn'),
+          ('cpu_usage_total_jiffies_total','counter',NULL,NULL,NULL,'tot'),
+          ('cpu_throttling_periods_total','counter',NULL,NULL,NULL,'tp'),
+          ('cpu_throttled_periods_total','counter',NULL,NULL,NULL,'thp'),
+          ('cpu_throttled_time_seconds_total','counter',NULL,NULL,NULL,'tts'),
+          ('cpu_usage_percpu_jiffies_total','counter',NULL,NULL,'0','p0'),
+          ('cpu_usage_percpu_jiffies_total','counter',NULL,NULL,'1','p1'),
+          ('memory_used_bytes','gauge',NULL,NULL,NULL,'mu'),
+          ('memory_rss_bytes','gauge',NULL,NULL,NULL,'rss'),
+          ('memory_page_faults_total','counter',NULL,NULL,NULL,'pgf'),
+          ('network_receive_bytes_total','counter','eth0',NULL,NULL,'rx'),
+          ('network_transmit_bytes_total','counter','eth0',NULL,NULL,'tx'),
+          ('blkio_recursive_io_service_bytes_total','counter',
+           'dev','read',NULL,'bk'))
+        SELECT e.event_id,
+               'c' || (user_id % 5) AS container_id,
+               'app-' || (event_id % 7) AS container_name,
+               m.name, 'awsecs' AS namespace, 'absolute' AS kind,
+               m.metric_type,
+               CASE WHEN m.device = 'dev'
+                    THEN '8:' || (user_id % 4) ELSE m.device END AS device,
+               m.op, m.cpu, ts AS event_ts,
+               (CASE m.sel
+                  WHEN 'on' THEN 2
+                  WHEN 'sys' THEN event_id % 5000
+                  WHEN 'usr' THEN user_id % 500
+                  WHEN 'krn' THEN user_id % 300
+                  WHEN 'tot' THEN event_id % 1000
+                  WHEN 'tp' THEN user_id % 20
+                  WHEN 'thp' THEN event_id % 10
+                  WHEN 'tts' THEN user_id % 5
+                  WHEN 'p0' THEN user_id % 100
+                  WHEN 'p1' THEN event_id % 100
+                  WHEN 'mu' THEN user_id % 4096
+                  WHEN 'rss' THEN event_id % 2048
+                  WHEN 'pgf' THEN user_id % 999
+                  WHEN 'rx' THEN event_id % 9999
+                  WHEN 'tx' THEN user_id % 8888
+                  WHEN 'bk' THEN event_id % 65536
+                  END)::DOUBLE AS value
+        FROM e CROSS JOIN m
+        """,
+    )
+    def ev_ecs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """aws_ecs_metrics source (reference src/sources/aws_ecs_metrics/
+        parser.rs): synthesize a task-stats JSON body per event — cpu
+        jiffies + throttling (ns→s), percpu bounded by online_cpus (the
+        third sample must be dropped), memory gauges/counters, per-
+        interface network counters, blkio with major:minor device and
+        lowercased op — and decode through the typed from_json parser
+        (zero Python in the plan)."""
+        from vector_spark.sources import ecs_metrics as em
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 70 == 0)
+        eid, uid = F.col("event_id"), F.col("user_id")
+
+        def n(c):  # noqa: ANN001
+            return c.cast("long").cast("string")
+
+        body = F.concat(
+            F.lit('{"c'), n(uid % 5), F.lit('": {"read": "'),
+            F.date_format(F.col("ts").cast("timestamp"),
+                          "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+            F.lit('", "name": "app-'), n(eid % 7),
+            F.lit('", "cpu_stats": {"cpu_usage": {"total_usage": '),
+            n(eid % 1000),
+            F.lit(', "percpu_usage": ['), n(uid % 100), F.lit(", "),
+            n(eid % 100), F.lit(', 9], "usage_in_usermode": '),
+            n(uid % 500), F.lit(', "usage_in_kernelmode": '),
+            n(uid % 300), F.lit('}, "system_cpu_usage": '),
+            n(eid % 5000),
+            F.lit(', "online_cpus": 2, "throttling_data": {"periods": '),
+            n(uid % 20), F.lit(', "throttled_periods": '), n(eid % 10),
+            F.lit(', "throttled_time": '), n((uid % 5) * 1_000_000_000),
+            F.lit('}}, "memory_stats": {"usage": '), n(uid % 4096),
+            F.lit(', "stats": {"rss": '), n(eid % 2048),
+            F.lit(', "pgfault": '), n(uid % 999),
+            F.lit('}}, "networks": {"eth0": {"rx_bytes": '), n(eid % 9999),
+            F.lit(', "tx_bytes": '), n(uid % 8888),
+            F.lit('}}, "blkio_stats": {"io_service_bytes_recursive": '
+                  '[{"major": 8, "minor": '), n(uid % 4),
+            F.lit(', "op": "Read", "value": '), n(eid % 65536),
+            F.lit("}]}}}"),
+        )
+        parsed = em.parse_ecs_stats(
+            ev.select("event_id", body.alias("body"))
+        )
+        return parsed.select(
+            "event_id", "container_id",
+            F.col("tags")["container_name"].alias("container_name"),
+            "name", "namespace", "kind", "metric_type",
+            F.col("tags")["device"].alias("device"),
+            F.col("tags")["op"].alias("op"),
+            F.col("tags")["cpu"].alias("cpu"),
+            "event_ts", "value",
+        )
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -6274,6 +6382,7 @@ _register_host_metrics()
 _register_logstash()
 _register_bm25()
 _register_dnstap()
+_register_ecs_metrics()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
