@@ -6360,6 +6360,40 @@ def _register_ecs_metrics() -> None:
         )
 
 
+def _register_prom_remote() -> None:
+    @_q(
+        "ev_prom_remote_write",
+        """
+        SELECT (user_id % 4)::BIGINT AS batch,
+               '{"__name__":"evt_total","eid":"' || event_id
+                 || '","type":"' || event_type || '"}' AS labels,
+               (event_id % 97 + 0.5)::DOUBLE AS value,
+               epoch_ms(ts) AS ts_ms
+        FROM events WHERE event_id % 75 = 0
+        """,
+    )
+    def ev_prom_remote_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Prometheus remote_write sink (reference src/sinks/prometheus/
+        remote_write + the public prompb schema): project events to metric
+        rows, assemble one protobuf WriteRequest per batch (labels sorted
+        by name on the wire), then decode the bodies back — the oracle
+        pins every decoded sample and canonical label set."""
+        from vector_spark.sinks import prometheus_remote as pr
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 75 == 0)
+        rows = ev.select(
+            (F.col("user_id") % 4).alias("batch"),
+            F.create_map(
+                F.lit("__name__"), F.lit("evt_total"),
+                F.lit("eid"), F.col("event_id").cast("string"),
+                F.lit("type"), F.col("event_type"),
+            ).alias("labels"),
+            (F.col("event_id") % 97 + 0.5).cast("double").alias("value"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
+        return pr.parse_write_request(pr.remote_write_bodies(rows))
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -6383,6 +6417,7 @@ _register_logstash()
 _register_bm25()
 _register_dnstap()
 _register_ecs_metrics()
+_register_prom_remote()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
