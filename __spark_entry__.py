@@ -6394,6 +6394,78 @@ def _register_prom_remote() -> None:
         return pr.parse_write_request(pr.remote_write_bodies(rows))
 
 
+def _register_stackdriver() -> None:
+    @_q(
+        "ev_stackdriver_logs",
+        """
+        WITH e AS (
+          SELECT event_id, user_id, ts, event_type,
+                 ['emerg','alert','crit','err','warning','notice','info',
+                  'debug','550'][(user_id % 9) + 1] AS sev_in
+          FROM events WHERE event_id % 80 = 0
+        ), t AS (
+          SELECT *,
+            strftime(ts, '%Y-%m-%dT%H:%M:%S')
+              || CASE WHEN epoch_us(ts) % 1000000 = 0 THEN ''
+                      WHEN epoch_us(ts) % 1000 = 0
+                        THEN '.' || lpad(((epoch_us(ts) % 1000000) // 1000)
+                                          ::VARCHAR, 3, '0')
+                      ELSE '.' || lpad((epoch_us(ts) % 1000000)::VARCHAR,
+                                       6, '0') END
+              || 'Z' AS tsr,
+            CASE user_id % 9
+              WHEN 0 THEN 800 WHEN 1 THEN 700 WHEN 2 THEN 600
+              WHEN 3 THEN 500 WHEN 4 THEN 400 WHEN 5 THEN 300
+              WHEN 6 THEN 200 WHEN 7 THEN 100 ELSE 500 END AS sev
+          FROM e
+        )
+        SELECT event_id,
+               '{"jsonPayload":{"message":"evt ' || event_type || ' #'
+                 || event_id || '","type":"' || event_type
+                 || '"},"logName":"projects/acme/logs/app-'
+                 || (user_id % 6)
+                 || '","resource":{"labels":{"instance_id":"'
+                 || (event_id % 1000)
+                 || '","zone":"us-central1-a"},"type":"gce_instance"},'
+                 || '"severity":' || sev || ',"timestamp":"' || tsr
+                 || '"}' AS entry
+        FROM t
+        """,
+    )
+    def ev_stackdriver_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """gcp_stackdriver_logs sink (reference src/sinks/gcp/stackdriver/
+        logs/encoder.rs): per-event LogEntry with the severity remap
+        exercised across all 8 named levels plus a numeric floor-to-100
+        string, templated logName, resource labels, AutoSi timestamp."""
+        from vector_spark.sinks import stackdriver as sd
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 80 == 0)
+        sev_in = F.array(
+            *[F.lit(s) for s in ("emerg", "alert", "crit", "err", "warning",
+                                 "notice", "info", "debug", "550")]
+        )[(F.col("user_id") % 9).cast("int")]
+        payload = F.concat(
+            F.lit('{"message":"evt '), F.col("event_type"), F.lit(" #"),
+            F.col("event_id").cast("string"), F.lit('","type":"'),
+            F.col("event_type"), F.lit('"}'),
+        )
+        entry = sd.encode_stackdriver_entry(
+            sd.log_name("project", F.lit("acme"),
+                        F.concat(F.lit("app-"),
+                                 (F.col("user_id") % 6).cast("string"))),
+            payload,
+            sd.remap_severity(sev_in),
+            F.lit("gce_instance"),
+            F.create_map(
+                F.lit("zone"), F.lit("us-central1-a"),
+                F.lit("instance_id"),
+                (F.col("event_id") % 1000).cast("string"),
+            ),
+            ts=F.col("ts").cast("timestamp"),
+        )
+        return ev.select("event_id", entry.alias("entry"))
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -6418,6 +6490,7 @@ _register_bm25()
 _register_dnstap()
 _register_ecs_metrics()
 _register_prom_remote()
+_register_stackdriver()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
