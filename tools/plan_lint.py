@@ -46,6 +46,9 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "tpch_q22_antijoin": {
         "bnl_join": (2, "1-row scalar avg(acctbal) subquery frame"),
     },
+    "doc_bm25": {
+        "bnl_join": (2, "1-row corpus-stats (N, avgdl) frame cross-joined"),
+    },
     # brute-force cosine baselines: build side = the CAPPED query/sample
     # set broadcast against one corpus scan — the BNL IS the design
     # (bounded by the cap, never corpus × corpus).
