@@ -6466,6 +6466,71 @@ def _register_stackdriver() -> None:
         return ev.select("event_id", entry.alias("entry"))
 
 
+def _register_c4() -> None:
+    @_q(
+        "doc_c4_filters",
+        """
+        WITH e AS (
+          SELECT event_id, user_id,
+                 'the quick brown fox jumps over dog ' || (event_id % 100)
+                   || '.' AS l1,
+                 'another good sentence with number ' || (user_id % 50)
+                   || '!' AS l5,
+                 'does the third sentence appear here too?' AS l6,
+                 user_id % 7 = 0 AS brace, user_id % 5 = 0 AS lorem
+          FROM events WHERE event_id % 85 = 0
+        )
+        SELECT event_id,
+               l1 || chr(10) || l5 || chr(10) || l6
+                 || CASE WHEN brace THEN chr(10)
+                      || 'curly { brace line with enough words here.'
+                      ELSE '' END
+                 || CASE WHEN lorem THEN chr(10)
+                      || 'lorem ipsum dolor sit amet consectetur now.'
+                      ELSE '' END AS cleaned,
+               (3 + brace::INT + lorem::INT)::INT AS n_kept_lines,
+               (3 + brace::INT + lorem::INT)::INT AS n_sentences,
+               brace AS has_brace, lorem AS has_lorem,
+               NOT (brace OR lorem) AS keep
+        FROM e
+        """,
+    )
+    def doc_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """C4 line-level cleaning (dataprep/c4.py, Raffel et al. 2020
+        §2.2): synthesize an 8-line document per event — good lines,
+        a short line, a no-terminal-punctuation line, a javascript line,
+        and conditional brace / lorem-ipsum lines — and verify the kept
+        text and every doc-level flag against the oracle's direct
+        computation."""
+        from vector_spark.dataprep.c4 import c4_filters
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 85 == 0)
+        eid, uid = F.col("event_id"), F.col("user_id")
+        text = F.concat(
+            F.lit("the quick brown fox jumps over dog "),
+            (eid % 100).cast("string"), F.lit("."),
+            F.lit("\ntiny line."),
+            F.lit("\nno terminal punctuation in this line"),
+            F.lit("\nenable javascript to view this page now."),
+            F.lit("\nanother good sentence with number "),
+            (uid % 50).cast("string"), F.lit("!"),
+            F.lit("\ndoes the third sentence appear here too?"),
+            F.when(uid % 7 == 0,
+                   F.lit("\ncurly { brace line with enough words here."))
+            .otherwise(F.lit("")),
+            F.when(uid % 5 == 0,
+                   F.lit("\nlorem ipsum dolor sit amet consectetur now."))
+            .otherwise(F.lit("")),
+        )
+        docs = ev.select("event_id", text.alias("text"))
+        out = c4_filters(docs)
+        return out.select(
+            "event_id", "cleaned", "n_kept_lines",
+            F.col("n_sentences").cast("int").alias("n_sentences"),
+            "has_brace", "has_lorem", "keep",
+        )
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -6491,6 +6556,7 @@ _register_dnstap()
 _register_ecs_metrics()
 _register_prom_remote()
 _register_stackdriver()
+_register_c4()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
