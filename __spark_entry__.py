@@ -6531,6 +6531,62 @@ def _register_c4() -> None:
         )
 
 
+def _register_dd_metrics() -> None:
+    @_q(
+        "ev_datadog_series",
+        """
+        WITH e AS (
+          SELECT event_id, user_id, ts, event_type,
+                 user_id % 3 = 0 AS rate_arm,
+                 (event_id % 40 + 10)::DOUBLE AS v
+          FROM events WHERE event_id % 90 = 0
+        )
+        SELECT event_id,
+          CASE WHEN rate_arm THEN
+            '{"metric":"app.evt_' || event_type
+              || '","type":"rate","interval":20,"points":[['
+              || (epoch_ms(ts) // 1000) || ',' || (v / 20)
+              || ']],"tags":["type:' || event_type || '","uid:'
+              || (user_id % 9) || '"],"host":"h' || (user_id % 10) || '"}'
+          ELSE
+            '{"metric":"app.evt_' || event_type
+              || '","type":"gauge","interval":null,"points":[['
+              || (epoch_ms(ts) // 1000) || ',' || v || ']],"tags":["type:'
+              || event_type || '","uid:' || (user_id % 9)
+              || '"],"host":"h' || (user_id % 10) || '"}'
+          END AS obj
+        FROM e
+        """,
+    )
+    def ev_datadog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """datadog_metrics sink (reference src/sinks/datadog/metrics/
+        encoder.rs + common/datadog.rs): series objects with the
+        rate-vs-gauge kind mapping (value ÷ interval-seconds on the rate
+        arm), sorted k:v tags after the host extraction, namespaced
+        metric names, epoch-second points."""
+        from vector_spark.sinks import datadog_metrics as dm
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 90 == 0)
+        rate_arm = F.col("user_id") % 3 == 0
+        obj = dm.encode_datadog_series(
+            F.concat(F.lit("evt_"), F.col("event_type")),
+            F.when(rate_arm, F.lit("incremental")).otherwise(
+                F.lit("absolute")),
+            F.when(rate_arm, F.lit("counter")).otherwise(F.lit("gauge")),
+            (F.col("event_id") % 40 + 10).cast("double"),
+            F.col("ts").cast("timestamp"),
+            F.create_map(
+                F.lit("type"), F.col("event_type"),
+                F.lit("uid"), (F.col("user_id") % 9).cast("string"),
+                F.lit("host"),
+                F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")),
+            ),
+            namespace=F.lit("app"),
+            interval_ms=F.when(rate_arm, F.lit(20_000)).cast("long"),
+        )
+        return ev.select("event_id", obj.alias("obj"))
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -6557,6 +6613,7 @@ _register_ecs_metrics()
 _register_prom_remote()
 _register_stackdriver()
 _register_c4()
+_register_dd_metrics()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
