@@ -6587,6 +6587,62 @@ def _register_dd_metrics() -> None:
         return ev.select("event_id", obj.alias("obj"))
 
 
+def _register_ddsketch() -> None:
+    @_q(
+        "ev_ddsketch",
+        """
+        WITH e AS (
+          SELECT (user_id % 6)::INT AS grp,
+                 (event_id % 997 + 1)::DOUBLE AS v
+          FROM events WHERE event_id % 5 = 0
+        ), keyed AS (
+          SELECT grp, v,
+                 LEAST(round(ln(v) / 0.015504186535965254)::BIGINT + 1338,
+                       32767) AS k
+          FROM e
+        ), per_key AS (
+          SELECT grp, k, COUNT(*)::BIGINT AS n
+          FROM keyed GROUP BY grp, k
+        ), bins AS (
+          SELECT grp,
+                 string_agg(k::VARCHAR, ',' ORDER BY k) AS ks,
+                 string_agg(n::VARCHAR, ',' ORDER BY k) AS ns
+          FROM per_key GROUP BY grp
+        ), stats AS (
+          SELECT grp, COUNT(*)::BIGINT AS count, MIN(v) AS min,
+                 MAX(v) AS max, SUM(v) AS sum,
+                 SUM(v) / COUNT(*) AS avg
+          FROM keyed GROUP BY grp
+        )
+        SELECT bins.grp, ks, ns, count, min, max, sum, avg
+        FROM bins JOIN stats ON bins.grp = stats.grp
+        """,
+    )
+    def ev_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """AgentDDSketch distribution sketch (reference lib/vector-core/
+        src/metrics/ddsketch.rs): γ=1.015625 log-binning with
+        round-half-even keys and bias 1338, one map-side-combined
+        groupBy(key) per group — the shuffle carries (group, key, count),
+        never samples. The oracle replays the mapping math and the
+        per-group bin arrays exactly."""
+        from vector_spark.functions import ddsketch as dd
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 5 == 0)
+        rows = ev.select(
+            (F.col("user_id") % 6).cast("int").alias("grp"),
+            (F.col("event_id") % 997 + 1).cast("double").alias("v"),
+        )
+        out = dd.ddsketch_agg(rows, "v", ["grp"])
+        return out.select(
+            "grp",
+            F.array_join(F.transform(
+                F.col("ks"), lambda k: k.cast("string")), ",").alias("ks"),
+            F.array_join(F.transform(
+                F.col("ns"), lambda n: n.cast("string")), ",").alias("ns"),
+            "count", "min", "max", "sum", "avg",
+        )
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -6614,6 +6670,7 @@ _register_prom_remote()
 _register_stackdriver()
 _register_c4()
 _register_dd_metrics()
+_register_ddsketch()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
