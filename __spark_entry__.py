@@ -6643,6 +6643,67 @@ def _register_ddsketch() -> None:
         )
 
 
+def _register_dd_sketches() -> None:
+    @_q(
+        "ev_datadog_sketches",
+        """
+        WITH e AS (
+          SELECT (user_id % 5)::INT AS grp,
+                 (event_id % 499 + 1)::DOUBLE AS v
+          FROM events WHERE event_id % 7 = 0
+        ), keyed AS (
+          SELECT grp, v,
+                 LEAST(round(ln(v) / 0.015504186535965254)::BIGINT + 1338,
+                       32767) AS k
+          FROM e
+        ), per_key AS (
+          SELECT grp, k, COUNT(*)::BIGINT AS n FROM keyed GROUP BY grp, k
+        ), bins AS (
+          SELECT grp, string_agg(k::VARCHAR, ',' ORDER BY k) AS ks,
+                 string_agg(n::VARCHAR, ',' ORDER BY k) AS ns
+          FROM per_key GROUP BY grp
+        ), stats AS (
+          SELECT grp, COUNT(*)::BIGINT AS cnt, MIN(v) AS min, MAX(v) AS max,
+                 SUM(v) / COUNT(*) AS avg, SUM(v) AS sum
+          FROM keyed GROUP BY grp
+        )
+        SELECT (bins.grp % 2)::BIGINT AS batch,
+               'dist_' || bins.grp AS metric,
+               'h' || (bins.grp % 3) AS host,
+               'env:prod' AS tags,
+               (1700000000 + bins.grp)::BIGINT AS ts_s,
+               cnt, min, max, avg, sum, ks, ns
+        FROM bins JOIN stats ON bins.grp = stats.grp
+        """,
+    )
+    def ev_datadog_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """datadog_metrics SketchPayload (reference encoder.rs
+        sketch_to_proto_message + the public dd_metric.proto): aggregate
+        AgentDDSketches per group, assemble protobuf bodies per batch
+        (zigzag-packed keys), decode them back — every dogsketch field
+        and bin array pinned by the oracle's replay of the mapping."""
+        from vector_spark.functions import ddsketch as dd
+        from vector_spark.sinks import datadog_sketches as ds
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 7 == 0)
+        rows = ev.select(
+            (F.col("user_id") % 5).cast("int").alias("grp"),
+            (F.col("event_id") % 499 + 1).cast("double").alias("v"),
+        )
+        agg = dd.ddsketch_agg(rows, "v", ["grp"]).select(
+            (F.col("grp") % 2).cast("bigint").alias("batch"),
+            F.concat(F.lit("dist_"), F.col("grp").cast("string"))
+            .alias("metric"),
+            F.concat(F.lit("h"), (F.col("grp") % 3).cast("string"))
+            .alias("host"),
+            F.array(F.lit("env:prod")).alias("tags"),
+            (F.lit(1_700_000_000) + F.col("grp")).cast("long")
+            .alias("ts_s"),
+            "ks", "ns", "count", "min", "max", "sum", "avg",
+        )
+        return ds.parse_sketch_payload(ds.sketch_payload_bodies(agg))
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -6671,6 +6732,7 @@ _register_stackdriver()
 _register_c4()
 _register_dd_metrics()
 _register_ddsketch()
+_register_dd_sketches()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
