@@ -6704,6 +6704,55 @@ def _register_dd_sketches() -> None:
         return ds.parse_sketch_payload(ds.sketch_payload_bodies(agg))
 
 
+def _register_encoded_sink() -> None:
+    @_q(
+        "cfg_encoded_sink",
+        """
+        SELECT '{"log":{"event_id":' || event_id || ',"event_type":"'
+                 || event_type || '","user_id":' || user_id || '}}' AS value
+        FROM events WHERE event_id % 95 = 0
+        """,
+    )
+    def cfg_encoded_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """encoded_file topology sink: the config compiler filters events
+        and writes native_json envelope lines to a file sink; the gate
+        reads the written lines back and the oracle reconstructs them
+        (sorted-key BTreeMap object per the reference's json codec)."""
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="enc_sink_") + "/out"
+        config = {
+            "sources": {
+                "ev": {"type": "parquet", "path": f"{sf_dir}/events.parquet"}
+            },
+            "transforms": {
+                "flag": {
+                    "type": "remap",
+                    "inputs": ["ev"],
+                    "assign": {"keep": "event_id % 95 = 0"},
+                },
+                "pick": {
+                    "type": "filter",
+                    "inputs": ["flag"],
+                    "condition": ".keep == true",
+                },
+            },
+            "sinks": {
+                "enc": {
+                    "type": "encoded_file",
+                    "inputs": ["pick"],
+                    "encoding": "native_json",
+                    "fields": ["event_id", "event_type", "user_id"],
+                    "path": path,
+                },
+            },
+        }
+        from vector_spark.plans.topology import compile_config
+
+        compile_config(spark, config).write_sinks()
+        return spark.read.text(path)
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -6733,6 +6782,7 @@ _register_c4()
 _register_dd_metrics()
 _register_ddsketch()
 _register_dd_sketches()
+_register_encoded_sink()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

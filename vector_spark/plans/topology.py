@@ -25,7 +25,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_spark import tables
@@ -287,9 +287,42 @@ class Topology:
                 results[sname] = "blackhole"
             elif t == "memory":
                 results[sname] = df.count()
+            elif t == "encoded_file":
+                line = _encoded_line(df, cfg)
+                df.select(line.alias("value")).write.mode(
+                    cfg.get("mode", "overwrite")
+                ).text(cfg["path"])
+                results[sname] = cfg["path"]
             else:
                 raise ValueError(f"unknown sink type {t!r}")
         return results
+
+
+def _encoded_line(df: DataFrame, cfg: dict) -> Column:
+    """``encoded_file`` sink: one wire-format line per event.
+
+    ``encoding``: ``json`` (sorted-key event object, the reference's
+    file-sink json codec over a BTreeMap LogEvent), ``native_json``
+    (the engine's own envelope), or ``logfmt``. ``fields`` optionally
+    restricts the encoded columns (default: all)."""
+    enc = cfg.get("encoding", "json")
+    cols = sorted(cfg.get("fields") or df.columns)
+    struct = F.struct(*[F.col(c) for c in cols])
+    if enc == "json":
+        return F.to_json(struct)
+    if enc == "native_json":
+        from vector_spark.functions.native_json import encode_native_log
+
+        return encode_native_log(F.to_json(struct))
+    if enc == "logfmt":
+        from vector_spark.functions.crypto import encode_key_value
+
+        m = F.map_from_arrays(
+            F.array(*[F.lit(c) for c in cols]),
+            F.array(*[F.col(c).cast("string") for c in cols]),
+        )
+        return encode_key_value(m)
+    raise ValueError(f"unknown encoded_file encoding {enc!r}")
 
 
 def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame]:
