@@ -6753,6 +6753,53 @@ def _register_encoded_sink() -> None:
         return spark.read.text(path)
 
 
+def _register_chunked_gelf() -> None:
+    @_q(
+        "ev_chunked_gelf",
+        """
+        SELECT upper(lpad(to_hex(event_id), 16, '0')) AS message_id,
+               2::BIGINT AS n_chunks, 2 AS total_chunks,
+               TRUE AS complete,
+               '{"host":"h' || (user_id % 10)
+                 || '","short_message":"evt ' || event_type || ' #'
+                 || event_id || '","version":"1.1"}' AS body
+        FROM events WHERE event_id % 95 = 0
+        """,
+    )
+    def ev_chunked_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Chunked-GELF framing (reference lib/codecs/src/decoding/
+        framing/chunked_gelf.rs): split each event's GELF document into
+        two magic-headed UDP chunks (8-byte BE message id + seq/total),
+        shuffle them through the reassembler, and verify the seq-ordered
+        concatenation per message id. All JVM binary column math."""
+        from vector_spark.sources.framing import reassemble_chunked_gelf
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 95 == 0)
+        msg = F.concat(
+            F.lit('{"host":"h'), (F.col("user_id") % 10).cast("string"),
+            F.lit('","short_message":"evt '), F.col("event_type"),
+            F.lit(" #"), F.col("event_id").cast("string"),
+            F.lit('","version":"1.1"}'),
+        )
+        staged = ev.select("event_id", msg.alias("msg"))
+        mid = F.to_binary(
+            F.lpad(F.hex(F.col("event_id")), 16, "0"), F.lit("hex")
+        )
+        magic = F.lit(bytes([0x1E, 0x0F]))
+        c0 = F.concat(magic, mid, F.lit(bytes([0, 2])),
+                      F.substring(F.col("msg"), 1, 20).cast("binary"))
+        c1 = F.concat(magic, mid, F.lit(bytes([1, 2])),
+                      F.expr("substring(msg, 21)").cast("binary"))
+        datagrams = staged.select(
+            F.explode(F.array(c0, c1)).alias("payload")
+        )
+        out = reassemble_chunked_gelf(datagrams, decompress="none")
+        return out.select(
+            "message_id", "n_chunks", "total_chunks", "complete",
+            F.col("body").cast("string").alias("body"),
+        )
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -6783,6 +6830,7 @@ _register_dd_metrics()
 _register_ddsketch()
 _register_dd_sketches()
 _register_encoded_sink()
+_register_chunked_gelf()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
