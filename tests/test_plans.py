@@ -319,3 +319,38 @@ def test_community_id_plan_stays_bounded(spark):
     assert plan.count("regexp_extract") <= 40, (
         f"community_id expression tree re-inlined: {plan.count('regexp_extract')} regexp nodes"
     )
+
+
+def test_status_parsers_stay_jvm_and_shuffle_free(spark):
+    """The status/metrics text parsers (apache/nginx//proc/ECS) are pure
+    column math: no Python eval nodes, no Exchange — one scan-side map
+    with bounded explode fan-out."""
+    from vector_spark.sources import host_metrics as hm
+    from vector_spark.sources import server_status as ss
+    from vector_spark.sources.ecs_metrics import parse_ecs_stats
+
+    df = spark.range(100).select(
+        F.col("id"), F.lit("ServerUptimeSeconds: 5\nBusyWorkers: 2\n")
+        .alias("body"),
+    )
+    for parser in (ss.parse_apache_status, ss.parse_nginx_stub_status,
+                   hm.parse_meminfo, hm.parse_proc_stat, parse_ecs_stats):
+        plan = plan_of(parser(df))
+        assert "BatchEvalPython" not in plan, parser
+        assert "ArrowEvalPython" not in plan, parser
+        assert "Exchange" not in plan, parser
+
+
+def test_ddsketch_agg_is_two_level_hash_agg(spark):
+    """ddsketch_agg: partial-combined per-key agg then per-group bin
+    assembly — hash aggregates only, no sort-based fallback in the plan,
+    no Python nodes; the shuffle carries the (group, key) dim."""
+    from vector_spark.functions.ddsketch import ddsketch_agg
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 97 + 1).cast("double").alias("v"),
+    )
+    plan = plan_of(ddsketch_agg(df, "v", ["g"]))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
