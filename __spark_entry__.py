@@ -6800,6 +6800,76 @@ def _register_chunked_gelf() -> None:
         )
 
 
+def _register_esdb() -> None:
+    @_q(
+        "ev_esdb_stats",
+        """
+        WITH e AS (
+          SELECT event_id, user_id FROM events WHERE event_id % 100 = 0
+        ), m(name, metric_type, path, sel) AS (VALUES
+          ('process_memory_used_bytes','gauge',NULL,'mem'),
+          ('disk_read_bytes_total','counter',NULL,'rb'),
+          ('disk_written_bytes_total','counter',NULL,'wb'),
+          ('disk_read_ops_total','counter',NULL,'ro'),
+          ('disk_write_ops_total','counter',NULL,'wo'),
+          ('memory_free_bytes','gauge',NULL,'fm'),
+          ('disk_total_bytes','gauge','/var/lib/esdb','dt'),
+          ('disk_free_bytes','gauge','/var/lib/esdb','df'),
+          ('disk_used_bytes','gauge','/var/lib/esdb','du'))
+        SELECT e.event_id, m.name, 'eventstoredb' AS namespace,
+               'absolute' AS kind, m.metric_type,
+               (user_id % 30000 + 1)::VARCHAR AS id, m.path,
+               (CASE m.sel
+                  WHEN 'mem' THEN user_id % 100000 + 64
+                  WHEN 'rb' THEN event_id % 50000
+                  WHEN 'wb' THEN user_id % 40000
+                  WHEN 'ro' THEN event_id % 3000
+                  WHEN 'wo' THEN user_id % 2000
+                  WHEN 'fm' THEN event_id % 900000 + 1
+                  WHEN 'dt' THEN 1000000
+                  WHEN 'df' THEN user_id % 800000
+                  WHEN 'du' THEN 1000000 - user_id % 800000
+                  END)::DOUBLE AS value
+        FROM e CROSS JOIN m
+        """,
+    )
+    def ev_esdb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """eventstoredb_metrics source (reference src/sources/
+        eventstoredb_metrics/types.rs): synthesize a camelCase /stats
+        document per event and decode through the typed from_json parser
+        — process/diskIo counters, free-memory gauge, and the per-drive
+        map entry with its path tag."""
+        from vector_spark.sources.eventstoredb import parse_esdb_stats
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 100 == 0)
+        eid, uid = F.col("event_id"), F.col("user_id")
+
+        def n(c):  # noqa: ANN001
+            return c.cast("long").cast("string")
+
+        body = F.concat(
+            F.lit('{"proc": {"id": '), n(uid % 30000 + 1),
+            F.lit(', "mem": '), n(uid % 100000 + 64),
+            F.lit(', "diskIo": {"readBytes": '), n(eid % 50000),
+            F.lit(', "writtenBytes": '), n(uid % 40000),
+            F.lit(', "readOps": '), n(eid % 3000),
+            F.lit(', "writeOps": '), n(uid % 2000),
+            F.lit('}}, "sys": {"freeMem": '), n(eid % 900000 + 1),
+            F.lit(', "drive": {"/var/lib/esdb": {"availableBytes": '),
+            n(uid % 800000),
+            F.lit(', "totalBytes": 1000000, "usedBytes": '),
+            n(F.lit(1000000) - uid % 800000),
+            F.lit("}}}}"),
+        )
+        parsed = parse_esdb_stats(ev.select("event_id", body.alias("body")))
+        return parsed.select(
+            "event_id", "name", "namespace", "kind", "metric_type",
+            F.col("tags")["id"].alias("id"),
+            F.col("tags")["path"].alias("path"),
+            "value",
+        )
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -6831,6 +6901,7 @@ _register_ddsketch()
 _register_dd_sketches()
 _register_encoded_sink()
 _register_chunked_gelf()
+_register_esdb()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
