@@ -6870,6 +6870,92 @@ def _register_esdb() -> None:
         )
 
 
+def _register_pg_metrics() -> None:
+    @_q(
+        "ev_pg_stat_database",
+        """
+        WITH e AS (
+          SELECT event_id, user_id FROM events WHERE event_id % 110 = 0
+        ), m(name, metric_type, sel) AS (VALUES
+          ('pg_stat_database_datid','gauge','datid'),
+          ('pg_stat_database_numbackends','gauge','nb'),
+          ('pg_stat_database_xact_commit_total','counter','xc'),
+          ('pg_stat_database_xact_rollback_total','counter','xr'),
+          ('pg_stat_database_blks_read_total','counter','br'),
+          ('pg_stat_database_blks_hit_total','counter','bh'),
+          ('pg_stat_database_tup_returned_total','counter','tr'),
+          ('pg_stat_database_tup_fetched_total','counter','tf'),
+          ('pg_stat_database_tup_inserted_total','counter','ti'),
+          ('pg_stat_database_tup_updated_total','counter','tu'),
+          ('pg_stat_database_tup_deleted_total','counter','td'),
+          ('pg_stat_database_conflicts_total','counter','cf'),
+          ('pg_stat_database_temp_files_total','counter','tpf'),
+          ('pg_stat_database_temp_bytes_total','counter','tpb'),
+          ('pg_stat_database_deadlocks_total','counter','dl'),
+          ('pg_stat_database_blk_read_time_seconds_total','counter','brt'),
+          ('pg_stat_database_blk_write_time_seconds_total','counter','bwt'))
+        SELECT e.event_id, m.name, 'postgresql' AS namespace,
+               'absolute' AS kind, m.metric_type,
+               'db' || (user_id % 4) AS db,
+               (CASE m.sel
+                  WHEN 'datid' THEN 16384 + user_id % 4
+                  WHEN 'nb' THEN user_id % 50
+                  WHEN 'xc' THEN event_id % 100000
+                  WHEN 'xr' THEN user_id % 500
+                  WHEN 'br' THEN event_id % 70000
+                  WHEN 'bh' THEN user_id % 900000
+                  WHEN 'tr' THEN event_id % 800000
+                  WHEN 'tf' THEN user_id % 600000
+                  WHEN 'ti' THEN event_id % 40000
+                  WHEN 'tu' THEN user_id % 30000
+                  WHEN 'td' THEN event_id % 20000
+                  WHEN 'cf' THEN user_id % 9
+                  WHEN 'tpf' THEN event_id % 120
+                  WHEN 'tpb' THEN user_id % 65536
+                  WHEN 'dl' THEN event_id % 3
+                  WHEN 'brt' THEN (event_id % 5000) / 1000.0
+                  WHEN 'bwt' THEN (user_id % 4000) / 1000.0
+                  END)::DOUBLE AS value
+        FROM e CROSS JOIN m
+        """,
+    )
+    def ev_pg_stat_database(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """postgresql_metrics source (reference src/sources/
+        postgresql_metrics.rs:615-724): synthesize pg_stat_database rows
+        per event and apply the exact name/kind/scale map (ms→s on the
+        blk time counters, datid/numbackends gauges, db tag)."""
+        from vector_spark.sources import postgresql_metrics as pg
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 110 == 0)
+        eid, uid = F.col("event_id"), F.col("user_id")
+        rows = ev.select(
+            "event_id",
+            (F.lit(16384) + uid % 4).alias("datid"),
+            F.concat(F.lit("db"), (uid % 4).cast("string")).alias("datname"),
+            (uid % 50).alias("numbackends"),
+            (eid % 100000).alias("xact_commit"),
+            (uid % 500).alias("xact_rollback"),
+            (eid % 70000).alias("blks_read"),
+            (uid % 900000).alias("blks_hit"),
+            (eid % 800000).alias("tup_returned"),
+            (uid % 600000).alias("tup_fetched"),
+            (eid % 40000).alias("tup_inserted"),
+            (uid % 30000).alias("tup_updated"),
+            (eid % 20000).alias("tup_deleted"),
+            (uid % 9).alias("conflicts"),
+            (eid % 120).alias("temp_files"),
+            (uid % 65536).alias("temp_bytes"),
+            (eid % 3).alias("deadlocks"),
+            (eid % 5000).cast("double").alias("blk_read_time"),
+            (uid % 4000).cast("double").alias("blk_write_time"),
+        )
+        out = pg.pg_stat_database_metrics(rows)
+        return out.select(
+            "event_id", "name", "namespace", "kind", "metric_type", "db",
+            "value",
+        )
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -6902,6 +6988,7 @@ _register_dd_sketches()
 _register_encoded_sink()
 _register_chunked_gelf()
 _register_esdb()
+_register_pg_metrics()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
