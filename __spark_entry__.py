@@ -6870,6 +6870,225 @@ def _register_esdb() -> None:
         )
 
 
+def _register_mongodb() -> None:
+    @_q(
+        "ev_mongodb_status",
+        """
+        WITH e AS (
+          SELECT event_id, user_id FROM events WHERE event_id % 130 = 0
+        ), m(name, metric_type, type, state, mode, micros, engine, sel)
+        AS (VALUES
+          ('up','gauge',NULL,NULL,NULL,NULL,NULL,'one'),
+          ('asserts_total','counter','regular',NULL,NULL,NULL,NULL,'ar'),
+          ('asserts_total','counter','warning',NULL,NULL,NULL,NULL,'aw'),
+          ('asserts_total','counter','msg',NULL,NULL,NULL,NULL,'am'),
+          ('asserts_total','counter','user',NULL,NULL,NULL,NULL,'au'),
+          ('asserts_total','counter','rollovers',NULL,NULL,NULL,NULL,'ao'),
+          ('connections','counter',NULL,'active',NULL,NULL,NULL,'ca'),
+          ('connections','counter',NULL,'available',NULL,NULL,NULL,'cv'),
+          ('connections','counter',NULL,'current',NULL,NULL,NULL,'cc'),
+          ('memory','gauge','resident',NULL,NULL,NULL,NULL,'mr'),
+          ('memory','gauge','virtual',NULL,NULL,NULL,NULL,'mv'),
+          ('mongod_global_lock_total_time_seconds','counter',
+           NULL,NULL,NULL,NULL,NULL,'gt'),
+          ('mongod_global_lock_active_clients','gauge','total',
+           NULL,NULL,NULL,NULL,'at'),
+          ('mongod_global_lock_active_clients','gauge','readers',
+           NULL,NULL,NULL,NULL,'arr'),
+          ('mongod_global_lock_active_clients','gauge','writers',
+           NULL,NULL,NULL,NULL,'aww'),
+          ('mongod_global_lock_current_queue','gauge','total',
+           NULL,NULL,NULL,NULL,'qt'),
+          ('mongod_global_lock_current_queue','gauge','readers',
+           NULL,NULL,NULL,NULL,'qr'),
+          ('mongod_global_lock_current_queue','gauge','writers',
+           NULL,NULL,NULL,NULL,'qw'),
+          ('mongod_locks_time_acquiring_global_seconds_total','counter',
+           'Global',NULL,'read',NULL,NULL,'lr'),
+          ('mongod_locks_time_acquiring_global_seconds_total','counter',
+           'Global',NULL,'write',NULL,NULL,'lw'),
+          ('mongod_metrics_document_total','counter',NULL,'deleted',
+           NULL,NULL,NULL,'dd'),
+          ('mongod_metrics_document_total','counter',NULL,'inserted',
+           NULL,NULL,NULL,'di'),
+          ('mongod_metrics_document_total','counter',NULL,'returned',
+           NULL,NULL,NULL,'dr'),
+          ('mongod_metrics_document_total','counter',NULL,'updated',
+           NULL,NULL,NULL,'du'),
+          ('mongod_metrics_ttl_deleted_documents_total','counter',
+           NULL,NULL,NULL,NULL,NULL,'td'),
+          ('mongod_metrics_ttl_passes_total','counter',
+           NULL,NULL,NULL,NULL,NULL,'tp'),
+          ('network_bytes_total','counter',NULL,'bytes_in',
+           NULL,NULL,NULL,'ni'),
+          ('network_bytes_total','counter',NULL,'bytes_out',
+           NULL,NULL,NULL,'no'),
+          ('network_metrics_num_requests_total','counter',
+           NULL,NULL,NULL,NULL,NULL,'nr'),
+          ('op_counters_repl_total','counter','insert',
+           NULL,NULL,NULL,NULL,'oi'),
+          ('op_counters_repl_total','counter','query',
+           NULL,NULL,NULL,NULL,'oq'),
+          ('mongod_storage_engine','gauge',NULL,NULL,NULL,NULL,
+           'wiredTiger','one'),
+          ('mongod_wiredtiger_transactions_total','counter','begins',
+           NULL,NULL,NULL,NULL,'tb'),
+          ('mongod_wiredtiger_transactions_total','counter','checkpoints',
+           NULL,NULL,NULL,NULL,'tc'),
+          ('mongod_wiredtiger_transactions_total','counter','committed',
+           NULL,NULL,NULL,NULL,'tm'),
+          ('mongod_wiredtiger_transactions_total','counter','rolledback',
+           NULL,NULL,NULL,NULL,'tr'),
+          ('mongod_wiredtiger_transactions_checkpoint_seconds','gauge',
+           'min',NULL,NULL,NULL,NULL,'kn'),
+          ('mongod_wiredtiger_transactions_checkpoint_seconds','gauge',
+           'max',NULL,NULL,NULL,NULL,'kx'),
+          ('mongod_wiredtiger_transactions_checkpoint_seconds_total',
+           'counter',NULL,NULL,NULL,NULL,NULL,'kt'),
+          ('mongod_wiredtiger_transactions_running_checkpoints','gauge',
+           NULL,NULL,NULL,NULL,NULL,'kr'),
+          ('mongod_op_latencies_histogram','gauge','reads',NULL,NULL,
+           '1',NULL,'h1'),
+          ('mongod_op_latencies_histogram','gauge','reads',NULL,NULL,
+           '2',NULL,'h2'),
+          ('mongod_op_latencies_latency','gauge','reads',
+           NULL,NULL,NULL,NULL,'ol'),
+          ('mongod_op_latencies_ops_total','gauge','reads',
+           NULL,NULL,NULL,NULL,'oo'))
+        SELECT e.event_id, m.name, 'mongodb' AS namespace,
+               'absolute' AS kind, m.metric_type,
+               m.type, m.state, m.mode, m.micros, m.engine,
+               (CASE m.sel
+                  WHEN 'one' THEN 1
+                  WHEN 'ar' THEN event_id % 100
+                  WHEN 'aw' THEN user_id % 50
+                  WHEN 'am' THEN event_id % 7
+                  WHEN 'au' THEN user_id % 20
+                  WHEN 'ao' THEN event_id % 3
+                  WHEN 'ca' THEN user_id % 500
+                  WHEN 'cv' THEN 1000
+                  WHEN 'cc' THEN user_id % 800
+                  WHEN 'mr' THEN event_id % 4096
+                  WHEN 'mv' THEN user_id % 8192
+                  WHEN 'gt' THEN event_id % 1000000
+                  WHEN 'at' THEN user_id % 64
+                  WHEN 'arr' THEN user_id % 32
+                  WHEN 'aww' THEN user_id % 16
+                  WHEN 'qt' THEN event_id % 10
+                  WHEN 'qr' THEN event_id % 6
+                  WHEN 'qw' THEN event_id % 4
+                  WHEN 'lr' THEN event_id % 9000
+                  WHEN 'lw' THEN user_id % 9000
+                  WHEN 'dd' THEN event_id % 1000
+                  WHEN 'di' THEN user_id % 2000
+                  WHEN 'dr' THEN event_id % 3000
+                  WHEN 'du' THEN user_id % 4000
+                  WHEN 'td' THEN event_id % 550
+                  WHEN 'tp' THEN user_id % 60
+                  WHEN 'ni' THEN event_id % 70000
+                  WHEN 'no' THEN user_id % 80000
+                  WHEN 'nr' THEN event_id % 7500
+                  WHEN 'oi' THEN event_id % 10000
+                  WHEN 'oq' THEN user_id % 10000
+                  WHEN 'tb' THEN event_id % 900
+                  WHEN 'tc' THEN user_id % 90
+                  WHEN 'tm' THEN event_id % 880
+                  WHEN 'tr' THEN user_id % 44
+                  WHEN 'kn' THEN (1000 + event_id % 1000) // 1000
+                  WHEN 'kx' THEN (5000 + user_id % 3000) // 1000
+                  WHEN 'kt' THEN (event_id % 100000) // 1000
+                  WHEN 'kr' THEN event_id % 2
+                  WHEN 'h1' THEN event_id % 11
+                  WHEN 'h2' THEN user_id % 13
+                  WHEN 'ol' THEN event_id % 5000
+                  WHEN 'oo' THEN user_id % 6000
+                  END)::DOUBLE AS value
+        FROM e CROSS JOIN m
+        """,
+    )
+    def ev_mongodb_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """mongodb_metrics source (reference src/sources/mongodb_metrics/
+        mod.rs:276-972): synthesize a serverStatus JSON document per
+        event and decode through the typed from_json parser — asserts/
+        connections/memory/globalLock families, the locks and opLatencies
+        map fan-outs, wiredTiger transaction counters with the truncating
+        ms→s divisions, and the reference's swapped opcounters names."""
+        from vector_spark.sources.mongodb_metrics import (
+            parse_server_status,
+        )
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 130 == 0)
+        eid, uid = F.col("event_id"), F.col("user_id")
+
+        def n(c):  # noqa: ANN001
+            return c.cast("long").cast("string")
+
+        body = F.concat(
+            F.lit('{"asserts": {"regular": '), n(eid % 100),
+            F.lit(', "warning": '), n(uid % 50),
+            F.lit(', "msg": '), n(eid % 7),
+            F.lit(', "user": '), n(uid % 20),
+            F.lit(', "rollovers": '), n(eid % 3),
+            F.lit('}, "connections": {"active": '), n(uid % 500),
+            F.lit(', "available": 1000, "current": '), n(uid % 800),
+            F.lit('}, "mem": {"resident": '), n(eid % 4096),
+            F.lit(', "virtual": '), n(uid % 8192),
+            F.lit('}, "globalLock": {"totalTime": '), n(eid % 1000000),
+            F.lit(', "activeClients": {"total": '), n(uid % 64),
+            F.lit(', "readers": '), n(uid % 32),
+            F.lit(', "writers": '), n(uid % 16),
+            F.lit('}, "currentQueue": {"total": '), n(eid % 10),
+            F.lit(', "readers": '), n(eid % 6),
+            F.lit(', "writers": '), n(eid % 4),
+            F.lit('}}, "locks": {"Global": {"timeAcquiringMicros":'
+                  ' {"r": '), n(eid % 9000),
+            F.lit(', "w": '), n(uid % 9000),
+            F.lit('}}}, "metrics": {"document": {"deleted": '),
+            n(eid % 1000),
+            F.lit(', "inserted": '), n(uid % 2000),
+            F.lit(', "returned": '), n(eid % 3000),
+            F.lit(', "updated": '), n(uid % 4000),
+            F.lit('}, "ttl": {"deletedDocuments": '), n(eid % 550),
+            F.lit(', "passes": '), n(uid % 60),
+            F.lit('}}, "opLatencies": {"reads": {"latency": '),
+            n(eid % 5000),
+            F.lit(', "ops": '), n(uid % 6000),
+            F.lit(', "histogram": [{"micros": 1, "count": '), n(eid % 11),
+            F.lit('}, {"micros": 2, "count": '), n(uid % 13),
+            F.lit('}]}}, "storageEngine": {"name": "wiredTiger"},'
+                  ' "wiredTiger": {"transaction": {"transaction begins": '),
+            n(eid % 900),
+            F.lit(', "transaction checkpoints": '), n(uid % 90),
+            F.lit(', "transaction checkpoint currently running": '),
+            n(eid % 2),
+            F.lit(', "transaction checkpoint max time (msecs)": '),
+            n(F.lit(5000) + uid % 3000),
+            F.lit(', "transaction checkpoint min time (msecs)": '),
+            n(F.lit(1000) + eid % 1000),
+            F.lit(', "transaction checkpoint total time (msecs)": '),
+            n(eid % 100000),
+            F.lit(', "transactions committed": '), n(eid % 880),
+            F.lit(', "transactions rolled back": '), n(uid % 44),
+            F.lit('}}, "network": {"bytesIn": '), n(eid % 70000),
+            F.lit(', "bytesOut": '), n(uid % 80000),
+            F.lit(', "numRequests": '), n(eid % 7500),
+            F.lit('}, "opcounters": {"insert": '), n(eid % 10000),
+            F.lit(', "query": '), n(uid % 10000),
+            F.lit("}}"),
+        )
+        parsed = parse_server_status(
+            ev.select("event_id", body.alias("body")))
+        return parsed.select(
+            "event_id", "name", "namespace", "kind", "metric_type",
+            F.col("tags")["type"].alias("type"),
+            F.col("tags")["state"].alias("state"),
+            F.col("tags")["mode"].alias("mode"),
+            F.col("tags")["micros"].alias("micros"),
+            F.col("tags")["engine"].alias("engine"),
+            "value",
+        )
+
+
 def _register_pg_metrics() -> None:
     @_q(
         "ev_pg_stat_database",
@@ -6989,6 +7208,7 @@ _register_encoded_sink()
 _register_chunked_gelf()
 _register_esdb()
 _register_pg_metrics()
+_register_mongodb()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
