@@ -6870,6 +6870,59 @@ def _register_esdb() -> None:
         )
 
 
+def _register_static_metrics() -> None:
+    @_q(
+        "cfg_static_metrics",
+        """
+        WITH t AS (SELECT range::INT AS tick FROM range(4)),
+        m(name, kind, metric_type, team, value) AS (VALUES
+          ('build_info','absolute','gauge','core',1.0),
+          ('slots_total','absolute','gauge','core',32.0))
+        SELECT tick, (tick * 2.5)::DOUBLE AS offset_secs, m.name,
+               'static' AS namespace, m.kind, m.metric_type, m.team,
+               m.value::DOUBLE AS value
+        FROM t CROSS JOIN m
+        """,
+    )
+    def cfg_static_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """static_metrics source (reference src/sources/
+        static_metrics.rs) compiled from a topology config: config-
+        defined counter/gauge emissions per interval tick, with a filter
+        transform dropping the counter leg."""
+        from vector_spark.plans import compile_config
+
+        config = {
+            "sources": {
+                "st": {
+                    "type": "static_metrics",
+                    "ticks": 4,
+                    "interval_secs": 2.5,
+                    "metrics": [
+                        {"name": "build_info",
+                         "value": {"gauge": {"value": 1.0}},
+                         "tags": {"team": "core"}},
+                        {"name": "slots_total",
+                         "value": {"gauge": {"value": 32.0}},
+                         "tags": {"team": "core"}},
+                        {"name": "restarts", "kind": "incremental",
+                         "value": {"counter": {"value": 1.0}},
+                         "tags": {}},
+                    ],
+                }
+            },
+            "transforms": {
+                "g": {"type": "filter", "inputs": ["st"],
+                      "condition": '.metric_type == "gauge"'},
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["g"]}},
+        }
+        topo = compile_config(spark, config)
+        return topo.resolve("g").select(
+            "tick", "offset_secs", "name", "namespace", "kind",
+            "metric_type", F.col("tags")["team"].alias("team"), "value",
+        )
+
+
 def _register_mongodb() -> None:
     @_q(
         "ev_mongodb_status",
@@ -7209,6 +7262,7 @@ _register_chunked_gelf()
 _register_esdb()
 _register_pg_metrics()
 _register_mongodb()
+_register_static_metrics()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

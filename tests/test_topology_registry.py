@@ -240,3 +240,44 @@ def test_tokenize_transform_type(spark, tmp_path):
     assert {k: v.tokens for k, v in rows2.items()} == {
         k: v.tokens for k, v in rows.items()
     }
+
+
+def test_static_metrics_source(spark):
+    """static_metrics source type (reference src/sources/
+    static_metrics.rs): config-defined metrics, one emission per tick,
+    default namespace 'static', counter/gauge values, tag map."""
+    from vector_spark.plans import compile_config
+
+    config = {
+        "sources": {
+            "st": {
+                "type": "static_metrics",
+                "ticks": 3,
+                "interval_secs": 5.0,
+                "metrics": [
+                    {"name": "build_info", "kind": "absolute",
+                     "value": {"gauge": {"value": 1.0}},
+                     "tags": {"team": "core"}},
+                    {"name": "heartbeats", "kind": "incremental",
+                     "value": {"counter": {"value": 2.0}}, "tags": {}},
+                ],
+            }
+        },
+        "transforms": {
+            "g": {"type": "filter", "inputs": ["st"],
+                  "condition": '.metric_type == "gauge"'},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["g"]}},
+    }
+    topo = compile_config(spark, config)
+    all_rows = topo.resolve("st").collect()
+    assert len(all_rows) == 6  # 2 metrics x 3 ticks
+    assert {r.namespace for r in all_rows} == {"static"}
+    hb = [r for r in all_rows if r.name == "heartbeats"]
+    assert all(r.metric_type == "counter" and r.kind == "incremental"
+               and r.value == 2.0 for r in hb)
+    assert sorted(r.offset_secs for r in hb) == [0.0, 5.0, 10.0]
+    gauges = topo.resolve("g").collect()
+    assert len(gauges) == 3
+    assert all(r.name == "build_info" and r.tags["team"] == "core"
+               for r in gauges)

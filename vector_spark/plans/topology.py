@@ -116,6 +116,35 @@ class Topology:
             return self.spark.read.json(cfg["path"], schema=cfg.get("schema"))
         if t == "inline":
             return self.spark.createDataFrame(cfg["rows"], cfg["schema"])
+        if t == "static_metrics":
+            # reference src/sources/static_metrics.rs: config-defined
+            # metrics emitted once per interval tick (default namespace
+            # "static", default interval 1 s). Batch analog: `ticks`
+            # intervals' worth of emissions with a deterministic
+            # per-tick offset instead of wall-clock now().
+            ns = cfg.get("namespace", "static")
+            ticks = int(cfg.get("ticks", 1))
+            interval = float(cfg.get("interval_secs", 1.0))
+            rows = []
+            for tick in range(ticks):
+                for mc in cfg.get("metrics", []):
+                    ((mtype, inner),) = mc["value"].items()
+                    if mtype not in ("counter", "gauge"):
+                        raise ValueError(
+                            f"static_metrics value type {mtype!r} not "
+                            "supported (counter/gauge)"
+                        )
+                    rows.append((
+                        tick, tick * interval, mc["name"], ns,
+                        mc.get("kind", "absolute"), mtype,
+                        dict(mc.get("tags", {})), float(inner["value"]),
+                    ))
+            return self.spark.createDataFrame(
+                rows,
+                "tick int, offset_secs double, name string, "
+                "namespace string, kind string, metric_type string, "
+                "tags map<string,string>, value double",
+            )
         raise ValueError(f"unknown source type {t!r}")
 
     def _inputs_df(self, inputs: list[str]) -> DataFrame:
