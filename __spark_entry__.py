@@ -6870,6 +6870,102 @@ def _register_esdb() -> None:
         )
 
 
+def _register_docker_logs() -> None:
+    @_q(
+        "ev_docker_logs",
+        """
+        SELECT 'c' || (user_id % 6) AS container_id,
+               'web-' || (user_id % 6) AS container_name,
+               CASE WHEN user_id % 6 = 0 THEN 'nginx:1.25'
+                    WHEN user_id % 6 = 2 THEN 'nginx'
+                    ELSE 'nginx:1.27' END AS image,
+               '2024-01-0' || (user_id % 6 + 1) AS container_created_at,
+               'app' AS tier,
+               CASE WHEN event_id % 2 = 0 THEN 'stdout'
+                    ELSE 'stderr' END AS stream,
+               'log ' || event_type || ' #' || event_id AS message,
+               make_timestamp(epoch_ms(ts) * 1000) AS tsp,
+               FALSE AS partial,
+               'host-1' AS host, 'docker_logs' AS source_type
+        FROM events WHERE user_id % 6 IN (0, 2, 4)
+        """,
+    )
+    def ev_docker_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """docker_logs source (reference src/sources/docker_logs/
+        mod.rs): every 4th event splits into a no-newline 16 KiB-style
+        partial chunk + final chunk of the Docker API wire line;
+        container prefix/label filtering (exclusion beats inclusion),
+        wire decode, auto_partial_merge, and metadata annotation
+        reconstruct the original message per (container, stream). The
+        oracle recomputes the surviving rows straight from the
+        generator formulas (split-invariant)."""
+        from vector_spark.sources import docker
+
+        containers = spark.createDataFrame(
+            [("c0", "web-0", "nginx:1.25", {"tier": "app"}, "2024-01-01"),
+             ("c1", "web-1", "redis:7", {"tier": "web"}, "2024-01-02"),
+             ("c2", "web-2", "nginx", {"tier": "app"}, "2024-01-03"),
+             ("c3", "web-3", "redis:7", {"tier": "app"}, "2024-01-04"),
+             ("c4", "web-4", "nginx:1.27", {"tier": "app"}, "2024-01-05"),
+             ("c5", "db-0", "postgres:16", {"tier": "db"}, "2024-01-06")],
+            "container_id string, name string, image string, "
+            "labels map<string,string>, created_at string",
+        )
+        # web- prefix keeps c0..c4; web-3 excluded; tier=app drops c1 →
+        # survivors c0, c2, c4
+        kept = docker.container_included(
+            containers, include_containers=["web-"],
+            exclude_containers=["web-3"], include_labels=["tier=app"])
+
+        ev = _events(spark, sf_dir)
+        iso = F.concat(
+            F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+            F.lit("Z"),
+        )
+        msg = F.concat(F.lit("log "), F.col("event_type"), F.lit(" #"),
+                       F.col("event_id").cast("string"))
+        split = F.col("event_id") % 4 == 0
+        head = F.concat(iso, F.lit(" "))
+        lines = F.when(
+            split,
+            F.array(
+                F.struct(
+                    (F.col("event_id") * 10).alias("line_no"),
+                    F.concat(head, F.lit("log "), F.col("event_type"),
+                             F.lit(" ")).alias("message"),
+                ),
+                F.struct(
+                    (F.col("event_id") * 10 + 1).alias("line_no"),
+                    F.concat(head, F.lit("#"),
+                             F.col("event_id").cast("string"),
+                             F.lit("\n")).alias("message"),
+                ),
+            ),
+        ).otherwise(F.array(F.struct(
+            (F.col("event_id") * 10).alias("line_no"),
+            F.concat(head, msg, F.lit("\n")).alias("message"),
+        )))
+        raw = ev.select(
+            F.concat(F.lit("c"),
+                     (F.col("user_id") % 6).cast("string"))
+             .alias("container_id"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("stdout"))
+             .otherwise(F.lit("stderr")).alias("stream"),
+            F.explode(lines).alias("l"),
+        ).select("container_id", "stream",
+                 F.col("l.line_no").alias("line_no"),
+                 F.col("l.message").alias("message"))
+        parsed = docker.parse_docker_log_output(raw)
+        merged = docker.merge_partial_events(parsed)
+        out = docker.annotate_containers(merged, kept, hostname="host-1")
+        return out.select(
+            "container_id", "container_name", "image",
+            "container_created_at", F.col("label")["tier"].alias("tier"),
+            "stream", "message", F.col("timestamp").alias("tsp"),
+            "partial", "host", "source_type",
+        )
+
+
 def _register_static_metrics() -> None:
     @_q(
         "cfg_static_metrics",
@@ -7263,6 +7359,7 @@ _register_esdb()
 _register_pg_metrics()
 _register_mongodb()
 _register_static_metrics()
+_register_docker_logs()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
