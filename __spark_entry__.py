@@ -6870,6 +6870,58 @@ def _register_esdb() -> None:
         )
 
 
+def _register_native_proto() -> None:
+    @_q(
+        "ev_native_proto",
+        """
+        SELECT event_id,
+               CASE WHEN user_id % 2 = 0 THEN
+                 '{"log":{"chan":"' || event_type || '","id":' || event_id
+                 || ',"meta":{"ok":true,"user":' || user_id
+                 || '},"note":null}}'
+               ELSE
+                 '{"metric":{"counter":{"value":'
+                 || ((event_id % 90) + 0.5)::VARCHAR
+                 || '},"kind":"incremental","name":"requests","tags":'
+                 || '{"env":"prod"}}}'
+               END AS envelope
+        FROM events WHERE event_id % 45 = 0
+        """,
+    )
+    def ev_native_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Vector native protobuf codec (reference lib/codecs/src/
+        {decoding,encoding}/format/native.rs + lib/vector-core/src/event/
+        proto.rs): build a native_json envelope per event (log leg with a
+        nested map/null, metric counter leg with tags), encode to an
+        EventArray frame and decode back — the round-trip must reproduce
+        the canonical envelope the oracle computes directly."""
+        from vector_spark.functions.native_proto import (
+            encode_native_proto, parse_native_proto,
+        )
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 45 == 0)
+        eid = F.col("event_id").cast("string")
+        uid = F.col("user_id").cast("string")
+        log_env = F.concat(
+            F.lit('{"log":{"chan":"'), F.col("event_type"),
+            F.lit('","id":'), eid,
+            F.lit(',"meta":{"ok":true,"user":'), uid,
+            F.lit('},"note":null}}'),
+        )
+        metric_env = F.concat(
+            F.lit('{"metric":{"counter":{"value":'),
+            ((F.col("event_id") % 90) + F.lit(0.5)).cast("string"),
+            F.lit('},"kind":"incremental","name":"requests",'
+                  '"tags":{"env":"prod"}}}'),
+        )
+        env = F.when(F.col("user_id") % 2 == 0, log_env) \
+               .otherwise(metric_env)
+        return ev.select(
+            "event_id",
+            parse_native_proto(encode_native_proto(env)).alias("envelope"),
+        )
+
+
 def _register_docker_logs() -> None:
     @_q(
         "ev_docker_logs",
@@ -7360,6 +7412,7 @@ _register_pg_metrics()
 _register_mongodb()
 _register_static_metrics()
 _register_docker_logs()
+_register_native_proto()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
