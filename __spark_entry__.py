@@ -4971,8 +4971,8 @@ def _register_aws_dd_sources() -> None:
         "ev_firehose",
         """
         SELECT 'evt ' || event_type || ' #' || event_id AS message,
-               'req-' || (user_id % 6) AS request_id,
-               make_timestamp((1700000000000 + user_id % 6) * 1000)
+               'req-' || (user_id % 192) AS request_id,
+               make_timestamp((1700000000000 + user_id % 192) * 1000)
                  AS tsp,
                'arn:aws:firehose:us-east-1:0:stream/s' AS source_arn
         FROM events WHERE event_id % 8 = 1
@@ -4991,14 +4991,16 @@ def _register_aws_dd_sources() -> None:
         ev = _events(spark, sf_dir).filter(F.col("event_id") % 8 == 1)
         text = F.concat(F.lit("evt "), F.col("event_type"), F.lit(" #"),
                         F.col("event_id").cast("string"))
-        gz = F.col("event_id") % 2 == 0
+        gz = F.col("user_id") % 2 == 0
         payload = F.base64(
             F.coalesce(
                 encode_gzip(F.when(gz, text)),
                 text.cast("binary"),
             )
         )
-        k = (F.col("user_id") % 6).cast("string")
+        # 192 request bodies: the 6-bucket variant packed ~40k records
+        # into each JSON string — one giant-task skew by construction
+        k = (F.col("user_id") % 192).cast("string")
         req = (
             ev.select(k.alias("k"), payload.alias("p"))
             .groupBy("k")
