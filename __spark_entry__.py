@@ -7378,6 +7378,182 @@ def _register_pg_metrics() -> None:
         )
 
 
+def _register_vendor_sinks3() -> None:
+    @_q(
+        "ev_cloudwatch_metrics",
+        """
+        WITH d AS (
+          SELECT 'ns' || (user_id % 4) AS ns,
+            CASE WHEN user_id % 3 = 0 THEN
+              '{"MetricName":"evt.' || event_type
+                || '","Values":[' || (event_id % 9) || '.5,'
+                || (event_id % 9 + 1) || '.5],"Counts":[1.0,3.0]'
+                || ',"Timestamp":' || epoch_ms(ts)
+                || ',"Dimensions":[{"Name":"host","Value":"h'
+                || (user_id % 5) || '"},{"Name":"type","Value":"'
+                || event_type || '"}]}'
+            ELSE
+              '{"MetricName":"evt.' || event_type
+                || '","Value":' || (event_id % 9) || '.5'
+                || ',"Timestamp":' || epoch_ms(ts)
+                || ',"Dimensions":[{"Name":"host","Value":"h'
+                || (user_id % 5) || '"},{"Name":"type","Value":"'
+                || event_type || '"}]}'
+            END AS obj
+          FROM events WHERE event_id % 40 = 0
+        )
+        SELECT ns, COUNT(*)::BIGINT AS n,
+               '{"Namespace":"' || ns || '","MetricData":['
+                 || string_agg(obj, ',' ORDER BY obj) || ']}' AS body
+        FROM d GROUP BY ns
+        """,
+    )
+    def ev_cloudwatch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """aws_cloudwatch_metrics sink (reference src/sinks/
+        aws_cloudwatch_metrics/mod.rs:261-312): scalar datums carry Value,
+        distributions carry Values/Counts parallel arrays, tags become ≤30
+        sorted Dimensions (:210-216), batched per Namespace into one
+        PutMetricData body."""
+        from vector_spark.sinks import cloudwatch as cw
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 40 == 0)
+        v = (F.col("event_id") % 9).cast("double") + 0.5
+        tags = F.create_map(
+            F.lit("host"),
+            F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")),
+            F.lit("type"), F.col("event_type"),
+        )
+        name = F.concat(F.lit("evt."), F.col("event_type"))
+        ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+        datum = F.when(
+            F.col("user_id") % 3 == 0,
+            cw.metric_datum(
+                name,
+                values=F.array(v, v + 1.0),
+                counts=F.array(F.lit(1.0), F.lit(3.0)),
+                ts_ms=ts_ms, tags=tags,
+            ),
+        ).otherwise(cw.metric_datum(name, value=v, ts_ms=ts_ms, tags=tags))
+        return (
+            ev.select(
+                F.concat(F.lit("ns"), (F.col("user_id") % 4).cast("string"))
+                .alias("ns"),
+                datum.alias("obj"),
+            )
+            .groupBy("ns")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                cw.put_metric_data_body(
+                    F.col("ns"), F.sort_array(F.collect_list("obj"))
+                ).alias("body"),
+            )
+        )
+
+    @_q(
+        "ev_honeycomb",
+        """
+        WITH o AS (
+          SELECT user_id % 6 AS grp,
+                 '{"time":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')
+                   || '000Z","data":{"type":"' || event_type
+                   || '","uid":' || user_id || '}}' AS obj
+          FROM events WHERE event_id % 40 = 0
+        )
+        SELECT grp, COUNT(*)::BIGINT AS n,
+               '[' || string_agg(obj, ',' ORDER BY obj) || ']' AS body
+        FROM o GROUP BY grp
+        """,
+    )
+    def ev_honeycomb(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """honeycomb sink (reference src/sinks/honeycomb/encoder.rs):
+        events render {"time": rfc3339-nanos-Z, "data": {...}} with the
+        timestamp removed from data; the body is a bare JSON array."""
+        from vector_spark.sinks import honeycomb as hc
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 40 == 0)
+        data = F.concat(
+            F.lit('{"type":"'), F.col("event_type"), F.lit('"'),
+            F.lit(',"uid":'), F.col("user_id").cast("string"), F.lit("}"),
+        )
+        obj = hc.encode_honeycomb_event(F.col("ts").cast("timestamp"), data)
+        return (
+            ev.select((F.col("user_id") % 6).alias("grp"), obj.alias("obj"))
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                hc.honeycomb_body(F.sort_array(F.collect_list("obj")))
+                .alias("body"),
+            )
+        )
+
+    @_q(
+        "ev_chronicle",
+        """
+        WITH e AS (
+          SELECT upper(event_type) AS log_type,
+                 CASE WHEN user_id % 5 = 0 THEN NULL
+                      ELSE 'tenant-' || (user_id % 3) END AS namespace,
+                 '{"log_text":"evt ' || event_id || ' u' || user_id
+                   || '","ts_rfc3339":"'
+                   || regexp_replace(regexp_replace(
+                        strftime(CASE WHEN user_id % 4 = 0
+                                      THEN date_trunc('second', ts)
+                                      ELSE ts END,
+                                 '%Y-%m-%dT%H:%M:%S.%f'),
+                        '\\.000000$', ''), '(\\.\\d{3})000$', '\\1')
+                   || 'Z"}' AS entry
+          FROM events WHERE event_id % 40 = 0
+        )
+        SELECT log_type, namespace, COUNT(*)::BIGINT AS n,
+               '{"customer_id":"c-42"'
+                 || CASE WHEN namespace IS NULL THEN ''
+                         ELSE ',"namespace":"' || namespace || '"' END
+                 || ',"labels":[{"key":"env","value":"prod"}]'
+                 || ',"log_type":"' || log_type || '","entries":['
+                 || string_agg(entry, ',' ORDER BY entry) || ']}' AS body
+        FROM e GROUP BY log_type, namespace
+        """,
+    )
+    def ev_chronicle(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """gcp_chronicle unstructured sink (reference src/sinks/
+        gcp_chronicle/chronicle_unstructured.rs:340-400): entries carry
+        log_text + AutoSi ts_rfc3339 (second-truncated rows exercise the
+        no-fraction rendering), requests partition on (log_type,
+        namespace) with serde-skipped null namespace, struct-order body."""
+        from vector_spark.sinks import chronicle as ch
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 40 == 0)
+        ts = F.when(
+            F.col("user_id") % 4 == 0,
+            F.date_trunc("second", F.col("ts").cast("timestamp")),
+        ).otherwise(F.col("ts").cast("timestamp"))
+        entry = ch.chronicle_entry(
+            F.concat(F.lit("evt "), F.col("event_id").cast("string"),
+                     F.lit(" u"), F.col("user_id").cast("string")),
+            ts=ts,
+        )
+        ns = F.when(
+            F.col("user_id") % 5 != 0,
+            F.concat(F.lit("tenant-"), (F.col("user_id") % 3).cast("string")),
+        )
+        return (
+            ev.select(
+                F.upper(F.col("event_type")).alias("log_type"),
+                ns.alias("namespace"), entry.alias("entry"),
+            )
+            .groupBy("log_type", "namespace")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                ch.chronicle_body(
+                    "c-42", F.col("log_type"),
+                    F.sort_array(F.collect_list("entry")),
+                    namespace=F.col("namespace"),
+                    labels_json='[{"key":"env","value":"prod"}]',
+                ).alias("body"),
+            )
+        )
+
+
 _register_dataprep2()
 _register_vendor_sinks()
 _register_aws_dd_sources()
@@ -7415,6 +7591,7 @@ _register_mongodb()
 _register_static_metrics()
 _register_docker_logs()
 _register_native_proto()
+_register_vendor_sinks3()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
