@@ -3,10 +3,17 @@
 Cluster:
     cd /root/repo && zip -r /tmp/vector_spark.zip vector_spark
     spark-submit --py-files /tmp/vector_spark.zip \
+        --driver-memory 24g --driver-java-options -XX:+UseParallelGC \
         --conf spark.sql.files.maxPartitionBytes=128m \
         --conf spark.sql.shuffle.partitions=<2-3x total cores> \
         jobs/run_pipeline.py \
         --input <iceberg/parquet path> --out <dir> [--resume]
+
+    Driver memory MUST be on the command line: session.py's builder-set
+    spark.driver.memory only binds when this process forks the JVM; under
+    spark-submit the JVM is already up at 1g and the 8M-row flagship OOMs
+    in the parquet vectored reader (local mode holds every executor
+    thread's column batches in the driver heap).
 
 Local smoke:
     python jobs/run_pipeline.py --synthesize 1000000 --out /tmp/vs_out
@@ -22,6 +29,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,6 +42,15 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true",
                     help="checkpointed batch mode (manifest resume)")
     ap.add_argument("--files-per-batch", type=int, default=64)
+    ap.add_argument("--noop-sink", action="store_true",
+                    help="blackhole both sinks (throughput measurement: "
+                         "isolates scan+compute from output-commit IO)")
+    ap.add_argument("--iters", type=int, default=1,
+                    help="evaluate the pipeline N times and report each "
+                         "pass's wall seconds (steady-state = min: later "
+                         "passes run on a JIT-warm JVM, the regime a "
+                         "long-lived cluster job is in after its first "
+                         "minutes)")
     args = ap.parse_args()
     if not args.input and not args.synthesize:
         ap.error("need --input or --synthesize")
@@ -67,10 +84,25 @@ def main() -> None:
             else tables.sequences(spark, args.synthesize)
         )
         out = pipeline.run_pipeline(seq, dim)
-        write_routes(out["routed"], os.path.join(args.out, "routed"))
-        write_sink(out["agg"], os.path.join(args.out, "agg"))
-        print(json.dumps({"routed": os.path.join(args.out, "routed"),
-                          "agg": os.path.join(args.out, "agg")}))
+        iters: list[float] = []
+        for _ in range(max(1, args.iters)):
+            t0 = time.perf_counter()
+            if args.noop_sink:
+                from vector_spark.sinks.writers import blackhole
+
+                blackhole(out["routed"])
+                blackhole(out["agg"])
+            else:
+                write_routes(out["routed"], os.path.join(args.out, "routed"))
+                write_sink(out["agg"], os.path.join(args.out, "agg"))
+            iters.append(round(time.perf_counter() - t0, 3))
+        print(json.dumps({
+            "routed": "noop" if args.noop_sink
+            else os.path.join(args.out, "routed"),
+            "agg": "noop" if args.noop_sink
+            else os.path.join(args.out, "agg"),
+            "iters_sec": iters, "steady_sec": min(iters),
+        }))
     spark.stop()
 
 

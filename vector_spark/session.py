@@ -56,6 +56,11 @@ def get_spark(
         # arrays per pass, and a larger heap just defers collection into
         # multi-second majors mid-query (measured 16-50s/iter at 48g+G1
         # vs a flat 4s/iter at 24g+ParallelGC).
+        # NOTE: driver memory/JVM flags set here only take effect when THIS
+        # process forks the JVM (python script / pytest). Under spark-submit
+        # the driver JVM is already running, so pass --driver-memory 24g and
+        # --driver-java-options -XX:+UseParallelGC on the command line
+        # (measured: the 8M-row flagship OOMs at spark-submit's 1g default).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # Throughput collector for batch work: G1's concurrent cycles
         # were measured spending 26s/iter on young GC in the flagship
@@ -72,9 +77,6 @@ def get_spark(
         # should raise this back to 128m+ via spark-submit --conf
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_MAX_PARTITION_BYTES", "16m"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # throughput-oriented GC for batch pipelines (G1's pause goals cost
-        # ~20% on this workload; measured in tools/scaling_bench.py probes)
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
