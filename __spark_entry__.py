@@ -7591,7 +7591,167 @@ _register_mongodb()
 _register_static_metrics()
 _register_docker_logs()
 _register_native_proto()
+def _register_aws_envelopes() -> None:
+    @_q(
+        "ev_s3_notification",
+        """
+        SELECT 'b' || (user_id % 5) AS bucket,
+               'logs/' || event_type || '/part ' || (event_id % 7)
+                 || '=' || user_id || '.json' AS object,
+               'us-east-1' AS region,
+               (event_id % 1000)::BIGINT AS size,
+               'ObjectCreated' AS event_kind,
+               'Put' AS event_name,
+               make_timestamp(epoch_ms(ts) * 1000) AS event_time
+        FROM events WHERE event_id % 12 = 0
+        """,
+    )
+    def ev_s3_notification(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """aws_s3 source SQS leg (reference src/sources/aws_s3/sqs.rs):
+        each notification body carries one valid ObjectCreated record
+        (url-encoded key: '+' space + %3D) and one record the decoder
+        must drop — alternating ObjectRemoved kind / unsupported
+        eventVersion 1.0 — so the oracle is exactly one row per body."""
+        from vector_spark.sources.aws import parse_s3_event_notification
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 12 == 0)
+        iso = F.concat(
+            F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+            F.lit("Z"),
+        )
+        enc_key = F.concat(
+            F.lit("logs/"), F.col("event_type"), F.lit("/part+"),
+            (F.col("event_id") % 7).cast("string"), F.lit("%3D"),
+            F.col("user_id").cast("string"), F.lit(".json"),
+        )
+
+        def rec(key, name, version):
+            return F.struct(
+                version.alias("eventVersion"),
+                F.lit("aws:s3").alias("eventSource"),
+                F.lit("us-east-1").alias("awsRegion"),
+                name.alias("eventName"),
+                iso.alias("eventTime"),
+                F.struct(
+                    F.struct(
+                        F.concat(
+                            F.lit("b"), (F.col("user_id") % 5).cast("string")
+                        ).alias("name")
+                    ).alias("bucket"),
+                    F.struct(
+                        key.alias("key"),
+                        (F.col("event_id") % 1000).cast("long").alias("size"),
+                    ).alias("object"),
+                ).alias("s3"),
+            )
+
+        drop_arm = F.col("user_id") % 2 == 0
+        body = F.to_json(F.struct(F.array(
+            rec(enc_key, F.lit("ObjectCreated:Put"), F.lit("2.1")),
+            rec(
+                F.lit("dropped/key"),
+                F.when(drop_arm, F.lit("ObjectRemoved:Delete"))
+                .otherwise(F.lit("ObjectCreated:Put")),
+                F.when(drop_arm, F.lit("2.1")).otherwise(F.lit("1.0")),
+            ),
+        ).alias("Records")))
+        return parse_s3_event_notification(ev.select(body.alias("value")))
+
+    @_q(
+        "ev_sqs_envelope",
+        """
+        SELECT 'evt ' || event_type || ' #' || event_id AS message,
+               'm-' || event_id AS message_id,
+               make_timestamp(epoch_ms(ts) * 1000) AS timestamp
+        FROM events WHERE event_id % 14 = 0
+        UNION ALL
+        SELECT 'raw ' || user_id, 'n-' || event_id, NULL
+        FROM events WHERE event_id % 14 = 0
+        """,
+    )
+    def ev_sqs_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """aws_sqs source (reference src/sources/aws_sqs/source.rs):
+        ReceiveMessage bodies of two messages — one with the
+        SentTimestamp system attribute (epoch ms), one without
+        (timestamp NULL; to_json drops the null Attributes struct so
+        the decode exercises the absent-attribute path)."""
+        from vector_spark.sources.aws import parse_sqs_messages
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 14 == 0)
+        m1 = F.struct(
+            F.concat(F.lit("m-"), F.col("event_id").cast("string"))
+            .alias("MessageId"),
+            F.concat(
+                F.lit("evt "), F.col("event_type"), F.lit(" #"),
+                F.col("event_id").cast("string"),
+            ).alias("Body"),
+            F.struct(
+                F.unix_millis(F.col("ts").cast("timestamp"))
+                .cast("string").alias("SentTimestamp")
+            ).alias("Attributes"),
+        )
+        m2 = F.struct(
+            F.concat(F.lit("n-"), F.col("event_id").cast("string"))
+            .alias("MessageId"),
+            F.concat(F.lit("raw "), F.col("user_id").cast("string"))
+            .alias("Body"),
+            F.lit(None).cast(
+                "struct<SentTimestamp:string>"
+            ).alias("Attributes"),
+        )
+        body = F.to_json(F.struct(F.array(m1, m2).alias("Messages")))
+        return parse_sqs_messages(ev.select(body.alias("value")))
+
+    @_q(
+        "ev_pubsub_push",
+        """
+        SELECT 'evt ' || event_type || ' #' || event_id AS message,
+               'pm-' || event_id AS message_id,
+               make_timestamp(epoch_ms(ts) * 1000) AS timestamp,
+               'projects/p/subscriptions/s' AS subscription,
+               event_type AS a_type,
+               (user_id % 9)::VARCHAR AS a_uid
+        FROM events WHERE event_id % 16 = 0
+        """,
+    )
+    def ev_pubsub_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """gcp_pubsub source (reference src/sources/gcp_pubsub.rs
+        :652-690): push envelopes with base64 data, attributes map,
+        messageId, RFC3339 publishTime; attribute map projected to
+        scalar columns for the oracle comparison."""
+        from vector_spark.sources.aws import parse_pubsub_push
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 16 == 0)
+        data = F.base64(F.concat(
+            F.lit("evt "), F.col("event_type"), F.lit(" #"),
+            F.col("event_id").cast("string"),
+        ).cast("binary"))
+        body = F.to_json(F.struct(
+            F.struct(
+                data.alias("data"),
+                F.create_map(
+                    F.lit("type"), F.col("event_type"),
+                    F.lit("uid"), (F.col("user_id") % 9).cast("string"),
+                ).alias("attributes"),
+                F.concat(F.lit("pm-"), F.col("event_id").cast("string"))
+                .alias("messageId"),
+                F.concat(
+                    F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+                    F.lit("Z"),
+                ).alias("publishTime"),
+            ).alias("message"),
+            F.lit("projects/p/subscriptions/s").alias("subscription"),
+        ))
+        out = parse_pubsub_push(ev.select(body.alias("value")))
+        return out.select(
+            "message", "message_id", "timestamp", "subscription",
+            F.col("attributes")["type"].alias("a_type"),
+            F.col("attributes")["uid"].alias("a_uid"),
+        )
+
+
 _register_vendor_sinks3()
+_register_aws_envelopes()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
