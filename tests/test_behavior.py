@@ -109,6 +109,79 @@ def test_remap_keep_on_error(spark):
     assert rows[0].parsed == 123 and rows[1].parsed is None
 
 
+def test_remap_abort_keep_reverts(spark):
+    # remap.rs:981-1007 check_remap_abort: drop_on_abort=false → the event
+    # passes through UNCHANGED (original forwarded, mutations reverted)
+    df = spark.createDataFrame([("keep", 1), ("zap", 2)], "tag string, i long")
+    outs = remap(
+        df,
+        {"tag": F.upper("tag"), "extra": F.lit("hello")},
+        abort_when=F.col("tag") == "ZAP",
+        drop_on_abort=False,
+        reroute_dropped=False,
+    )
+    rows = {r.i: r for r in outs["primary"].collect()}
+    assert len(rows) == 2
+    assert rows[1].tag == "KEEP" and rows[1].extra == "hello"
+    # aborted row reverted: overwritten col restored, new col nulled
+    assert rows[2].tag == "zap" and rows[2].extra is None
+
+
+def test_remap_abort_drop_and_reroute(spark):
+    # remap.rs:1009-1032 check_remap_abort_drop + annotation reason="abort"
+    df = spark.createDataFrame([("keep", 1), ("zap", 2)], "tag string, i long")
+    outs = remap(
+        df,
+        {"tag": F.upper("tag")},
+        abort_when=F.col("tag") == "ZAP",
+        drop_on_abort=True,
+        reroute_dropped=True,
+        component_id="abortable",
+    )
+    ok = outs["primary"].collect()
+    assert [(r.tag, r.i) for r in ok] == [("KEEP", 1)]
+    bad = outs["dropped"].collect()
+    assert [(r.tag, r.i) for r in bad] == [("zap", 2)]  # original, not ZAP
+    ann = bad[0].metadata_dropped
+    assert ann.reason == "abort" and ann.component_id == "abortable"
+
+
+def test_remap_error_keep_reverts_overwrite(spark):
+    # remap.rs:619-623: error + drop_on_error=false forwards the ORIGINAL
+    # event — an overwritten column is restored, not left partially mutated
+    df = spark.createDataFrame([("123",), ("oops",)], "raw string")
+    outs = remap(
+        df,
+        {"raw": F.col("raw").try_cast("long").cast("string")},
+        error_when="is_null(.raw)",
+        drop_on_error=False,
+        reroute_dropped=False,
+    )
+    vals = sorted(r.raw for r in outs["primary"].collect())
+    assert vals == ["123", "oops"]
+
+
+def test_remap_mixed_error_and_abort_reasons(spark):
+    # one dropped output carries both reasons, abort wins when both match
+    df = spark.createDataFrame(
+        [("ok", 1), ("bad", 2), ("halt", 3)], "tag string, i long"
+    )
+    outs = remap(
+        df,
+        {"up": F.upper("tag")},
+        error_when=F.col("tag") == "bad",
+        abort_when=F.col("tag").isin("halt", "bad") & (F.col("i") == 3),
+        drop_on_error=True,
+        drop_on_abort=True,
+        reroute_dropped=True,
+    )
+    assert [r.i for r in outs["primary"].collect()] == [1]
+    reasons = {
+        r.i: r.metadata_dropped.reason for r in outs["dropped"].collect()
+    }
+    assert reasons == {2: "error", 3: "abort"}
+
+
 def test_remap_explode_array_assignment(spark):
     from vector_spark.operators.remap import remap_explode
 

@@ -10,8 +10,17 @@ Vectorized form (SURVEY.md §7 hard-part 3): a remap program is a set of
 column assignments (built-ins from ``vector_spark.functions`` — JVM-side
 fast path — or pandas UDFs for grok-class parses). Fallibility is a derived
 boolean column, never row-level try/except: compute all assignments, derive
-``error_when``, split with two filters. The ``dropped`` branch carries the
-ORIGINAL columns (not the partial assignments), matching the reference.
+``error_when`` / ``abort_when``, then split with filters.
+
+Termination semantics (remap.rs:590-627): an event whose program terminates
+(error OR abort) always reverts to the ORIGINAL event — mutations made
+before the failure are discarded. ``drop_on_error`` / ``drop_on_abort``
+decide whether the reverted event stays in ``primary`` or (with
+``reroute_dropped``) lands in ``dropped`` with reason ``"error"`` /
+``"abort"``. Vectorized: originals of overwritten columns are stashed in
+temp columns before assignment; kept-but-terminated rows are restored with
+a per-column ``when(terminated, original)`` — one projection, no union, no
+shuffle.
 """
 
 from __future__ import annotations
@@ -24,6 +33,9 @@ from vector_spark.conditions import ConditionLike, to_column
 DROPPED = "dropped"
 PRIMARY = "primary"
 
+_ERR = "__rm_err"
+_ABORT = "__rm_abort"
+
 
 def remap(
     df: DataFrame,
@@ -33,41 +45,91 @@ def remap(
     reroute_dropped: bool = True,
     component_id: str = "remap",
     error_message: str = "remap program failed",
+    abort_when: ConditionLike | None = None,
+    drop_on_abort: bool = True,
+    abort_message: str = "aborted",
 ) -> dict[str, DataFrame]:
-    """Apply assignments; route failing rows to a ``dropped`` output.
+    """Apply assignments; route terminated rows per the reference contract.
 
     Returns ``{'primary': df_ok, 'dropped': df_bad}`` (``dropped`` omitted
-    unless ``reroute_dropped``). ``error_when`` is evaluated AFTER the
-    assignments (so it can reference new columns, e.g. a null parse result).
-    With ``drop_on_error=False`` failing rows stay in ``primary`` with their
-    (possibly null) assignment results — reference remap.rs:554-575.
+    unless ``reroute_dropped`` and some termination condition is set).
+    ``error_when`` / ``abort_when`` are evaluated AFTER the assignments (so
+    they can reference new columns, e.g. a null parse result); ``abort``
+    takes precedence when both match (a VRL program terminates once).
+    Terminated rows kept in ``primary`` (``drop_on_* = False``) revert to
+    the original event — overwritten columns restored, new columns nulled —
+    matching remap.rs:619-623 which forwards ``original_event``.
     """
+    orig_names = {
+        name: f"__rm_orig_{i}"
+        for i, name in enumerate(assignments)
+        if name in df.columns
+    }
     applied = df
+    for name, tmp in orig_names.items():
+        applied = applied.withColumn(tmp, F.col(name))
     for name, expr in assignments.items():
         applied = applied.withColumn(name, expr)
 
-    if error_when is None:
+    if error_when is None and abort_when is None:
         return {PRIMARY: applied}
-    err = to_column(error_when, applied)
 
-    out: dict[str, DataFrame] = {}
-    if drop_on_error:
-        out[PRIMARY] = applied.filter(~F.coalesce(err, F.lit(False)))
-    else:
-        out[PRIMARY] = applied
+    abrt = (
+        F.coalesce(to_column(abort_when, applied), F.lit(False))
+        if abort_when is not None
+        else F.lit(False)
+    )
+    err = (
+        F.coalesce(to_column(error_when, applied), F.lit(False))
+        if error_when is not None
+        else F.lit(False)
+    )
+    # materialize flags BEFORE the revert projection rewrites the columns
+    # they may reference
+    applied = applied.withColumn(_ABORT, abrt).withColumn(
+        _ERR, ~F.col(_ABORT) & err
+    )
+
+    # rows that terminated but are configured to stay in primary revert
+    # in place (remap.rs:619-623)
+    revert = (F.col(_ABORT) & F.lit(not drop_on_abort)) | (
+        F.col(_ERR) & F.lit(not drop_on_error)
+    )
+    reverted = applied
+    for name in assignments:
+        original = (
+            F.col(orig_names[name]) if name in orig_names else F.lit(None)
+        )
+        reverted = reverted.withColumn(
+            name, F.when(revert, original).otherwise(F.col(name))
+        )
+
+    gone = (F.col(_ABORT) & F.lit(drop_on_abort)) | (
+        F.col(_ERR) & F.lit(drop_on_error)
+    )
+    temps = [_ERR, _ABORT, *orig_names.values()]
+    out: dict[str, DataFrame] = {
+        PRIMARY: reverted.filter(~gone).drop(*temps)
+    }
     if reroute_dropped:
-        # original event + annotation (remap.rs:482-543): recompute the error
-        # flag on the pre-assignment frame is impossible in general (it may
-        # reference new cols), so flag on `applied` and project back to the
-        # original columns.
-        bad = applied.filter(F.coalesce(err, F.lit(False))).select(*df.columns)
-        out[DROPPED] = bad.withColumn(
-            "metadata_dropped",
+        # original event + annotation (remap.rs:482-543): project back to
+        # the original columns, restoring overwritten ones from the stash.
+        original_cols = [
+            F.col(orig_names[c]).alias(c) if c in orig_names else F.col(c)
+            for c in df.columns
+        ]
+        bad = applied.filter(gone)
+        out[DROPPED] = bad.select(
+            *original_cols,
             F.struct(
-                F.lit("error").alias("reason"),
-                F.lit(error_message).alias("message"),
+                F.when(F.col(_ABORT), F.lit("abort"))
+                .otherwise(F.lit("error"))
+                .alias("reason"),
+                F.when(F.col(_ABORT), F.lit(abort_message))
+                .otherwise(F.lit(error_message))
+                .alias("message"),
                 F.lit(component_id).alias("component_id"),
-            ),
+            ).alias("metadata_dropped"),
         )
     return out
 

@@ -367,6 +367,8 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
             drop_on_error=cfg.get("drop_on_error", True),
             reroute_dropped=cfg.get("reroute_dropped", False),
             component_id=name,
+            abort_when=cfg.get("abort_when"),
+            drop_on_abort=cfg.get("drop_on_abort", True),
         )
         res = {"__default": outs["primary"]}
         if "dropped" in outs:
