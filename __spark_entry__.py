@@ -173,6 +173,46 @@ def seq_parse_common_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "vrl_remap_program",
+    """
+    SELECT event_id,
+           UPPER(event_type) AS etype,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS vk,
+           CAST(FLOOR(value / 5) AS BIGINT) AS bucket,
+           CASE WHEN UPPER(event_type) = 'ERROR'
+                     AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
+                THEN 'hot' ELSE 'cold' END AS flag
+    FROM events
+    """,
+)
+def vrl_remap_program(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remap with a native VRL `source` program (remap.rs:100-118), compiled
+    to one JVM-side projection by vector_spark/vrl.py — parse_json! field
+    access, fallible casts, if/else, guarded abort, del."""
+    from vector_spark.vrl import remap_program
+
+    ev = _events(spark, sf_dir)
+    outs = remap_program(
+        ev,
+        """
+        .etype = upcase(string!(.event_type))
+        .vk = to_int!(parse_json!(.props).k)
+        .bucket = to_int!(floor(.value / 5))
+        if .etype == "ERROR" && .vk > 80 {
+          .flag = "hot"
+        } else {
+          .flag = "cold"
+        }
+        if .vk < 0 { abort }
+        del(.props)
+        """,
+        drop_on_error=True,
+        reroute_dropped=False,
+    )
+    return outs["primary"].select("event_id", "etype", "vk", "bucket", "flag")
+
+
+@_q(
     "ev_filter",
     """
     SELECT event_id, event_type, value

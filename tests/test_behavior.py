@@ -182,6 +182,34 @@ def test_remap_mixed_error_and_abort_reasons(spark):
     assert reasons == {2: "error", 3: "abort"}
 
 
+def test_remap_vrl_source_via_unit_test(spark):
+    # the reference's native test shape (tests/behavior/transforms/remap.toml
+    # remap_source / remap_function_upcase): a `source` VRL program compiled
+    # by vector_spark.vrl, checked with a VRL output condition
+    cfg = {
+        "sources": {"in": {"type": "memory"}},
+        "transforms": {
+            "up": {
+                "type": "remap",
+                "inputs": ["in"],
+                "source": """
+                  .message = "foo"
+                  .shout = upcase(string!(.raw))
+                """,
+            }
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["up"]}},
+    }
+    df = spark.createDataFrame([("hi",), ("yo",)], "raw string")
+    res = run_unit_test(
+        spark,
+        cfg,
+        inserts={"in": df},
+        extracts={"up": ['.message == "foo"', '.shout == upcase(.raw)']},
+    )
+    assert res["up"]["rows"] == 2 and all(res["up"]["passed"])
+
+
 def test_remap_explode_array_assignment(spark):
     from vector_spark.operators.remap import remap_explode
 

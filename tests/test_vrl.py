@@ -1,0 +1,194 @@
+"""VRL program compiler tests — reference tests/behavior/transforms/remap.toml
+cases re-expressed through compile_program/remap_program (the `source` config
+key of the remap transform, remap.rs:100-118)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.vrl import (
+    VrlCompileError,
+    compile_program,
+    remap_program,
+    strftime_to_java,
+)
+
+
+def _one(spark, **fields):
+    cols = ", ".join(
+        f"{k} {'string' if isinstance(v, str) else 'long' if isinstance(v, int) else 'double'}"
+        for k, v in fields.items()
+    )
+    return spark.createDataFrame([tuple(fields.values())], cols)
+
+
+# --- corpus: remap_source ----------------------------------------------------
+def test_simple_assignment(spark):
+    df = _one(spark, foo="x")
+    out = remap_program(df, '.message = "foo"')["primary"].collect()[0]
+    assert out.message == "foo" and out.foo == "x"
+
+
+# --- corpus: remap_error_coalesce_operator -----------------------------------
+def test_error_coalesce(spark):
+    df = _one(spark, raw="")
+    src = """
+      .val1 = parse_json("{ INVALID }") ?? "nope"
+    """
+    out = remap_program(df, src)["primary"].collect()[0]
+    assert out.val1 == "nope"
+
+
+# --- corpus: remap_bang_function — error terminates the program --------------
+def test_bang_function_errors_and_drops(spark):
+    df = _one(spark, raw="x")
+    outs = remap_program(
+        df,
+        '.val = parse_json!("{ INVALID }")',
+        drop_on_error=True,
+        reroute_dropped=True,
+    )
+    assert outs["primary"].count() == 0
+    bad = outs["dropped"].collect()
+    assert len(bad) == 1 and bad[0].metadata_dropped.reason == "error"
+
+
+# --- corpus: remap_function_arguments (value: named arg) ---------------------
+def test_named_value_argument(spark):
+    df = _one(spark, n=10)
+    src = """
+      .a = to_string(.n)
+      .b = to_string(value: .n)
+    """
+    out = remap_program(df, src)["primary"].collect()[0]
+    assert out.a == "10" and out.b == "10"
+
+
+# --- corpus: remap_function_upcase + guarded assignment ----------------------
+def test_upcase_and_if(spark):
+    df = spark.createDataFrame([("a", "f"), ("b", "g")], "a string, f string")
+    src = """
+      .a = upcase(string!(.a))
+      if upcase(string!(.f)) == "F" {
+        .f = "ff"
+      }
+    """
+    rows = remap_program(df, src)["primary"].orderBy("a").collect()
+    assert [(r.a, r.f) for r in rows] == [("A", "ff"), ("B", "g")]
+
+
+# --- corpus: remap_abort (drop_on_abort=false → original forwarded) ----------
+def test_abort_reverts(spark):
+    df = spark.createDataFrame([("keep",), ("zap",)], "tag string")
+    src = """
+      .touched = "yes"
+      if .tag == "zap" {
+        abort
+      }
+    """
+    rows = {
+        r.tag: r
+        for r in remap_program(df, src, drop_on_abort=False, reroute_dropped=False)[
+            "primary"
+        ].collect()
+    }
+    assert rows["keep"].touched == "yes"
+    assert rows["zap"].touched is None  # reverted
+
+
+# --- sequential semantics by substitution ------------------------------------
+def test_sequential_reads_see_prior_writes(spark):
+    df = _one(spark, a=1)
+    src = """
+      .a = .a + 1
+      .b = .a * 10
+    """
+    out = remap_program(df, src)["primary"].collect()[0]
+    assert (out.a, out.b) == (2, 20)
+
+
+def test_del_and_guarded_del(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    out = remap_program(df, "del(.b)")["primary"]
+    assert out.columns == ["a", "c"]
+    # guarded del nulls, keeps the column (row-dependent presence)
+    out2 = remap_program(df, "if .a == 1 { del(.c) }")["primary"].collect()[0]
+    assert out2.c is None
+
+
+def test_if_else_chain(spark):
+    df = spark.createDataFrame([(50,), (150,), (250,)], "ms long")
+    src = """
+      if .ms < 100 { .speed = "fast" }
+      else if .ms < 200 { .speed = "ok" }
+      else { .speed = "slow" }
+    """
+    rows = remap_program(df, src)["primary"].orderBy("ms").collect()
+    assert [r.speed for r in rows] == ["fast", "ok", "slow"]
+
+
+def test_string_concat_and_arithmetic(spark):
+    df = _one(spark, host="web1", n=4)
+    src = """
+      .fqdn = .host + ".example.com"
+      .half = .n / 2
+    """
+    out = remap_program(df, src)["primary"].collect()[0]
+    assert out.fqdn == "web1.example.com" and out.half == 2.0
+
+
+def test_parse_timestamp_strftime(spark):
+    df = _one(spark, ts="10/Oct/2000:13:55:36 -0700")
+    src = '.when = parse_timestamp!(.ts, format: "%d/%b/%Y:%H:%M:%S %z")'
+    out = remap_program(df, src)["primary"].collect()[0]
+    assert out.when.year == 2000 and out.when.month == 10
+
+
+def test_strftime_translation():
+    assert strftime_to_java("%Y-%m-%d") == "yyyy-MM-dd"
+    assert strftime_to_java("%d/%b/%Y:%H:%M:%S %z") == "dd/MMM/yyyy:HH:mm:ss xx"
+    with pytest.raises(VrlCompileError):
+        strftime_to_java("%Q")
+
+
+def test_is_nullish_and_exists(spark):
+    df = spark.createDataFrame([("-",), ("x",), (None,)], "v string")
+    src = ".bad = is_nullish(.v)"
+    rows = remap_program(df, src)["primary"].collect()
+    got = {r.v: r.bad for r in rows}
+    assert got == {"-": True, "x": False, None: True}
+
+
+def test_json_field_access(spark):
+    df = _one(spark, msg='{"user": "bob", "n": "7"}')
+    src = """
+      .user = parse_json!(.msg).user
+      .n = to_int!(parse_json!(.msg).n)
+    """
+    out = remap_program(df, src)["primary"].collect()[0]
+    assert out.user == "bob" and out.n == 7
+
+
+def test_unknown_function_is_loud():
+    with pytest.raises(VrlCompileError, match="not in the compiler registry"):
+        compile_program(".x = frobnicate(.y)")
+
+
+def test_root_assignment_is_loud():
+    with pytest.raises(VrlCompileError, match="remap_explode"):
+        compile_program('. = [{"a": 1}]')
+
+
+def test_compiled_program_shape():
+    prog = compile_program(
+        """
+        # a comment
+        .sev = to_syslog_severity!(.level)
+        if .sev > 5 { abort }
+        del(.level)
+        """
+    )
+    assert set(prog.assignments) == {"sev"}
+    assert prog.drops == ["level"]
+    assert prog.abort_when is not None and prog.error_when is not None

@@ -160,14 +160,25 @@ class _Parser:
                 return F.lit(val == "true")
             if val == "null":
                 return F.lit(None)
-            if val in _FUNCS:
+            if self.peek()[1] == "(":
                 self.expect("(")
-                args = [self.or_()]
-                while self.peek()[1] == ",":
-                    self.next()
+                args = []
+                while self.peek()[1] != ")":
                     args.append(self.or_())
+                    if self.peek()[1] == ",":
+                        self.next()
                 self.expect(")")
-                return self._call(val, args)
+                if val in _FUNCS:
+                    return self._call(val, args)
+                # fall back to the VRL stdlib registry (vector_spark.vrl) —
+                # conditions share the transform language's function surface
+                from vector_spark.vrl import VrlCompileError, _lookup, _Val
+
+                try:
+                    fn = _lookup(val.rstrip("!"))
+                except VrlCompileError:
+                    raise ValueError(f"unknown function {val!r}") from None
+                return fn([_Val(a) for a in args], {})
             raise ValueError(f"unknown identifier {val!r}")
         raise ValueError(f"unexpected token {val!r}")
 

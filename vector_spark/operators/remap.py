@@ -48,6 +48,7 @@ def remap(
     abort_when: ConditionLike | None = None,
     drop_on_abort: bool = True,
     abort_message: str = "aborted",
+    simultaneous: bool = False,
 ) -> dict[str, DataFrame]:
     """Apply assignments; route terminated rows per the reference contract.
 
@@ -68,8 +69,25 @@ def remap(
     applied = df
     for name, tmp in orig_names.items():
         applied = applied.withColumn(tmp, F.col(name))
-    for name, expr in assignments.items():
-        applied = applied.withColumn(name, expr)
+    if simultaneous:
+        # assignments are closed over the ORIGINAL columns (the VRL
+        # compiler substitutes sequential reads at compile time) — one
+        # projection, every expr sees the pre-mutation frame
+        existing = set(applied.columns)
+        applied = applied.select(
+            *[
+                assignments[c].alias(c) if c in assignments else F.col(c)
+                for c in applied.columns
+            ],
+            *[
+                expr.alias(name)
+                for name, expr in assignments.items()
+                if name not in existing
+            ],
+        )
+    else:
+        for name, expr in assignments.items():
+            applied = applied.withColumn(name, expr)
 
     if error_when is None and abort_when is None:
         return {PRIMARY: applied}

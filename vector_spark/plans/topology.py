@@ -359,17 +359,29 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
     if t == "filter":
         return {"__default": filter_events(df, cfg["condition"])}
     if t == "remap":
-        assignments = {k: F.expr(v) for k, v in cfg.get("assign", {}).items()}
-        outs = remap(
-            df,
-            assignments,
-            error_when=cfg.get("error_when"),
+        common = dict(
             drop_on_error=cfg.get("drop_on_error", True),
             reroute_dropped=cfg.get("reroute_dropped", False),
             component_id=name,
-            abort_when=cfg.get("abort_when"),
             drop_on_abort=cfg.get("drop_on_abort", True),
         )
+        if "source" in cfg:
+            # the reference's native config shape: a VRL program string
+            # (remap.rs:100-118), compiled by vector_spark.vrl
+            from vector_spark.vrl import remap_program
+
+            outs = remap_program(df, cfg["source"], **common)
+        else:
+            assignments = {
+                k: F.expr(v) for k, v in cfg.get("assign", {}).items()
+            }
+            outs = remap(
+                df,
+                assignments,
+                error_when=cfg.get("error_when"),
+                abort_when=cfg.get("abort_when"),
+                **common,
+            )
         res = {"__default": outs["primary"]}
         if "dropped" in outs:
             res["dropped"] = outs["dropped"]
