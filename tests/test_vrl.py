@@ -175,9 +175,33 @@ def test_unknown_function_is_loud():
         compile_program(".x = frobnicate(.y)")
 
 
-def test_root_assignment_is_loud():
-    with pytest.raises(VrlCompileError, match="remap_explode"):
-        compile_program('. = [{"a": 1}]')
+def test_root_assignment_array_explodes(spark):
+    # remap.toml remap_emit_multiple: `. = [{…}, {…}]` → one event per elem
+    df = spark.createDataFrame([("x",)], "raw string")
+    src = '. = [{"message": "hello"}, {"message": "world"}]'
+    rows = remap_program(df, src)["primary"].collect()
+    assert sorted(r.message for r in rows) == ["hello", "world"]
+    assert rows[0].asDict().keys() == {"message"}  # old event replaced
+
+
+def test_root_assignment_scalar_becomes_message(spark):
+    # remap.toml remap_mapped_scalars: `. = 5` → {message: 5}
+    df = spark.createDataFrame([("x",)], "raw string")
+    rows = remap_program(df, ". = 5")["primary"].collect()
+    assert rows[0].message == 5 and "raw" not in rows[0].asDict()
+
+
+def test_root_assignment_struct_with_post_statements(spark):
+    # remap.toml remap_function_parse_regex shape: replace the event with a
+    # parsed struct, then mutate fields of the NEW root
+    df = spark.createDataFrame([("bob 42",)], "message string")
+    src = r"""
+      . = parse_regex!(.message, r'^(?P<user>\w+) (?P<n>\d+)$')
+      .n = to_int!(.n)
+    """
+    rows = remap_program(df, src)["primary"].collect()
+    assert rows[0].user == "bob" and rows[0].n == 42
+    assert "message" not in rows[0].asDict()
 
 
 def test_compiled_program_shape():

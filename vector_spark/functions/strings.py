@@ -55,15 +55,13 @@ def truncate(col: Column, limit: int, suffix: str = "") -> Column:
 
 
 def slice_(col: Column, start: int, end: int | None = None) -> Column:
-    """slice: python-ish [start, end) on characters (negative start from
-    end, as in VRL)."""
-    if start >= 0:
-        pos = start + 1
-        length = (end - start) if end is not None else 1 << 30
-    else:
-        pos = start
-        length = ((end - start) if end is not None else -start)
-    return F.substring(col, pos, length)
+    """slice: python-ish [start, end) on characters; negative start OR end
+    count from the end, as in VRL (slice.cue)."""
+    n = F.length(col)
+    s = F.lit(start) if start >= 0 else n + start
+    e = n if end is None else (F.lit(end) if end >= 0 else n + end)
+    s = F.greatest(s, F.lit(0))
+    return F.substring(col, s + 1, F.greatest(e - s, F.lit(0)))
 
 
 def strip_whitespace(col: Column) -> Column:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from vector_spark.conditions import ConditionLike, to_column
 
@@ -35,6 +36,25 @@ PRIMARY = "primary"
 
 _ERR = "__rm_err"
 _ABORT = "__rm_abort"
+
+
+def _stamp_flags(
+    df: DataFrame,
+    error_when: ConditionLike | None,
+    abort_when: ConditionLike | None,
+) -> DataFrame:
+    """Materialize the termination flags as temp columns (abort wins)."""
+    abrt = (
+        F.coalesce(to_column(abort_when, df), F.lit(False))
+        if abort_when is not None
+        else F.lit(False)
+    )
+    err = (
+        F.coalesce(to_column(error_when, df), F.lit(False))
+        if error_when is not None
+        else F.lit(False)
+    )
+    return df.withColumn(_ABORT, abrt).withColumn(_ERR, ~F.col(_ABORT) & err)
 
 
 def remap(
@@ -72,7 +92,12 @@ def remap(
     if simultaneous:
         # assignments are closed over the ORIGINAL columns (the VRL
         # compiler substitutes sequential reads at compile time) — one
-        # projection, every expr sees the pre-mutation frame
+        # projection, every expr sees the pre-mutation frame. The
+        # error/abort conditions are ALSO closed over the originals, so
+        # materialize the flags BEFORE the projection — a self-overwrite
+        # (`.foo = split!(.foo, …)`) must not re-resolve against new .foo
+        if error_when is not None or abort_when is not None:
+            applied = _stamp_flags(applied, error_when, abort_when)
         existing = set(applied.columns)
         applied = applied.select(
             *[
@@ -92,32 +117,35 @@ def remap(
     if error_when is None and abort_when is None:
         return {PRIMARY: applied}
 
-    abrt = (
-        F.coalesce(to_column(abort_when, applied), F.lit(False))
-        if abort_when is not None
-        else F.lit(False)
-    )
-    err = (
-        F.coalesce(to_column(error_when, applied), F.lit(False))
-        if error_when is not None
-        else F.lit(False)
-    )
-    # materialize flags BEFORE the revert projection rewrites the columns
-    # they may reference
-    applied = applied.withColumn(_ABORT, abrt).withColumn(
-        _ERR, ~F.col(_ABORT) & err
-    )
+    if not simultaneous:
+        # sequential mode: conditions are evaluated AFTER the assignments
+        # (they may reference new columns, e.g. a null parse result)
+        applied = _stamp_flags(applied, error_when, abort_when)
 
     # rows that terminated but are configured to stay in primary revert
     # in place (remap.rs:619-623)
     revert = (F.col(_ABORT) & F.lit(not drop_on_abort)) | (
         F.col(_ERR) & F.lit(not drop_on_error)
     )
+    new_types = {f.name: f.dataType for f in applied.schema.fields}
+    old_types = {f.name: f.dataType for f in df.schema.fields}
     reverted = applied
     for name in assignments:
-        original = (
-            F.col(orig_names[name]) if name in orig_names else F.lit(None)
-        )
+        if name in orig_names:
+            original = F.col(orig_names[name])
+            if new_types[name] != old_types[name]:
+                # a type-changing self-overwrite can't carry the original
+                # value in the new schema; try_cast where a cast exists,
+                # null otherwise (complex targets) — documented limitation
+                # of revert-on-keep under a fixed schema
+                if isinstance(
+                    new_types[name], (ArrayType, MapType, StructType)
+                ):
+                    original = F.lit(None).cast(new_types[name])
+                else:
+                    original = original.try_cast(new_types[name])
+        else:
+            original = F.lit(None)
         reverted = reverted.withColumn(
             name, F.when(revert, original).otherwise(F.col(name))
         )

@@ -111,6 +111,10 @@ class _Val:
     lit: object = None
     has_lit: bool = False
     fallible: list[Column] = field(default_factory=list)
+    is_str: bool = False  # statically known to be a string (for `+` concat)
+    is_regex: bool = False  # came from a VRL regex literal r'…'
+    is_null_lit: bool = False  # the `null` keyword itself
+    is_ts: bool = False  # statically known to be a timestamp
 
 
 def _v(x: _Val) -> object:
@@ -123,7 +127,39 @@ def _v(x: _Val) -> object:
 
 
 def _lit(value: object) -> _Val:
-    return _Val(F.lit(value), value, True)
+    return _Val(F.lit(value), value, True, is_str=isinstance(value, str))
+
+
+# VRL functions statically known to return strings — `+` on these concats
+_STR_FUNCS = {
+    "string", "to_string", "upcase", "downcase", "snakecase", "camelcase",
+    "pascalcase", "kebabcase", "screamingsnakecase", "strip_whitespace",
+    "strip_ansi_escape_codes", "truncate", "slice", "replace", "redact",
+    "sieve", "join", "md5", "sha1", "sha2", "sha3", "hmac", "encode_base64",
+    "encode_base16", "encode_json", "format_timestamp", "uuid_v4", "uuid_v7",
+    "ip_subnet", "ip_ntoa", "ip_to_ipv6", "ipv6_to_ipv4",
+    "to_syslog_facility", "to_syslog_level", "get_hostname",
+    "get_timezone_name",
+}
+
+# VRL functions statically known to return timestamps (drives to_string's
+# RFC 3339 rendering on a typed engine)
+_TS_FUNCS = {"now", "parse_timestamp", "from_unix_timestamp", "timestamp"}
+
+# positional parameter names per VRL function (functions/*.cue argument
+# order) — lets named args fill their positional slots
+_ARG_ORDER = {
+    "contains": ("value", "substring", "case_sensitive"),
+    "starts_with": ("value", "substring", "case_sensitive"),
+    "ends_with": ("value", "substring", "case_sensitive"),
+    "slice": ("value", "start", "end"),
+    "replace": ("value", "pattern", "with", "count"),
+    "split": ("value", "pattern", "limit"),
+    "join": ("value", "separator"),
+    "ip_cidr_contains": ("cidr", "value"),
+    "match": ("value", "pattern"),
+    "find": ("value", "pattern"),
+}
 
 
 # --- strftime → java SimpleDateFormat (for parse/format_timestamp) -----------
@@ -171,26 +207,50 @@ def strftime_to_java(fmt: str) -> str:
 def _registry():
     from vector_spark.functions import crypto, ip, objects, parse, strings, syslog
 
+    def _render(v: _Val) -> Column:
+        # VRL renders timestamps as RFC 3339 with a Z; Spark's string cast
+        # uses "yyyy-MM-dd HH:mm:ss" — branch on static type knowledge
+        if v.is_ts:
+            return F.date_format(v.col, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        return v.col.cast("string")
+
+    def _affix(fn, a: list[_Val]) -> Column:
+        # starts_with/ends_with: dynamic substring allowed; optional
+        # case_sensitive third arg
+        s, sub = a[0].col, a[1].col
+        if len(a) > 2 and not _v(a[2]):
+            s, sub = F.lower(s), F.lower(sub)
+        return fn(s.cast("string"), sub.cast("string"))
+
     def is_nullish(a, k):
-        # VRL is_nullish: null, "", "-", whitespace-only (is_nullish.cue)
+        # VRL is_nullish: null, "", "-", whitespace-only incl. \n \t \r
+        # (is_nullish.cue) — F.trim only strips ASCII spaces, so regex
         c = a[0].col
-        t = F.trim(c.cast("string"))
-        return c.isNull() | (t == "") | (t == "-")
+        s = c.cast("string")
+        return c.isNull() | s.rlike(r"^\s*$") | (s == "-")
 
     def parse_ts(a, k):
         fmt = k.get("format") or (a[1] if len(a) > 1 else None)
-        java = strftime_to_java(_v(fmt)) if fmt is not None else None
-        return parse.parse_timestamp(a[0].col, java)
+        s = _v(fmt) if fmt is not None else None
+        if s == "%+":  # chrono RFC 3339 — Spark's default ISO parser
+            return F.to_timestamp(a[0].col)
+        if s == "%s":  # epoch seconds
+            return F.timestamp_seconds(a[0].col.try_cast("long"))
+        return parse.parse_timestamp(a[0].col, strftime_to_java(s) if s else None)
 
     def format_ts(a, k):
-        fmt = k.get("format") or a[1]
-        return F.date_format(a[0].col, strftime_to_java(_v(fmt)))
+        fmt = _v(k.get("format") or a[1])
+        if fmt == "%+":
+            return F.date_format(a[0].col, "yyyy-MM-dd'T'HH:mm:ssxxx")
+        if fmt == "%s":
+            return F.unix_timestamp(a[0].col).cast("string")
+        return F.date_format(a[0].col, strftime_to_java(fmt))
 
     def to_unix(a, k):
         unit = _v(k["unit"]) if "unit" in k else (_v(a[1]) if len(a) > 1 else "seconds")
-        secs = a[0].col.cast("double")
-        scale = {"seconds": 1, "milliseconds": 1e3, "nanoseconds": 1e9}[unit]
-        return (secs * scale).cast("long")
+        secs = F.unix_timestamp(a[0].col.cast("timestamp"))
+        scale = {"seconds": 1, "milliseconds": 1_000, "nanoseconds": 1_000_000_000}[unit]
+        return (secs * F.lit(scale)).cast("long")
 
     def slice_(a, k):
         end = _v(a[2]) if len(a) > 2 else (_v(k["end"]) if "end" in k else None)
@@ -201,11 +261,28 @@ def _registry():
         return strings.redact(a[0].col, list(pats))
 
     def trunc(a, k):
-        suffix = "..." if k.get("suffix") and _v(k["suffix"]) else ""
-        return strings.truncate(a[0].col, _v(a[1]), suffix)
+        limit = _v(k["limit"]) if "limit" in k else _v(a[1])
+        suffix = _v(k["suffix"]) if "suffix" in k else ""
+        if suffix is True:  # legacy `ellipsis: true` shape
+            suffix = "..."
+        return strings.truncate(a[0].col, limit, suffix or "")
 
     def repl(a, k):
-        return strings.replace(a[0].col, _v(a[1]), _v(a[2]))
+        pat, rep = _v(a[1]), _v(a[2])
+        literal = not a[1].is_regex
+        count = _v(a[3]) if len(a) > 3 else (_v(k["count"]) if "count" in k else -1)
+        if count == -1:
+            return strings.replace(a[0].col, pat, rep, literal=literal)
+        if count == 1 and literal:
+            # first-occurrence replace: locate + overlay (no regexp count
+            # support in Spark). overlay with a longer/shorter replacement
+            # splices correctly.
+            c = a[0].col
+            loc = F.locate(pat, c)
+            return F.when(
+                loc > 0, F.overlay(c, F.lit(rep), loc, F.lit(len(pat)))
+            ).otherwise(c)
+        raise VrlCompileError("replace count other than 1/-1 unsupported")
 
     def parse_json(a, k):
         # open-object form → map<string,string>; pass schema for typed
@@ -215,14 +292,28 @@ def _registry():
         return parse.parse_json_map(a[0].col)
 
     def ip_cidr(a, k):
-        return ip.ip_cidr_contains(_v(a[0]), a[1].col)
+        cidr = k["cidr"] if "cidr" in k else a[0]
+        value = k["value"] if "value" in k else a[1]
+        return ip.ip_cidr_contains(_v(cidr), value.col)
 
     def length(a, k):
         return F.length(a[0].col)
 
+    def _precision(a, k):
+        if "precision" in k:
+            return _v(k["precision"])
+        return _v(a[1]) if len(a) > 1 else 0
+
     def rnd(a, k):
-        p = _v(a[1]) if len(a) > 1 else (_v(k["precision"]) if "precision" in k else 0)
-        return F.round(a[0].col, p)
+        return F.round(a[0].col, _precision(a, k))
+
+    def ceil(a, k):
+        p = _precision(a, k)
+        return F.ceil(a[0].col, p) if p else F.ceil(a[0].col)
+
+    def floor(a, k):
+        p = _precision(a, k)
+        return F.floor(a[0].col, p) if p else F.floor(a[0].col)
 
     def sha2(a, k):
         var = _v(k["variant"]) if "variant" in k else (_v(a[1]) if len(a) > 1 else 256)
@@ -243,8 +334,9 @@ def _registry():
 
     reg: dict[str, object] = {
         # type conversion (remap/functions/to_*.cue)
-        "string": lambda a, k: a[0].col.cast("string"),
-        "to_string": lambda a, k: a[0].col.cast("string"),
+        "string": lambda a, k: _render(a[0]),
+        # to_string COERCES: null → "" (to_string.cue null behavior)
+        "to_string": lambda a, k: F.coalesce(_render(a[0]), F.lit("")),
         "bool": lambda a, k: a[0].col.cast("boolean"),
         "to_bool": lambda a, k: a[0].col.cast("boolean"),
         "int": lambda a, k: a[0].col.try_cast("long"),
@@ -271,15 +363,19 @@ def _registry():
         "sieve": lambda a, k: strings.sieve(a[0].col, _v(a[1])),
         "split": split,
         "join": lambda a, k: F.array_join(a[0].col, _v(a[1]) if len(a) > 1 else ""),
-        "contains": lambda a, k: a[0].col.contains(a[1].col),
-        "starts_with": lambda a, k: strings.starts_with(a[0].col, _v(a[1])),
-        "ends_with": lambda a, k: strings.ends_with(a[0].col, _v(a[1])),
+        "contains": lambda a, k: (
+            a[0].col.contains(a[1].col)
+            if len(a) < 3 or _v(a[2])
+            else F.lower(a[0].col).contains(F.lower(a[1].col))
+        ),
+        "starts_with": lambda a, k: _affix(F.startswith, a),
+        "ends_with": lambda a, k: _affix(F.endswith, a),
         "find": lambda a, k: strings.find(a[0].col, _v(a[1])),
         "match": lambda a, k: F.regexp_like(a[0].col, F.lit(_v(a[1]))),
         # numbers
         "round": rnd,
-        "floor": lambda a, k: F.floor(a[0].col),
-        "ceil": lambda a, k: F.ceil(a[0].col),
+        "floor": floor,
+        "ceil": ceil,
         "abs": lambda a, k: F.abs(a[0].col),
         "mod": lambda a, k: a[0].col % a[1].col,
         # checks
@@ -300,7 +396,9 @@ def _registry():
         "encode_json": lambda a, k: F.to_json(a[0].col),
         "seahash": lambda a, k: crypto.seahash(a[0].col),
         "uuid_v4": lambda a, k: F.expr("uuid()"),
-        "uuid_v7": lambda a, k: crypto.uuid_v7(),
+        "uuid_v7": lambda a, k: parse.uuid_v7(
+            a[0].col if a else F.current_timestamp(), F.expr("uuid()")
+        ),
         # parse family
         "parse_json": parse_json,
         "parse_timestamp": parse_ts,
@@ -310,7 +408,8 @@ def _registry():
         "parse_int": lambda a, k: parse.parse_int(a[0].col),
         "parse_float": lambda a, k: parse.parse_float(a[0].col),
         "parse_duration": lambda a, k: parse.parse_duration(
-            a[0].col, _v(a[1]) if len(a) > 1 else "s"
+            a[0].col,
+            _v(k["unit"]) if "unit" in k else (_v(a[1]) if len(a) > 1 else "s"),
         ),
         "parse_key_value": lambda a, k: parse.parse_key_value(a[0].col),
         "parse_query_string": lambda a, k: parse.parse_query_string(a[0].col),
@@ -321,14 +420,23 @@ def _registry():
         ),
         "parse_syslog": lambda a, k: parse.parse_syslog(a[0].col),
         "parse_glog": lambda a, k: parse.parse_glog(a[0].col),
+        "parse_regex_all": lambda a, k: parse.parse_regex_all(a[0].col, _v(a[1])),
+        # VRL regexes use Rust (?P<name>…) groups; Java regexp_extract wants
+        # anonymous groups — strip the names, field order = group order
         "parse_regex": lambda a, k: parse.parse_regex(
-            a[0].col, _v(a[1]), _v(k["fields"]) if "fields" in k else None
+            a[0].col,
+            re.sub(r"\(\?P<\w+>", "(", _v(a[1])),
+            _v(k["fields"])
+            if "fields" in k
+            else re.findall(r"\(\?P<(\w+)>", _v(a[1])),
         ),
         # ip
         "ip_subnet": lambda a, k: ip.ip_subnet(a[0].col, _v(a[1])),
         "ip_cidr_contains": ip_cidr,
         "ip_aton": lambda a, k: ip.ip_aton(a[0].col),
         "ip_ntoa": lambda a, k: ip.ip_ntoa(a[0].col),
+        "ip_to_ipv6": lambda a, k: ip.ip_to_ipv6(a[0].col),
+        "ipv6_to_ipv4": lambda a, k: ip.ipv6_to_ipv4(a[0].col),
         # syslog
         "to_syslog_facility": lambda a, k: syslog.to_syslog_facility(a[0].col),
         "to_syslog_level": lambda a, k: syslog.to_syslog_level(a[0].col),
@@ -337,12 +445,17 @@ def _registry():
         "merge": lambda a, k: objects.merge_maps(a[0].col, a[1].col),
         "flatten": lambda a, k: F.flatten(a[0].col),
         "push": lambda a, k: F.array_append(a[0].col, a[1].col),
+        "append": lambda a, k: F.concat(a[0].col, a[1].col),
         "includes": lambda a, k: F.array_contains(a[0].col, a[1].col),
         "unique": lambda a, k: F.array_distinct(a[0].col),
         "compact": lambda a, k: F.filter(a[0].col, lambda x: x.isNotNull()),
         # misc
         "tag_types_externally": tag_types_externally,
         "now": lambda a, k: F.current_timestamp(),
+        "get_hostname": lambda a, k: F.lit(__import__("socket").gethostname()),
+        "get_timezone_name": lambda a, k: F.current_timezone(),
+        # assert_eq!(a, b, msg) in condition position is just equality
+        "assert_eq": lambda a, k: a[0].col == a[1].col,
     }
     return reg
 
@@ -369,24 +482,34 @@ def _lookup(name: str):
 @dataclass
 class CompiledProgram:
     """Order-independent assignments over the ORIGINAL columns — apply with
-    ``remap(..., simultaneous=True)`` or :func:`remap_program`."""
+    ``remap(..., simultaneous=True)`` or :func:`remap_program`. When
+    ``root`` is set (`. = expr`), the event is REPLACED by the expression's
+    struct fields (array-of-struct explodes, scalar becomes ``message``),
+    with ``assignments`` overlaid on top."""
 
     assignments: dict[str, Column]
     drops: list[str]
     abort_when: Column | None
     error_when: Column | None
+    root: Column | None = None
 
 
 class _Compiler:
     def __init__(
         self,
         tokens: list[tuple[str, str, bool]],
-        columns: set[str] | None = None,
+        columns: set[str] | dict[str, str] | None = None,
     ):
         self.toks = tokens
         self.i = 0
-        self.columns = columns
+        self.columns = set(columns) if columns is not None else None
         self.env: dict[str, Column] = {}
+        self.root: Column | None = None  # `. = expr` replacement root
+        # path → (is_str, is_ts); seeded from input dtypes when provided
+        self.meta: dict[str, tuple[bool, bool]] = {}
+        if isinstance(columns, dict):
+            for name, dt in columns.items():
+                self.meta[name] = (dt == "string", dt.startswith("timestamp"))
         self.dropped: set[str] = set()
         self.aborts: list[Column] = []
         self.errors: list[Column] = []
@@ -416,6 +539,12 @@ class _Compiler:
         if path in self.dropped:
             return F.lit(None)
         parts = path.split(".")
+        if self.root is not None:
+            # after `. = expr`, reads resolve against the new root
+            col = self.root
+            for p in parts:
+                col = col.getItem(p)
+            return col
         if self.columns is not None and parts[0] not in self.columns:
             # missing field reads as null (VRL missing-path semantics)
             return F.lit(None)
@@ -466,15 +595,57 @@ class _Compiler:
                 depth += v2 == "("
                 depth -= v2 == ")"
             return
+        if kind == "word" and val in ("assert", "assert!"):
+            # assert!(cond, message: …) — a failing assertion errors the
+            # program (assert.cue); vectorized: error_when |= guard & !cond
+            self.next()
+            self.expect("(")
+            cond = self.expr()
+            kwargs_junk = None
+            while self.peek()[1] == ",":
+                self.next()
+                if self.toks[self.i + 1][1] == ":":
+                    self.next()
+                    self.next()
+                kwargs_junk = self.expr()
+            del kwargs_junk
+            self.expect(")")
+            bad = ~F.coalesce(cond.col, F.lit(False))
+            self.errors.append((guard & bad) if guard is not None else bad)
+            return
         if kind == "path":
             self.next()
             if val == ".":
-                raise VrlCompileError(
-                    "root assignment '. = …' is remap_explode territory"
-                )
+                # `. = expr` replaces the whole event (remap.rs:591-596)
+                if guard is not None:
+                    raise VrlCompileError("guarded root assignment unsupported")
+                self.expect("=")
+                rhs = self.expr()
+                for f in rhs.fallible:
+                    self.errors.append(f.isNull())
+                self.root = rhs.col
+                self.env.clear()
+                self.meta.clear()
+                self.dropped.clear()
+                return
+            err_target = None
+            if self.peek()[1] == ",":
+                # `.res, err = expr` — error-capturing assignment. The
+                # error slot gets null on success; this engine's vectorized
+                # model has no error *message*, so it is always null here.
+                self.next()
+                ekind, eval_ = self.next()
+                if ekind == "path":
+                    err_target = eval_[1:]
+                elif ekind != "word":
+                    raise VrlCompileError("bad error-capture target")
             self.expect("=")
             rhs = self.expr()
             path = val[1:]
+            if err_target is not None:
+                # capturing the error handles it — clear fallibility
+                rhs = _Val(rhs.col, rhs.lit, rhs.has_lit, [])
+                self.env[err_target] = F.lit(None).cast("string")
             for f in rhs.fallible:
                 self.errors.append(
                     (guard & f.isNull()) if guard is not None else f.isNull()
@@ -483,6 +654,7 @@ class _Compiler:
             if guard is not None:
                 new = F.when(guard, new).otherwise(self.read(path))
             self.env[path] = new
+            self.meta[path] = (rhs.is_str, rhs.is_ts)
             self.dropped.discard(path)
             return
         raise VrlCompileError(f"unexpected token {val!r} at statement start")
@@ -545,6 +717,11 @@ class _Compiler:
         if op in ("==", "!=", ">=", "<=", ">", "<"):
             self.next()
             right = self.add()
+            # `x == null` means null-ness, not three-valued SQL equality
+            if op in ("==", "!=") and (right.is_null_lit or left.is_null_lit):
+                subj = left if right.is_null_lit else right
+                col = subj.col.isNull() if op == "==" else subj.col.isNotNull()
+                return _Val(col, fallible=left.fallible + right.fallible)
             col = {
                 "==": left.col == right.col, "!=": left.col != right.col,
                 ">=": left.col >= right.col, "<=": left.col <= right.col,
@@ -558,14 +735,12 @@ class _Compiler:
         while self.peek()[1] in ("+", "-"):
             op = self.next()[1]
             r = self.mul()
-            if op == "+" and (
-                (c.has_lit and isinstance(c.lit, str))
-                or (r.has_lit and isinstance(r.lit, str))
-            ):
+            stringy = c.is_str or r.is_str
+            if op == "+" and stringy:
                 col = F.concat(c.col.cast("string"), r.col.cast("string"))
             else:
                 col = c.col + r.col if op == "+" else c.col - r.col
-            c = _Val(col, fallible=c.fallible + r.fallible)
+            c = _Val(col, fallible=c.fallible + r.fallible, is_str=stringy)
         return c
 
     def mul(self) -> _Val:
@@ -627,17 +802,39 @@ class _Compiler:
             if all(i.has_lit for i in items):
                 return _lit([i.lit for i in items])
             return _Val(F.array(*[i.col for i in items]))
+        if val == "{":
+            # object literal → struct (VRL objects are our typed structs)
+            fields = {}
+            while self.peek()[1] != "}":
+                fkind, fname = self.next()
+                if fkind == "str":
+                    fname = _unquote(fname)
+                elif fkind != "word":
+                    raise VrlCompileError(f"bad object key {fname!r}")
+                self.expect(":")
+                fields[fname] = self.expr()
+            self.expect("}")
+            return _Val(
+                F.struct(*[v.col.alias(k) for k, v in fields.items()])
+            )
         if kind == "path":
-            return _Val(self.read(val[1:]) if val != "." else F.lit(None))
+            if val == ".":
+                return _Val(F.lit(None))
+            v = _Val(self.read(val[1:]))
+            if val[1:] in self.meta:
+                v.is_str, v.is_ts = self.meta[val[1:]]
+            return v
         if kind == "str":
-            return _lit(_unquote(val))
+            v = _lit(_unquote(val))
+            v.is_regex = val.startswith("r'")
+            return v
         if kind == "num":
             return _lit(float(val) if "." in val else int(val))
         if kind == "word":
             if val in ("true", "false"):
                 return _lit(val == "true")
             if val == "null":
-                return _Val(F.lit(None))
+                return _Val(F.lit(None), is_null_lit=True)
             if self.peek()[1] == "(":
                 return self.call(val)
             raise VrlCompileError(f"unknown identifier {val!r}")
@@ -660,15 +857,26 @@ class _Compiler:
             if self.peek()[1] == ",":
                 self.next()
         self.expect(")")
-        if "value" in kwargs:  # VRL's universal first-argument name
+        if fname in _ARG_ORDER:
+            # fill positional slots from named args in declaration order
+            for pname in _ARG_ORDER[fname][len(args):]:
+                if pname not in kwargs:
+                    break
+                args.append(kwargs.pop(pname))
+        elif "value" in kwargs:  # VRL's universal first-argument name
             args.insert(0, kwargs.pop("value"))
         col = _lookup(fname)(args, kwargs)
         inherited = [f for a in [*args, *kwargs.values()] for f in a.fallible]
-        return _Val(col, fallible=inherited + ([col] if fallible_assert else []))
+        return _Val(
+            col,
+            fallible=inherited + ([col] if fallible_assert else []),
+            is_str=fname in _STR_FUNCS,
+            is_ts=fname in _TS_FUNCS,
+        )
 
 
 def compile_program(
-    source: str, columns: set[str] | None = None
+    source: str, columns: set[str] | dict[str, str] | None = None
 ) -> CompiledProgram:
     """Compile VRL source to order-independent assignments + conditions.
 
@@ -688,20 +896,128 @@ def compile_program(
             out = out | x
         return out
 
+    # nested write targets (`.a.b = …`) materialize as struct roots.
+    # Limitation (documented): writing `.a.b` REPLACES column `a` with a
+    # struct of exactly the written leaves — merge-into-existing-struct
+    # would need the input schema's field list at compile time.
+    flat = {k: v for k, v in c.env.items() if "." not in k}
+    nested: dict[str, dict[str, Column]] = {}
+    for k, v in c.env.items():
+        if "." in k:
+            root, rest = k.split(".", 1)
+            nested.setdefault(root, {})[rest] = v
+
+    def _build_struct(leaves: dict[str, Column]) -> Column:
+        direct, sub = {}, {}
+        for k, v in leaves.items():
+            if "." in k:
+                r, rest = k.split(".", 1)
+                sub.setdefault(r, {})[rest] = v
+            else:
+                direct[k] = v
+        return F.struct(
+            *[v.alias(k) for k, v in direct.items()],
+            *[_build_struct(s).alias(r) for r, s in sub.items()],
+        )
+
+    for root, leaves in nested.items():
+        if root in flat:
+            raise VrlCompileError(
+                f"mixed whole-field and nested writes to {root!r}"
+            )
+        flat[root] = _build_struct(leaves)
+
     return CompiledProgram(
-        assignments=dict(c.env),
+        assignments=flat,
         drops=sorted(c.dropped),
         abort_when=_any(c.aborts),
         error_when=_any(c.errors),
+        root=c.root,
     )
+
+
+def compile_expression(
+    source: str, columns: set[str] | dict[str, str] | None = None
+) -> Column:
+    """Compile a single VRL *expression* (e.g. an output condition from the
+    reference's behavior-test corpus) to a Column. Statements are rejected."""
+    c = _Compiler(_tokenize(source), columns)
+    v = c.expr()
+    # a VRL block evaluates to its LAST expression — newline-separated
+    # expressions before it are evaluated and discarded
+    while c.peek()[0] != "eof" and c.peek_nl():
+        v = c.expr()
+    if c.peek()[0] != "eof":
+        raise VrlCompileError(f"trailing tokens: {c.toks[c.i:c.i + 4]}")
+    return v.col
 
 
 def remap_program(df: DataFrame, source: str, **remap_kwargs) -> dict[str, DataFrame]:
     """Run a VRL program through the remap transform (reference
     remap.rs:100-118 ``source`` config key)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     from vector_spark.operators.remap import remap
 
-    prog = compile_program(source, columns=set(df.columns))
+    prog = compile_program(source, columns=dict(df.dtypes))
+    if prog.root is not None:
+        # event replacement: split first (conditions are closed over the
+        # ORIGINAL columns), then expand the new root
+        drop_on_error = remap_kwargs.get("drop_on_error", True)
+        drop_on_abort = remap_kwargs.get("drop_on_abort", True)
+        reroute = remap_kwargs.get("reroute_dropped", True)
+        gone = None
+        if prog.error_when is not None and drop_on_error:
+            gone = F.coalesce(prog.error_when, F.lit(False))
+        if prog.abort_when is not None and drop_on_abort:
+            a = F.coalesce(prog.abort_when, F.lit(False))
+            gone = a if gone is None else (gone | a)
+        keep, dropped = df, None
+        if gone is not None:
+            keep = df.filter(~gone)
+            if reroute:
+                dropped = df.filter(gone).withColumn(
+                    "metadata_dropped",
+                    F.struct(
+                        F.lit("error").alias("reason"),
+                        F.lit("program failed").alias("message"),
+                        F.lit(
+                            remap_kwargs.get("component_id", "remap")
+                        ).alias("component_id"),
+                    ),
+                )
+        dt = df.select(prog.root.alias("__r")).schema[0].dataType
+        if isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType):
+            prim = keep.select(F.explode(prog.root).alias("__r")).select("__r.*")
+        elif isinstance(dt, StructType):
+            names = [f.name for f in dt.fields]
+            sel = [
+                (
+                    prog.assignments[n]
+                    if n in prog.assignments
+                    else prog.root.getField(n)
+                ).alias(n)
+                for n in names
+                if n not in prog.drops
+            ]
+            sel += [
+                c.alias(n)
+                for n, c in prog.assignments.items()
+                if n not in names
+            ]
+            prim = keep.select(*sel)
+        elif isinstance(dt, MapType):
+            raise VrlCompileError(
+                "`. = <map>` needs a typed object — use parse_json with a "
+                "schema or parse_regex (typed struct) as the root"
+            )
+        else:  # scalar root becomes {message: value} (remap.rs:591-596)
+            prim = keep.select(prog.root.alias("message"))
+        outs = {"primary": prim}
+        if dropped is not None:
+            outs["dropped"] = dropped
+        return outs
+
     outs = remap(
         df,
         prog.assignments,
