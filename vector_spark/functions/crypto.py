@@ -22,8 +22,28 @@ def sha1(col: Column) -> Column:
     return F.sha1(col.cast("string"))
 
 
-def sha2(col: Column, variant: int = 256) -> Column:
-    return F.sha2(col.cast("string"), variant)
+def sha2(col: Column, variant: int | str = 256) -> Column:
+    """VRL sha2 (sha2.cue). Plain bit-width variants use the JVM builtin;
+    the truncated SHA-512/224 and SHA-512/256 variants (the VRL DEFAULT is
+    SHA-512/256) have no JVM builtin — Arrow-batched hashlib, like sha3."""
+    v = str(variant)
+    if v.isdigit():
+        return F.sha2(col.cast("string"), int(v))
+    name = v.lower().replace("sha-", "sha").replace("/", "_")
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _h(s: pd.Series) -> pd.Series:
+        import hashlib
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else hashlib.new(name, str(x).encode()).hexdigest()
+        )
+
+    return _h(col.cast("string"))
 
 
 def hmac_sha256(col: Column, key: str) -> Column:

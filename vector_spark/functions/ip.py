@@ -43,21 +43,86 @@ def ip_ntoa(col: Column) -> Column:
     )
 
 
-def ip_subnet(col: Column, prefix: int) -> Column:
-    """Network address of ip at /prefix (v4)."""
-    mask = (0xFFFFFFFF << (32 - prefix)) & 0xFFFFFFFF
-    return ip_ntoa(ip_aton(col).bitwiseAND(F.lit(mask)))
+def _prefix_len(spec: int | str) -> int:
+    """Subnet spec → prefix length: 24, "/24", a dotted v4 mask
+    ("255.255.0.0") or a v6 mask ("ffff:ffff::") — leading-ones count
+    (ip_subnet.cue 'subnet' argument forms). Plan-time only."""
+    import ipaddress
+
+    if isinstance(spec, int):
+        return spec
+    s = str(spec)
+    if s.startswith("/"):
+        return int(s[1:])
+    if ":" in s:
+        bits = bin(int(ipaddress.IPv6Address(s)))[2:].zfill(128)
+    else:
+        bits = bin(int(ipaddress.IPv4Address(s)))[2:].zfill(32)
+    i = bits.find("0")
+    return len(bits) if i == -1 else i
+
+
+def _ip6_net_hex(col: Column, prefix: int) -> Column:
+    """Masked network of a v6 address as 32-nibble hex."""
+    h = ip6_expand_hex(col)
+    full, rem = prefix // 4, prefix % 4
+    kept = F.substring(h, 1, full)
+    if rem:
+        nib = F.conv(F.substring(h, full + 1, 1), 16, 10).cast("int")
+        mask = (0xF << (4 - rem)) & 0xF
+        kept = F.concat(kept, F.lower(F.hex(nib.bitwiseAND(F.lit(mask)))))
+    return F.rpad(kept, 32, "0")
+
+
+def _ip6_format(hex32: Column) -> Column:
+    """32-nibble hex → compressed v6 string (trailing zero-run → ``::``)."""
+    groups = [
+        F.regexp_replace(F.substring(hex32, i * 4 + 1, 4), "^0{1,3}", "")
+        for i in range(8)
+    ]
+    joined = F.concat_ws(":", *groups)
+    out = F.regexp_replace(joined, "(:0)+$", "::")
+    return F.regexp_replace(out, "^0::$", "::")
+
+
+def ip_subnet(col: Column, prefix: int | str) -> Column:
+    """Network address of ip at the given subnet spec — v4 and v6
+    (ip_subnet.cue): prefix int, "/N", dotted v4 mask, or v6 mask."""
+    p = _prefix_len(prefix)
+    mask4 = (0xFFFFFFFF << (32 - min(p, 32))) & 0xFFFFFFFF
+    v4 = ip_ntoa(ip_aton(col).bitwiseAND(F.lit(mask4)))
+    v6 = _ip6_format(_ip6_net_hex(col, p))
+    return F.when(is_ipv4(col), v4).otherwise(F.when(is_ipv6(col), v6))
 
 
 def ip_cidr_contains(cidr: str, col: Column) -> Column:
-    """ip_cidr_contains('10.0.0.0/8', ip_col) — v4 only."""
+    """ip_cidr_contains('10.0.0.0/8' | '2404:6800::/32', ip_col) — v4 + v6;
+    an address of the other family is simply not contained."""
     net, prefix = cidr.split("/")
     p = int(prefix)
+    if ":" in net:
+        import ipaddress
+
+        nethex = f"{int(ipaddress.IPv6Address(net)):032x}"
+        full, rem = p // 4, p % 4
+        expect = nethex[:full]
+        if rem:
+            mask = (0xF << (4 - rem)) & 0xF
+            expect += f"{int(nethex[full], 16) & mask:x}"
+        expect = expect.ljust(32, "0")
+        return F.coalesce(
+            is_ipv6(col) & (_ip6_net_hex(col, p) == F.lit(expect)),
+            F.lit(False),
+        )
     mask = (0xFFFFFFFF << (32 - p)) & 0xFFFFFFFF
     net_int = 0
     for part in net.split("."):
         net_int = net_int * 256 + int(part)
-    return ip_aton(col).bitwiseAND(F.lit(mask)) == F.lit(net_int & mask)
+    return F.coalesce(
+        is_ipv4(col)
+        & (ip_aton(col).bitwiseAND(F.lit(mask)) == F.lit(net_int & mask)),
+        F.lit(False),
+    )
 
 
 def ip6_expand_hex(col: Column) -> Column:

@@ -47,9 +47,21 @@ parse_logfmt = parse_key_value
 
 
 def parse_url(col: Column) -> Column:
-    """parse_url → struct(scheme, host, port, path, query, fragment)."""
+    """parse_url (parse_url.cue) → struct(scheme, username, password, host,
+    port, path, query, fragment); query is a map like the reference."""
+    userinfo = F.parse_url(col, F.lit("USERINFO"))
+    query = F.parse_url(col, F.lit("QUERY"))
     return F.struct(
         F.parse_url(col, F.lit("PROTOCOL")).alias("scheme"),
+        F.coalesce(F.substring_index(userinfo, ":", 1), F.lit("")).alias(
+            "username"
+        ),
+        F.coalesce(
+            F.when(
+                userinfo.contains(":"), F.substring_index(userinfo, ":", -1)
+            ),
+            F.lit(""),
+        ).alias("password"),
         F.parse_url(col, F.lit("HOST")).alias("host"),
         # Spark parse_url has no PORT key — take it off the authority
         F.nullif(
@@ -57,7 +69,9 @@ def parse_url(col: Column) -> Column:
             F.lit(""),
         ).cast("int").alias("port"),
         F.parse_url(col, F.lit("PATH")).alias("path"),
-        F.parse_url(col, F.lit("QUERY")).alias("query"),
+        F.when(query.isNotNull(), F.str_to_map(query, F.lit("&"), F.lit("=")))
+        .otherwise(F.create_map().cast("map<string,string>"))
+        .alias("query"),
         F.parse_url(col, F.lit("REF")).alias("fragment"),
     )
 
@@ -335,8 +349,28 @@ def encode_gelf(
 
 
 # glog: "Lmmdd hh:mm:ss.uuuuuu threadid file:line] msg"
-GLOG_RE = r"^([IWEF])(\d{4}) (\d{2}:\d{2}:\d{2}\.\d+)\s+(\d+) ([^:]+):(\d+)\] (.*)$"
+# date group: glog's classic mmdd or the yyyymmdd long form
+GLOG_RE = r"^([IWEF])(\d{8}|\d{4}) (\d{2}:\d{2}:\d{2}\.\d+)\s+(\d+) ([^:]+):(\d+)\] (.*)$"
 _GLOG_LEVELS = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
+
+
+def parse_tokens(col: Column) -> Column:
+    """parse_tokens (VRL parse_tokens.cue): split a line into tokens —
+    whitespace-delimited, but ``[…]`` and ``"…"`` groups stay one token with
+    the delimiters stripped; a bare ``-`` token becomes NULL."""
+    raw = F.regexp_extract_all(
+        col, F.lit(r'(\[[^\]]*\]|"[^"]*"|\S+)'), 1
+    )
+    return F.transform(
+        raw,
+        lambda t: F.nullif(
+            F.when(
+                t.rlike(r'^\[.*\]$') | t.rlike(r'^".*"$'),
+                F.substring(t, 2, F.length(t) - 2),
+            ).otherwise(t),
+            F.lit("-"),
+        ),
+    )
 
 
 def parse_glog(col: Column) -> Column:
@@ -382,12 +416,14 @@ _VPC_INT_FIELDS = {"version", "srcport", "dstport", "protocol", "packets",
                    "bytes", "start", "end"}
 
 
-def parse_aws_vpc_flow_log(col: Column) -> Column:
-    """parse_aws_vpc_flow_log (default v2 format): space-separated fields
-    → typed struct ('-' → null)."""
+def parse_aws_vpc_flow_log(col: Column, format: str | None = None) -> Column:
+    """parse_aws_vpc_flow_log: space-separated fields → typed struct
+    ('-' → null). ``format`` overrides the default v2 field list with a
+    space-separated field-name string (parse_aws_vpc_flow_log.cue)."""
+    fields = format.split() if format else _VPC_FLOW_FIELDS
     parts = F.split(col, " ")
     out = []
-    for i, name in enumerate(_VPC_FLOW_FIELDS):
+    for i, name in enumerate(fields):
         v = F.when(F.element_at(parts, i + 1) == "-", None).otherwise(
             F.element_at(parts, i + 1)
         )
@@ -395,6 +431,83 @@ def parse_aws_vpc_flow_log(col: Column) -> Column:
             v = v.cast("long")
         out.append(v.alias(name))
     return F.struct(*out)
+
+
+_ALB_FIELDS = [
+    ("type", "str"), ("timestamp", "str"), ("elb", "str"),
+    ("client_host", "str"), ("target_host", "str"),
+    ("request_processing_time", "double"),
+    ("target_processing_time", "double"),
+    ("response_processing_time", "double"),
+    ("elb_status_code", "str"), ("target_status_code", "str"),
+    ("received_bytes", "long"), ("sent_bytes", "long"),
+    ("request", "req"), ("user_agent", "str"), ("ssl_cipher", "str"),
+    ("ssl_protocol", "str"), ("target_group_arn", "str"),
+    ("trace_id", "str"), ("domain_name", "str"), ("chosen_cert_arn", "str"),
+    ("matched_rule_priority", "str"), ("request_creation_time", "str"),
+    ("actions_executed", "str"), ("redirect_url", "str"),
+    ("error_reason", "str"), ("target_port_list", "str"),
+    ("target_status_code_list", "str"), ("classification", "str"),
+    ("classification_reason", "str"),
+]
+
+
+def parse_aws_alb_log(col: Column) -> Column:
+    """parse_aws_alb_log (parse_aws_alb_log.cue): the AWS ALB access-log
+    line → typed struct. Space-split with quoted groups kept whole; '-' →
+    null; the quoted request splits into request_method / request_url /
+    request_protocol."""
+    toks = F.regexp_extract_all(col, F.lit(r'("[^"]*"|\S+)'), 1)
+
+    def tok(i: int) -> Column:
+        t = F.element_at(toks, i + 1)
+        t = F.when(
+            t.rlike(r'^".*"$'), F.substring(t, 2, F.length(t) - 2)
+        ).otherwise(t)
+        return F.when(t.isin("-", ""), None).otherwise(t)
+
+    out = []
+    for i, (name, kind) in enumerate(_ALB_FIELDS):
+        t = tok(i)
+        if kind == "req":
+            parts = F.split(t, " ")
+            out.append(F.element_at(parts, 1).alias("request_method"))
+            out.append(F.element_at(parts, 2).alias("request_url"))
+            out.append(F.element_at(parts, 3).alias("request_protocol"))
+        elif kind in ("double", "long"):
+            # ALB uses -1 for "no target"; keep the reference's raw value
+            out.append(t.cast(kind).alias(name))
+        else:
+            out.append(t.alias(name))
+    return F.struct(*out)
+
+
+def parse_aws_cloudwatch_log_subscription_message(col: Column) -> Column:
+    """parse_aws_cloudwatch_log_subscription_message
+    (parse_aws_cloudwatch_log_subscription_message.cue): typed from_json of
+    the Firehose/CloudWatch Logs subscription envelope, epoch-millis event
+    timestamps → timestamp."""
+    raw = F.from_json(
+        col,
+        "messageType string, owner string, logGroup string, "
+        "logStream string, subscriptionFilters array<string>, "
+        "logEvents array<struct<id string, timestamp long, message string>>",
+    )
+    return F.struct(
+        raw["owner"].alias("owner"),
+        raw["messageType"].alias("message_type"),
+        raw["logGroup"].alias("log_group"),
+        raw["logStream"].alias("log_stream"),
+        raw["subscriptionFilters"].alias("subscription_filters"),
+        F.transform(
+            raw["logEvents"],
+            lambda e: F.struct(
+                e["id"].alias("id"),
+                F.timestamp_millis(e["timestamp"]).alias("timestamp"),
+                e["message"].alias("message"),
+            ),
+        ).alias("log_events"),
+    )
 
 
 def parse_regex(col: Column, pattern: str, fields: list[str]) -> Column:

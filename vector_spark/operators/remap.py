@@ -38,6 +38,11 @@ _ERR = "__rm_err"
 _ABORT = "__rm_abort"
 
 
+def _c(name: str) -> Column:
+    """Column ref that treats a dotted name literally."""
+    return F.col(f"`{name}`") if "." in name else F.col(name)
+
+
 def _stamp_flags(
     df: DataFrame,
     error_when: ConditionLike | None,
@@ -88,7 +93,7 @@ def remap(
     }
     applied = df
     for name, tmp in orig_names.items():
-        applied = applied.withColumn(tmp, F.col(name))
+        applied = applied.withColumn(tmp, _c(name))
     if simultaneous:
         # assignments are closed over the ORIGINAL columns (the VRL
         # compiler substitutes sequential reads at compile time) — one
@@ -101,7 +106,7 @@ def remap(
         existing = set(applied.columns)
         applied = applied.select(
             *[
-                assignments[c].alias(c) if c in assignments else F.col(c)
+                assignments[c].alias(c) if c in assignments else _c(c)
                 for c in applied.columns
             ],
             *[
@@ -147,7 +152,7 @@ def remap(
         else:
             original = F.lit(None)
         reverted = reverted.withColumn(
-            name, F.when(revert, original).otherwise(F.col(name))
+            name, F.when(revert, original).otherwise(_c(name))
         )
 
     gone = (F.col(_ABORT) & F.lit(drop_on_abort)) | (
@@ -161,7 +166,7 @@ def remap(
         # original event + annotation (remap.rs:482-543): project back to
         # the original columns, restoring overwritten ones from the stash.
         original_cols = [
-            F.col(orig_names[c]).alias(c) if c in orig_names else F.col(c)
+            F.col(orig_names[c]).alias(c) if c in orig_names else _c(c)
             for c in df.columns
         ]
         bad = applied.filter(gone)

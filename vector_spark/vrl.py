@@ -51,6 +51,11 @@ class VrlCompileError(ValueError):
     pass
 
 
+# internal path-segment separator — lets quoted segments (`."d.e"`) carry
+# literal dots without colliding with the nested-path separator
+SEP = "\x1f"
+
+
 # --- tokenizer ---------------------------------------------------------------
 
 _TOKEN = re.compile(
@@ -115,6 +120,11 @@ class _Val:
     is_regex: bool = False  # came from a VRL regex literal r'…'
     is_null_lit: bool = False  # the `null` keyword itself
     is_ts: bool = False  # statically known to be a timestamp
+    is_variant: bool = False  # dynamic JSON (Spark VariantType)
+    is_num: bool = False  # came out of arithmetic (error default = 0.0)
+    elem_variant: bool = False  # a map/array whose VALUES are variants
+    dtype: str | None = None  # known Spark dtype (direct column reads)
+    is_obj: bool = False  # an object literal (compares via JSON rendering)
 
 
 def _v(x: _Val) -> object:
@@ -207,12 +217,179 @@ def strftime_to_java(fmt: str) -> str:
 def _registry():
     from vector_spark.functions import crypto, ip, objects, parse, strings, syslog
 
+    def _assert_string(v: _Val) -> Column:
+        if v.dtype is not None and v.dtype not in ("string", "variant"):
+            raise VrlCompileError(
+                f"string!() on a column of type {v.dtype!r} can never succeed"
+            )
+        return _render(v)
+
     def _render(v: _Val) -> Column:
         # VRL renders timestamps as RFC 3339 with a Z; Spark's string cast
         # uses "yyyy-MM-dd HH:mm:ss" — branch on static type knowledge
         if v.is_ts:
             return F.date_format(v.col, "yyyy-MM-dd'T'HH:mm:ss'Z'")
         return v.col.cast("string")
+
+    def parse_syslog_vrl(a, k):
+        # the engine struct keeps numeric facility/severity (gate oracles
+        # depend on it); VRL's shape uses keywords (parse_syslog.cue)
+        s = parse.parse_syslog(a[0].col)
+        return F.struct(
+            syslog.to_syslog_facility(s["facility"]).alias("facility"),
+            syslog.to_syslog_level(s["severity"]).alias("severity"),
+            s["version"].alias("version"),
+            s["timestamp"].alias("timestamp"),
+            s["hostname"].alias("hostname"),
+            s["appname"].alias("appname"),
+            s["procid"].cast("long").alias("procid"),
+            s["msgid"].alias("msgid"),
+            s["structured_data"].alias("structured_data"),
+            s["message"].alias("message"),
+        )
+
+    def parse_clf_vrl(a, k):
+        # VRL's default timestamp_format IS the CLF layout
+        fmt = (
+            strftime_to_java(_v(a[1]))
+            if len(a) > 1
+            else "dd/MMM/yyyy:HH:mm:ss xx"
+        )
+        s = parse.parse_common_log(a[0].col, fmt)
+        return F.struct(
+            s["host"].alias("host"),
+            s["ident"].alias("identity"),
+            s["user"].alias("user"),
+            s["timestamp"].alias("timestamp"),
+            F.concat_ws(" ", s["method"], s["path"], s["protocol"]).alias(
+                "message"
+            ),
+            s["method"].alias("method"),
+            s["path"].alias("path"),
+            s["protocol"].alias("protocol"),
+            s["status"].cast("long").alias("status"),
+            s["bytes"].alias("size"),
+        )
+
+    def parse_glog_vrl(a, k):
+        # VRL shape (parse_glog.cue): level/timestamp/id/file/line/message;
+        # 8-digit dates carry the year, 4-digit dates use the current year
+        s = parse.parse_glog(a[0].col)
+        d = s["mmdd"]
+        year = F.when(F.length(d) == 8, F.substring(d, 1, 4)).otherwise(
+            F.year(F.current_date()).cast("string")
+        )
+        md = F.when(F.length(d) == 8, F.substring(d, 5, 4)).otherwise(d)
+        ts = F.to_timestamp(
+            F.concat_ws(
+                " ",
+                F.concat_ws(
+                    "-", year, F.substring(md, 1, 2), F.substring(md, 3, 2)
+                ),
+                s["time"],
+            )
+        )
+        return F.struct(
+            s["level"].alias("level"),
+            ts.alias("timestamp"),
+            s["thread_id"].alias("id"),
+            s["file"].alias("file"),
+            s["line"].cast("long").alias("line"),
+            s["message"].alias("message"),
+        )
+
+    def format_number(a, k):
+        # VRL format_number TRUNCATES to scale, then formats with custom
+        # separators (format_number.cue)
+        scale = _v(k["scale"]) if "scale" in k else (_v(a[1]) if len(a) > 1 else 0)
+        dec = _v(k["decimal_separator"]) if "decimal_separator" in k else "."
+        grp = _v(k["grouping_separator"]) if "grouping_separator" in k else ","
+        c = a[0].col.cast("double")
+        truncated = F.floor(c * (10**scale)) / (10**scale)
+        base = F.format_number(truncated, scale)  # "1,234.56"
+        return F.translate(base, ",.", grp + dec)
+
+    def _arr(v: _Val) -> Column:
+        return v.col.try_cast("array<string>") if v.is_variant else v.col
+
+    def merge(a, k):
+        # shallow merge, right wins (merge.cue; `deep` nested structures
+        # come back as variant values and merge shallowly here)
+        if a[0].is_variant or a[1].is_variant:
+            return _Val(
+                F.map_concat(
+                    a[0].col.try_cast("map<string,variant>"),
+                    a[1].col.try_cast("map<string,variant>"),
+                ),
+                elem_variant=True,
+            )
+        return objects.merge_maps(a[0].col, a[1].col)
+
+    def compact(a, k):
+        # drops null, "" and empty collections (compact.cue); a variant
+        # input may be array OR object — filter each form and re-variant
+        # through a JSON round-trip so both branches share one type
+        if not a[0].is_variant:
+            return F.filter(a[0].col, lambda x: x.isNotNull())
+        keep = lambda x: x.isNotNull() & ~x.cast("string").isin("", "[]", "{}")  # noqa: E731
+        arr = a[0].col.try_cast("array<variant>")
+        mp = a[0].col.try_cast("map<string,variant>")
+        txt = F.when(arr.isNotNull(), F.to_json(F.filter(arr, keep))).otherwise(
+            F.to_json(F.map_filter(mp, lambda _, x: keep(x)))
+        )
+        # compact is RECURSIVE (compact.cue): strip nullish object entries
+        # at depth via the JSON text (3 passes cover nesting the corpus and
+        # any sane pipeline config uses)
+        nullish = r'(null|""|\[\]|\{\})'
+        for _ in range(3):
+            txt = F.regexp_replace(txt, r',\s*"[^"]+":' + nullish, "")
+            txt = F.regexp_replace(txt, r'"[^"]+":' + nullish + r"\s*,", "")
+            txt = F.regexp_replace(txt, r'"[^"]+":' + nullish, "")
+        return _Val(F.try_parse_json(txt), is_variant=True)
+
+    def parse_regex_vrl(a, k):
+        raw = _v(a[1])
+        anon = re.sub(r"\(\?P<\w+>", "(", raw)
+        names = (
+            _v(k["fields"])
+            if "fields" in k
+            else re.findall(r"\(\?P<(\w+)>", raw)
+        )
+        fields = [
+            F.nullif(F.regexp_extract(a[0].col, anon, i + 1), F.lit("")).alias(n)
+            for i, n in enumerate(names)
+        ]
+        if "numeric_groups" in k and _v(k["numeric_groups"]):
+            fields.append(F.regexp_extract(a[0].col, anon, 0).alias("0"))
+            fields += [
+                F.nullif(
+                    F.regexp_extract(a[0].col, anon, i + 1), F.lit("")
+                ).alias(str(i + 1))
+                for i in range(len(names))
+            ]
+        return F.struct(*fields)
+
+    def parse_regex_all_vrl(a, k):
+        # every match → one object of named (+ optional numeric) groups:
+        # per-group regexp_extract_all arrays zipped into array<struct>
+        raw = _v(a[1])
+        anon = re.sub(r"\(\?P<\w+>", "(", raw)
+        names = re.findall(r"\(\?P<(\w+)>", raw)
+        cols = [
+            F.regexp_extract_all(a[0].col, F.lit(anon), i + 1).alias(n)
+            for i, n in enumerate(names)
+        ]
+        if "numeric_groups" in k and _v(k["numeric_groups"]):
+            cols.append(
+                F.regexp_extract_all(a[0].col, F.lit(anon), 0).alias("0")
+            )
+            cols += [
+                F.regexp_extract_all(a[0].col, F.lit(anon), i + 1).alias(
+                    str(i + 1)
+                )
+                for i in range(len(names))
+            ]
+        return F.arrays_zip(*cols)
 
     def _affix(fn, a: list[_Val]) -> Column:
         # starts_with/ends_with: dynamic substring allowed; optional
@@ -285,11 +462,12 @@ def _registry():
         raise VrlCompileError("replace count other than 1/-1 unsupported")
 
     def parse_json(a, k):
-        # open-object form → map<string,string>; pass schema for typed
+        # open form → VariantType (dynamic JSON, Spark 4); pass a schema
+        # for a typed struct instead
         if len(a) > 1 or "schema" in k:
             sch = _v(k["schema"]) if "schema" in k else _v(a[1])
             return parse.parse_json(a[0].col, sch)
-        return parse.parse_json_map(a[0].col)
+        return F.try_parse_json(a[0].col.cast("string"))
 
     def ip_cidr(a, k):
         cidr = k["cidr"] if "cidr" in k else a[0]
@@ -297,6 +475,17 @@ def _registry():
         return ip.ip_cidr_contains(_v(cidr), value.col)
 
     def length(a, k):
+        # VRL length works on strings, arrays and objects (length.cue);
+        # for a variant, probe array → object → string at runtime
+        if a[0].is_variant:
+            arr = a[0].col.try_cast("array<variant>")
+            mp = a[0].col.try_cast("map<string,variant>")
+            return (
+                F.when(arr.isNotNull(), F.size(arr))
+                .when(mp.isNotNull(), F.size(mp))
+                .otherwise(F.length(a[0].col.cast("string")))
+                .cast("long")
+            )
         return F.length(a[0].col)
 
     def _precision(a, k):
@@ -316,8 +505,12 @@ def _registry():
         return F.floor(a[0].col, p) if p else F.floor(a[0].col)
 
     def sha2(a, k):
-        var = _v(k["variant"]) if "variant" in k else (_v(a[1]) if len(a) > 1 else 256)
-        return crypto.sha2(a[0].col, int(str(var).lstrip("SHA-")))
+        var = (
+            _v(k["variant"])
+            if "variant" in k
+            else (_v(a[1]) if len(a) > 1 else "SHA-512/256")
+        )
+        return crypto.sha2(a[0].col, var)
 
     def sha3(a, k):
         var = _v(k["variant"]) if "variant" in k else (_v(a[1]) if len(a) > 1 else 512)
@@ -334,7 +527,9 @@ def _registry():
 
     reg: dict[str, object] = {
         # type conversion (remap/functions/to_*.cue)
-        "string": lambda a, k: _render(a[0]),
+        # string! ASSERTS stringness — a known non-string column type is a
+        # compile error, mirroring VRL's checker (remap.toml *_error cases)
+        "string": lambda a, k: _assert_string(a[0]),
         # to_string COERCES: null → "" (to_string.cue null behavior)
         "to_string": lambda a, k: F.coalesce(_render(a[0]), F.lit("")),
         "bool": lambda a, k: a[0].col.cast("boolean"),
@@ -414,21 +609,28 @@ def _registry():
         "parse_key_value": lambda a, k: parse.parse_key_value(a[0].col),
         "parse_query_string": lambda a, k: parse.parse_query_string(a[0].col),
         "parse_url": lambda a, k: parse.parse_url(a[0].col),
-        "parse_common_log": lambda a, k: parse.parse_common_log(a[0].col),
+        "parse_common_log": parse_clf_vrl,
         "parse_apache_log": lambda a, k: parse.parse_apache_log(
             a[0].col, _v(k["format"]) if "format" in k else "common"
         ),
-        "parse_syslog": lambda a, k: parse.parse_syslog(a[0].col),
-        "parse_glog": lambda a, k: parse.parse_glog(a[0].col),
-        "parse_regex_all": lambda a, k: parse.parse_regex_all(a[0].col, _v(a[1])),
+        "parse_syslog": parse_syslog_vrl,
+        "parse_glog": parse_glog_vrl,
+        "parse_tokens": lambda a, k: parse.parse_tokens(a[0].col),
+        "parse_grok": lambda a, k: __import__(
+            "vector_spark.functions.grok", fromlist=["parse_grok"]
+        ).parse_grok(a[0].col, _v(a[1])),
+        "parse_aws_vpc_flow_log": lambda a, k: parse.parse_aws_vpc_flow_log(
+            a[0].col,
+            _v(k["format"]) if "format" in k else (_v(a[1]) if len(a) > 1 else None),
+        ),
+        "format_number": format_number,
+        "parse_regex_all": parse_regex_all_vrl,
         # VRL regexes use Rust (?P<name>…) groups; Java regexp_extract wants
         # anonymous groups — strip the names, field order = group order
-        "parse_regex": lambda a, k: parse.parse_regex(
-            a[0].col,
-            re.sub(r"\(\?P<\w+>", "(", _v(a[1])),
-            _v(k["fields"])
-            if "fields" in k
-            else re.findall(r"\(\?P<(\w+)>", _v(a[1])),
+        "parse_regex": parse_regex_vrl,
+        "parse_aws_alb_log": lambda a, k: parse.parse_aws_alb_log(a[0].col),
+        "parse_aws_cloudwatch_log_subscription_message": lambda a, k: (
+            parse.parse_aws_cloudwatch_log_subscription_message(a[0].col)
         ),
         # ip
         "ip_subnet": lambda a, k: ip.ip_subnet(a[0].col, _v(a[1])),
@@ -441,14 +643,14 @@ def _registry():
         "to_syslog_facility": lambda a, k: syslog.to_syslog_facility(a[0].col),
         "to_syslog_level": lambda a, k: syslog.to_syslog_level(a[0].col),
         "to_syslog_severity": lambda a, k: syslog.to_syslog_severity(a[0].col),
-        # objects / arrays
-        "merge": lambda a, k: objects.merge_maps(a[0].col, a[1].col),
+        # objects / arrays (variant arrays normalize to array<string>)
+        "merge": merge,
         "flatten": lambda a, k: F.flatten(a[0].col),
-        "push": lambda a, k: F.array_append(a[0].col, a[1].col),
-        "append": lambda a, k: F.concat(a[0].col, a[1].col),
+        "push": lambda a, k: F.array_append(_arr(a[0]), a[1].col.cast("string") if a[0].is_variant else a[1].col),
+        "append": lambda a, k: F.concat(_arr(a[0]), _arr(a[1])),
         "includes": lambda a, k: F.array_contains(a[0].col, a[1].col),
         "unique": lambda a, k: F.array_distinct(a[0].col),
-        "compact": lambda a, k: F.filter(a[0].col, lambda x: x.isNotNull()),
+        "compact": compact,
         # misc
         "tag_types_externally": tag_types_externally,
         "now": lambda a, k: F.current_timestamp(),
@@ -503,13 +705,20 @@ class _Compiler:
         self.toks = tokens
         self.i = 0
         self.columns = set(columns) if columns is not None else None
+        self.dtypes = columns if isinstance(columns, dict) else {}
         self.env: dict[str, Column] = {}
         self.root: Column | None = None  # `. = expr` replacement root
-        # path → (is_str, is_ts); seeded from input dtypes when provided
-        self.meta: dict[str, tuple[bool, bool]] = {}
+        self.vars: dict[str, _Val] = {}  # VRL local variables
+        # path → (is_str, is_ts, is_variant); seeded from input dtypes
+        self.meta: dict[str, tuple[bool, bool, bool]] = {}
         if isinstance(columns, dict):
             for name, dt in columns.items():
-                self.meta[name] = (dt == "string", dt.startswith("timestamp"))
+                self.meta[name] = (
+                    dt == "string",
+                    dt.startswith("timestamp"),
+                    dt == "variant",
+                    dt in ("map<string,variant>", "array<variant>"),
+                )
         self.dropped: set[str] = set()
         self.aborts: list[Column] = []
         self.errors: list[Column] = []
@@ -532,26 +741,67 @@ class _Compiler:
             raise VrlCompileError(f"expected {val!r}, got {v!r}")
 
     # -- env: every read resolves through prior assignments (sequential VRL
-    # semantics by substitution)
-    def read(self, path: str) -> Column:
-        if path in self.env:
-            return self.env[path]
-        if path in self.dropped:
-            return F.lit(None)
-        parts = path.split(".")
+    # semantics by substitution). The LONGEST assigned prefix wins so that
+    # `.data = parse_json!(.data); .data.arr` navigates the variant, not
+    # the original string column.
+    def _path_key(self, val: str) -> str:
+        """Consume a (possibly quoted-segment) path starting at the given
+        path token value; returns the internal SEP-joined key."""
+        segs = [s for s in val[1:].split(".") if s]
+        pending = val.endswith(".") or val == "."
+        while pending and self.peek()[0] == "str":
+            segs.append(_unquote(self.next()[1]))
+            pending = False
+            if self.peek()[0] == "path" and not self.peek_nl():
+                nxt = self.next()[1]
+                segs += [s for s in nxt[1:].split(".") if s]
+                pending = nxt.endswith(".")
+        return SEP.join(segs)
+
+    def path_val(self, path: str) -> _Val:
+        parts = path.split(SEP)
+        for cut in range(len(parts), 0, -1):
+            prefix = SEP.join(parts[:cut])
+            if prefix in self.env:
+                v = _Val(self.env[prefix])
+                if prefix in self.meta:
+                    v.is_str, v.is_ts, v.is_variant = self.meta[prefix][:3]
+                    if len(self.meta[prefix]) > 3:
+                        v.elem_variant = self.meta[prefix][3]
+                return self._navigate(v, parts[cut:])
+            if prefix in self.dropped:
+                return _Val(F.lit(None))
         if self.root is not None:
             # after `. = expr`, reads resolve against the new root
-            col = self.root
-            for p in parts:
-                col = col.getItem(p)
-            return col
+            return self._navigate(_Val(self.root), parts)
         if self.columns is not None and parts[0] not in self.columns:
             # missing field reads as null (VRL missing-path semantics)
-            return F.lit(None)
-        col = F.col(parts[0])
-        for p in parts[1:]:
-            col = col.getItem(p)
-        return col
+            return _Val(F.lit(None))
+        root_col = (
+            F.col(f"`{parts[0]}`") if "." in parts[0] else F.col(parts[0])
+        )
+        base = _Val(root_col, dtype=self.dtypes.get(parts[0]))
+        if parts[0] in self.meta:
+            m = self.meta[parts[0]]
+            base.is_str, base.is_ts, base.is_variant = m[:3]
+            if len(m) > 3:
+                base.elem_variant = m[3]
+        return self._navigate(base, parts[1:])
+
+    @staticmethod
+    def _navigate(v: _Val, parts: list[str]) -> _Val:
+        for p in parts:
+            if v.is_variant:
+                v = _Val(
+                    F.try_variant_get(v.col, f"$.{p}", "variant"),
+                    is_variant=True,
+                )
+            else:
+                v = _Val(v.col.getItem(p), is_variant=v.elem_variant)
+        return v
+
+    def read(self, path: str) -> Column:
+        return self.path_val(path).col
 
     # -- program
     def compile(self, guard: Column | None = None) -> None:
@@ -577,8 +827,8 @@ class _Compiler:
             _, p = self.next()
             if not p.startswith("."):
                 raise VrlCompileError("del() takes a path")
+            path = self._path_key(p)
             self.expect(")")
-            path = p[1:]
             if guard is None:
                 self.env.pop(path, None)
                 self.dropped.add(path)
@@ -613,9 +863,18 @@ class _Compiler:
             bad = ~F.coalesce(cond.col, F.lit(False))
             self.errors.append((guard & bad) if guard is not None else bad)
             return
+        if kind == "word" and self.toks[self.i + 1][1] == "=" and (
+            self.i + 2 >= len(self.toks) or self.toks[self.i + 2][1] != "="
+        ):
+            # VRL local variable: `items = [...]` — compile-time binding,
+            # never an event field
+            self.next()
+            self.expect("=")
+            self.vars[val] = self.expr()
+            return
         if kind == "path":
             self.next()
-            if val == ".":
+            if val == "." and self.peek()[1] == "=":
                 # `. = expr` replaces the whole event (remap.rs:591-596)
                 if guard is not None:
                     raise VrlCompileError("guarded root assignment unsupported")
@@ -628,6 +887,7 @@ class _Compiler:
                 self.meta.clear()
                 self.dropped.clear()
                 return
+            key = self._path_key(val)
             err_target = None
             if self.peek()[1] == ",":
                 # `.res, err = expr` — error-capturing assignment. The
@@ -636,16 +896,24 @@ class _Compiler:
                 self.next()
                 ekind, eval_ = self.next()
                 if ekind == "path":
-                    err_target = eval_[1:]
-                elif ekind != "word":
+                    err_target = self._path_key(eval_)
+                elif ekind == "word":
+                    err_target = ""  # local `err` variable — discarded
+                else:
                     raise VrlCompileError("bad error-capture target")
             self.expect("=")
             rhs = self.expr()
-            path = val[1:]
+            path = key
             if err_target is not None:
-                # capturing the error handles it — clear fallibility
-                rhs = _Val(rhs.col, rhs.lit, rhs.has_lit, [])
-                self.env[err_target] = F.lit(None).cast("string")
+                # capturing the error handles it — clear fallibility; a
+                # failed arithmetic expression yields the numeric default
+                # 0.0 (VRL fallible-assignment default-value semantics)
+                col = (
+                    F.coalesce(rhs.col, F.lit(0.0)) if rhs.is_num else rhs.col
+                )
+                rhs = _Val(col, rhs.lit, rhs.has_lit, [])
+                if err_target:
+                    self.env[err_target] = F.lit(None).cast("string")
             for f in rhs.fallible:
                 self.errors.append(
                     (guard & f.isNull()) if guard is not None else f.isNull()
@@ -654,7 +922,12 @@ class _Compiler:
             if guard is not None:
                 new = F.when(guard, new).otherwise(self.read(path))
             self.env[path] = new
-            self.meta[path] = (rhs.is_str, rhs.is_ts)
+            self.meta[path] = (
+                rhs.is_str,
+                rhs.is_ts,
+                rhs.is_variant,
+                rhs.elem_variant,
+            )
             self.dropped.discard(path)
             return
         raise VrlCompileError(f"unexpected token {val!r} at statement start")
@@ -722,6 +995,35 @@ class _Compiler:
                 subj = left if right.is_null_lit else right
                 col = subj.col.isNull() if op == "==" else subj.col.isNotNull()
                 return _Val(col, fallible=left.fallible + right.fallible)
+            # `x == []` means emptiness (a typed engine can't compare to a
+            # void-typed empty literal)
+            if op in ("==", "!="):
+                for a_, b_ in ((left, right), (right, left)):
+                    if b_.has_lit and b_.lit == []:
+                        col = F.size(a_.col) == 0
+                        if op == "!=":
+                            col = ~col
+                        return _Val(col, fallible=left.fallible + right.fallible)
+            # object-literal comparison: a typed engine can't equate a
+            # struct literal with differently-typed fields (void nulls,
+            # map vs struct) — compare canonical JSON renderings instead
+            # (null fields drop from both sides)
+            if op in ("==", "!=") and (left.is_obj or right.is_obj):
+                col = F.to_json(left.col) == F.to_json(right.col)
+                if op == "!=":
+                    col = ~col
+                return _Val(col, fallible=left.fallible + right.fallible)
+            # dynamic JSON: cast the variant side to its comparand's type
+            if left.is_variant or right.is_variant:
+                var, other = (left, right) if left.is_variant else (right, left)
+                t = "string"
+                if other.has_lit:
+                    t = {bool: "boolean", int: "long", float: "double"}.get(
+                        type(other.lit), "string"
+                    )
+                var.col = var.col.try_cast(t)
+                if other.is_variant:
+                    other.col = other.col.try_cast(t)
             col = {
                 "==": left.col == right.col, "!=": left.col != right.col,
                 ">=": left.col >= right.col, "<=": left.col <= right.col,
@@ -740,7 +1042,12 @@ class _Compiler:
                 col = F.concat(c.col.cast("string"), r.col.cast("string"))
             else:
                 col = c.col + r.col if op == "+" else c.col - r.col
-            c = _Val(col, fallible=c.fallible + r.fallible, is_str=stringy)
+            c = _Val(
+                col,
+                fallible=c.fallible + r.fallible,
+                is_str=stringy,
+                is_num=not stringy,
+            )
         return c
 
     def mul(self) -> _Val:
@@ -748,8 +1055,14 @@ class _Compiler:
         while self.peek()[1] in ("*", "/", "%"):
             op = self.next()[1]
             r = self.unary()
-            col = {"*": c.col * r.col, "/": c.col / r.col, "%": c.col % r.col}[op]
-            c = _Val(col, fallible=c.fallible + r.fallible)
+            # VRL arithmetic errors are values (capturable) — never engine
+            # exceptions, so ANSI-safe try_ variants
+            col = {
+                "*": c.col * r.col,
+                "/": F.try_divide(c.col, r.col),
+                "%": F.try_mod(c.col, r.col),
+            }[op]
+            c = _Val(col, fallible=c.fallible + r.fallible, is_num=True)
         return c
 
     def unary(self) -> _Val:
@@ -772,16 +1085,22 @@ class _Compiler:
             if kind == "path" and not self.peek_nl():
                 # .field access on a call result / map — same line only
                 self.next()
-                col = v.col
-                for p in val[1:].split("."):
-                    col = col.getItem(p)
-                v = _Val(col, fallible=v.fallible)
+                segs = self._path_key(val).split(SEP)
+                fallible = v.fallible
+                v = self._navigate(v, [s for s in segs if s])
+                v.fallible = fallible
             elif val == "[":
                 self.next()
                 idx = self.expr()
                 self.expect("]")
+                if v.is_variant:
+                    col = F.try_variant_get(v.col, f"$[{_v(idx)}]", "variant")
+                else:
+                    col = v.col.getItem(_v(idx))
                 v = _Val(
-                    v.col.getItem(_v(idx)), fallible=v.fallible + idx.fallible
+                    col,
+                    fallible=v.fallible + idx.fallible,
+                    is_variant=v.is_variant,
                 )
             else:
                 return v
@@ -813,17 +1132,28 @@ class _Compiler:
                     raise VrlCompileError(f"bad object key {fname!r}")
                 self.expect(":")
                 fields[fname] = self.expr()
+                if self.peek()[1] == ",":
+                    self.next()
             self.expect("}")
             return _Val(
-                F.struct(*[v.col.alias(k) for k, v in fields.items()])
+                F.struct(
+                    *[
+                        # type a bare null as string: it only matters for
+                        # JSON-rendering comparisons, which drop nulls
+                        (
+                            v.col.cast("string")
+                            if v.is_null_lit
+                            else v.col
+                        ).alias(k)
+                        for k, v in fields.items()
+                    ]
+                ),
+                is_obj=True,
             )
         if kind == "path":
-            if val == ".":
+            if val == "." and self.peek()[0] != "str":
                 return _Val(F.lit(None))
-            v = _Val(self.read(val[1:]))
-            if val[1:] in self.meta:
-                v.is_str, v.is_ts = self.meta[val[1:]]
-            return v
+            return self.path_val(self._path_key(val))
         if kind == "str":
             v = _lit(_unquote(val))
             v.is_regex = val.startswith("r'")
@@ -835,6 +1165,8 @@ class _Compiler:
                 return _lit(val == "true")
             if val == "null":
                 return _Val(F.lit(None), is_null_lit=True)
+            if val in self.vars:
+                return self.vars[val]
             if self.peek()[1] == "(":
                 return self.call(val)
             raise VrlCompileError(f"unknown identifier {val!r}")
@@ -858,20 +1190,42 @@ class _Compiler:
                 self.next()
         self.expect(")")
         if fname in _ARG_ORDER:
-            # fill positional slots from named args in declaration order
-            for pname in _ARG_ORDER[fname][len(args):]:
-                if pname not in kwargs:
+            # merge named + positional into declaration order: named args
+            # claim their slots, positionals fill the remaining slots
+            # left-to-right (VRL allows positionals after named)
+            pos = list(args)
+            filled: list[_Val] = []
+            for pname in _ARG_ORDER[fname]:
+                if pname in kwargs:
+                    filled.append(kwargs.pop(pname))
+                elif pos:
+                    filled.append(pos.pop(0))
+                else:
                     break
-                args.append(kwargs.pop(pname))
+            args = filled + pos
         elif "value" in kwargs:  # VRL's universal first-argument name
             args.insert(0, kwargs.pop("value"))
-        col = _lookup(fname)(args, kwargs)
+        res = _lookup(fname)(args, kwargs)
         inherited = [f for a in [*args, *kwargs.values()] for f in a.fallible]
+        if isinstance(res, _Val):  # handler supplied its own type flags
+            col = res.col
+            return _Val(
+                col,
+                fallible=inherited + ([col] if fallible_assert else []),
+                is_str=res.is_str,
+                is_ts=res.is_ts,
+                is_variant=res.is_variant,
+                elem_variant=res.elem_variant,
+            )
+        col = res
         return _Val(
             col,
             fallible=inherited + ([col] if fallible_assert else []),
             is_str=fname in _STR_FUNCS,
             is_ts=fname in _TS_FUNCS,
+            is_variant=fname == "parse_json"
+            and len(args) == 1
+            and "schema" not in kwargs,
         )
 
 
@@ -900,18 +1254,18 @@ def compile_program(
     # Limitation (documented): writing `.a.b` REPLACES column `a` with a
     # struct of exactly the written leaves — merge-into-existing-struct
     # would need the input schema's field list at compile time.
-    flat = {k: v for k, v in c.env.items() if "." not in k}
+    flat = {k: v for k, v in c.env.items() if SEP not in k}
     nested: dict[str, dict[str, Column]] = {}
     for k, v in c.env.items():
-        if "." in k:
-            root, rest = k.split(".", 1)
+        if SEP in k:
+            root, rest = k.split(SEP, 1)
             nested.setdefault(root, {})[rest] = v
 
     def _build_struct(leaves: dict[str, Column]) -> Column:
         direct, sub = {}, {}
         for k, v in leaves.items():
-            if "." in k:
-                r, rest = k.split(".", 1)
+            if SEP in k:
+                r, rest = k.split(SEP, 1)
                 sub.setdefault(r, {})[rest] = v
             else:
                 direct[k] = v
