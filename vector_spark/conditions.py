@@ -42,7 +42,26 @@ def to_column(cond: ConditionLike, df: DataFrame | None = None) -> Column:
     if isinstance(cond, dict):
         kind = cond.get("type", "vrl")
         if kind == "vrl":
-            return compile_condition(cond["source"])
+            # the full VRL expression compiler (local vars, if-expressions,
+            # stdlib calls) — the reference's native condition language
+            from vector_spark.vrl import compile_expression
+
+            return compile_expression(
+                cond["source"],
+                dict(df.dtypes) if df is not None else None,
+            )
+        if kind in ("is_log", "is_metric"):
+            # event-kind checks (conditions/mod.rs): on a typed engine the
+            # kind is a property of the FRAME — metric frames carry the
+            # metric shape columns
+            if df is None:
+                raise ValueError(f"{kind} condition needs a DataFrame")
+            cols = set(df.columns)
+            metricish = {"name", "kind"} <= cols and cols & {
+                "counter", "gauge", "set", "distribution", "histogram",
+                "summary", "value",
+            }
+            return F.lit(bool(metricish) == (kind == "is_metric"))
         if kind == "datadog_search":
             from vector_spark.datadog_search import compile_datadog_search
 

@@ -32,32 +32,47 @@ MERGE_STRATEGIES = (
 ).split()
 
 
-def _agg_for(field: str, strategy: str, order: str) -> Column:
+def _agg_for(field: str, strategy: str, order: str, dtype: str | None = None) -> Column:
     c, o = F.col(field), F.col(order)
     if strategy == "discard":
         return F.min_by(c, o)
     if strategy == "retain":
         return F.max_by(c, o)
+    if strategy == "first_non_null":
+        # the reference inserts a field the first time it is SEEN
+        # (reduce merge_in_event) — order key nulled where the value is
+        # null so min_by skips those rows
+        return F.min_by(c, F.when(c.isNotNull(), o))
     if strategy == "sum":
         return F.sum(c)
     if strategy == "max":
         return F.max(c)
     if strategy == "min":
         return F.min(c)
-    if strategy == "array":
-        return F.transform(
-            F.array_sort(F.collect_list(F.struct(o.alias("o"), c.alias("v")))),
-            lambda s: s["v"],
-        )
-    if strategy in ("concat", "concat_newline", "concat_raw"):
-        sep = {"concat": " ", "concat_newline": "\n", "concat_raw": ""}[strategy]
-        return F.array_join(
+    def _ordered_values() -> Column:
+        # values in event order, absent (null) entries skipped — the
+        # reference only merges fields PRESENT in the incoming event
+        return F.filter(
             F.transform(
-                F.array_sort(F.collect_list(F.struct(o.alias("o"), c.alias("v")))),
+                F.array_sort(
+                    F.collect_list(F.struct(o.alias("o"), c.alias("v")))
+                ),
                 lambda s: s["v"],
             ),
-            sep,
+            lambda x: x.isNotNull(),
         )
+
+    if strategy == "array":
+        return _ordered_values()
+    if strategy in ("concat", "concat_newline", "concat_raw"):
+        if strategy == "concat" and dtype and dtype.startswith("array"):
+            # concat of array-typed fields concatenates the arrays
+            # (merge_strategy.rs concat on Value::Array)
+            return F.flatten(_ordered_values())
+        sep = {"concat": " ", "concat_newline": "\n", "concat_raw": ""}[strategy]
+        vals = _ordered_values()
+        # a field never seen stays absent (null), not ""
+        return F.when(F.size(vals) > 0, F.array_join(vals, sep))
     if strategy == "shortest_array":
         return F.min_by(c, F.size(c))
     if strategy == "longest_array":
@@ -78,6 +93,7 @@ def reduce_events(
     starts_when: ConditionLike | None = None,
     max_events: int | None = None,
     count_col: str | None = "events_count",
+    auto_merge: bool = False,
 ) -> DataFrame:
     """Merge each group into one row; optionally sessionize first.
 
@@ -130,9 +146,36 @@ def reduce_events(
             F.floor((F.row_number().over(w_sub) - 1) / max_events),
         )
         keys = keys + ["session_sub"]
+    dts = dict(df.dtypes)
     aggs = [
-        _agg_for(f, s, order_by).alias(f) for f, s in merge_strategies.items()
+        _agg_for(f, s, order_by, dts.get(f)).alias(f)
+        for f, s in merge_strategies.items()
+        if f in df.columns  # a strategy for an absent field is a no-op
     ]
+    if auto_merge:
+        # reference default strategies (reduce/transform.rs:94-115): fields
+        # without an explicit strategy merge by type — numbers add,
+        # timestamps keep first + emit <field>_end with the last, anything
+        # else keeps the first value SEEN (merge_in_event inserts a missing
+        # field when it first appears)
+        skip = set(keys) | set(merge_strategies) | {order_by, count_col}
+        for f in df.schema.fields:
+            if f.name in skip or f.name.startswith("__") or f.name == "session_sub":
+                continue
+            dt = f.dataType.simpleString()
+            if dt in ("int", "bigint", "double", "float", "smallint", "tinyint"):
+                aggs.append(_agg_for(f.name, "sum", order_by).alias(f.name))
+            elif dt.startswith("timestamp"):
+                aggs.append(
+                    _agg_for(f.name, "first_non_null", order_by).alias(f.name)
+                )
+                aggs.append(
+                    _agg_for(f.name, "retain", order_by).alias(f"{f.name}_end")
+                )
+            else:
+                aggs.append(
+                    _agg_for(f.name, "first_non_null", order_by).alias(f.name)
+                )
     if count_col:
         aggs.append(F.count(F.lit(1)).alias(count_col))
     return df.groupBy(*keys).agg(*aggs)

@@ -439,11 +439,14 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
             )
         }
     if t == "dedupe":
+        # accept both our flat shape and the reference's `fields.match` /
+        # `fields.ignore` TOML tables (dedupe/config defaults)
+        fields = cfg.get("fields", {})
         return {
             "__default": dedupe(
                 df,
-                match=cfg.get("match"),
-                ignore=cfg.get("ignore"),
+                match=cfg.get("match", fields.get("match")),
+                ignore=cfg.get("ignore", fields.get("ignore")),
                 order_by=cfg.get("order_by"),
             )
         }
@@ -451,7 +454,7 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
         return {
             "__default": reduce_events(
                 df,
-                group_by=cfg["group_by"],
+                group_by=cfg.get("group_by", []),
                 merge_strategies=cfg.get("merge_strategies", {}),
                 order_by=cfg["order_by"],
                 expire_after_secs=cfg.get("expire_after_secs"),
@@ -459,6 +462,7 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
                 ends_when=cfg.get("ends_when"),
                 starts_when=cfg.get("starts_when"),
                 max_events=cfg.get("max_events"),
+                auto_merge=cfg.get("auto_merge", False),
             )
         }
     if t == "aggregate":

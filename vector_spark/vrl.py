@@ -1165,11 +1165,44 @@ class _Compiler:
                 return _lit(val == "true")
             if val == "null":
                 return _Val(F.lit(None), is_null_lit=True)
+            if val == "if":
+                # if-EXPRESSION: `if c { a } else { b }` → when/otherwise
+                cond = self.expr()
+                self.expect("{")
+                then = self.expr()
+                self.expect("}")
+                otherwise = None
+                if self.peek()[1] == "else":
+                    self.next()
+                    if self.peek()[1] == "if":
+                        self.next()
+                        otherwise = self.primary_if()
+                    else:
+                        self.expect("{")
+                        otherwise = self.expr()
+                        self.expect("}")
+                col = F.when(cond.col, then.col)
+                if otherwise is not None:
+                    col = col.otherwise(otherwise.col)
+                return _Val(
+                    col,
+                    fallible=cond.fallible
+                    + then.fallible
+                    + (otherwise.fallible if otherwise else []),
+                    is_str=then.is_str,
+                    is_ts=then.is_ts,
+                    is_variant=then.is_variant,
+                )
             if val in self.vars:
                 return self.vars[val]
             if self.peek()[1] == "(":
                 return self.call(val)
             raise VrlCompileError(f"unknown identifier {val!r}")
+
+    def primary_if(self) -> _Val:
+        # re-enter the if-expression branch after an `else if`
+        self.toks.insert(self.i, ("word", "if", False))
+        return self.primary()
         raise VrlCompileError(f"unexpected token {val!r}")
 
     def call(self, name: str) -> _Val:
@@ -1293,13 +1326,32 @@ def compile_program(
 def compile_expression(
     source: str, columns: set[str] | dict[str, str] | None = None
 ) -> Column:
-    """Compile a single VRL *expression* (e.g. an output condition from the
-    reference's behavior-test corpus) to a Column. Statements are rejected."""
+    """Compile a VRL condition *program* to a Column: optional local
+    variable bindings (``x = …``), then newline-separated expressions with
+    VRL block semantics (the LAST expression is the value). Event mutation
+    is rejected — conditions must not write fields (conditions/mod.rs)."""
     c = _Compiler(_tokenize(source), columns)
+
+    def _at_var_assign() -> bool:
+        return (
+            c.peek()[0] == "word"
+            and c.toks[c.i + 1][1] == "="
+            and c.peek()[1] not in ("if", "true", "false", "null")
+        )
+
+    while _at_var_assign():
+        name = c.next()[1]
+        c.expect("=")
+        c.vars[name] = c.expr()
     v = c.expr()
     # a VRL block evaluates to its LAST expression — newline-separated
     # expressions before it are evaluated and discarded
     while c.peek()[0] != "eof" and c.peek_nl():
+        if _at_var_assign():
+            name = c.next()[1]
+            c.expect("=")
+            c.vars[name] = c.expr()
+            continue
         v = c.expr()
     if c.peek()[0] != "eof":
         raise VrlCompileError(f"trailing tokens: {c.toks[c.i:c.i + 4]}")
