@@ -178,6 +178,29 @@ def test_behavior_corpus(spark, name, transforms, test):
     assert ok, why
 
 
+@pytest.mark.parametrize(
+    "fname", ["simple.toml", "simple.yaml", "simple.yml", "simple.json"]
+)
+def test_formats_corpus(spark, fname):
+    """tests/behavior/formats/*: the same fixture in every config format
+    the reference loader accepts, through load_config + the VRL compiler."""
+    from vector_spark.plans.topology import load_config
+
+    p = Path("/root/reference/tests/behavior/formats") / fname
+    if not p.exists():
+        pytest.skip("reference corpus unavailable")
+    doc = load_config(p)
+    test = doc["tests"][0]
+    tcfg = doc["transforms"][test["input"]["insert_at"]]
+    from vector_spark.vrl import compile_expression, remap_program
+
+    df = spark.createDataFrame([("",)], "message string")
+    out = remap_program(df, tcfg["source"])["primary"]
+    cond = test["outputs"][0]["conditions"][0]["source"]
+    col = compile_expression(cond, dict(out.dtypes))
+    assert out.filter(F.coalesce(col, F.lit(False))).count() == 1
+
+
 def test_behavior_corpus_floor():
     if not _CASES:
         pytest.skip("reference corpus unavailable")
