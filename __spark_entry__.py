@@ -2947,6 +2947,50 @@ def _register_more() -> None:
         topo = compile_config(spark, config)
         return topo.resolve("rt").groupBy("route").agg(F.count(F.lit(1)).alias("n"))
 
+    @_q(
+        "cfg_vrl_source",
+        """
+        SELECT event_id,
+               UPPER(event_type) AS etype,
+               CAST(FLOOR(value * 10) AS BIGINT) AS score,
+               CASE WHEN FLOOR(value * 10) >= 150 THEN 'high'
+                    WHEN FLOOR(value * 10) >= 50 THEN 'mid'
+                    ELSE 'low' END AS tier,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) / 2.0 AS vk
+        FROM events
+        """,
+    )
+    def cfg_vrl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Config-driven remap with the reference's NATIVE `source` key: a
+        VRL program (if/else-if chain, fallible casts, error-capture
+        division, parse_json field access, del) compiled by
+        vector_spark/vrl.py into one JVM projection inside the topology."""
+        from vector_spark.plans import compile_config
+
+        config = {
+            "sources": {"ev": {"type": "parquet", "path": f"{sf_dir}/events.parquet"}},
+            "transforms": {
+                "shape": {
+                    "type": "remap",
+                    "inputs": ["ev"],
+                    "source": """
+                      .etype = upcase(string!(.event_type))
+                      .score = to_int!(floor(.value * 10))
+                      if .score >= 150 { .tier = "high" }
+                      else if .score >= 50 { .tier = "mid" }
+                      else { .tier = "low" }
+                      .vk, err = to_int!(parse_json!(.props).k) / 2
+                      del(.props)
+                    """,
+                }
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["shape"]}},
+        }
+        topo = compile_config(spark, config)
+        return topo.resolve("shape").select(
+            "event_id", "etype", "score", "tier", "vk"
+        )
+
 
 _register_more()
 
