@@ -354,3 +354,34 @@ def test_ddsketch_agg_is_two_level_hash_agg(spark):
     plan = plan_of(ddsketch_agg(df, "v", ["g"]))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_vrl_program_compiles_to_one_projection(spark):
+    """The VRL compiler's scale contract: a whole program (assignments,
+    if/else, fallible casts, variant navigation, del) is ONE JVM
+    projection over the scan — no Python nodes, no shuffle, pruned
+    columns."""
+    from vector_spark.vrl import remap_program
+
+    df = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).cast("double").alias("value"),
+        F.concat(F.lit('{"k": '), (F.col("id") % 97).cast("string"), F.lit("}")).alias("props"),
+        F.lit("error").alias("event_type"),
+        F.lit("unused").alias("extra"),
+    )
+    out = remap_program(
+        df,
+        """
+        .etype = upcase(string!(.event_type))
+        .vk = to_int!(parse_json!(.props).k)
+        if .vk > 50 { .tier = "hot" } else { .tier = "cold" }
+        del(.props)
+        """,
+        drop_on_error=True,
+        reroute_dropped=False,
+    )["primary"].select("event_id", "etype", "vk", "tier")
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure per-row program: zero shuffles
+    assert plan.count("Project") <= 2  # collapsed, not one node per stmt
