@@ -230,3 +230,32 @@ def test_mmdb6_feeds_enrich_ip6_range(mmdb6_path, spark):
     )
     got = {r.id: r.cc for r in enrich_ip6_range(events, dim, "ip").collect()}
     assert got == {1: "DD", 2: "AA", 3: "TOP", 4: None}
+
+
+def test_reader_on_real_maxmind_test_fixtures():
+    """The PUBLIC MaxMind test databases the reference vendors for its own
+    validation (tests/data/*.mmdb) parse with documented contents:
+    1.0.0.x → AS1221 Telstra in GeoLite2-ASN-Test, 2.125.160.216/29 →
+    Boxford/GB in GeoIP2-City-Test."""
+    import pytest as _pytest
+
+    from pathlib import Path
+
+    base = Path("/root/reference/tests/data")
+    if not (base / "GeoLite2-ASN-Test.mmdb").exists():
+        _pytest.skip("reference fixtures unavailable")
+
+    asn = list(mmdb_to_rows(str(base / "GeoLite2-ASN-Test.mmdb")))
+    by_org = {
+        r.get("autonomous_system_organization"): r for r in asn
+    }
+    assert "Telstra Pty Ltd" in by_org
+    t = by_org["Telstra Pty Ltd"]
+    assert t["autonomous_system_number"] == 1221
+    # 1.128.0.0 = 25165824 — the documented Telstra test range start
+    assert t["ip_lo"] == 25165824
+
+    city = list(mmdb_to_rows(str(base / "GeoIP2-City-Test.mmdb")))
+    boxford = [r for r in city if r.get("city_names_en") == "Boxford"]
+    assert boxford and boxford[0]["country_iso_code"] == "GB"
+    assert boxford[0]["location_time_zone"] == "Europe/London"
