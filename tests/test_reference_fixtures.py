@@ -1,0 +1,81 @@
+"""Real-world fixture parity: the reference's vendored tests/data files —
+genuine AWS ALB access logs (plain, gzip, zstd) and a UTF-16LE text file —
+through the engine's readers and parsers."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+_DATA = Path("/root/reference/tests/data")
+
+
+def _need(p: Path):
+    if not p.exists():
+        pytest.skip("reference fixtures unavailable")
+
+
+def test_alb_log_fixture_parses(spark):
+    """multipart-zst.log: real ALB lines — parse_aws_alb_log field checks."""
+    p = _DATA / "multipart-zst.log"
+    _need(p)
+    from vector_spark.functions.parse import parse_aws_alb_log
+
+    df = spark.read.text(str(p)).select(
+        parse_aws_alb_log(F.col("value")).alias("p")
+    )
+    rows = df.select("p.*").collect()
+    assert len(rows) >= 3
+    r = rows[0]
+    assert r.type == "http"
+    assert r.elb == "app/jesse-test-balancer/622bd5733e76cea4"
+    assert r.client_host == "45.146.165.157:41496"
+    assert r.target_host is None  # '-' → null
+    assert r.request_processing_time == -1.0
+    assert r.elb_status_code == "503"
+    assert r.received_bytes == 297 and r.sent_bytes == 734
+    assert r.request_method == "GET"
+    assert r.request_url.startswith("http://54.161.48.252:80/")
+    assert r.request_protocol == "HTTP/1.1"
+    assert "Mozilla/5.0" in r.user_agent
+    assert r.target_group_arn.startswith("arn:aws:elasticloadbalancing")
+    assert r.trace_id.startswith("Root=1-")
+    assert r.actions_executed == "forward"
+
+
+def test_alb_log_gzip_fixture(spark):
+    """multipart-gzip.log.gz: Spark's native gzip line reader feeds the
+    same parser — identical rows to the plain fixture."""
+    gz, plain = _DATA / "multipart-gzip.log.gz", _DATA / "multipart-zst.log"
+    _need(gz)
+    from vector_spark.functions.parse import parse_aws_alb_log
+
+    a = (
+        spark.read.text(str(gz))
+        .select(parse_aws_alb_log(F.col("value")).alias("p"))
+        .select("p.timestamp", "p.client_host", "p.elb_status_code")
+        .collect()
+    )
+    b = (
+        spark.read.text(str(plain))
+        .select(parse_aws_alb_log(F.col("value")).alias("p"))
+        .select("p.timestamp", "p.client_host", "p.elb_status_code")
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_utf16le_charset_transcode(spark):
+    """utf-16le.log through read_lines_charset — BOM stripped, readable
+    UTF-8 lines (reference src/encoding_transcode.rs)."""
+    p = _DATA / "utf-16le.log"
+    _need(p)
+    from vector_spark.sources.readers import read_lines_charset
+
+    rows = read_lines_charset(spark, str(p), "utf-16le").collect()
+    assert rows, "no lines decoded"
+    text = rows[0].value
+    assert text.startswith("hello i am a file")
+    assert "﻿" not in text and "\x00" not in text

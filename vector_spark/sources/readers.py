@@ -73,6 +73,45 @@ def read_lines(
     return with_lineage(out, source_id or path) if source_id is not None else out
 
 
+def read_lines_charset(
+    spark: SparkSession,
+    path: str,
+    charset: str,
+    decoder: str = "bytes",
+    source_id: str | None = None,
+) -> DataFrame:
+    """Non-UTF-8 file source: transcode ``charset`` → UTF-8 then newline-
+    frame, the reference's `encoding.charset` file-source option
+    (src/encoding_transcode.rs — BOM stripped, lone surrogates replaced).
+
+    Spark's text reader is UTF-8-only, so the file is read as binary and
+    transcoded in an Arrow-batched iterator — one python decode per FILE
+    (exactly the granularity of the reference's per-reader transcoder),
+    then exploded to lines. Files are the unit of parallelism, as with any
+    legacy-encoding ingest."""
+    if decoder not in DECODERS:
+        raise ValueError(f"unknown decoder {decoder!r}; have {sorted(DECODERS)}")
+    import pandas as pd  # noqa: F401
+
+    bin_df = spark.read.format("binaryFile").load(path)
+
+    def _transcode(batches):
+        for pdf in batches:
+            lines = []
+            for blob in pdf["content"]:
+                text = bytes(blob).decode(charset, errors="replace")
+                if text and text[0] == "﻿":  # BOM
+                    text = text[1:]
+                lines.extend(text.splitlines())
+            import pandas as _pd
+
+            yield _pd.DataFrame({"value": lines})
+
+    df = bin_df.select("content").mapInPandas(_transcode, "value string")
+    out = df.withColumn("decoded", DECODERS[decoder](F.col("value")))
+    return with_lineage(out, source_id or path) if source_id is not None else out
+
+
 # --- demo log generators (≙ demo_logs source) -------------------------------
 
 
