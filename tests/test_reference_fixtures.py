@@ -67,6 +67,33 @@ def test_alb_log_gzip_fixture(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_enrichment_table_csv_fixture(spark):
+    """enrichment.csv through the reference's [enrichment_tables.X] config
+    shape: typed CSV table referenced by name from an enrich transform."""
+    p = _DATA / "enrichment.csv"
+    _need(p)
+    from vector_spark.plans import compile_config
+
+    df = spark.createDataFrame([(1, "e1"), (3, "e3"), (9, "e9")], "id long, ev string")
+    config = {
+        "enrichment_tables": {
+            "test": {
+                "type": "file",
+                "file": {"path": str(p), "encoding": {"type": "csv"}},
+                "schema": {"id": "integer", "tree": "string"},
+            }
+        },
+        "sources": {"in": {"type": "memory"}},
+        "transforms": {
+            "lookup": {"type": "enrich", "inputs": ["in"], "table": "test", "on": ["id"]}
+        },
+        "sinks": {"out": {"type": "blackhole", "inputs": ["lookup"]}},
+    }
+    topo = compile_config(spark, config, overrides={"in": df})
+    got = {r.id: r.tree for r in topo.resolve("lookup").collect()}
+    assert got == {1: "oak", 3: "yew", 9: None}
+
+
 def test_utf16le_charset_transcode(spark):
     """utf-16le.log through read_lines_charset — BOM stripped, readable
     UTF-8 lines (reference src/encoding_transcode.rs)."""

@@ -147,6 +147,47 @@ class Topology:
             )
         raise ValueError(f"unknown source type {t!r}")
 
+    def _enrichment_table(self, name: str) -> DataFrame:
+        """Load a `[enrichment_tables.X]` file table (the reference's
+        src/enrichment_tables/file.rs): CSV with optional header and a
+        `schema` type map coercing columns (integer/float/bool/date/
+        timestamp|fmt)."""
+        tables = self.config.get("enrichment_tables", {})
+        if name not in tables:
+            raise ValueError(f"unknown enrichment table {name!r}")
+        t = tables[name]
+        if t.get("type", "file") != "file":
+            raise ValueError(f"enrichment table type {t.get('type')!r} unsupported")
+        fs = t.get("file", {})
+        enc = fs.get("encoding", {})
+        reader = self.spark.read.option(
+            "header", str(enc.get("include_headers", True)).lower()
+        ).option("delimiter", enc.get("delimiter", ","))
+        dim = reader.csv(fs["path"])
+        for col_name, typ in t.get("schema", {}).items():
+            if typ == "integer":
+                dim = dim.withColumn(col_name, F.col(col_name).cast("long"))
+            elif typ == "float":
+                dim = dim.withColumn(col_name, F.col(col_name).cast("double"))
+            elif typ == "bool":
+                dim = dim.withColumn(col_name, F.col(col_name).cast("boolean"))
+            elif typ == "date":
+                dim = dim.withColumn(col_name, F.col(col_name).cast("date"))
+            elif typ.startswith("timestamp"):
+                fmt = typ.split("|", 1)[1] if "|" in typ else None
+                if fmt:
+                    from vector_spark.vrl import strftime_to_java
+
+                    dim = dim.withColumn(
+                        col_name,
+                        F.to_timestamp(F.col(col_name), strftime_to_java(fmt)),
+                    )
+                else:
+                    dim = dim.withColumn(
+                        col_name, F.col(col_name).cast("timestamp")
+                    )
+        return dim
+
     def _inputs_df(self, inputs: list[str]) -> DataFrame:
         dfs = [self.resolve(i) for i in inputs]
         out = dfs[0]
@@ -191,6 +232,10 @@ class Topology:
             return self._cache[cache_key]  # type: ignore[return-value]
         cfg = self.config["transforms"][name]
         df = self._inputs_df(cfg["inputs"])
+        if cfg.get("type") == "enrich" and "table" in cfg:
+            # reference shape: the transform references a top-level
+            # [enrichment_tables.X] by name
+            cfg = {**cfg, "__dim": self._enrichment_table(cfg["table"])}
         outs = _build_transform(name, cfg, df)
         if self.observe:
             outs = {
@@ -503,8 +548,12 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
             )
         }
     if t == "enrich":
-        dim = df.sparkSession.createDataFrame(cfg["rows"], cfg["schema"]) \
-            if "rows" in cfg else df.sparkSession.read.parquet(cfg["path"])
+        if "__dim" in cfg:  # resolved from [enrichment_tables.X]
+            dim = cfg["__dim"]
+        elif "rows" in cfg:
+            dim = df.sparkSession.createDataFrame(cfg["rows"], cfg["schema"])
+        else:
+            dim = df.sparkSession.read.parquet(cfg["path"])
         return {
             "__default": enrich(
                 df,
