@@ -94,6 +94,43 @@ def test_enrichment_table_csv_fixture(spark):
     assert got == {1: "oak", 3: "yew", 9: None}
 
 
+def test_config_dir_loading():
+    """tests/config-dir fixtures: multi-file merge, duplicate-global
+    rejection, non-config files ignored."""
+    from vector_spark.plans.topology import load_config_dir
+
+    base = Path("/root/reference/tests/config-dir")
+    _need(base / "globals")
+    cfg = load_config_dir(base / "globals")
+    assert cfg["data_dir"] == "/var/lib/vector"
+    assert cfg["sources"]["source0"]["type"] == "demo_logs"
+    assert cfg["sinks"]["sink0"]["inputs"] == ["source0"]
+
+    with pytest.raises(ValueError, match="duplicate config key"):
+        load_config_dir(base / "globals-duplicate")
+
+    cfg2 = load_config_dir(base / "ignore-unknown")  # foo.txt skipped
+    assert "sources" in cfg2 or "sinks" in cfg2 or cfg2
+
+
+def test_namespaced_config_loading():
+    """tests/namespacing fixtures: sources/NAME.toml become components;
+    files in unknown subdirs are ignored."""
+    from vector_spark.plans.topology import load_config_dir
+
+    base = Path("/root/reference/tests/namespacing")
+    _need(base / "success")
+    cfg = load_config_dir(base / "success")
+    assert cfg["sources"]["apache_logs"]["type"] == "file"
+    assert cfg["transforms"]["apache_parser"]
+    assert cfg["transforms"]["apache_sample"]["rate"] == 2
+    assert cfg["sinks"]["es_cluster"]
+    assert any(t.get("name") == "foo" for t in cfg["tests"])
+
+    cfg2 = load_config_dir(base / "ignore-invalid")
+    assert "this" not in cfg2  # foo/bar.toml ignored
+
+
 def test_utf16le_charset_transcode(spark):
     """utf-16le.log through read_lines_charset — BOM stripped, readable
     UTF-8 lines (reference src/encoding_transcode.rs)."""

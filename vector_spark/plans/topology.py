@@ -72,6 +72,58 @@ def load_config(path_or_dict) -> dict:
     raise ValueError(f"unsupported config format: {p.suffix}")
 
 
+_CONFIG_EXTS = (".toml", ".yaml", ".yml", ".json")
+_NAMESPACED_SECTIONS = ("sources", "transforms", "sinks", "enrichment_tables")
+
+
+def load_config_dir(path) -> dict:
+    """Directory config loading (reference src/config/loading):
+
+    - every config file at the top level merges into one config; a key
+      defined in two files is an error (tests/config-dir/globals-duplicate)
+    - non-config files are ignored (tests/config-dir/ignore-unknown)
+    - namespaced subdirs ``sources/ transforms/ sinks/ enrichment_tables/``
+      turn each ``NAME.toml`` into the component NAME
+      (tests/namespacing/success); ``tests/`` files each hold one unit
+      test; unknown subdirs are ignored (tests/namespacing/ignore-invalid)
+    """
+    p = Path(path)
+
+    def merge(dst: dict, src: dict, ctx: list[str]) -> None:
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                merge(dst[k], v, ctx + [k])
+            elif k in dst:
+                raise ValueError(
+                    f"duplicate config key {'.'.join(ctx + [k])!r} across files"
+                )
+            else:
+                dst[k] = v
+
+    merged: dict = {}
+    for f in sorted(p.iterdir()):
+        if f.is_file() and f.suffix in _CONFIG_EXTS:
+            merge(merged, load_config(f), [])
+    for section in _NAMESPACED_SECTIONS:
+        d = p / section
+        if not d.is_dir():
+            continue
+        for f in sorted(d.iterdir()):
+            if f.suffix not in _CONFIG_EXTS:
+                continue
+            name = f.stem
+            dst = merged.setdefault(section, {})
+            if name in dst:
+                raise ValueError(f"duplicate component {section}.{name!r}")
+            dst[name] = load_config(f)
+    tests_dir = p / "tests"
+    if tests_dir.is_dir():
+        for f in sorted(tests_dir.iterdir()):
+            if f.suffix in _CONFIG_EXTS:
+                merged.setdefault("tests", []).append(load_config(f))
+    return merged
+
+
 # --------------------------------------------------------------------------
 # graph validation (≙ compiler.rs + graph.rs typecheck/cycle check)
 # --------------------------------------------------------------------------
