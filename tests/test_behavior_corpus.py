@@ -24,7 +24,13 @@ from vector_spark.conditions import to_column
 from vector_spark.plans import compile_config
 
 _REF = Path("/root/reference/tests/behavior/transforms")
-_FILES = ["dedupe.toml", "filter.toml", "route.toml", "reduce.toml"]
+_FILES = [
+    "dedupe.toml",
+    "filter.toml",
+    "route.toml",
+    "reduce.toml",
+    "task_transform.toml",
+]
 
 SUPPORTED: set[str] = {
     "dedupe:dedupe_field_order",
@@ -48,6 +54,8 @@ SUPPORTED: set[str] = {
     "reduce:reduce_ruby_exception",
     "route:route test 1",
     "route:route test 2",
+    "task_transform:dedupe_into_reduce_with_multiple_inputs",
+    "task_transform:reduce_with_multiple_inputs",
 }
 
 
@@ -67,12 +75,12 @@ _CASES = _load_cases()
 _EPOCH = datetime.datetime(2020, 1, 1)
 
 
-def _input_rows(inputs: list[dict]) -> tuple[str, list[dict]]:
-    insert_at = inputs[0]["insert_at"]
-    assert all(i["insert_at"] == insert_at for i in inputs)
+def _rows_of(indexed: list[tuple[int, dict]]) -> list[dict]:
+    """Rows for one insert point; ``indexed`` carries the GLOBAL arrival
+    index so ordering is preserved across insert points."""
     keys: list[str] = []
     raws = []
-    for i, inp in enumerate(inputs):
+    for i, inp in indexed:
         if inp.get("type") == "metric":
             m = inp["metric"]
             fields = {k: v for k, v in m.items()}
@@ -108,7 +116,7 @@ def _input_rows(inputs: list[dict]) -> tuple[str, list[dict]]:
             for r in rows:
                 if isinstance(r[k], int) and not isinstance(r[k], bool):
                     r[k] = float(r[k])
-    return insert_at, rows
+    return rows
 
 
 def _reachable(transforms: dict, roots: set[str]) -> dict:
@@ -131,27 +139,46 @@ def _reachable(transforms: dict, roots: set[str]) -> dict:
 
 def _run_case(spark, transforms: dict, test: dict) -> tuple[bool, str]:
     inputs = test.get("inputs") or [test["input"]]
-    insert_at, rows = _input_rows(inputs)
     from tests.test_remap_corpus import _to_row
 
-    df = spark.createDataFrame([_to_row(r) for r in rows])
+    # group inputs per insert point, preserving global arrival order
+    groups: dict[str, list[tuple[int, dict]]] = {}
+    for i, inp in enumerate(inputs):
+        groups.setdefault(inp["insert_at"], []).append((i, inp))
+    overrides = {
+        f"__in_{t}": spark.createDataFrame([_to_row(r) for r in _rows_of(g)])
+        for t, g in groups.items()
+    }
 
     transforms = copy.deepcopy(transforms)
-    entry = transforms[insert_at]
-    entry["inputs"] = ["__in"]
-    if entry.get("type") == "reduce":
-        entry.setdefault("order_by", "__order")
-        entry["auto_merge"] = True
-    if entry.get("type") == "dedupe":
-        entry.setdefault("order_by", ["__order"])
-    pruned = _reachable(transforms, {"__in"})
-    pruned[insert_at] = entry
+    # transforms reachable from any insert point stay; each insert target
+    # gets its injected source prepended, other inputs keep only reachable
+    # feeds (the reference injects events INTO the transform)
+    pruned = _reachable(transforms, set(groups))
+    live = set(pruned) | set(groups)
+    for name in set(groups) | set(pruned):
+        cfg = transforms[name]
+        kept = [
+            ref
+            for ref in cfg.get("inputs", [])
+            if ref.split(".", 1)[0] in live
+        ]
+        if name in groups:
+            kept = [f"__in_{name}"] + kept
+        cfg["inputs"] = kept
+        if cfg.get("type") == "reduce":
+            cfg.setdefault("order_by", "__order")
+            cfg["auto_merge"] = True
+        if cfg.get("type") == "dedupe":
+            cfg.setdefault("order_by", ["__order"])
+        pruned[name] = cfg
+    sink_target = next(iter(groups))
     config = {
-        "sources": {"__in": {"type": "memory"}},
+        "sources": {k: {"type": "memory"} for k in overrides},
         "transforms": pruned,
-        "sinks": {"__out": {"type": "blackhole", "inputs": [insert_at]}},
+        "sinks": {"__out": {"type": "blackhole", "inputs": [sink_target]}},
     }
-    topo = compile_config(spark, config, overrides={"__in": df})
+    topo = compile_config(spark, config, overrides=overrides)
 
     for out_spec in test.get("outputs", []):
         ref = out_spec["extract_from"]
@@ -205,4 +232,4 @@ def test_behavior_corpus_floor():
     if not _CASES:
         pytest.skip("reference corpus unavailable")
     names = {c[0] for c in _CASES}
-    assert len(SUPPORTED & names) >= 21
+    assert len(SUPPORTED & names) >= 23

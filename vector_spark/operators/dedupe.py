@@ -41,6 +41,20 @@ def dedupe(
     if match and ignore:
         raise ValueError("match and ignore are mutually exclusive")
     keys = match if match else [c for c in df.columns if c not in set(ignore or [])]
+    # a match field absent from the frame is null on EVERY event — all
+    # events share that cache-key component (dedupe/mod.rs builds the key
+    # from the event's value-or-null), so it simply drops out of the key
+    keys = [k for k in keys if k in df.columns]
+    if not keys:
+        keys_cols = [F.lit(1)]
+        if order_by:
+            w = Window.partitionBy(*keys_cols).orderBy(*order_by)
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        return df.limit(1)
     if order_by:
         w = Window.partitionBy(*keys).orderBy(*order_by)
         return (

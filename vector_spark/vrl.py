@@ -658,6 +658,7 @@ def _registry():
         "get_timezone_name": lambda a, k: F.current_timezone(),
         # assert_eq!(a, b, msg) in condition position is just equality
         "assert_eq": lambda a, k: a[0].col == a[1].col,
+        "assert": lambda a, k: F.coalesce(a[0].col, F.lit(False)),
     }
     return reg
 
@@ -1339,23 +1340,38 @@ def compile_expression(
             and c.peek()[1] not in ("if", "true", "false", "null")
         )
 
-    while _at_var_assign():
-        name = c.next()[1]
-        c.expect("=")
-        c.vars[name] = c.expr()
-    v = c.expr()
-    # a VRL block evaluates to its LAST expression — newline-separated
-    # expressions before it are evaluated and discarded
-    while c.peek()[0] != "eof" and c.peek_nl():
+    def _is_assert() -> bool:
+        return c.peek()[0] == "word" and c.peek()[1].rstrip("!") in (
+            "assert",
+            "assert_eq",
+        )
+
+    constraints: list[Column] = []
+    v: _Val | None = None
+    first = True
+    while c.peek()[0] != "eof" and (first or c.peek_nl()):
+        first = False
         if _at_var_assign():
             name = c.next()[1]
             c.expect("=")
             c.vars[name] = c.expr()
             continue
+        if _is_assert():
+            # assert/assert_eq RAISE on failure — in a condition program
+            # every assertion is a conjunct, whatever the final value
+            constraints.append(c.expr().col)
+            continue
+        # a VRL block evaluates to its LAST expression — earlier
+        # newline-separated expressions are evaluated and discarded
         v = c.expr()
     if c.peek()[0] != "eof":
         raise VrlCompileError(f"trailing tokens: {c.toks[c.i:c.i + 4]}")
-    return v.col
+    out = v.col if v is not None else None
+    for con in constraints:
+        out = con if out is None else (out & con)
+    if out is None:
+        raise VrlCompileError("empty condition program")
+    return out
 
 
 def remap_program(df: DataFrame, source: str, **remap_kwargs) -> dict[str, DataFrame]:
