@@ -277,3 +277,26 @@ def test_rocksdb_state_store_same_results(spark, events_path, tmp_path):
     assert rocks_rows == heap_rows
     mem = str((rocks_prog or {}).get("stateOperators", ""))
     assert "rocksdb" in mem.lower(), "RocksDB provider was not active"
+
+
+def test_stream_vrl_remap_program(spark, events_path, tmp_path):
+    """A compiled VRL program is a pure projection, so it runs UNCHANGED on
+    a streaming frame — the reference's remap-in-a-stream topology with no
+    extra machinery (vrl.py scale contract)."""
+    from vector_spark.vrl import remap_program
+
+    sdf = _read_stream(spark, events_path)
+    out = remap_program(
+        sdf,
+        """
+        .etype = upcase(string!(.event_type))
+        if .value >= 5.0 { .band = "hi" } else { .band = "lo" }
+        """,
+        drop_on_error=True,
+        reroute_dropped=False,
+    )["primary"]
+    got = _run_to_memory(spark, out, "vrl_stream", tmp_path)
+    rows = got.collect()
+    assert len(rows) == 100
+    assert {r.etype for r in rows} == {"T0", "T1", "T2", "T3"}
+    assert all((r.band == "hi") == (r.value >= 5.0) for r in rows)
