@@ -33,6 +33,7 @@ SUPPORTED = {
     "remap_abort_drop_on_abort",
     "remap_arithmetic",
     "remap_arithmetic_error",
+    "remap_array",
     "remap_bang_function",
     "remap_boolean_arithmetic",
     "remap_coercion",
@@ -55,6 +56,7 @@ SUPPORTED = {
     "remap_function_encode_json",
     "remap_function_ends_with",
     "remap_function_exists",
+    "remap_function_flatten",
     "remap_function_floor",
     "remap_function_format_number",
     "remap_function_format_timestamp",
@@ -98,6 +100,7 @@ SUPPORTED = {
     "remap_function_split_string",
     "remap_function_starts_with",
     "remap_function_strip_whitespace",
+    "remap_function_tag_types_externally",
     "remap_function_to_syslog_facility",
     "remap_function_to_unix_timestamp",
     "remap_function_truncate",
@@ -256,4 +259,4 @@ def test_corpus_support_floor():
     if not _CASES:
         pytest.skip("reference corpus unavailable")
     names = {c[0] for c in _CASES}
-    assert len(SUPPORTED & names) >= 82
+    assert len(SUPPORTED & names) >= 85

@@ -312,6 +312,43 @@ def _registry():
     def _arr(v: _Val) -> Column:
         return v.col.try_cast("array<string>") if v.is_variant else v.col
 
+    def flatten_fn(a, k):
+        # flatten (flatten.cue): arrays flatten recursively; objects get
+        # one level of dotted keys. Variants re-unify through a JSON
+        # round-trip — arrays by bracket-stripping the rendering (full
+        # depth), objects by an entries recomposition (one level)
+        v = a[0]
+        if not v.is_variant:
+            return F.flatten(v.col)
+        arr = v.col.try_cast("array<variant>")
+        mp = v.col.try_cast("map<string,variant>")
+        arr_txt = F.concat(
+            F.lit("["),
+            F.regexp_replace(
+                F.regexp_replace(F.to_json(arr), r"[\[\]]", ""), r"^,+|,+$", ""
+            ),
+            F.lit("]"),
+        )
+
+        def dot(e):
+            sub = e["value"].try_cast("map<string,variant>")
+            return F.when(
+                sub.isNotNull(),
+                F.transform(
+                    F.map_entries(sub),
+                    lambda i: F.struct(
+                        F.concat(e["key"], F.lit("."), i["key"]).alias("key"),
+                        i["value"].alias("value"),
+                    ),
+                ),
+            ).otherwise(F.array(e))
+
+        map_txt = F.to_json(
+            F.map_from_entries(F.flatten(F.transform(F.map_entries(mp), dot)))
+        )
+        txt = F.when(arr.isNotNull(), arr_txt).otherwise(map_txt)
+        return _Val(F.try_parse_json(txt), is_variant=True)
+
     def merge(a, k):
         # shallow merge, right wins (merge.cue; `deep` nested structures
         # come back as variant values and merge shallowly here)
@@ -521,9 +558,49 @@ def _registry():
         return F.split(a[0].col, _v(a[1]), lim)
 
     def tag_types_externally(a, k):
-        # reference tags scalars for external JSON; column types already
-        # carry this — identity on a typed engine
-        return a[0].col
+        # external-JSON type tagging (tag_types_externally.cue): wrap each
+        # scalar in {"<type>": value}, recursing into objects/arrays. Types
+        # come from the engine's static knowledge (literals and tracked
+        # flags) — a typed engine carries exactly this information.
+        v = a[0]
+
+        def tag(x):
+            if isinstance(x, bool):
+                return {"boolean": x}
+            if isinstance(x, int):
+                return {"integer": x}
+            if isinstance(x, float):
+                return {"float": x}
+            if isinstance(x, str):
+                return {"string": x}
+            if isinstance(x, dict):
+                return {kk: tag(vv) for kk, vv in x.items()}
+            if isinstance(x, list):
+                return [tag(i) for i in x]
+            return None
+
+        def col_of(x):
+            if isinstance(x, dict):
+                return F.struct(*[col_of(vv).alias(kk) for kk, vv in x.items()])
+            if isinstance(x, list):
+                return F.array(*[col_of(i) for i in x])
+            return F.lit(x)
+
+        if v.is_regex and v.has_lit:
+            return _Val(
+                F.struct(F.lit(v.lit).alias("regex")), is_obj=True
+            )
+        if v.is_ts:
+            return _Val(F.struct(v.col.alias("timestamp")), is_obj=True)
+        if v.is_null_lit:
+            return F.lit(None)
+        if v.has_lit:
+            return _Val(col_of(tag(v.lit)), is_obj=True)
+        if v.is_str:
+            return _Val(F.struct(v.col.alias("string")), is_obj=True)
+        raise VrlCompileError(
+            "tag_types_externally needs a statically-typed argument"
+        )
 
     reg: dict[str, object] = {
         # type conversion (remap/functions/to_*.cue)
@@ -645,7 +722,7 @@ def _registry():
         "to_syslog_severity": lambda a, k: syslog.to_syslog_severity(a[0].col),
         # objects / arrays (variant arrays normalize to array<string>)
         "merge": merge,
-        "flatten": lambda a, k: F.flatten(a[0].col),
+        "flatten": flatten_fn,
         "push": lambda a, k: F.array_append(_arr(a[0]), a[1].col.cast("string") if a[0].is_variant else a[1].col),
         "append": lambda a, k: F.concat(_arr(a[0]), _arr(a[1])),
         "includes": lambda a, k: F.array_contains(a[0].col, a[1].col),
@@ -710,6 +787,7 @@ class _Compiler:
         self.env: dict[str, Column] = {}
         self.root: Column | None = None  # `. = expr` replacement root
         self.vars: dict[str, _Val] = {}  # VRL local variables
+        self.indexed: dict[str, dict[int, object]] = {}  # `.a[i]` writes
         # path → (is_str, is_ts, is_variant); seeded from input dtypes
         self.meta: dict[str, tuple[bool, bool, bool]] = {}
         if isinstance(columns, dict):
@@ -793,8 +871,10 @@ class _Compiler:
     def _navigate(v: _Val, parts: list[str]) -> _Val:
         for p in parts:
             if v.is_variant:
+                # bracket form survives keys containing dots
+                path = f"$.{p}" if re.fullmatch(r"\w+", p) else f"$['{p}']"
                 v = _Val(
-                    F.try_variant_get(v.col, f"$.{p}", "variant"),
+                    F.try_variant_get(v.col, path, "variant"),
                     is_variant=True,
                 )
             else:
@@ -889,6 +969,30 @@ class _Compiler:
                 self.dropped.clear()
                 return
             key = self._path_key(val)
+            if self.peek()[1] == "[":
+                # `.a[i] = literal` — indexed writes accumulate into a
+                # heterogeneous (variant) array, like VRL's dynamic arrays
+                self.next()
+                idx = self.expr()
+                self.expect("]")
+                self.expect("=")
+                rhs = self.expr()
+                if not (rhs.has_lit or rhs.is_null_lit) or not idx.has_lit:
+                    raise VrlCompileError(
+                        "indexed assignment needs literal index and value"
+                    )
+                if guard is not None:
+                    raise VrlCompileError("guarded indexed assignment unsupported")
+                arr = self.indexed.setdefault(key, {})
+                arr[int(idx.lit)] = None if rhs.is_null_lit else rhs.lit
+                import json as _json
+
+                vals = [
+                    arr.get(i) for i in range(max(arr) + 1)
+                ]
+                self.env[key] = F.try_parse_json(F.lit(_json.dumps(vals)))
+                self.meta[key] = (False, False, True, False)
+                return
             err_target = None
             if self.peek()[1] == ",":
                 # `.res, err = expr` — error-capturing assignment. The
@@ -1119,8 +1223,37 @@ class _Compiler:
                 if self.peek()[1] == ",":
                     self.next()
             self.expect("]")
-            if all(i.has_lit for i in items):
-                return _lit([i.lit for i in items])
+            if all(i.has_lit or i.is_null_lit for i in items):
+                vals = [None if i.is_null_lit else i.lit for i in items]
+                if any(isinstance(x, dict) for x in vals):
+                    # object elements: build structurally (F.lit can't
+                    # take dicts), compare via JSON rendering
+                    def col_of(x):
+                        if isinstance(x, dict):
+                            return F.struct(
+                                *[col_of(v2).alias(k2) for k2, v2 in x.items()]
+                            )
+                        if isinstance(x, list):
+                            return F.array(*[col_of(i2) for i2 in x])
+                        return F.lit(x)
+
+                    return _Val(
+                        col_of(vals), vals, has_lit=True, is_obj=True
+                    )
+                kinds = {type(x) for x in vals if x is not None}
+                if len(kinds) > 1 or any(x is None for x in vals):
+                    # heterogeneous / null-holed array literal → variant,
+                    # compared via JSON rendering
+                    import json as _json
+
+                    return _Val(
+                        F.try_parse_json(F.lit(_json.dumps(vals))),
+                        vals,
+                        has_lit=True,
+                        is_obj=True,
+                        is_variant=True,
+                    )
+                return _lit(vals)
             return _Val(F.array(*[i.col for i in items]))
         if val == "{":
             # object literal → struct (VRL objects are our typed structs)
@@ -1136,7 +1269,7 @@ class _Compiler:
                 if self.peek()[1] == ",":
                     self.next()
             self.expect("}")
-            return _Val(
+            out = _Val(
                 F.struct(
                     *[
                         # type a bare null as string: it only matters for
@@ -1151,6 +1284,13 @@ class _Compiler:
                 ),
                 is_obj=True,
             )
+            if all(v.has_lit or v.is_null_lit for v in fields.values()):
+                out.lit = {
+                    k: (None if v.is_null_lit else v.lit)
+                    for k, v in fields.items()
+                }
+                out.has_lit = True
+            return out
         if kind == "path":
             if val == "." and self.peek()[0] != "str":
                 return _Val(F.lit(None))
