@@ -94,6 +94,23 @@ def test_enrichment_table_csv_fixture(spark):
     assert got == {1: "oak", 3: "yew", 9: None}
 
 
+def test_reference_example_configs_validate(spark):
+    """config/examples/*.yaml from the reference pass structural
+    validation (types known, inputs resolve, acyclic) through
+    compile_config — the `vector validate` parity surface."""
+    from vector_spark.plans import compile_config
+    from vector_spark.plans.topology import load_config
+
+    base = Path("/root/reference/config/examples")
+    _need(base)
+    checked = 0
+    for f in sorted(base.glob("*.yaml")):
+        cfg = load_config(f)
+        compile_config(spark, cfg)  # raises on structural problems
+        checked += 1
+    assert checked >= 5
+
+
 def test_config_dir_loading():
     """tests/config-dir fixtures: multi-file merge, duplicate-global
     rejection, non-config files ignored."""

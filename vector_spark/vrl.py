@@ -732,6 +732,11 @@ def _registry():
         "tag_types_externally": tag_types_externally,
         "now": lambda a, k: F.current_timestamp(),
         "get_hostname": lambda a, k: F.lit(__import__("socket").gethostname()),
+        # env vars resolve on the driver at plan time, like the reference's
+        # config-load-time interpolation (get_env_var.cue)
+        "get_env_var": lambda a, k: F.lit(
+            __import__("os").environ.get(_v(a[0]))
+        ),
         "get_timezone_name": lambda a, k: F.current_timezone(),
         # assert_eq!(a, b, msg) in condition position is just equality
         "assert_eq": lambda a, k: a[0].col == a[1].col,
