@@ -160,3 +160,22 @@ def test_utf16le_charset_transcode(spark):
     text = rows[0].value
     assert text.startswith("hello i am a file")
     assert "﻿" not in text and "\x00" not in text
+
+
+def test_env_var_interpolation():
+    """Config env-var interpolation — the exact src/config/vars.rs grammar:
+    $VAR, ${VAR}, ${VAR-d}, ${VAR:-d}, ${VAR?e}, ${VAR:?e}, $$ escape."""
+    from vector_spark.plans.topology import interpolate_vars
+
+    env = {"HOST": "web1", "EMPTY": ""}
+    assert interpolate_vars("h=$HOST", env) == "h=web1"
+    assert interpolate_vars("h=${HOST}", env) == "h=web1"
+    assert interpolate_vars("x=${MISSING-dflt}", env) == "x=dflt"
+    assert interpolate_vars("x=${EMPTY-dflt}", env) == "x="
+    assert interpolate_vars("x=${EMPTY:-dflt}", env) == "x=dflt"
+    assert interpolate_vars("cost=$$5", env) == "cost=$5"
+    with pytest.raises(ValueError, match="missing env var"):
+        interpolate_vars("x=$NOPE", env)
+    with pytest.raises(ValueError, match="required"):
+        interpolate_vars("x=${NOPE:?must be set}", env)
+    assert interpolate_vars("x=${NOPE?e}", {"NOPE": ""}) == "x="

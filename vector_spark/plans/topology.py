@@ -54,11 +54,63 @@ RESERVED_PORTS = {"_unmatched", "_default", "dropped"}
 # --------------------------------------------------------------------------
 
 
+_VAR_RE = None
+
+
+def interpolate_vars(text: str, env: dict[str, str] | None = None) -> str:
+    """Environment-variable interpolation at config-load time — exact
+    reference semantics (src/config/vars.rs): ``$VAR``, ``${VAR}``,
+    ``${VAR-default}`` (default on unset), ``${VAR:-default}`` (default on
+    unset-or-empty), ``${VAR?err}`` / ``${VAR:?err}`` (required), ``$$``
+    escapes a literal ``$``. Raises ValueError listing every miss."""
+    import os
+    import re as _re
+
+    global _VAR_RE
+    if _VAR_RE is None:
+        _VAR_RE = _re.compile(
+            r"\$\$|\$([\w.]+)|\$\{([\w.]+)(?:(:?-|:?\?)([^}]*))?\}"
+        )
+    env = os.environ if env is None else env
+    errors: list[str] = []
+
+    def sub(m: "_re.Match[str]") -> str:
+        name = m.group(1) or m.group(2)
+        if name is None:
+            return "$"  # the $$ escape
+        flags = m.group(3) or ""
+        arg = m.group(4) or ""
+        val = env.get(name)
+        if flags == ":-":
+            return val if val else arg
+        if flags == "-":
+            return val if val is not None else arg
+        if flags == ":?":
+            if val:
+                return val
+            errors.append(f"non-empty env var required: {name} ({arg})")
+            return ""
+        if flags == "?":
+            if val is not None:
+                return val
+            errors.append(f"env var required: {name} ({arg})")
+            return ""
+        if val is None:
+            errors.append(f"missing env var in config: {name}")
+            return ""
+        return val
+
+    out = _VAR_RE.sub(sub, text)
+    if errors:
+        raise ValueError("; ".join(errors))
+    return out
+
+
 def load_config(path_or_dict) -> dict:
     if isinstance(path_or_dict, dict):
         return path_or_dict
     p = Path(path_or_dict)
-    text = p.read_text()
+    text = interpolate_vars(p.read_text())
     if p.suffix == ".toml":
         import tomllib
 
