@@ -170,6 +170,27 @@ def test_json_field_access(spark):
     assert out.user == "bob" and out.n == 7
 
 
+def test_is_type_family(spark):
+    # is_*.cue family over dynamic JSON (variant) and typed columns
+    df = _one(spark, j='{"s":"x","i":7,"f":1.5,"b":true,"a":[1],"o":{"k":1}}')
+    src = """
+      .v = parse_json!(.j)
+      .s_ok = is_string(.v.s)
+      .i_ok = is_integer(.v.i)
+      .f_ok = is_float(.v.f)
+      .b_ok = is_boolean(.v.b)
+      .a_ok = is_array(.v.a)
+      .o_ok = is_object(.v.o)
+      .wrong = is_string(.v.i)
+      .col_str = is_string(.j)
+      .ts_ok = is_timestamp(now())
+    """
+    r = remap_program(df, src)["primary"].collect()[0]
+    assert r.s_ok and r.i_ok and r.f_ok and r.b_ok and r.a_ok and r.o_ok
+    assert not r.wrong
+    assert r.col_str and r.ts_ok
+
+
 def test_unknown_function_is_loud():
     with pytest.raises(VrlCompileError, match="not in the compiler registry"):
         compile_program(".x = frobnicate(.y)")

@@ -312,6 +312,30 @@ def _registry():
     def _arr(v: _Val) -> Column:
         return v.col.try_cast("array<string>") if v.is_variant else v.col
 
+    def _is_type(v: _Val, variant_prefix: str, dtypes: tuple[str, ...]) -> Column:
+        if v.is_variant:
+            pat = "^(" + variant_prefix + ")"
+            return F.coalesce(
+                F.schema_of_variant(v.col).rlike(pat), F.lit(False)
+            )
+        if v.is_ts:
+            return F.lit("timestamp" in dtypes)
+        if v.is_str:
+            return F.lit("string" in dtypes) & v.col.isNotNull()
+        if v.dtype is not None:
+            base = v.dtype.split("<")[0]
+            return F.lit(base in dtypes) & v.col.isNotNull()
+        if v.has_lit:
+            t = {bool: "boolean", int: "bigint", float: "double", str: "string"}.get(
+                type(v.lit)
+            )
+            return F.lit(t in dtypes)
+        # unknown static type: conservative false is worse than a null
+        # check — report based on non-nullness only when types match later
+        raise VrlCompileError(
+            "is_* type check needs a statically-typed or variant argument"
+        )
+
     def flatten_fn(a, k):
         # flatten (flatten.cue): arrays flatten recursively; objects get
         # one level of dotted keys. Variants re-unify through a JSON
@@ -655,6 +679,30 @@ def _registry():
         "is_null": lambda a, k: a[0].col.isNull(),
         "is_nullish": is_nullish,
         "is_empty": lambda a, k: F.length(a[0].col) == 0,
+        # type checks (is_*.cue family): variants answer from
+        # schema_of_variant, typed columns from static knowledge
+        "is_string": lambda a, k: _is_type(a[0], "STRING", ("string",)),
+        "is_integer": lambda a, k: _is_type(
+            a[0], "BIGINT", ("tinyint", "smallint", "int", "bigint")
+        ),
+        "is_float": lambda a, k: _is_type(
+            a[0], "DOUBLE|FLOAT|DECIMAL", ("float", "double")
+        ),
+        "is_boolean": lambda a, k: _is_type(a[0], "BOOLEAN", ("boolean",)),
+        "is_array": lambda a, k: _is_type(a[0], "ARRAY", ("array",)),
+        "is_object": lambda a, k: _is_type(
+            a[0], "OBJECT", ("map", "struct")
+        ),
+        "is_timestamp": lambda a, k: _is_type(
+            a[0], "TIMESTAMP", ("timestamp",)
+        ),
+        # type assertions over dynamic JSON
+        "object": lambda a, k: (
+            _Val(a[0].col.try_cast("map<string,variant>"), elem_variant=True)
+            if a[0].is_variant
+            else a[0].col
+        ),
+        "array": lambda a, k: _arr(a[0]),
         # crypto / encode (remap/functions/{md5,sha1,…}.cue)
         "md5": lambda a, k: crypto.md5(a[0].col),
         "sha1": lambda a, k: crypto.sha1(a[0].col),
