@@ -191,6 +191,21 @@ def test_is_type_family(spark):
     assert r.col_str and r.ts_ok
 
 
+def test_match_datadog_query(spark):
+    # the LAST of the 180 documented VRL functions: the datadog-search
+    # predicate language callable from VRL (match_datadog_query.cue)
+    df = spark.createDataFrame(
+        [("web prod error",), ("db dev ok",)], "message string"
+    )
+    out = remap_program(df, '.hit = match_datadog_query(., "error")')[
+        "primary"
+    ].collect()
+    assert {(r.message, r.hit) for r in out} == {
+        ("web prod error", True),
+        ("db dev ok", False),
+    }
+
+
 def test_unknown_function_is_loud():
     with pytest.raises(VrlCompileError, match="not in the compiler registry"):
         compile_program(".x = frobnicate(.y)")

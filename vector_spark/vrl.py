@@ -786,6 +786,11 @@ def _registry():
             __import__("os").environ.get(_v(a[0]))
         ),
         "get_timezone_name": lambda a, k: F.current_timezone(),
+        # match_datadog_query(., "query") — the second predicate language,
+        # compiled by the datadog_search module
+        "match_datadog_query": lambda a, k: __import__(
+            "vector_spark.datadog_search", fromlist=["compile_datadog_search"]
+        ).compile_datadog_search(_v(a[1] if len(a) > 1 else a[0])),
         # assert_eq!(a, b, msg) in condition position is just equality
         "assert_eq": lambda a, k: a[0].col == a[1].col,
         "assert": lambda a, k: F.coalesce(a[0].col, F.lit(False)),
