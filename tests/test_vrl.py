@@ -252,3 +252,31 @@ def test_compiled_program_shape():
     assert set(prog.assignments) == {"sev"}
     assert prog.drops == ["level"]
     assert prog.abort_when is not None and prog.error_when is not None
+
+
+def test_vrl_test_file_format(spark):
+    """The `vrl test` fixture format (lib/vector-vrl/tests/tests/*.vrl):
+    `# object:` input event, `# result:` expected output, program body,
+    trailing `.` returns the event. Runs the vendored example verbatim."""
+    import json
+    from pathlib import Path
+
+    p = Path("/root/reference/lib/vector-vrl/tests/tests/example.vrl")
+    if not p.exists():
+        pytest.skip("reference corpus unavailable")
+    text = p.read_text()
+    obj = result = None
+    body_lines = []
+    for line in text.splitlines():
+        if line.startswith("# object:"):
+            obj = json.loads(line.split(":", 1)[1])
+        elif line.startswith("# result:"):
+            result = json.loads(line.split(":", 1)[1])
+        elif not line.startswith("#"):
+            body_lines.append(line)
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(**obj)])
+    out = remap_program(df, "\n".join(body_lines))["primary"].collect()[0]
+    got = out.asDict()
+    assert got == result, got

@@ -120,7 +120,7 @@ def remap(
             applied = applied.withColumn(name, expr)
 
     if error_when is None and abort_when is None:
-        return {PRIMARY: applied}
+        return {PRIMARY: applied.drop(*orig_names.values())}
 
     if not simultaneous:
         # sequential mode: conditions are evaluated AFTER the assignments

@@ -1013,6 +1013,10 @@ class _Compiler:
             return
         if kind == "path":
             self.next()
+            if val == "." and self.peek()[0] == "eof":
+                # trailing `.` — VRL's "return the event" idiom; the event
+                # IS the output here, so it's a no-op
+                return
             if val == "." and self.peek()[1] == "=":
                 # `. = expr` replaces the whole event (remap.rs:591-596)
                 if guard is not None:
