@@ -29,6 +29,7 @@ _REF = Path("/root/reference/tests/behavior/transforms")
 
 # cases verified to pass end-to-end through the vectorized engine
 SUPPORTED = {
+    "canary",
     "remap_abort",
     "remap_abort_drop_on_abort",
     "remap_arithmetic",
@@ -114,12 +115,17 @@ SUPPORTED = {
     "remap_nested",
     "remap_quoted_path",
     "remap_source",
+    "remap_test_metadata",
 }
 
 
 def _load_cases():
     cases = []
-    for toml_file in ("remap.toml", "remap_with_drop.toml"):
+    for toml_file in (
+        "remap.toml",
+        "remap_with_drop.toml",
+        "vrl_test_input.toml",
+    ):
         p = _REF / toml_file
         if not p.exists():
             return []
@@ -173,6 +179,10 @@ def _to_row(v):
 def _input_df(spark, inp: dict):
     if inp.get("type") == "raw":
         return spark.createDataFrame([(inp.get("value", ""),)], "message string")
+    if inp.get("type") == "vrl":
+        # the input EVENT is produced by a VRL program (vrl_test_input.toml)
+        seed = spark.createDataFrame([("",)], "message string")
+        return remap_program(seed, inp["source"])["primary"]
     if inp.get("type") == "metric":
         m = inp["metric"]
         mtype = next(
@@ -259,4 +269,4 @@ def test_corpus_support_floor():
     if not _CASES:
         pytest.skip("reference corpus unavailable")
     names = {c[0] for c in _CASES}
-    assert len(SUPPORTED & names) >= 85
+    assert len(SUPPORTED & names) >= 87

@@ -61,6 +61,7 @@ SEP = "\x1f"
 _TOKEN = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*)
+      | (?P<meta>%[A-Za-z_][A-Za-z0-9_.]*|%(?![A-Za-z_]))
       | (?P<op>\?\?|\|\||&&|==|!=|>=|<=|>|<|[=!(){}\[\],:;+\-*/%])
       | (?P<path>\.[A-Za-z_][A-Za-z0-9_.]*|\.)
       | (?P<str>\"\"\"(?:[^\\]|\\.)*?\"\"\"|"(?:[^"\\]|\\.)*"|r'(?:[^'\\]|\\.)*'|'(?:[^'\\]|\\.)*')
@@ -1011,6 +1012,19 @@ class _Compiler:
             self.expect("=")
             self.vars[val] = self.expr()
             return
+        if kind == "meta":
+            # `%` / `%key = expr` — the event-METADATA namespace
+            # (vrl_test_input.toml, remap.rs metadata targets); stored
+            # under the reserved __metadata column family
+            self.next()
+            self.expect("=")
+            rhs = self.expr()
+            mkey = "__metadata" + (
+                SEP + SEP.join(val[1:].split(".")) if val != "%" else ""
+            )
+            self.env[mkey] = rhs.col
+            self.meta[mkey] = (rhs.is_str, rhs.is_ts, rhs.is_variant, False)
+            return
         if kind == "path":
             self.next()
             if val == "." and self.peek()[0] == "eof":
@@ -1219,7 +1233,10 @@ class _Compiler:
 
     def mul(self) -> _Val:
         c = self.unary()
-        while self.peek()[1] in ("*", "/", "%"):
+        # a line-initial `%` is the metadata root, never modulo
+        while self.peek()[1] in ("*", "/", "%") and not (
+            self.peek()[1] == "%" and self.peek_nl()
+        ):
             op = self.next()[1]
             r = self.unary()
             # VRL arithmetic errors are values (capturable) — never engine
@@ -1353,8 +1370,28 @@ class _Compiler:
                 }
                 out.has_lit = True
             return out
+        if kind == "meta":
+            return self.path_val(
+                "__metadata"
+                + (SEP + SEP.join(val[1:].split(".")) if val != "%" else "")
+            )
         if kind == "path":
             if val == "." and self.peek()[0] != "str":
+                # `.` as a VALUE — the whole event. A one-column `message`
+                # event round-trips the scalar-root convention; otherwise
+                # the event is its struct of (non-internal) columns.
+                if self.columns:
+                    ev_cols = [
+                        c for c in sorted(self.columns)
+                        if not c.startswith("__")
+                    ]
+                    if ev_cols == ["message"]:
+                        return self.path_val("message")
+                    if ev_cols:
+                        return _Val(
+                            F.struct(*[self.read(c) for c in ev_cols]),
+                            is_obj=True,
+                        )
                 return _Val(F.lit(None))
             return self.path_val(self._path_key(val))
         if kind == "str":
@@ -1636,7 +1673,10 @@ def remap_program(df: DataFrame, source: str, **remap_kwargs) -> dict[str, DataF
                 "schema or parse_regex (typed struct) as the root"
             )
         else:  # scalar root becomes {message: value} (remap.rs:591-596)
-            prim = keep.select(prog.root.alias("message"))
+            prim = keep.select(
+                prog.root.alias("message"),
+                *[c.alias(n) for n, c in prog.assignments.items()],
+            )
         outs = {"primary": prim}
         if dropped is not None:
             outs["dropped"] = dropped
