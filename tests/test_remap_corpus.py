@@ -57,10 +57,12 @@ SUPPORTED = {
     "remap_function_encode_json",
     "remap_function_ends_with",
     "remap_function_exists",
+    "remap_function_find_enrichment_table_rows",
     "remap_function_flatten",
     "remap_function_floor",
     "remap_function_format_number",
     "remap_function_format_timestamp",
+    "remap_function_get_enrichment_table_row",
     "remap_function_get_hostname",
     "remap_function_get_timezone_name",
     "remap_function_ip_cidr_contains",
@@ -110,6 +112,7 @@ SUPPORTED = {
     "remap_function_uuid_v4",
     "remap_function_uuid_v7",
     "remap_mapped_scalars",
+    "remap_metadata",
     "remap_metrics",
     "remap_multiline",
     "remap_nested",
@@ -117,6 +120,29 @@ SUPPORTED = {
     "remap_source",
     "remap_test_metadata",
 }
+
+
+def _load_enrichment(doc: dict) -> dict[str, list[dict]]:
+    """Load [enrichment_tables.X] csv files declared by the corpus toml
+    (paths are relative to the reference root)."""
+    import csv
+
+    out: dict[str, list[dict]] = {}
+    for name, cfg in doc.get("enrichment_tables", {}).items():
+        path = Path("/root/reference") / cfg["file"]["path"]
+        if not path.exists():
+            continue
+        with open(path, newline="") as fh:
+            rows = list(csv.DictReader(fh))
+        for col, typ in cfg.get("schema", {}).items():
+            if typ == "integer":
+                for r in rows:
+                    r[col] = int(r[col])
+            elif typ == "float":
+                for r in rows:
+                    r[col] = float(r[col])
+        out[name] = rows
+    return out
 
 
 def _load_cases():
@@ -131,8 +157,9 @@ def _load_cases():
             return []
         doc = tomllib.loads(p.read_text())
         transforms = doc.get("transforms", {})
+        tables = _load_enrichment(doc)
         for t in doc.get("tests", []):
-            cases.append((t["name"], transforms, t))
+            cases.append((t["name"], {"__tables": tables, **transforms}, t))
     return cases
 
 
@@ -216,6 +243,7 @@ def _run_case(spark, transforms: dict, test: dict) -> tuple[bool, str]:
         outs = remap_program(
             df,
             source,
+            enrichment_tables=transforms.get("__tables") or None,
             drop_on_error=tcfg.get("drop_on_error", False),
             drop_on_abort=tcfg.get("drop_on_abort", False),
             reroute_dropped=tcfg.get("reroute_dropped", True),
@@ -269,4 +297,4 @@ def test_corpus_support_floor():
     if not _CASES:
         pytest.skip("reference corpus unavailable")
     names = {c[0] for c in _CASES}
-    assert len(SUPPORTED & names) >= 87
+    assert len(SUPPORTED & names) >= 90

@@ -126,6 +126,7 @@ class _Val:
     elem_variant: bool = False  # a map/array whose VALUES are variants
     dtype: str | None = None  # known Spark dtype (direct column reads)
     is_obj: bool = False  # an object literal (compares via JSON rendering)
+    fields: dict | None = None  # object literal's per-field _Vals
 
 
 def _v(x: _Val) -> object:
@@ -847,6 +848,9 @@ class _Compiler:
         self.root: Column | None = None  # `. = expr` replacement root
         self.vars: dict[str, _Val] = {}  # VRL local variables
         self.indexed: dict[str, dict[int, object]] = {}  # `.a[i]` writes
+        self.secrets: dict[str, _Val] = {}  # set_secret/get_secret state
+        # name → list[dict] rows for get/find_enrichment_table_records
+        self.enrichment_tables: dict[str, list[dict]] = {}
         # path → (is_str, is_ts, is_variant); seeded from input dtypes
         self.meta: dict[str, tuple[bool, bool, bool]] = {}
         if isinstance(columns, dict):
@@ -984,6 +988,15 @@ class _Compiler:
                 _, v2 = self.next()
                 depth += v2 == "("
                 depth -= v2 == ")"
+            return
+        if kind == "word" and val in ("set_secret", "remove_secret") and (
+            self.toks[self.i + 1][1] == "("
+        ):
+            # statement-position secret ops — compile-time sequential
+            # state, the vectorized twin of the reference's metadata
+            # secret store (set_secret.cue / remove_secret.cue)
+            self.next()
+            self.expr_call_discard(val)
             return
         if kind == "word" and val in ("assert", "assert!"):
             # assert!(cond, message: …) — a failing assertion errors the
@@ -1369,6 +1382,7 @@ class _Compiler:
                     for k, v in fields.items()
                 }
                 out.has_lit = True
+            out.fields = fields
             return out
         if kind == "meta":
             return self.path_val(
@@ -1445,6 +1459,59 @@ class _Compiler:
         return self.primary()
         raise VrlCompileError(f"unexpected token {val!r}")
 
+    def _enrichment_lookup(self, fname: str, args: list[_Val]) -> _Val:
+        tname = _v(args[0])
+        cond = args[1]
+        rows = self.enrichment_tables.get(tname)
+        if rows is None:
+            raise VrlCompileError(
+                f"enrichment table {tname!r} not provided to the compiler "
+                "(pass enrichment_tables={name: rows})"
+            )
+        if not cond.fields:
+            raise VrlCompileError(
+                "enrichment condition must be an object literal of "
+                "{field: expr}"
+            )
+        keys = list(cond.fields)
+        fieldnames = list(rows[0]) if rows else []
+        from collections import defaultdict
+
+        groups: dict[str, list[dict]] = defaultdict(list)
+        for r in rows:
+            groups[SEP.join(str(r[k]) for k in keys)].append(r)
+
+        def row_struct(r: dict) -> Column:
+            return F.struct(*[F.lit(r[f]).alias(f) for f in fieldnames])
+
+        pairs: list[Column] = []
+        for gk, grows in groups.items():
+            pairs.append(F.lit(gk))
+            pairs.append(F.array(*[row_struct(r) for r in grows]))
+        table = F.create_map(*pairs)
+        probe = F.concat_ws(
+            SEP, *[cond.fields[k].col.cast("string") for k in keys]
+        )
+        hit = F.element_at(table, probe)
+        if fname == "find_enrichment_table_records":
+            # a miss is the empty list — same-typed empty array derived
+            # from an existing group array
+            return _Val(
+                F.coalesce(hit, F.slice(pairs[1], 1, 0))
+                if pairs
+                else F.lit(None),
+                is_obj=True,
+            )
+        # 0-or-1 contract: a multi-row hit takes the first (the reference
+        # errors; our gate queries pin the strict form in operators/enrich)
+        one = hit.getItem(0)
+        fallible = [one]
+        return _Val(one, fallible=fallible, is_obj=True)
+
+    def expr_call_discard(self, name: str) -> None:
+        """Parse and apply a statement-position call, discarding the value."""
+        self.call(name)
+
     def call(self, name: str) -> _Val:
         fallible_assert = name.endswith("!")
         fname = name.rstrip("!")
@@ -1462,6 +1529,28 @@ class _Compiler:
             if self.peek()[1] == ",":
                 self.next()
         self.expect(")")
+        if fname in (
+            "get_enrichment_table_record",
+            "find_enrichment_table_records",
+        ):
+            # lookup against a BROADCASTABLE enrichment dim, inlined as a
+            # literal-map element_at — pure column math, exactly what a
+            # broadcast hash join lowers to (enrichment/tables.rs contract)
+            return self._enrichment_lookup(fname, args)
+        if fname in ("set_secret", "get_secret", "remove_secret"):
+            key = _v(args[0])
+            if fname == "set_secret":
+                self.secrets[key] = args[1]
+                return _Val(F.lit(None))
+            if fname == "remove_secret":
+                self.secrets.pop(key, None)
+                return _Val(F.lit(None))
+            got = self.secrets.get(key)
+            return (
+                _Val(got.col, is_str=got.is_str)
+                if got is not None
+                else _Val(F.lit(None).cast("string"))
+            )
         if fname in _ARG_ORDER:
             # merge named + positional into declaration order: named args
             # claim their slots, positionals fill the remaining slots
@@ -1503,7 +1592,9 @@ class _Compiler:
 
 
 def compile_program(
-    source: str, columns: set[str] | dict[str, str] | None = None
+    source: str,
+    columns: set[str] | dict[str, str] | None = None,
+    enrichment_tables: dict[str, list[dict]] | None = None,
 ) -> CompiledProgram:
     """Compile VRL source to order-independent assignments + conditions.
 
@@ -1511,6 +1602,8 @@ def compile_program(
     fields resolve to NULL like VRL's missing-path semantics; without it
     every path is assumed to be a real column."""
     c = _Compiler(_tokenize(source), columns)
+    if enrichment_tables:
+        c.enrichment_tables = enrichment_tables
     c.compile()
     if c.peek()[0] != "eof":
         raise VrlCompileError(f"trailing tokens: {c.toks[c.i:c.i + 4]}")
@@ -1613,14 +1706,22 @@ def compile_expression(
     return out
 
 
-def remap_program(df: DataFrame, source: str, **remap_kwargs) -> dict[str, DataFrame]:
+def remap_program(
+    df: DataFrame,
+    source: str,
+    enrichment_tables: dict[str, list[dict]] | None = None,
+    **remap_kwargs,
+) -> dict[str, DataFrame]:
     """Run a VRL program through the remap transform (reference
-    remap.rs:100-118 ``source`` config key)."""
+    remap.rs:100-118 ``source`` config key). ``enrichment_tables`` supplies
+    broadcastable dim rows for get/find_enrichment_table_records."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     from vector_spark.operators.remap import remap
 
-    prog = compile_program(source, columns=dict(df.dtypes))
+    prog = compile_program(
+        source, columns=dict(df.dtypes), enrichment_tables=enrichment_tables
+    )
     if prog.root is not None:
         # event replacement: split first (conditions are closed over the
         # ORIGINAL columns), then expand the new root
