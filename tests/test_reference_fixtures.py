@@ -179,3 +179,34 @@ def test_env_var_interpolation():
     with pytest.raises(ValueError, match="required"):
         interpolate_vars("x=${NOPE:?must be set}", env)
     assert interpolate_vars("x=${NOPE?e}", {"NOPE": ""}) == "x="
+
+
+def test_vrl_enrichment_lookup_in_topology(spark):
+    """A VRL `source` program using get_enrichment_table_record! against a
+    config-declared [enrichment_tables.X] — the full reference shape."""
+    p = _DATA / "enrichment.csv"
+    _need(p)
+    from vector_spark.plans import compile_config
+
+    df = spark.createDataFrame([(1,), (3,)], "id long")
+    config = {
+        "enrichment_tables": {
+            "test": {
+                "type": "file",
+                "file": {"path": str(p), "encoding": {"type": "csv"}},
+                "schema": {"id": "integer"},
+            }
+        },
+        "sources": {"in": {"type": "memory"}},
+        "transforms": {
+            "look": {
+                "type": "remap",
+                "inputs": ["in"],
+                "source": '.row = get_enrichment_table_record!("test", { "id": .id })',
+            }
+        },
+        "sinks": {"out": {"type": "blackhole", "inputs": ["look"]}},
+    }
+    topo = compile_config(spark, config, overrides={"in": df})
+    got = {r.id: r.row.tree for r in topo.resolve("look").collect()}
+    assert got == {1: "oak", 3: "yew"}

@@ -340,6 +340,21 @@ class Topology:
             # reference shape: the transform references a top-level
             # [enrichment_tables.X] by name
             cfg = {**cfg, "__dim": self._enrichment_table(cfg["table"])}
+        if (
+            cfg.get("type") == "remap"
+            and "enrichment_table" in cfg.get("source", "")
+            and self.config.get("enrichment_tables")
+        ):
+            # VRL enrichment lookups need the dim ROWS at compile time —
+            # legitimate only because enrichment tables are broadcastable
+            # by contract (they inline as literal-map lookups)
+            cfg = {
+                **cfg,
+                "__tables": {
+                    n: [r.asDict() for r in self._enrichment_table(n).collect()]
+                    for n in self.config["enrichment_tables"]
+                },
+            }
         outs = _build_transform(name, cfg, df)
         if self.observe:
             outs = {
@@ -519,7 +534,12 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
             # (remap.rs:100-118), compiled by vector_spark.vrl
             from vector_spark.vrl import remap_program
 
-            outs = remap_program(df, cfg["source"], **common)
+            outs = remap_program(
+                df,
+                cfg["source"],
+                enrichment_tables=cfg.get("__tables"),
+                **common,
+            )
         else:
             assignments = {
                 k: F.expr(v) for k, v in cfg.get("assign", {}).items()
