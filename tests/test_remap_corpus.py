@@ -76,6 +76,7 @@ SUPPORTED = {
     "remap_function_md5",
     "remap_function_md5_error",
     "remap_function_merge",
+    "remap_infallible_assignment",
     "remap_function_now",
     "remap_function_parse_aws_alb_log",
     "remap_function_parse_aws_cloudwatch_log_subscription_message",
@@ -84,6 +85,7 @@ SUPPORTED = {
     "remap_function_parse_duration",
     "remap_function_parse_glog",
     "remap_function_parse_grok",
+    "remap_function_parse_key_value",
     "remap_function_parse_regex",
     "remap_function_parse_regex_all",
     "remap_function_parse_syslog",

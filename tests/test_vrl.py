@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from vector_spark.vrl import (
     VrlCompileError,
+    compile_expression,
     compile_program,
     remap_program,
     strftime_to_java,
@@ -280,3 +281,60 @@ def test_vrl_test_file_format(spark):
     out = remap_program(df, "\n".join(body_lines))["primary"].collect()[0]
     got = out.asDict()
     assert got == result, got
+
+
+def test_serde_json_error_emulator():
+    # pinned against serde_json's de-facto message format (the reference's
+    # parse_json surfaces these verbatim — remap.toml:311-329)
+    from vector_spark.vrl import _serde_json_error as E
+
+    assert E("{ INVALID }") == "key must be a string at line 1 column 3"
+    assert E("") == "EOF while parsing a value at line 1 column 0"
+    assert E("{") == "EOF while parsing an object at line 1 column 1"
+    assert E("[1,") == "EOF while parsing a list at line 1 column 3"
+    assert E("01") == "trailing characters at line 1 column 2"
+    assert E('{"a":1,}') == "trailing comma at line 1 column 8"
+    assert E('"abc') == "EOF while parsing a string at line 1 column 4"
+    assert E("nope") == "expected value at line 1 column 1"
+    for ok in ("true", "null", "-1.5e3", '[1,{"a":null},"s"]', '{ "x": [] }'):
+        assert E(ok) is None, ok
+
+
+def test_error_capture_carries_message(spark):
+    # remap.toml remap_infallible_assignment: `.nope, .err1 = parse_json(…)`
+    # puts the reference's full error text (with the call's byte span) in
+    # the error slot on failure, null on success
+    df = spark.createDataFrame([("",)], "message string")
+    src = '.nope, .err1 = parse_json("{ BAD }")\n.ok, .err2 = parse_json("7")'
+    row = remap_program(df, src)["primary"].collect()[0]
+    assert row.nope is None and row.err2 is None and str(row.ok) == "7"
+    assert row.err1 == (
+        'function call error for "parse_json" at (15:36): '
+        "unable to parse json: key must be a string at line 1 column 3"
+    )
+
+
+def test_parse_key_value_reference_semantics(spark):
+    # parse_key_value.cue: trim, strip quotes, standalone keys, first-win
+    # duplicates, delimiter runs collapse
+    from tests.test_functions import one
+    import vector_spark.functions.parse as P
+
+    m = '  a=1   b="two words" standalone a=9  \n'
+    r = one(spark, P.parse_key_value(F.col("m")), m=m)
+    assert r == {"a": "1", "b": "two words", "standalone": ""}
+
+
+def test_map_root_replacement_event(spark):
+    # remap.toml remap_function_parse_key_value: `. = parse_key_value!(…)`
+    # (dynamic keys) → single-`message`-variant event; compile_expression
+    # paths navigate into it
+    df = spark.createDataFrame([("path=/x status=304",)], "message string")
+    out = remap_program(
+        df, '. = parse_key_value!(.message, key_value_delimiter: "=", field_delimiter: " ")'
+    )["primary"]
+    assert out.columns == ["message"]
+    cond = compile_expression(
+        '.path == "/x" && .status == "304"', dict(out.dtypes)
+    )
+    assert out.filter(F.coalesce(cond, F.lit(False))).count() == 1

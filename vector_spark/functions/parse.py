@@ -37,10 +37,44 @@ def parse_key_value(
 ) -> Column:
     """parse_key_value / parse_logfmt → map<string,string>.
 
-    JVM-side ``str_to_map``; quoted values with embedded separators need the
-    grok path instead.
+    Reference semantics (parse_key_value.cue, remap.toml:1875-1905): split
+    on the field delimiter (runs collapse; double-quoted segments may
+    embed it), trim whitespace, strip one layer of surrounding double
+    quotes, accept standalone keys (value ""), first occurrence wins on
+    duplicate keys. Pure JVM column math.
     """
-    return F.str_to_map(col, F.lit(pair_sep), F.lit(kv_sep))
+    import re as _re
+
+    ps, ks = _re.escape(pair_sep), _re.escape(kv_sep)
+    ws = F.lit(r"^\s+|\s+$")
+
+    def _clean(v: Column) -> Column:
+        v = F.regexp_replace(v, ws, F.lit(""))
+        return F.regexp_replace(v, F.lit('^"(.*)"$'), F.lit("$1"))
+
+    def _entry(t: Column) -> Column:
+        kvp = F.split(t, ks, 2)
+        return F.struct(
+            _clean(F.get(kvp, 0)).alias("key"),
+            _clean(F.coalesce(F.get(kvp, 1), F.lit(""))).alias("value"),
+        )
+
+    # quote-aware tokenizer: a token is a run of non-delimiter chars where
+    # "…" segments may contain the delimiter
+    toks = F.regexp_extract_all(
+        col, F.lit(f'(?:[^{ps}"]|"[^"]*")+'), F.lit(0)
+    )
+    entries = F.filter(
+        F.transform(toks, _entry), lambda e: e.getField("key") != ""
+    )
+    first_win = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, F.lit(1), i),
+            lambda p: p.getField("key") == e.getField("key"),
+        ),
+    )
+    return F.map_from_entries(first_win)
 
 
 parse_logfmt = parse_key_value

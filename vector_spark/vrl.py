@@ -72,10 +72,13 @@ _TOKEN = re.compile(
 )
 
 
-def _tokenize(src: str) -> list[tuple[str, str, bool]]:
-    """Tokens are ``(kind, value, newline_before)`` — VRL statements are
-    newline-terminated, so postfix member access must not cross a newline
-    (``f(.a)\\n.b = …`` is two statements, not ``f(.a).b``)."""
+def _tokenize(src: str) -> list[tuple[str, str, bool, int, int]]:
+    """Tokens are ``(kind, value, newline_before, start, end)`` — VRL
+    statements are newline-terminated, so postfix member access must not
+    cross a newline (``f(.a)\\n.b = …`` is two statements, not ``f(.a).b``).
+    ``start``/``end`` are byte offsets into the source, used to render the
+    reference's ``at (start:end)`` spans in captured error messages
+    (lib/vrl — diagnostic spans are 0-based byte ranges over the program)."""
     out, pos = [], 0
     while pos < len(src):
         m = _TOKEN.match(src, pos)
@@ -87,9 +90,150 @@ def _tokenize(src: str) -> list[tuple[str, str, bool]]:
         pos = m.end()
         kind = m.lastgroup
         if kind != "comment":
-            out.append((kind, m.group(kind), nl))
-    out.append(("eof", "", True))
+            out.append((kind, m.group(kind), nl, m.start(kind), m.end()))
+    out.append(("eof", "", True, len(src), len(src)))
     return out
+
+
+class _BadJson(Exception):
+    def __init__(self, msg: str, j: int, eof: bool = False):
+        super().__init__(msg)
+        self.msg, self.j, self.eof = msg, j, eof
+
+
+def _serde_json_error(s: str) -> str | None:
+    """serde_json-compatible error text for an invalid JSON document, or
+    None when it parses. The reference's ``parse_json`` surfaces serde_json
+    messages verbatim (``unable to parse json: key must be a string at
+    line 1 column 3`` — remap.toml:311-326), so captured-error assignments
+    reproduce the same strings: 1-based line, 1-based byte column of the
+    offending character (EOF errors point one past the consumed input)."""
+    n = len(s)
+
+    def _pos(j: int, eof: bool = False) -> str:
+        line = s.count("\n", 0, j) + 1
+        last = s.rfind("\n", 0, j)
+        col = (j - last - 1) if eof else (j - last)
+        return f"at line {line} column {col}"
+
+    def _ws(i: int) -> int:
+        while i < n and s[i] in " \t\n\r":
+            i += 1
+        return i
+
+    def _string(i: int) -> int:  # i at opening quote
+        i += 1
+        while True:
+            if i >= n:
+                raise _BadJson("EOF while parsing a string", n, eof=True)
+            c = s[i]
+            if c == '"':
+                return i + 1
+            if ord(c) < 0x20:
+                raise _BadJson(
+                    "control character (\\u0000-\\u001F) "
+                    "found while parsing a string",
+                    i,
+                )
+            if c == "\\":
+                if i + 1 >= n:
+                    raise _BadJson("EOF while parsing a string", n, eof=True)
+                e = s[i + 1]
+                if e == "u":
+                    if i + 5 >= n:
+                        raise _BadJson(
+                            "EOF while parsing a string", n, eof=True
+                        )
+                    if not all(
+                        ch in "0123456789abcdefABCDEF" for ch in s[i + 2 : i + 6]
+                    ):
+                        raise _BadJson("invalid escape", i + 2)
+                    i += 6
+                    continue
+                if e not in '"\\/bfnrt':
+                    raise _BadJson("invalid escape", i + 1)
+                i += 2
+                continue
+            i += 1
+
+    def _number(i: int) -> int:
+        m = re.match(r"-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?", s[i:])
+        if not m or not re.match(r"-?\d", s[i : i + 2]):
+            raise _BadJson("invalid number", i + (1 if s[i] == "-" else 0))
+        return i + m.end()
+
+    def _value(i: int) -> int:
+        i = _ws(i)
+        if i >= n:
+            raise _BadJson("EOF while parsing a value", n, eof=True)
+        c = s[i]
+        if c == "{":
+            return _object(i)
+        if c == "[":
+            return _array(i)
+        if c == '"':
+            return _string(i)
+        if c == "-" or c.isdigit():
+            return _number(i)
+        for kw in ("true", "false", "null"):
+            if s.startswith(kw, i):
+                return i + len(kw)
+        raise _BadJson("expected value", i)
+
+    def _object(i: int) -> int:  # i at '{'
+        i = _ws(i + 1)
+        if i >= n:
+            raise _BadJson("EOF while parsing an object", n, eof=True)
+        if s[i] == "}":
+            return i + 1
+        while True:
+            if s[i] != '"':
+                raise _BadJson("key must be a string", i)
+            i = _ws(_string(i))
+            if i >= n:
+                raise _BadJson("EOF while parsing an object", n, eof=True)
+            if s[i] != ":":
+                raise _BadJson("expected `:`", i)
+            i = _ws(_value(i + 1))
+            if i >= n:
+                raise _BadJson("EOF while parsing an object", n, eof=True)
+            if s[i] == "}":
+                return i + 1
+            if s[i] != ",":
+                raise _BadJson("expected `,` or `}`", i)
+            i = _ws(i + 1)
+            if i >= n:
+                raise _BadJson("EOF while parsing an object", n, eof=True)
+            if s[i] == "}":
+                raise _BadJson("trailing comma", i)
+
+    def _array(i: int) -> int:  # i at '['
+        i = _ws(i + 1)
+        if i >= n:
+            raise _BadJson("EOF while parsing a list", n, eof=True)
+        if s[i] == "]":
+            return i + 1
+        while True:
+            i = _ws(_value(i))
+            if i >= n:
+                raise _BadJson("EOF while parsing a list", n, eof=True)
+            if s[i] == "]":
+                return i + 1
+            if s[i] != ",":
+                raise _BadJson("expected `,` or `]`", i)
+            i = _ws(i + 1)
+            if i >= n:
+                raise _BadJson("EOF while parsing a list", n, eof=True)
+            if s[i] == "]":
+                raise _BadJson("trailing comma", i)
+
+    try:
+        i = _ws(_value(0))
+        if i < n:
+            raise _BadJson("trailing characters", i)
+        return None
+    except _BadJson as e:
+        return f"{e.msg} {_pos(e.j, e.eof)}"
 
 
 def _unquote(tok: str) -> str:
@@ -123,6 +267,8 @@ class _Val:
     is_ts: bool = False  # statically known to be a timestamp
     is_variant: bool = False  # dynamic JSON (Spark VariantType)
     is_num: bool = False  # came out of arithmetic (error default = 0.0)
+    err_msg: Column | None = None  # reference-style error text for a
+    # statically-known failure, surfaced by `.x, .err = f(…)` capture
     elem_variant: bool = False  # a map/array whose VALUES are variants
     dtype: str | None = None  # known Spark dtype (direct column reads)
     is_obj: bool = False  # an object literal (compares via JSON rendering)
@@ -917,6 +1063,13 @@ class _Compiler:
             # after `. = expr`, reads resolve against the new root
             return self._navigate(_Val(self.root), parts)
         if self.columns is not None and parts[0] not in self.columns:
+            ev = [c for c in self.columns if not c.startswith("__")]
+            if ev == ["message"] and self.dtypes.get("message") == "variant":
+                # single-`message`-variant event (a dynamic `. = <map>` /
+                # `. = parse_json(…)` root) — paths navigate the variant
+                return self._navigate(
+                    _Val(F.col("message"), is_variant=True), parts
+                )
             # missing field reads as null (VRL missing-path semantics)
             return _Val(F.lit(None))
         root_col = (
@@ -1085,8 +1238,8 @@ class _Compiler:
             err_target = None
             if self.peek()[1] == ",":
                 # `.res, err = expr` — error-capturing assignment. The
-                # error slot gets null on success; this engine's vectorized
-                # model has no error *message*, so it is always null here.
+                # error slot gets null on success and the reference's
+                # message text when the failure is statically computable.
                 self.next()
                 ekind, eval_ = self.next()
                 if ekind == "path":
@@ -1105,9 +1258,16 @@ class _Compiler:
                 col = (
                     F.coalesce(rhs.col, F.lit(0.0)) if rhs.is_num else rhs.col
                 )
+                emsg = rhs.err_msg
                 rhs = _Val(col, rhs.lit, rhs.has_lit, [])
                 if err_target:
-                    self.env[err_target] = F.lit(None).cast("string")
+                    # the error slot carries the reference's message text
+                    # when the failure is statically known, else null
+                    self.env[err_target] = (
+                        emsg if emsg is not None
+                        else F.lit(None).cast("string")
+                    )
+                    self.meta[err_target] = (True, False, False, False)
             for f in rhs.fallible:
                 self.errors.append(
                     (guard & f.isNull()) if guard is not None else f.isNull()
@@ -1455,7 +1615,8 @@ class _Compiler:
 
     def primary_if(self) -> _Val:
         # re-enter the if-expression branch after an `else if`
-        self.toks.insert(self.i, ("word", "if", False))
+        at = self.toks[self.i][3]
+        self.toks.insert(self.i, ("word", "if", False, at, at))
         return self.primary()
         raise VrlCompileError(f"unexpected token {val!r}")
 
@@ -1515,6 +1676,7 @@ class _Compiler:
     def call(self, name: str) -> _Val:
         fallible_assert = name.endswith("!")
         fname = name.rstrip("!")
+        name_at = self.toks[self.i - 1][3]  # span start = the name token
         self.expect("(")
         args: list[_Val] = []
         kwargs: dict[str, _Val] = {}
@@ -1529,6 +1691,7 @@ class _Compiler:
             if self.peek()[1] == ",":
                 self.next()
         self.expect(")")
+        call_end = self.toks[self.i - 1][4]  # span end = the ")" token
         if fname in (
             "get_enrichment_table_record",
             "find_enrichment_table_records",
@@ -1569,6 +1732,22 @@ class _Compiler:
             args.insert(0, kwargs.pop("value"))
         res = _lookup(fname)(args, kwargs)
         inherited = [f for a in [*args, *kwargs.values()] for f in a.fallible]
+        err_msg = None
+        if (
+            fname == "parse_json"
+            and args
+            and args[0].has_lit
+            and isinstance(args[0].lit, str)
+        ):
+            # statically-known failure: render the reference's captured
+            # error text — `function call error for "f" at (start:end):
+            # unable to parse json: <serde message>` (remap.toml:311-329)
+            m = _serde_json_error(args[0].lit)
+            if m is not None:
+                err_msg = F.lit(
+                    f'function call error for "parse_json" at '
+                    f"({name_at}:{call_end}): unable to parse json: {m}"
+                )
         if isinstance(res, _Val):  # handler supplied its own type flags
             col = res.col
             return _Val(
@@ -1578,6 +1757,7 @@ class _Compiler:
                 is_ts=res.is_ts,
                 is_variant=res.is_variant,
                 elem_variant=res.elem_variant,
+                err_msg=err_msg,
             )
         col = res
         return _Val(
@@ -1588,6 +1768,7 @@ class _Compiler:
             is_variant=fname == "parse_json"
             and len(args) == 1
             and "schema" not in kwargs,
+            err_msg=err_msg,
         )
 
 
@@ -1769,9 +1950,13 @@ def remap_program(
             ]
             prim = keep.select(*sel)
         elif isinstance(dt, MapType):
-            raise VrlCompileError(
-                "`. = <map>` needs a typed object — use parse_json with a "
-                "schema or parse_regex (typed struct) as the root"
+            # dynamic-keyed object root (e.g. `. = parse_key_value!(…)`,
+            # remap.rs:591-596): keys are data-dependent, so the event
+            # becomes the single-`message`-variant convention — readers
+            # (compile_expression) navigate into it like any variant root
+            prim = keep.select(
+                F.try_parse_json(F.to_json(prog.root)).alias("message"),
+                *[c.alias(n) for n, c in prog.assignments.items()],
             )
         else:  # scalar root becomes {message: value} (remap.rs:591-596)
             prim = keep.select(
