@@ -34,6 +34,7 @@ _FILES = [
 
 SUPPORTED: set[str] = {
     "dedupe:dedupe_field_order",
+    "dedupe:dedupe_nested_fields",
     "dedupe:dedupe_simple",
     "filter:filter test 1a",
     "filter:filter test 1b",
@@ -75,9 +76,38 @@ _CASES = _load_cases()
 _EPOCH = datetime.datetime(2020, 1, 1)
 
 
-def _rows_of(indexed: list[tuple[int, dict]]) -> list[dict]:
+def _shape(v) -> object:
+    """Structural signature for cross-row schema unification: rows whose
+    signatures differ for the same key can't share one typed column and
+    become a VariantType column instead (dedupe_nested_fields: `a.b.c`
+    nested under one event, `a.b` a plain string in another)."""
+    if isinstance(v, dict):
+        return tuple(sorted((k, _shape(x)) for k, x in v.items()))
+    if isinstance(v, list):
+        return ("list",)
+    # scalar kind mixes stay one column: Spark's inference coerces
+    # conflicting scalars to string, matching the pre-variant behavior
+    return "scalar"
+
+
+def _set_path(fields: dict, key: str, v) -> None:
+    """Dotted log_fields keys are event PATHS (reference path syntax)."""
+    parts = key.split(".")
+    d = fields
+    for p in parts[:-1]:
+        nxt = d.get(p)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            d[p] = nxt
+        d = nxt
+    d[parts[-1]] = v
+
+
+def _rows_of(indexed: list[tuple[int, dict]]) -> tuple[list[dict], set[str]]:
     """Rows for one insert point; ``indexed`` carries the GLOBAL arrival
-    index so ordering is preserved across insert points."""
+    index so ordering is preserved across insert points. Returns the rows
+    plus the top-level keys that must load as VariantType (JSON-encoded in
+    the row dicts) because their shape differs across rows."""
     keys: list[str] = []
     raws = []
     for i, inp in indexed:
@@ -96,6 +126,8 @@ def _rows_of(indexed: list[tuple[int, dict]]) -> list[dict]:
                     arr = fields.setdefault(base, [])
                     arr.extend([None] * (idx + 1 - len(arr)))
                     arr[idx] = v
+                elif "." in k:
+                    _set_path(fields, k, v)
                 else:
                     fields[k] = v
         # the reference stamps every unit-test event with a timestamp;
@@ -116,7 +148,18 @@ def _rows_of(indexed: list[tuple[int, dict]]) -> list[dict]:
             for r in rows:
                 if isinstance(r[k], int) and not isinstance(r[k], bool):
                     r[k] = float(r[k])
-    return rows
+    # keys whose shape conflicts across rows load as variant (JSON text
+    # here, try_parse_json after createDataFrame)
+    import json
+
+    variant_keys: set[str] = set()
+    for k in keys:
+        shapes = {_shape(r[k]) for r in rows if r[k] is not None}
+        if len(shapes) > 1:
+            variant_keys.add(k)
+            for r in rows:
+                r[k] = json.dumps(r[k]) if r[k] is not None else None
+    return rows, variant_keys
 
 
 def _reachable(transforms: dict, roots: set[str]) -> dict:
@@ -145,10 +188,13 @@ def _run_case(spark, transforms: dict, test: dict) -> tuple[bool, str]:
     groups: dict[str, list[tuple[int, dict]]] = {}
     for i, inp in enumerate(inputs):
         groups.setdefault(inp["insert_at"], []).append((i, inp))
-    overrides = {
-        f"__in_{t}": spark.createDataFrame([_to_row(r) for r in _rows_of(g)])
-        for t, g in groups.items()
-    }
+    overrides = {}
+    for t, g in groups.items():
+        rows, variant_keys = _rows_of(g)
+        df = spark.createDataFrame([_to_row(r) for r in rows])
+        for vk in variant_keys:
+            df = df.withColumn(vk, F.try_parse_json(F.col(vk)))
+        overrides[f"__in_{t}"] = df
 
     transforms = copy.deepcopy(transforms)
     # transforms reachable from any insert point stay; each insert target
@@ -232,4 +278,4 @@ def test_behavior_corpus_floor():
     if not _CASES:
         pytest.skip("reference corpus unavailable")
     names = {c[0] for c in _CASES}
-    assert len(SUPPORTED & names) >= 23
+    assert len(SUPPORTED & names) >= 24
