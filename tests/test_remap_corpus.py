@@ -95,6 +95,7 @@ SUPPORTED = {
     "remap_function_push_to_array",
     "remap_function_redact",
     "remap_function_replace",
+    "remap_function_reverse_dns",
     "remap_function_round",
     "remap_function_sha1",
     "remap_function_sha1_error",
@@ -299,4 +300,4 @@ def test_corpus_support_floor():
     if not _CASES:
         pytest.skip("reference corpus unavailable")
     names = {c[0] for c in _CASES}
-    assert len(SUPPORTED & names) >= 90
+    assert len(SUPPORTED & names) >= 93

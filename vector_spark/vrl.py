@@ -934,6 +934,25 @@ def _registry():
             __import__("os").environ.get(_v(a[0]))
         ),
         "get_timezone_name": lambda a, k: F.current_timezone(),
+        # reverse_dns (reverse_dns.cue) — deterministic map lookup over
+        # the RFC 6761 loopback names, falling back to the input (the
+        # reference returns the IP string when no PTR record resolves).
+        # The cluster-scale shape of rDNS is a pre-resolved dim table
+        # broadcast-joined via operators/enrich.py — never a live resolver
+        # call per row on 1000 executors.
+        "reverse_dns": lambda a, k: _Val(
+            F.coalesce(
+                F.try_element_at(
+                    F.create_map(
+                        F.lit("127.0.0.1"), F.lit("localhost"),
+                        F.lit("::1"), F.lit("localhost"),
+                    ),
+                    a[0].col.cast("string"),
+                ),
+                a[0].col.cast("string"),
+            ),
+            is_str=True,
+        ),
         # match_datadog_query(., "query") — the second predicate language,
         # compiled by the datadog_search module
         "match_datadog_query": lambda a, k: __import__(
