@@ -156,7 +156,8 @@ def parse_common_log(col: Column, ts_format: str | None = None) -> Column:
         F.nullif(g(1), F.lit("")).alias("host"),
         F.nullif(g(2), F.lit("")).alias("ident"),
         F.nullif(g(3), F.lit("")).alias("user"),
-        (F.to_timestamp(ts, ts_format) if ts_format else F.to_timestamp(ts)).alias("timestamp"),
+        # misses yield NULL (module contract) — never an ANSI throw
+        (F.try_to_timestamp(ts, F.lit(ts_format)) if ts_format else F.try_to_timestamp(ts)).alias("timestamp"),
         F.nullif(g(5), F.lit("")).alias("method"),
         F.nullif(g(6), F.lit("")).alias("path"),
         F.nullif(g(7), F.lit("")).alias("protocol"),
@@ -194,7 +195,8 @@ def parse_common_log_fast(col: Column, ts_format: str | None = None) -> Column:
         g(1).alias("host"),
         g(2).alias("ident"),
         g(3).alias("user"),
-        (F.to_timestamp(ts, ts_format) if ts_format else F.to_timestamp(ts)).alias("timestamp"),
+        # misses yield NULL (module contract) — never an ANSI throw
+        (F.try_to_timestamp(ts, F.lit(ts_format)) if ts_format else F.try_to_timestamp(ts)).alias("timestamp"),
         g(5).alias("method"),
         g(6).alias("path"),
         g(7).alias("protocol"),
@@ -236,7 +238,7 @@ def parse_syslog(col: Column) -> Column:
         (pri / 8).cast("int").alias("facility"),
         (pri % 8).cast("int").alias("severity"),
         F.nullif(g(2), F.lit("")).cast("int").alias("version"),
-        F.to_timestamp(F.nullif(g(3), F.lit(""))).alias("timestamp"),
+        F.try_to_timestamp(F.nullif(g(3), F.lit(""))).alias("timestamp"),
         F.when(g(4) == "-", None).otherwise(F.nullif(g(4), F.lit(""))).alias("hostname"),
         F.when(g(5) == "-", None).otherwise(F.nullif(g(5), F.lit(""))).alias("appname"),
         F.when(g(6) == "-", None).otherwise(F.nullif(g(6), F.lit(""))).alias("procid"),
@@ -583,7 +585,8 @@ def parse_float(col: Column) -> Column:
 
 
 def parse_timestamp(col: Column, format: str | None = None) -> Column:
-    return F.to_timestamp(col, format) if format else F.to_timestamp(col)
+    # fallible per the VRL error model: malformed input -> NULL
+    return F.try_to_timestamp(col, F.lit(format)) if format else F.try_to_timestamp(col)
 
 
 def parse_duration(col: Column, unit: str = "s") -> Column:

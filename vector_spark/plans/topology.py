@@ -249,6 +249,12 @@ class Topology:
                 "namespace string, kind string, metric_type string, "
                 "tags map<string,string>, value double",
             )
+        from vector_spark.plans.source_registry import SOURCE_TYPES
+
+        if t in SOURCE_TYPES:
+            # reference source types execute via the land-then-decode
+            # registry (payload reader × gate-verified decoder module)
+            return SOURCE_TYPES[t](self.spark, cfg)
         raise ValueError(f"unknown source type {t!r}")
 
     def _enrichment_table(self, name: str) -> DataFrame:
