@@ -8286,6 +8286,146 @@ def _register_tpch_shapes2() -> None:
 _register_tpch_shapes2()
 
 
+# --- batch: sink-type registry (every reference sink type) ------------------
+
+
+def _register_sink_registry_queries() -> None:
+    """The sink-type registry (plans/sink_registry.py) renders exact wire
+    payloads for all ~56 reference sink types through compile_config.
+    These gate queries hard-verify three representative wire shapes the
+    per-encoder queries don't already cover: the kinesis PutRecords
+    body assembler (deterministic batching + base64 + md5 partition
+    keys), the influxdb_logs line-protocol leg, and the object-store
+    key templating."""
+
+    @_q(
+        "cfg_kinesis_bodies",
+        """
+        WITH e AS (
+          SELECT 'evt ' || event_type || ' #' || event_id AS message,
+                 (event_id // 40) % 5 AS batch
+          FROM events WHERE event_id % 40 = 0
+        ),
+        r AS (
+          SELECT batch,
+                 '{"Data":"' || to_base64(encode(message))
+                   || '","PartitionKey":"'
+                   || md5(to_base64(encode(message))) || '"}' AS rec
+          FROM e
+        )
+        SELECT '{"StreamName":"s1","Records":['
+                 || string_agg(rec, ',' ORDER BY rec) || ']}' AS value
+        FROM r GROUP BY batch
+        """,
+    )
+    def cfg_kinesis_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """aws_kinesis_streams PutRecords bodies through the sink-type
+        registry (reference src/sinks/aws_kinesis/streams/record.rs,
+        sink.rs batching): Data = base64(encoded event), PartitionKey
+        defaults to the md5 of the data, records batch by an
+        engine-portable caller column and sort canonically inside the
+        batch. One bounded shuffle on the batch key."""
+        from vector_spark.plans.sink_registry import encode_sink
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 40 == 0)
+        framed = ev.select(
+            F.concat(
+                F.lit("evt "), F.col("event_type"), F.lit(" #"),
+                F.col("event_id").cast("string"),
+            ).alias("message"),
+            ((F.col("event_id") / 40).cast("long") % 5).alias("batch"),
+        )
+        return encode_sink(
+            framed,
+            {
+                "type": "aws_kinesis_streams",
+                "stream_name": "s1",
+                "batch_field": "batch",
+                "encoding": {"codec": "text"},
+            },
+        )
+
+    @_q(
+        "cfg_influxdb_logs",
+        r"""
+        SELECT 'ns.vector,metric_type=logs message="'
+                 || replace(replace('evt ' || event_type, '\', '\\'),
+                            '"', '\"')
+                 || '" ' || (epoch_ms(ts::TIMESTAMP) * 1000000)::VARCHAR
+                 AS value
+        FROM events WHERE event_id % 40 = 0
+        """,
+    )
+    def cfg_influxdb_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """influxdb_logs sink leg through the registry (reference
+        src/sinks/influxdb/logs/sink.rs): log events render as line
+        protocol with measurement ``<namespace>.vector``, the
+        ``metric_type=logs`` tag, the message as a quoted string field,
+        and a nanosecond timestamp. Pure JVM projection — shuffle-free."""
+        from vector_spark.plans.sink_registry import encode_sink
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 40 == 0)
+        framed = ev.select(
+            F.concat(F.lit("evt "), F.col("event_type")).alias("message"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+        )
+        return encode_sink(
+            framed, {"type": "influxdb_logs", "namespace": "ns"}
+        )
+
+    @_q(
+        "cfg_s3_objects",
+        """
+        WITH e AS (
+          SELECT 'date=' || strftime(ts::TIMESTAMP, '%Y-%m-%d') || '/'
+                   AS key,
+                 'evt ' || event_type || ' #' || event_id AS line
+          FROM events WHERE event_id % 40 = 0
+        )
+        SELECT key, COUNT(*)::BIGINT AS n_objects,
+               md5(string_agg(line, '\n' ORDER BY line)) AS digest
+        FROM e GROUP BY key
+        """,
+    )
+    def cfg_s3_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """aws_s3 object-store leg through the registry (reference
+        src/sinks/aws_s3 + s3_common key partitioning): the key_prefix
+        template becomes the object partition key; this digests each
+        key's object content so the check is engine-portable. The write
+        itself is the partitioned text landing exercised in pytest."""
+        from vector_spark.plans.sink_registry import encode_sink
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 40 == 0)
+        framed = ev.select(
+            F.concat(
+                F.lit("evt "), F.col("event_type"), F.lit(" #"),
+                F.col("event_id").cast("string"),
+            ).alias("message"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+        )
+        enc = encode_sink(
+            framed,
+            {
+                "type": "aws_s3",
+                "key_prefix": "date=%F/",
+                "encoding": {"codec": "text"},
+            },
+        )
+        return (
+            enc.groupBy(F.col("__key").alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("n_objects"),
+                F.md5(
+                    F.array_join(F.sort_array(F.collect_list("value")), "\n")
+                    .cast("binary")
+                ).alias("digest"),
+            )
+        )
+
+
+_register_sink_registry_queries()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -493,7 +493,24 @@ class Topology:
                 ).text(cfg["path"])
                 results[sname] = cfg["path"]
             else:
-                raise ValueError(f"unknown sink type {t!r}")
+                # vendor sink types: ENCODE-THEN-SHIP — the registry
+                # renders exact wire payloads (plans/sink_registry.py);
+                # the landing write is the transport hand-off point.
+                from vector_spark.plans.sink_registry import (
+                    SINK_TYPES, encode_sink,
+                )
+
+                if t not in SINK_TYPES:
+                    raise ValueError(f"unknown sink type {t!r}")
+                enc = encode_sink(df, cfg)
+                if cfg.get("path"):
+                    w = enc.write.mode(cfg.get("mode", "overwrite"))
+                    if "__key" in enc.columns:
+                        w = w.partitionBy("__key")
+                    w.text(cfg["path"])
+                    results[sname] = cfg["path"]
+                else:
+                    results[sname] = enc.count()
         return results
 
 
