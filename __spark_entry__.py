@@ -2238,6 +2238,99 @@ def _register_more() -> None:
         return spark.table(name)
 
     @_q(
+        "stream_reduce_purchases",
+        """
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CAST(FLOOR(value * 100) AS BIGINT) AS value_c,
+                 (event_type = 'purchase') AS ends
+          FROM events
+        ),
+        s AS (
+          SELECT *,
+                 SUM(CASE WHEN prev_end THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+          FROM (
+            SELECT *,
+                   COALESCE(LAG(ends) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id), FALSE) AS prev_end
+            FROM e) t
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               CAST(SUM(value_c) AS BIGINT) AS value_c,
+               COUNT(*) AS events_count
+        FROM s
+        GROUP BY user_id, sess
+        HAVING BOOL_OR(ends)
+        """,
+    )
+    def stream_reduce_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAMING REDUCE with ends_when in the correctness gate: the
+        reference reduce transform's condition-driven session close
+        (src/transforms/reduce/transform.rs:258-304) runs as a REAL
+        custom stateful streaming query (applyInPandasWithState) — per
+        user, a 'purchase' event closes the running session (closer
+        included); only closed sessions emit. Bit-exact vs a DuckDB
+        window-function replay of the same split rule. The merged sum is
+        integer cents (FLOOR(value*100)) so addition order can't produce
+        float drift between engines."""
+        global _STREAM_Q_N
+        _STREAM_Q_N += 1
+        name = f"__stream_reduce_{_STREAM_Q_N}"
+        import os
+
+        from vector_spark.streaming.stream import stream_reduce
+
+        static = _events(spark, sf_dir)
+        link_dir = f"/tmp/vs_stream_ev2_{abs(hash(sf_dir)) % 10**8}"
+        os.makedirs(link_dir, exist_ok=True)
+        link = os.path.join(link_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        sdf = (
+            spark.readStream.schema(static.schema)
+            .parquet(link_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn(
+                "value_c", F.floor(F.col("value") * 100).cast("long")
+            )
+        )
+        out = stream_reduce(
+            sdf,
+            group_by="user_id",
+            merge_strategies={"value_c": "sum"},
+            ts_col="ts",
+            ends_when='.event_type == "purchase"',
+            order_cols=["event_id"],
+        )
+        # bounded state partitioning — see stream_agg_events
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.format("memory").queryName(name)
+                .outputMode("append").start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return spark.table(name).select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "value_c",
+            "events_count",
+        )
+
+    @_q(
         "seq_grok_parse",
         f"""
         {_SEQ_FULL_CTE}

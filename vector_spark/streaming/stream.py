@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -215,6 +216,286 @@ def stream_throttle(
         else GroupStateTimeout.EventTimeTimeout
     )
     return events.groupBy(key_field).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+
+
+# Streaming-supported reduce merge strategies (subset of the batch
+# operator's table — merge_strategy.rs:15-53). Accumulators must be
+# JSON-serializable in the state store, so Regex/Object values are out.
+_COMBINE_LIST = {"array", "concat", "concat_newline", "concat_raw", "flat_unique"}
+_STREAM_STRATEGIES = _COMBINE_LIST | {
+    "discard", "retain", "sum", "max", "min", "shortest_array", "longest_array"
+}
+
+
+def stream_reduce(
+    events: DataFrame,
+    group_by: str,
+    merge_strategies: dict[str, str],
+    ts_col: str = "event_ts",
+    ends_when=None,
+    starts_when=None,
+    max_events: int | None = None,
+    expire_after_secs: float | None = None,
+    watermark: str = "30 seconds",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming ``reduce`` with condition-driven session close — the
+    reference's most stateful transform (src/transforms/reduce/
+    transform.rs:217-304) as a custom stateful operator.
+
+    Semantics (matching the batch ``operators/reduce.py`` split rules):
+    an event matching ``ends_when`` CLOSES the running session and is
+    included in it; an event matching ``starts_when`` flushes the running
+    session and OPENS a new one with itself; ``max_events`` flushes a
+    session at the cap; ``expire_after_secs`` flushes a session whose key
+    has been idle past the gap in EVENT time (EventTimeTimeout — replay-
+    stable, unlike the reference's wall clock).
+
+    Scale/shape notes:
+    - ``ends_when``/``starts_when`` compile through the SAME condition
+      compiler as batch (``conditions.to_column``) and are evaluated
+      JVM-side as vectorized boolean columns BEFORE the stateful op —
+      the Python side only reads precomputed flags, never re-parses
+      predicates per row.
+    - Inside ``applyInPandasWithState`` the per-batch work is a sort +
+      numpy cumulative session labeling + one pandas groupby; Python cost
+      is per-SESSION (agg finalization), not per-row.
+    - State per key is ONE open accumulator (JSON blob + counters), not
+      buffered events — bounded regardless of session length for scalar
+      strategies; list strategies grow with distinct/merged values exactly
+      like the reference's in-memory merged event.
+    - Only sessions closed by a condition / cap / timeout are emitted
+      (append mode); the open tail stays in state across micro-batches.
+    """
+    from vector_spark.conditions import to_column
+
+    unknown = {s for s in merge_strategies.values()} - _STREAM_STRATEGIES
+    if unknown:
+        raise ValueError(f"unsupported streaming merge strategies: {unknown}")
+
+    events = events.withColumn(
+        "__ends",
+        to_column(ends_when, events) if ends_when is not None else F.lit(False),
+    ).withColumn(
+        "__starts",
+        to_column(starts_when, events) if starts_when is not None else F.lit(False),
+    )
+    if expire_after_secs is not None:
+        events = events.withWatermark(ts_col, watermark)
+
+    in_types = {f.name: f.dataType for f in events.schema.fields}
+
+    def _out_type(field: str, strategy: str):
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            IntegerType,
+            StringType,
+        )
+
+        t = in_types[field]
+        if strategy in ("concat", "concat_newline", "concat_raw"):
+            return StringType()
+        if strategy == "array":
+            return ArrayType(t)
+        if strategy == "flat_unique":
+            return t if isinstance(t, ArrayType) else ArrayType(t)
+        if strategy == "sum":
+            return LongType() if isinstance(t, IntegerType) else (
+                t if isinstance(t, (LongType, DoubleType)) else DoubleType()
+            )
+        return t
+
+    fields = list(merge_strategies)
+    out_schema = StructType(
+        [StructField(group_by, in_types[group_by], True),
+         StructField("session_start", TimestampType(), True),
+         StructField("session_end", TimestampType(), True)]
+        + [StructField(f, _out_type(f, s), True)
+           for f, s in merge_strategies.items()]
+        + [StructField("events_count", LongType(), True)]
+    )
+    # state = one open accumulator: raw per-field values as JSON + counters
+    state_schema = StructType(
+        [
+            StructField("acc_json", StringType(), True),
+            StructField("count", LongType(), True),
+            StructField("start_us", LongType(), True),
+            StructField("last_us", LongType(), True),
+        ]
+    )
+    sort_cols = [ts_col] + [c for c in (order_cols or []) if c != ts_col]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import json
+
+        import numpy as np
+
+        def finalize(acc: dict, count: int, start_us: int, end_us: int) -> dict:
+            row = {
+                group_by: key[0],
+                "session_start": pd.Timestamp(start_us, unit="us"),
+                "session_end": pd.Timestamp(end_us, unit="us"),
+                "events_count": count,
+            }
+            for f, s in merge_strategies.items():
+                v = acc.get(f)
+                if v is None:
+                    row[f] = None
+                elif s == "concat":
+                    row[f] = " ".join(str(x) for x in v)
+                elif s == "concat_newline":
+                    row[f] = "\n".join(str(x) for x in v)
+                elif s == "concat_raw":
+                    row[f] = "".join(str(x) for x in v)
+                elif s == "flat_unique":
+                    flat: list = []
+                    for x in v:
+                        flat.extend(x) if isinstance(x, list) else flat.append(x)
+                    row[f] = list(dict.fromkeys(flat))
+                else:
+                    row[f] = v
+            return row
+
+        def combine(a, b, s: str):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            if s == "sum":
+                return a + b
+            if s == "max":
+                return max(a, b)
+            if s == "min":
+                return min(a, b)
+            if s == "discard":
+                return a
+            if s == "retain":
+                return b
+            if s == "shortest_array":
+                return min(a, b, key=len)
+            if s == "longest_array":
+                return max(a, b, key=len)
+            return list(a) + list(b)  # list-accumulated strategies
+
+        if expire_after_secs is not None and state.hasTimedOut:
+            if state.exists:
+                acc_json, count, start_us, last_us = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [finalize(json.loads(acc_json), count, start_us, last_us)],
+                    columns=[f.name for f in out_schema.fields],
+                )
+            else:
+                state.remove()
+            return
+
+        if state.exists:
+            acc_json, count, start_us, last_us = state.get
+            open_acc: dict | None = json.loads(acc_json)
+        else:
+            open_acc, count, start_us, last_us = None, 0, 0, 0
+
+        out_rows: list[dict] = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+            n = len(pdf)
+            ends = pdf["__ends"].fillna(False).to_numpy(dtype=bool)
+            starts = pdf["__starts"].fillna(False).to_numpy(dtype=bool)
+            brk = starts.copy()
+            brk[1:] |= ends[:-1]
+            sess = np.cumsum(brk)  # 0-based id; 0 may continue open state
+            # position within session, offset by carried count for sess 0
+            idx = np.arange(n)
+            first_of_sess = np.r_[True, sess[1:] != sess[:-1]]
+            pos = idx - np.maximum.accumulate(np.where(first_of_sess, idx, 0))
+            if open_acc is not None and (n == 0 or not brk[0]):
+                pos = pos + np.where(sess == 0, count, 0)
+            elif open_acc is not None:
+                # starts_when (or a boundary) flushed the open session
+                out_rows.append(finalize(open_acc, count, start_us, last_us))
+                open_acc, count = None, 0
+            fid = sess * (10**9) + (
+                pos // max_events if max_events is not None else 0
+            )
+            ts_us = pdf[ts_col].astype("int64").to_numpy() // 1000
+            uniq, starts_i = np.unique(fid, return_index=True)
+            bounds = np.r_[starts_i, n]
+            for gi, g0 in enumerate(starts_i):
+                g1 = bounds[gi + 1]
+                chunk = pdf.iloc[g0:g1]
+                continuing = (
+                    open_acc is not None and sess[g0] == 0 and pos[g0] != 0
+                )
+                acc: dict = open_acc if continuing else {}
+                g_count = (count if continuing else 0) + (g1 - g0)
+                g_start = start_us if continuing else int(ts_us[g0])
+                g_end = int(ts_us[g1 - 1])
+                for f, s in merge_strategies.items():
+                    col = chunk[f]
+                    vals = col.dropna()
+                    if s == "sum":
+                        b = vals.sum() if len(vals) else None
+                        b = None if b is None else (
+                            float(b) if col.dtype.kind == "f" else int(b)
+                        )
+                    elif s == "max":
+                        b = vals.max() if len(vals) else None
+                    elif s == "min":
+                        b = vals.min() if len(vals) else None
+                    elif s == "discard":
+                        b = col.iloc[0]
+                        b = None if pd.isna(b) else b
+                    elif s == "retain":
+                        b = col.iloc[-1]
+                        b = None if pd.isna(b) else b
+                    elif s == "shortest_array":
+                        b = min(vals, key=len) if len(vals) else None
+                    elif s == "longest_array":
+                        b = max(vals, key=len) if len(vals) else None
+                    else:  # list-accumulated
+                        b = [
+                            v.tolist() if hasattr(v, "tolist") else v
+                            for v in vals
+                        ] or None
+                    if hasattr(b, "item"):
+                        b = b.item()
+                    acc[f] = combine(acc.get(f), b, s)
+                closed_by_cap = (
+                    max_events is not None and g_count % max_events == 0
+                )
+                is_last = g1 == n
+                if not is_last or bool(ends[g1 - 1]) or closed_by_cap:
+                    out_rows.append(finalize(acc, g_count, g_start, g_end))
+                    open_acc, count = None, 0
+                else:
+                    open_acc, count = acc, g_count
+                    start_us, last_us = g_start, g_end
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=[f.name for f in out_schema.fields]
+            )
+        if open_acc is not None:
+            state.update((json.dumps(open_acc), count, start_us, last_us))
+            if expire_after_secs is not None:
+                expiry = (
+                    max(last_us // 1000, state.getCurrentWatermarkMs() + 1)
+                    + int(expire_after_secs * 1000)
+                )
+                state.setTimeoutTimestamp(expiry)
+        elif state.exists:
+            state.remove()
+
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if expire_after_secs is None
+        else GroupStateTimeout.EventTimeTimeout
+    )
+    return events.groupBy(group_by).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
 
