@@ -8376,7 +8376,228 @@ def _register_tpch_shapes2() -> None:
         )
 
 
+def _register_tpch_shapes3() -> None:
+    """Remaining distinct TPC-H plan shapes expressible over the testdata
+    columns: full-pushdown scan-aggregate (Q6), top-N over a 4-way join
+    (Q10, TakeOrderedAndProject), two-class conditional counts over a
+    join (Q12 shape, late-shipment adaptation — no l_commitdate in the
+    fixture), conditional-ratio single row (Q14), and a join with
+    DISJUNCTIVE band predicates across both sides (Q19 shape). Decimal
+    sums keep every aggregate order-independent and bit-exact vs DuckDB."""
+
+    _vol = (
+        "l_extendedprice::DECIMAL(14,2) * (1 - l_discount::DECIMAL(14,2))"
+    )
+
+    def _vol_col() -> Column:
+        return F.col("l_extendedprice").cast("decimal(14,2)") * (
+            F.lit(1) - F.col("l_discount").cast("decimal(14,2)")
+        )
+
+    @_q(
+        "tpch_q6_forecast",
+        """
+        SELECT ROUND(SUM(l_extendedprice::DECIMAL(14,2)
+                         * l_discount::DECIMAL(14,2)), 2)::DOUBLE AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate <  DATE '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+        """,
+    )
+    def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Q6: no join, no grouping — the whole query is a filtered scan
+        feeding one partial-aggregate. All four predicates push into the
+        parquet scan (PushedFilters), so at 100 TB the job reads only
+        row groups whose min/max straddle the bands; the exchange carries
+        ONE partial-agg row per task."""
+        li = tables.load(spark, sf_dir, "lineitem")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                & (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(14,2)")
+                        * F.col("l_discount").cast("decimal(14,2)")
+                    ),
+                    2,
+                ).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+        )
+
+    @_q(
+        "tpch_q10_returned_items",
+        f"""
+        SELECT * FROM (
+          SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+                 ROUND(SUM({_vol}), 2)::DOUBLE AS revenue
+          FROM customer c
+          JOIN orders o   ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN nation n   ON c.c_nationkey = n.n_nationkey
+          WHERE o.o_orderdate >= DATE '1996-01-01'
+            AND o.o_orderdate <  DATE '1996-04-01'
+            AND l.l_returnflag = 'R'
+          GROUP BY 1, 2, 3
+        ) ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+    )
+    def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Q10: 4-way join → group → top-20. nation broadcasts (25 rows);
+        orders is date-pruned BEFORE the lineitem join so the big shuffle
+        carries one quarter of orders; the final ORDER BY ... LIMIT plans
+        as TakeOrderedAndProject (distributed top-N, no global sort).
+        c_custkey tie-break keeps the cut deterministic across engines."""
+        c = tables.load(spark, sf_dir, "customer")
+        o = tables.load(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        li = tables.load(spark, sf_dir, "lineitem").filter(
+            F.col("l_returnflag") == "R"
+        )
+        n = tables.load(spark, sf_dir, "nation")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum(_vol_col()), 2).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20)
+        )
+
+    @_q(
+        "tpch_q12_late_shipments",
+        """
+        SELECT l.l_linestatus,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+          AND l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate <  DATE '1997-01-01'
+        GROUP BY 1
+        """,
+    )
+    def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Q12 shape (two-class conditional counts over a join) adapted to
+        the fixture's columns: 'late' = shipped ≥60 days after the order
+        date (the fixture has no l_commitdate/l_receiptdate). The
+        cross-table date predicate evaluates post-join; the single-table
+        ship-date band still pushes into the lineitem scan."""
+        o = tables.load(spark, sf_dir, "orders")
+        li = tables.load(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(
+                F.col("l_shipdate")
+                >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+            .groupBy("l_linestatus")
+            .agg(
+                F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+            )
+        )
+
+    @_q(
+        "tpch_q14_promo_effect",
+        f"""
+        SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                           THEN {_vol} ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM({_vol}) AS DOUBLE), 4) AS promo_revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= DATE '1996-09-01'
+          AND l.l_shipdate <  DATE '1996-10-01'
+        """,
+    )
+    def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Q14: conditional-ratio aggregate — one month of lineitem joined
+        to part (broadcast: part is a dimension), both sums computed in
+        ONE pass (no second scan for the denominator). Decimal sums are
+        order-exact; the division happens once on the final row."""
+        li = tables.load(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01"))
+        )
+        p = tables.load(spark, sf_dir, "part")
+        vol = _vol_col()
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(
+                F.round(
+                    F.lit(100.0)
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                            F.lit(0).cast("decimal(14,2)")
+                        )
+                    ).cast("double")
+                    / F.sum(vol).cast("double"),
+                    4,
+                ).alias("promo_revenue")
+            )
+        )
+
+    @_q(
+        "tpch_q19_disjunctive_bands",
+        f"""
+        SELECT ROUND(SUM({_vol}), 2)::DOUBLE AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+           OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+        """,
+    )
+    def tpch_q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Q19 shape: disjunctive predicate bands spanning BOTH join sides
+        (adapted to the fixture's brand/size/quantity columns). Catalyst
+        derives the single-side implications (brand IN (...), size ≤ 15,
+        quantity ≤ 30) and pushes them into the scans; the full OR
+        evaluates on the broadcast-joined rows — the textbook plan for
+        OR-of-ANDs across a join."""
+        li = tables.load(spark, sf_dir, "lineitem")
+        p = tables.load(spark, sf_dir, "part")
+        q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+        bands = (
+            ((b == "Brand#11") & s.between(1, 5) & q.between(1, 11))
+            | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+            | ((b == "Brand#15") & s.between(1, 15) & q.between(20, 30))
+        )
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .filter(bands)
+            .agg(
+                F.round(F.sum(_vol_col()), 2).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+        )
+
+
 _register_tpch_shapes2()
+_register_tpch_shapes3()
 
 
 # --- batch: sink-type registry (every reference sink type) ------------------

@@ -385,3 +385,110 @@ def test_vrl_program_compiles_to_one_projection(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # pure per-row program: zero shuffles
     assert plan.count("Project") <= 2  # collapsed, not one node per stmt
+
+
+@pytest.fixture(scope="module")
+def tpch_dir(spark, tmp_path_factory):
+    """Small lineitem/part/orders/customer/nation parquet for plan audits."""
+    base = tmp_path_factory.mktemp("tpch_plans")
+    n = 2_000
+    spark.range(n).select(
+        (F.col("id") % 500).alias("l_orderkey"),
+        (F.col("id") % 100).alias("l_partkey"),
+        ((F.col("id") % 50) + 1).cast("double").alias("l_quantity"),
+        (F.col("id") % 1000).cast("double").alias("l_extendedprice"),
+        ((F.col("id") % 11) / 100.0).alias("l_discount"),
+        F.lit("R").alias("l_returnflag"),
+        F.lit("O").alias("l_linestatus"),
+        F.timestamp_seconds(F.lit(820454400) + F.col("id") * 3600).alias(
+            "l_shipdate"
+        ),
+    ).write.parquet(str(base / "lineitem"))
+    spark.range(100).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(F.lit("Brand#"), (F.col("id") % 25).cast("string")).alias(
+            "p_brand"
+        ),
+        ((F.col("id") % 50) + 1).cast("int").alias("p_size"),
+        F.lit("PROMO").alias("p_type"),
+    ).write.parquet(str(base / "part"))
+    return str(base)
+
+
+def test_tpch_q6_shape_predicates_push_to_scan(spark, tpch_dir):
+    """Q6's whole WHERE clause must reach the parquet scan — at 100 TB the
+    row-group min/max stats skip everything outside the bands."""
+    li = spark.read.parquet(f"{tpch_dir}/lineitem")
+    df = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("r"))
+    )
+    # simple toString truncates long filter lists — formatted mode doesn't
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan[:600]
+    line = pushed[0].replace("`", "")
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in line, f"{frag} not pushed:\n{line}"
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    # only the four referenced columns are read
+    assert all("l_returnflag" not in l for l in scan_lines)
+
+
+def test_tpch_q10_topn_plans_as_take_ordered(spark, tpch_dir):
+    """ORDER BY revenue DESC LIMIT 20 over a grouped join must plan as
+    TakeOrderedAndProject (distributed top-N), never a global Sort."""
+    li = spark.read.parquet(f"{tpch_dir}/lineitem")
+    df = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_extendedprice").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(20)
+    )
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert "Sort [" not in plan  # no global sort node
+
+
+def test_tpch_q19_disjunction_derives_single_side_pushdown(spark, tpch_dir):
+    """OR-of-ANDs across a join: Catalyst must still push the derived
+    single-side implications (brand IN / size, quantity bounds) into each
+    scan rather than filtering only after the join."""
+    li = spark.read.parquet(f"{tpch_dir}/lineitem")
+    p = spark.read.parquet(f"{tpch_dir}/part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    bands = (
+        ((b == "Brand#1") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 10) & q.between(10, 20))
+    )
+    df = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(bands)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = plan_of(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    joined = " ".join(pushed).replace("`", "")
+    # lineitem side: quantity bounds derived from the OR
+    assert "l_quantity" in joined, f"derived lineitem bound not pushed:\n{joined}"
+    # part side: brand/size implications derived from the OR
+    assert "p_brand" in joined or "p_size" in joined, (
+        f"derived part bound not pushed:\n{joined}"
+    )
+    assert "BroadcastHashJoin" in plan

@@ -4,6 +4,8 @@
     python -m vector_spark graph <config>        # DOT graph of the DAG
     python -m vector_spark run <config>          # execute all sinks
     python -m vector_spark test <config> <spec>  # unit-test harness
+    python -m vector_spark top <config>          # run + per-component counters
+    python -m vector_spark tap <config> <glob>   # sample events at outputs
 
 <config> is TOML/YAML/JSON. The test <spec> is JSON:
 {"inserts": {comp: {"rows": [...], "schema": "..."}},
@@ -62,6 +64,33 @@ def main() -> int:
         if cmd == "run":
             topo = compile_config(spark, config)
             print(json.dumps(topo.write_sinks()))
+            return 0
+        if cmd == "top":
+            # `vector top` parity (src/top/dashboard.rs): execute the
+            # topology, then print the per-component flow-counter table
+            topo = compile_config(spark, config, observe=True)
+            topo.write_sinks()
+            rows = topo.top()
+            if rows:
+                w = max(len(r["component_id"]) for r in rows)
+                for r in rows:
+                    counters = " ".join(
+                        f"{k}={v}"
+                        for k, v in r.items()
+                        if k not in ("component_id", "kind", "type")
+                    )
+                    print(
+                        f"{r['component_id']:<{w}}  {r['kind']:<9} "
+                        f"{r['type']:<18} {counters}"
+                    )
+            return 0
+        if cmd == "tap":
+            from vector_spark.plans.topology import tap
+
+            topo = compile_config(spark, config)
+            patterns = sys.argv[3:] or ["*"]
+            for line in tap(topo, patterns, limit=10, meta=True):
+                print(line)
             return 0
         if cmd == "test":
             spec = json.load(open(sys.argv[3]))
