@@ -300,3 +300,75 @@ def test_stream_vrl_remap_program(spark, events_path, tmp_path):
     assert len(rows) == 100
     assert {r.etype for r in rows} == {"T0", "T1", "T2", "T3"}
     assert all((r.band == "hi") == (r.value >= 5.0) for r in rows)
+
+
+def test_stream_aggregate_latest_mode(spark, tmp_path):
+    import time as _t
+    from datetime import datetime, timezone
+
+    from vector_spark.streaming.stream import stream_aggregate
+
+    ts = lambda s: datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)  # noqa: E731
+    schema = "event_id long, event_ts timestamp, event_type string, value double"
+    rows = [
+        (0, ts(10), "k", 1.0),
+        (1, ts(90), "k", 7.0),   # latest in window [0,100)
+        (2, ts(50), "k", 3.0),
+        (3, ts(100000), "k", 0.0),  # sentinel advances the watermark
+    ]
+    p = tmp_path / "lat"
+    spark.createDataFrame(rows, schema).write.parquet(str(p))
+    sdf = stream_aggregate(
+        spark.readStream.schema(schema).parquet(str(p)),
+        series_cols=["event_type"],
+        interval_secs=100,
+        watermark="0 seconds",
+        mode="latest",
+    )
+    out = _run_to_memory(spark, sdf, "agg_latest", tmp_path)
+    first = [r for r in out.collect() if r.window_start == ts(0)]
+    assert len(first) == 1 and first[0].agg_value == 7.0
+
+
+def test_stream_aggregate_diff_mode_spanning_batches(spark, tmp_path):
+    """Diff mode (aggregate.rs:250-262): each final window emits its sum
+    minus the previous window's sum; a window whose rows span micro-batches
+    must still sum completely (partials carry in state)."""
+    import time as _t
+    from datetime import datetime, timezone
+
+    from vector_spark.streaming.stream import stream_aggregate_diff
+
+    ts = lambda s: datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)  # noqa: E731
+    schema = "event_id long, event_ts timestamp, event_type string, value double"
+    src = tmp_path / "diff_src"
+    src.mkdir()
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _t.sleep(1.1)
+
+    write_file([(0, ts(10), "k", 1.0), (1, ts(20), "k", 2.0),
+                (2, ts(110), "k", 5.0)])
+    write_file([(3, ts(150), "k", 7.0),   # window 100 spans batches: 5+7
+                (4, ts(310), "k", 9.0)])
+    write_file([(5, ts(420), "k", 1.0)])
+    write_file([(6, ts(1000), "k", 0.0)])  # advances watermark → win 300 final
+
+    sdf = stream_aggregate_diff(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        series_col="event_type",
+        interval_secs=100,
+        watermark="0 seconds",
+    )
+    out = _run_to_memory(spark, sdf, "agg_diff", tmp_path)
+    rows = sorted(out.collect(), key=lambda r: r.window_start)
+    got = [(r.window_start, r.agg_value, r.diff) for r in rows]
+    # first-ever window has no predecessor → NULL diff
+    assert got[0][:2] == (ts(0), 3.0) and got[0][2] is None
+    assert got[1] == (ts(100), 12.0, 9.0)  # spanning window fully summed
+    assert got[2] == (ts(300), 9.0, -3.0)

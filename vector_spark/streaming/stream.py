@@ -7,9 +7,13 @@ event-time with watermarks — a strict superset (late data handled instead
 of silently mis-windowed):
 
 - aggregate (src/transforms/aggregate.rs)      → windowed agg + watermark
+  (sum/count/max/min/mean/stdev/latest; Diff mode → stream_aggregate_diff,
+  a stateful operator carrying the previous flush per series)
 - dedupe LRU cache (src/transforms/dedupe)     → dropDuplicates + watermark
   (state TTL ≙ the reference's bounded cache)
-- reduce sessions (src/transforms/reduce)      → session_window(gap)
+- reduce sessions (src/transforms/reduce)      → session_window(gap); the
+  condition-driven close (ends_when/starts_when/max_events/expire) →
+  stream_reduce, a stateful operator bit-exact vs the batch reduce
 - throttle GCRA (src/transforms/throttle.rs)   → applyInPandasWithState
   per-key token counting per window
 
@@ -27,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -52,6 +57,9 @@ def stream_aggregate(
         "min": F.min(value_col),
         "mean": F.avg(value_col),
         "stdev": F.stddev_pop(value_col),
+        # Latest (aggregate.rs Auto for absolute metrics): last value in
+        # event-time order within the window
+        "latest": F.max_by(value_col, ts_col),
     }
     if mode not in aggs:
         raise ValueError(f"unsupported streaming aggregate mode {mode!r}")
@@ -217,6 +225,95 @@ def stream_throttle(
     )
     return events.groupBy(key_field).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
+    )
+
+
+def stream_aggregate_diff(
+    events: DataFrame,
+    series_col: str,
+    value_col: str = "value",
+    ts_col: str = "event_ts",
+    interval_secs: int = 10,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """The aggregate transform's ``Diff`` mode (aggregate.rs:250-262 —
+    each flush emits current value MINUS the previous flush's value) on a
+    stream: a custom stateful operator keyed by series.
+
+    State per key = the last EMITTED window's (start, sum) + the pending
+    (not-yet-final) windows' partial sums as JSON — a window may span
+    micro-batches, so partial sums must carry until the watermark passes
+    the window end and no more rows can arrive (rows below the watermark
+    are late-dropped by the engine before the stateful op). Per batch the
+    work is one pandas groupby over windows then a vectorized shift-diff
+    across the final window sequence; the batch analog is the F.lag
+    window in operators/aggregate.py. Pending state is bounded by
+    (watermark delay / interval) windows per key.
+    """
+    events = events.withWatermark(ts_col, watermark)
+    out_schema = StructType(
+        [
+            StructField("series", events.schema[series_col].dataType, True),
+            StructField("window_start", TimestampType(), True),
+            StructField("agg_value", DoubleType(), True),
+            StructField("diff", DoubleType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_win", LongType(), True),
+            StructField("last_val", DoubleType(), True),
+            StructField("pending_json", StringType(), True),
+        ]
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import json
+
+        import numpy as np
+
+        if state.exists:
+            last_win, last_val, pending_json = state.get
+            pending: dict[int, float] = {
+                int(k): v for k, v in json.loads(pending_json).items()
+            }
+        else:
+            last_win, last_val, pending = -1, None, {}
+        wm_ms = state.getCurrentWatermarkMs()
+        # a window is final once the watermark has passed its end
+        final_below = (wm_ms // 1000) - (wm_ms // 1000) % interval_secs
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            secs = pdf[ts_col].astype("int64").to_numpy() // 10**9
+            win = secs - secs % interval_secs
+            sums = (
+                pd.DataFrame({"w": win, "v": pdf[value_col].to_numpy()})
+                .groupby("w", sort=True)["v"]
+                .sum()
+            )
+            for w, v in sums.items():
+                pending[int(w)] = pending.get(int(w), 0.0) + float(v)
+        ready = sorted(w for w in pending if w < final_below)
+        if ready:
+            vals = np.array([pending.pop(w) for w in ready], dtype=float)
+            prev = np.r_[np.nan, vals[:-1]]
+            if last_val is not None and ready[0] > last_win:
+                prev[0] = last_val
+            last_win, last_val = int(ready[-1]), float(vals[-1])
+            yield pd.DataFrame(
+                {
+                    "series": key[0],
+                    "window_start": pd.to_datetime(ready, unit="s"),
+                    "agg_value": vals,
+                    "diff": vals - prev,
+                }
+            )
+        if last_val is not None or pending:
+            state.update((last_win, last_val, json.dumps(pending)))
+
+    return events.groupBy(series_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 
 
