@@ -243,3 +243,79 @@ def test_stream_reduce_merge_strategy_shapes(spark, tmp_path):
     assert list(r.msg) == ["x", "y"]  # unique, first-seen order
     assert r.event_id == 2
     assert r.events_count == 3
+
+
+def test_stream_reduce_randomized_equivalence_with_batch(spark, tmp_path):
+    """Property check: for random event layouts and random micro-batch
+    splits (time-ordered arrival), the streaming operator must equal the
+    batch sessionization exactly once every session is closed (a final
+    'end' event per key forces that)."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for k in ("a", "b", "c"):
+            t = rng.randint(0, 50)
+            n = rng.randint(8, 20)
+            for i in range(n):
+                is_end = rng.random() < 0.25 or i == n - 1
+                rows.append(
+                    (
+                        eid,
+                        _ts(1000 + t),
+                        k,
+                        "end" if is_end else "log",
+                        float(rng.randint(0, 99)),
+                        f"m{eid}",
+                    )
+                )
+                eid += 1
+                t += rng.randint(1, 30)
+        rows.sort(key=lambda r: (r[1], r[0]))  # time-ordered arrival
+        # random 1-3 file split at time cuts
+        n_files = rng.randint(1, 3)
+        cuts = sorted(rng.sample(range(1, len(rows)), n_files - 1))
+        chunks = [
+            rows[a:b]
+            for a, b in zip([0] + cuts, cuts + [len(rows)])
+        ]
+        src = tmp_path / f"rand_{seed}"
+        src.mkdir()
+        for ch in chunks:
+            _write(spark, src, ch)
+
+        strategies = {"value": "sum", "msg": "concat", "event_id": "min"}
+        sdf = stream_reduce(
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            group_by="k",
+            merge_strategies=strategies,
+            ends_when='.event_type == "end"',
+            order_cols=["event_id"],
+        )
+        got = sorted(
+            (r.k, r.session_start, r.session_end, r.value, r.msg,
+             r.event_id, r.events_count)
+            for r in _run(spark, sdf, f"sr_rand_{seed}", tmp_path).collect()
+        )
+        batch = reduce_events(
+            spark.createDataFrame(rows, SCHEMA).withColumn(
+                "ts_end", F.col("event_ts")
+            ),
+            group_by=["k"],
+            merge_strategies={
+                **strategies, "event_ts": "min", "ts_end": "max"
+            },
+            order_by="event_id",
+            ts_col="event_ts",
+            ends_when='.event_type == "end"',
+        )
+        want = sorted(
+            (r.k, r.event_ts, r.ts_end, r.value, r.msg, r.event_id,
+             r.events_count)
+            for r in batch.collect()
+        )
+        assert got == want, f"seed {seed}: stream != batch"
