@@ -46,6 +46,9 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "tpch_q22_antijoin": {
         "bnl_join": (2, "1-row scalar avg(acctbal) subquery frame"),
     },
+    "tpch_q11_having_scalar": {
+        "bnl_join": (2, "1-row global-total scalar frame cross-joined"),
+    },
     "doc_bm25": {
         "bnl_join": (2, "1-row corpus-stats (N, avgdl) frame cross-joined"),
     },
