@@ -372,3 +372,55 @@ def test_stream_aggregate_diff_mode_spanning_batches(spark, tmp_path):
     assert got[0][:2] == (ts(0), 3.0) and got[0][2] is None
     assert got[1] == (ts(100), 12.0, 9.0)  # spanning window fully summed
     assert got[2] == (ts(300), 9.0, -3.0)
+
+
+def test_topology_config_runs_as_stream_with_equal_sink_counts(spark, tmp_path):
+    """The SAME topology config executes batch or streaming (run_streaming):
+    transforms and sink encoders are pure column programs, so compiling
+    the config over readStream frames needs zero changes — and the
+    north-rule invariant holds: per-sink emitted counts match the batch
+    run on the same input."""
+    from vector_spark.plans.topology import compile_config, run_streaming
+    from vector_spark.tables import sequences
+
+    p = str(tmp_path / "seq_src")
+    sequences(spark, 500).write.parquet(p)
+    config = {
+        "sources": {"seq": {"type": "sequences", "n": 500}},
+        "transforms": {
+            "mark": {
+                "type": "remap",
+                "inputs": ["seq"],
+                "source": '.bucket = if .n_tok >= 64 { "big" } else { "small" }',
+            },
+            "keep": {
+                "type": "filter",
+                "inputs": ["mark"],
+                "condition": '.source != "web" || .n_tok >= 16',
+            },
+            "rt": {
+                "type": "route",
+                "inputs": ["keep"],
+                "routes": {"big": '.bucket == "big"', "small": '.bucket == "small"'},
+            },
+        },
+        "sinks": {
+            "big_sink": {"type": "memory", "inputs": ["rt.big"]},
+            "small_sink": {"type": "memory", "inputs": ["rt.small"]},
+        },
+    }
+    batch = compile_config(spark, config).write_sinks()
+
+    schema = spark.read.parquet(p).schema
+    stream_counts = run_streaming(
+        spark,
+        config,
+        source_streams={"seq": spark.readStream.schema(schema).parquet(p)},
+        checkpoint_root=str(tmp_path / "ck_topo"),
+        query_prefix="topo_eq",
+    )
+    assert stream_counts == {
+        "big_sink": batch["big_sink"],
+        "small_sink": batch["small_sink"],
+    }
+    assert sum(stream_counts.values()) > 0

@@ -978,6 +978,60 @@ def run_unit_test(
     return results
 
 
+def run_streaming(
+    spark: SparkSession,
+    config_or_path,
+    source_streams: dict[str, DataFrame],
+    checkpoint_root: str,
+    query_prefix: str = "vs_stream",
+) -> dict[str, int]:
+    """Execute a topology config as Structured Streaming — the reference's
+    native execution mode (every Vector topology IS a stream;
+    src/topology/builder.rs spawns each component as a long-running task).
+
+    ``source_streams`` maps each source name to a STREAMING DataFrame
+    (``spark.readStream...``) with that source's output schema; the
+    config's transforms and sink encoders then apply UNCHANGED — they are
+    pure column programs, batch/stream agnostic (the same property
+    pipeline.stream_pipeline relies on). Stateful transform types that
+    compile to batch window functions (reduce/aggregate/dedupe/throttle)
+    need their streaming counterparts from ``streaming/stream.py``
+    instead; Spark's analyzer rejects them on a stream at compile time,
+    so a misuse fails loudly, never silently.
+
+    Each sink runs as its own checkpointed append-mode memory query with
+    ``trigger(availableNow=True)`` — process everything pending, then
+    stop (the batch-parity mode). Per-sink checkpoints live under
+    ``checkpoint_root``/<sink>, giving the reference's per-component
+    resume (checkpointer.rs) via Spark's commit log. Returns per-sink
+    emitted-row counts — the north-rule invariant is that these equal
+    the batch run's counts on the same input.
+    """
+    config = load_config(config_or_path)
+    missing = set(config.get("sources", {})) - set(source_streams)
+    if missing:
+        raise ValueError(
+            f"streaming run needs a source stream for: {sorted(missing)}"
+        )
+    topo = compile_config(spark, config, overrides=dict(source_streams))
+    counts: dict[str, int] = {}
+    for sink_name, df in topo.outputs().items():
+        qname = f"{query_prefix}_{sink_name}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", f"{checkpoint_root}/{sink_name}"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        counts[sink_name] = spark.table(qname).count()
+    return counts
+
+
 def run_config_tests(spark: SparkSession, config_or_path) -> list[dict]:
     """Run a config's embedded ``[[tests]]`` sections — full `vector test`
     parity (src/config/unit_test/mod.rs): each test lists
