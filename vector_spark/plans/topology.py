@@ -114,14 +114,22 @@ def load_config(path_or_dict) -> dict:
     if p.suffix == ".toml":
         import tomllib
 
-        return tomllib.loads(text)
-    if p.suffix in (".yaml", ".yml"):
+        parse = tomllib.loads
+    elif p.suffix in (".yaml", ".yml"):
         import yaml
 
-        return yaml.safe_load(text)
-    if p.suffix == ".json":
-        return json.loads(text)
-    raise ValueError(f"unsupported config format: {p.suffix}")
+        parse = yaml.safe_load
+    elif p.suffix == ".json":
+        parse = json.loads
+    else:
+        raise ValueError(f"unsupported config format: {p.suffix}")
+    # SECRET[backend.key] placeholders resolve just after env-var
+    # interpolation (src/config/loading/secret.rs:92-101); backend file
+    # paths are relative to the config's directory
+    from vector_spark.plans.secrets import resolve_config_secrets
+
+    text = resolve_config_secrets(text, parse, base=p.parent)
+    return parse(text)
 
 
 _CONFIG_EXTS = (".toml", ".yaml", ".yml", ".json")
