@@ -8596,8 +8596,148 @@ def _register_tpch_shapes3() -> None:
         )
 
 
+def _register_tpch_shapes4() -> None:
+    """Q9 and Q20 — the last two of the 22 TPC-H plan shapes (the fixture
+    has no partsupp table, so both are adapted with documented stand-ins:
+    supply cost ≙ 60% of p_retailprice for Q9's profit expression; Q20's
+    availqty-vs-half-of-shipped test becomes supplier-shipped-share >
+    half of the part's total shipped quantity). All 22 queries now have
+    a distinct, plan-audited shape in the gate."""
+
+    @_q(
+        "tpch_q9_product_profit",
+        """
+        SELECT n.n_name AS nation,
+               EXTRACT(year FROM o.o_orderdate)::INT AS o_year,
+               ROUND(SUM(l.l_extendedprice::DECIMAL(14,2)
+                           * (1 - l.l_discount::DECIMAL(14,2))
+                         - (p.p_retailprice * 0.6)::DECIMAL(14,2)
+                           * l.l_quantity::DECIMAL(14,2)), 2)::DOUBLE
+                 AS sum_profit
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY nation, o_year
+        """,
+    )
+    def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Q9 shape (profit by nation × order-year over a 5-way join;
+        ref parity: TPC-H §B.9). Supply cost is modeled as 60% of
+        p_retailprice (no partsupp in the fixture) — the double multiply
+        happens identically in both engines before the decimal cast, so
+        the sum is bit-exact. Plan: part/supplier/nation broadcast, one
+        lineitem⋈orders shuffle join on orderkey, map-side partial agg —
+        the profit expression rides the scan, only (nation, year,
+        partial-sum) rows shuffle to the final agg. Name filter pushes
+        into the part scan (PushedFilters: StringContains)."""
+        li = tables.load(spark, sf_dir, "lineitem")
+        p = (
+            tables.load(spark, sf_dir, "part")
+            .filter(F.col("p_name").contains("red"))
+            .select("p_partkey", "p_retailprice")
+        )
+        s = tables.load(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+        n = tables.load(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        o = tables.load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate"
+        )
+        profit = (
+            F.col("l_extendedprice").cast("decimal(14,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(14,2)"))
+            - (F.col("p_retailprice") * F.lit(0.6)).cast("decimal(14,2)")
+            * F.col("l_quantity").cast("decimal(14,2)")
+        )
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(
+                F.col("n_name").alias("nation"),
+                F.year("o_orderdate").alias("o_year"),
+            )
+            .agg(
+                F.round(F.sum(profit), 2).cast("double").alias("sum_profit")
+            )
+        )
+
+    @_q(
+        "tpch_q20_share_suppliers",
+        """
+        WITH shipped AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(l_quantity::DECIMAL(14,2)) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1997-01-01'
+            AND l_shipdate <  DATE '1998-01-01'
+          GROUP BY l_partkey, l_suppkey
+        ),
+        tot AS (
+          SELECT l_partkey, SUM(qty) AS total_qty
+          FROM shipped GROUP BY l_partkey
+        ),
+        big AS (
+          SELECT DISTINCT sh.l_suppkey
+          FROM shipped sh
+          JOIN tot t ON t.l_partkey = sh.l_partkey
+          JOIN part p ON p.p_partkey = sh.l_partkey
+          WHERE p.p_name LIKE 'hot%'
+            AND sh.qty + sh.qty > t.total_qty
+        )
+        SELECT s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+        FROM supplier s JOIN big ON big.l_suppkey = s.s_suppkey
+        """,
+    )
+    def tpch_q20_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Q20 shape (nested aggregate subquery → DISTINCT semi-join into
+        the supplier dim; ref parity: TPC-H §B.20). Adapted: "availqty >
+        half of shipped" becomes "this supplier shipped more than half of
+        the part's 1997 total" — same two-level aggregate + per-group
+        scalar compare + semi-join plan. The share test is qty+qty >
+        total (pure decimal adds, no float ×0.5 — bit-exact in both
+        engines). Shuffles: one on (partkey, suppkey) for the inner agg;
+        the per-part totals re-aggregate WITHOUT a second exchange
+        (partkey is a prefix of the first shuffle's keys — AQE reuses the
+        partitioning); the winners list is tiny → broadcast semi-join
+        into supplier."""
+        li = tables.load(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+            F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("qty")
+        )
+        tot = shipped.groupBy("l_partkey").agg(
+            F.sum("qty").alias("total_qty")
+        )
+        hot = (
+            tables.load(spark, sf_dir, "part")
+            .filter(F.col("p_name").startswith("hot"))
+            .select("p_partkey")
+        )
+        big = (
+            shipped.join(tot, "l_partkey")
+            .join(F.broadcast(hot), F.col("l_partkey") == F.col("p_partkey"))
+            .filter(F.col("qty") + F.col("qty") > F.col("total_qty"))
+            .select("l_suppkey")
+            .distinct()
+        )
+        s = tables.load(spark, sf_dir, "supplier")
+        return s.join(
+            F.broadcast(big), big.l_suppkey == s.s_suppkey
+        ).select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+
+
 _register_tpch_shapes2()
 _register_tpch_shapes3()
+_register_tpch_shapes4()
 
 
 # --- batch: sink-type registry (every reference sink type) ------------------
