@@ -110,3 +110,30 @@ def test_vrl_one_shot_semantics(spark):
     }
     assert rows["hello world"]["shout"] == "HELLO WORLD"
     assert rows["bye"]["n2"] == 18
+
+
+# --- property: the TOML emitter round-trips arbitrary config-shaped dicts ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_key = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_-", min_size=1, max_size=12
+)
+_scalar = st.one_of(
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.text(max_size=40),
+    st.lists(st.text(max_size=10), max_size=4),
+)
+_config = st.recursive(
+    st.dictionaries(_key, _scalar, max_size=4),
+    lambda inner: st.dictionaries(_key, st.one_of(_scalar, inner), max_size=4),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_config)
+def test_toml_emitter_roundtrip_property(cfg):
+    assert tomllib.loads(_toml_dump(cfg)) == cfg

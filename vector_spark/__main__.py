@@ -61,9 +61,15 @@ def _toml_scalar(v) -> str:
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, str):
-        if "\n" in v:
-            return '"""\n' + v.replace("\\", "\\\\").replace('"""', '\\"\\"\\"') + '"""'
-        return json.dumps(v)
+        # readable multi-line form for programs (VRL sources), single-line
+        # basic string otherwise. ensure_ascii=False keeps astral chars
+        # literal — JSON's surrogate-pair \uXXXX escapes are invalid TOML.
+        if "\n" in v and not any(
+            ord(c) < 0x20 and c not in "\n\t" for c in v
+        ) and "\\" not in v and '"""' not in v and not v.endswith('"'):
+            return '"""\n' + v + '"""'
+        # DEL is the one control char JSON leaves raw but TOML forbids
+        return json.dumps(v, ensure_ascii=False).replace("\x7f", "\\u007f")
     if isinstance(v, list):
         return "[" + ", ".join(_toml_scalar(x) for x in v) + "]"
     if isinstance(v, dict):
