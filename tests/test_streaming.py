@@ -424,3 +424,144 @@ def test_topology_config_runs_as_stream_with_equal_sink_counts(spark, tmp_path):
         "small_sink": batch["small_sink"],
     }
     assert sum(stream_counts.values()) > 0
+
+
+def test_stream_sample_counter_mode_matches_batch(spark, tmp_path):
+    """Counter-mode sample keeps rows 1, 1+rate, … PER GROUP across
+    micro-batches — the persistent counter must continue where the last
+    batch stopped, matching the batch operator on the concatenated data."""
+    from vector_spark.operators.sample import sample as batch_sample
+    from vector_spark.streaming import stream_sample
+
+    schema = "event_id long, event_ts timestamp, k string, v double"
+    src = tmp_path / "sample_src"
+    src.mkdir()
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [
+                (i, None, f"k{i % 2}", float(i))
+                for i in ids
+            ],
+            schema,
+        ).withColumn(
+            "event_ts", F.timestamp_seconds(1704067200 + F.col("event_id"))
+        )
+
+    mk(range(0, 10)).coalesce(1).write.parquet(str(src / "f0"))
+    mk(range(10, 20)).coalesce(1).write.parquet(str(src / "f1"))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = _run_to_memory(
+        spark,
+        stream_sample(sdf, rate=3, group_by=["k"], order_by="event_id"),
+        "smp_out",
+        tmp_path,
+    )
+    got = sorted(r.event_id for r in out.collect())
+
+    full = mk(range(0, 20))
+    want = sorted(
+        r.event_id
+        for r in batch_sample(
+            full, rate=3, group_by=["k"], order_by="event_id"
+        ).collect()
+    )
+    assert got == want
+    # every kept row carries the stamp (no exclude in play)
+    assert all(r.sample_rate == 3 for r in out.collect())
+
+
+def test_stream_sample_exclude_bypasses_counter(spark, tmp_path):
+    """Exclude matches forward unsampled, unstamped, and never consume a
+    stride slot (transform.rs:52-64) — identical to the batch contract."""
+    from vector_spark.streaming import stream_sample
+
+    schema = "event_id long, event_ts timestamp, k string, v double"
+    df = spark.createDataFrame(
+        [(i, None, "a", float(i)) for i in range(12)], schema
+    ).withColumn("event_ts", F.timestamp_seconds(1704067200 + F.col("event_id")))
+    p = str(tmp_path / "sample_excl")
+    df.coalesce(1).write.parquet(p)
+    sdf = spark.readStream.schema(schema).parquet(p)
+    out = _run_to_memory(
+        spark,
+        stream_sample(
+            sdf,
+            rate=4,
+            group_by=["k"],
+            order_by="event_id",
+            exclude=F.col("event_id") % 3 == 0,
+        ),
+        "smp_excl",
+        tmp_path,
+    ).collect()
+    by_id = {r.event_id: r for r in out}
+    # ids 0,3,6,9 excluded → pass through unstamped; the sampler numbers
+    # only 1,2,4,5,7,8,10,11 → keeps positions 1 and 5: ids 1 and 7
+    assert sorted(by_id) == [0, 1, 3, 6, 7, 9]
+    assert by_id[1].sample_rate == 4 and by_id[7].sample_rate == 4
+    assert all(by_id[i].sample_rate is None for i in (0, 3, 6, 9))
+
+
+def test_stream_tag_cardinality_drop_tag_across_batches(spark, tmp_path):
+    """First value_limit distinct values claim the slots (arrival order,
+    carried across micro-batches); later values null out; null tags pass."""
+    from vector_spark.streaming import stream_tag_cardinality
+
+    schema = "event_id long, event_ts timestamp, tag string"
+    src = tmp_path / "tcl_src"
+    src.mkdir()
+    b0 = [(0, "u1"), (1, "u2"), (2, "u1"), (3, None)]
+    b1 = [(4, "u3"), (5, "u2"), (6, "u4"), (7, None)]
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(
+            [(eid, None, t) for eid, t in rows], schema
+        ).withColumn(
+            "event_ts", F.timestamp_seconds(1704067200 + F.col("event_id"))
+        ).coalesce(1).write.parquet(str(src / f"f{i}"))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = _run_to_memory(
+        spark,
+        stream_tag_cardinality(sdf, "tag", value_limit=2, order_by="event_id"),
+        "tcl_out",
+        tmp_path,
+    ).collect()
+    got = {r.event_id: r.tag for r in out}
+    # u1,u2 claim the two slots in batch 0; u3,u4 (batch 1) are over-limit
+    assert got == {0: "u1", 1: "u2", 2: "u1", 3: None,
+                   4: None, 5: "u2", 6: None, 7: None}
+
+
+def test_stream_tag_cardinality_drop_event(spark, tmp_path):
+    from vector_spark.streaming import stream_tag_cardinality
+
+    schema = "event_id long, event_ts timestamp, tag string"
+    df = spark.createDataFrame(
+        [(0, None, "a"), (1, None, "b"), (2, None, "c"),
+         (3, None, "a"), (4, None, None)],
+        schema,
+    ).withColumn("event_ts", F.timestamp_seconds(1704067200 + F.col("event_id")))
+    p = str(tmp_path / "tcl_drop")
+    df.coalesce(1).write.parquet(p)
+    sdf = spark.readStream.schema(schema).parquet(p)
+    out = _run_to_memory(
+        spark,
+        stream_tag_cardinality(
+            sdf, "tag", value_limit=2, action="drop_event",
+            order_by="event_id",
+        ),
+        "tcl_drop",
+        tmp_path,
+    ).collect()
+    # c is over-limit → event 2 dropped; null tag (4) passes through
+    assert sorted(r.event_id for r in out) == [0, 1, 3, 4]

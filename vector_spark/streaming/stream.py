@@ -16,6 +16,15 @@ of silently mis-windowed):
   stream_reduce, a stateful operator bit-exact vs the batch reduce
 - throttle GCRA (src/transforms/throttle.rs)   → applyInPandasWithState
   per-key token counting per window
+- sample counter mode (src/transforms/sample)  → stream_sample, a
+  persistent per-bucket modulo counter (hash mode is stateless — the
+  batch column program runs on streams unchanged)
+- tag_cardinality_limit                        → stream_tag_cardinality,
+  the accepted-value set carried as bounded state
+
+With these, every stateful reference transform has a streaming execution
+path; the stateless ones (remap/filter/route/enrich/log_to_metric/...)
+are pure column programs that run on streaming frames as-is.
 
 All take a streaming DataFrame (``spark.readStream...``) and return a
 streaming DataFrame; pair with ``writeStream`` + checkpointLocation for
@@ -594,6 +603,156 @@ def stream_reduce(
     )
     return events.groupBy(group_by).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
+    )
+
+
+def stream_sample(
+    events: DataFrame,
+    rate: int,
+    group_by: list[str] | None = None,
+    order_by: str = "event_ts",
+    exclude=None,
+    stamp: bool = True,
+) -> DataFrame:
+    """Streaming counter-mode sample (reference src/transforms/sample/
+    transform.rs:107-117): one persistent modulo counter per ``group_by``
+    bucket, carried ACROSS micro-batches — rows 1, 1+rate, 1+2·rate … of
+    each bucket's lifetime pass. (Keyed hash mode is stateless — the batch
+    ``operators.sample`` column program runs on a stream unchanged; only
+    counter mode needs state.)
+
+    Parity details mirrored from the batch operator: ``exclude`` matches
+    bypass the sampler entirely (forwarded, never counted, never stamped —
+    transform.rs:52-64); kept sampled rows are stamped ``sample_rate``
+    (transform.rs:120-136). Within a micro-batch rows are ordered by
+    ``order_by``; across batches the counter continues where it left off
+    (arrival order, exactly the reference's behavior).
+
+    State: ONE int64 per bucket — bounded by the bucket-key cardinality.
+    With ``group_by=None`` all rows share a single counter (one state
+    group): fine for post-aggregation metric streams, wrong for raw
+    10^12-row firehoses — key it, or use hash mode (SCALING.md).
+    """
+    if rate <= 0:
+        raise ValueError("rate must be >= 1")
+    from vector_spark.conditions import to_column
+
+    src_fields = list(events.schema.fields)
+    events = events.withColumn(
+        "__excl",
+        to_column(exclude, events) if exclude is not None else F.lit(False),
+    )
+    keys = group_by or []
+    if not keys:
+        # a literal grouping expression isn't a resolvable attribute for
+        # FlatMapGroupsInPandasWithState — materialize the constant key
+        events = events.withColumn("__g", F.lit(1))
+        keys = ["__g"]
+    grouped = events.groupBy(*keys)
+    out_schema = StructType(
+        src_fields
+        + ([StructField("sample_rate", LongType(), True)] if stamp else [])
+    )
+    state_schema = StructType([StructField("count", LongType(), True)])
+    out_cols = [f.name for f in src_fields]
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (count,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(order_by, kind="stable")
+            thru = ~pdf["__excl"].fillna(False).to_numpy()
+            pos = count + thru.cumsum()
+            keep = (~thru) | (thru & (((pos - 1) % rate) == 0))
+            count = int(pos[-1]) if len(pos) else count
+            kept = pdf.loc[keep]
+            if kept.empty:
+                continue
+            out = kept[out_cols].copy()
+            if stamp:
+                # pd nullable Int64: excluded rows keep a null stamp
+                out["sample_rate"] = pd.array(
+                    [None if e else rate for e in kept["__excl"]],
+                    dtype="Int64",
+                )
+            yield out
+        state.update((count,))
+
+    return grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_tag_cardinality(
+    events: DataFrame,
+    tag: str,
+    value_limit: int,
+    action: str = "drop_tag",
+    order_by: str = "event_ts",
+) -> DataFrame:
+    """Streaming tag_cardinality_limit (reference src/transforms/
+    tag_cardinality_limit): the first ``value_limit`` DISTINCT values of
+    ``tag`` ever seen are accepted; an event carrying a new value beyond
+    the limit either loses the tag (``drop_tag`` → null) or is dropped
+    (``drop_event``). Null tags pass through untouched and never occupy a
+    slot (the batch operator's contract).
+
+    State: the accepted-value set — ONE group keyed by the tag name,
+    bounded at ``value_limit`` strings (the reference holds exactly this
+    set in a single in-memory HashSet, mod.rs). Per micro-batch all rows
+    visit one task, which is precisely the operator's purpose: it runs on
+    metric/tag streams AFTER aggregation, where a micro-batch is small but
+    the value domain explodes over time. For raw-event firehoses enforce
+    per-key limits upstream instead (SCALING.md).
+    """
+    if action not in ("drop_tag", "drop_event"):
+        raise ValueError(f"unknown action {action!r}")
+    src_fields = list(events.schema.fields)
+    out_schema = StructType(src_fields)
+    state_schema = StructType(
+        [StructField("accepted", StringType(), True)]
+    )
+    out_cols = [f.name for f in src_fields]
+    SEP = "\x1f"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (packed,) = state.get if state.exists else ("",)
+        accepted: list[str] = packed.split(SEP) if packed else []
+        seen = set(accepted)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(order_by, kind="stable")
+            vals = pdf[tag]
+            nonnull = vals.notna()
+            # first-arrival distinct new values claim the remaining slots
+            for v in pd.unique(vals[nonnull]):
+                if len(seen) >= value_limit:
+                    break
+                if v not in seen:
+                    seen.add(v)
+                    accepted.append(v)
+            ok = (~nonnull) | vals.isin(seen)
+            if action == "drop_event":
+                out = pdf.loc[ok, out_cols]
+            else:
+                out = pdf[out_cols].copy()
+                out.loc[~ok, tag] = None
+            if not out.empty:
+                yield out
+        state.update((SEP.join(accepted),))
+
+    return (
+        events.withColumn("__tag", F.lit(tag))
+        .groupBy("__tag")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
     )
 
 
