@@ -116,7 +116,10 @@ def test_stream_throttle_state(spark, events_path, tmp_path):
     # 100 events / 4 types / (200s windows = 5 events per type per window):
     # keep 3 of 5 per (type, window) → 5 windows × 4 types × 3 = 60
     assert out.count() == 60
-    per_key = {r.key: r["count"] for r in out.groupBy("key").count().collect()}
+    per_key = {
+        r.event_type: r["count"]
+        for r in out.groupBy("event_type").count().collect()
+    }
     assert set(per_key.values()) == {15}
 
 
@@ -202,11 +205,11 @@ def test_stream_throttle_state_ttl_evicts_idle_keys(spark, tmp_path):
     )
     out = _run_to_memory(spark, sdf, "thr_ttl", tmp_path)
     kept = sorted(
-        r.event_ts.timestamp() for r in out.filter("key = 'k'").collect()
+        r.event_ts.timestamp() for r in out.filter("event_type = 'k'").collect()
     )
     # without eviction the exhausted window would drop the b4 events
     assert kept == [1000.0, 1001.0, 1150.0, 1151.0]
-    assert out.filter("key = 'other'").count() == 2
+    assert out.filter("event_type = 'other'").count() == 2
 
 
 def test_kafka_builders_shape(spark):
@@ -565,3 +568,99 @@ def test_stream_tag_cardinality_drop_event(spark, tmp_path):
     ).collect()
     # c is over-limit → event 2 dropped; null tag (4) passes through
     assert sorted(r.event_id for r in out) == [0, 1, 3, 4]
+
+
+def test_stateful_config_runs_as_stream_with_equal_sink_counts(
+    spark, tmp_path
+):
+    """A config chaining STATEFUL transform types (sample counter →
+    throttle → dedupe → aggregate) executes as Structured Streaming via
+    the topology's streaming dispatch — per-sink counts equal the batch
+    run on the same single-batch input (the north-rule invariant)."""
+    from vector_spark.plans.topology import compile_config, run_streaming
+
+    schema = "event_id long, event_ts timestamp, event_type string, value double"
+    df = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(1704067200 + F.col("id") * 5).alias("event_ts"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias(
+            "event_type"
+        ),
+        (F.col("id") % 11).cast("double").alias("value"),
+    )
+    p = str(tmp_path / "stateful_src")
+    df.coalesce(1).write.parquet(p)
+
+    # one stateful transform per sink path: Spark permits a single
+    # applyInPandasWithState per streaming query — chains of stateful
+    # transforms run as staged queries (write intermediate, stream on)
+    config = {
+        "sources": {"ev": {"type": "events"}},
+        "transforms": {
+            "smp": {
+                "type": "sample",
+                "inputs": ["ev"],
+                "rate": 2,
+                "group_by": ["event_type"],
+                "order_by": "event_id",
+            },
+            "thr": {
+                "type": "throttle",
+                "inputs": ["ev"],
+                "threshold": 20,
+                "window_secs": 600,
+                "key_field": "event_type",
+            },
+            "dd": {
+                "type": "dedupe",
+                "inputs": ["ev"],
+                "match": ["event_type", "value"],
+                "order_by": ["event_id"],
+            },
+            "agg": {
+                "type": "aggregate",
+                "inputs": ["ev"],
+                "series_cols": ["event_type"],
+                "interval_secs": 300,
+                "mode": "sum",
+            },
+        },
+        "sinks": {
+            "sampled": {"type": "memory", "inputs": ["smp"]},
+            "limited": {"type": "memory", "inputs": ["thr"]},
+            "uniq": {"type": "memory", "inputs": ["dd"]},
+            "series": {"type": "memory", "inputs": ["agg"]},
+        },
+    }
+
+    batch = compile_config(
+        spark, config, overrides={"ev": spark.read.parquet(p)}
+    ).write_sinks()
+    stream_counts = run_streaming(
+        spark,
+        config,
+        source_streams={
+            "ev": spark.readStream.schema(schema).parquet(p)
+        },
+        checkpoint_root=str(tmp_path / "ck_stateful"),
+        query_prefix="topo_stateful",
+    )
+    # row-level stateful sinks match the batch run exactly
+    for k in ("sampled", "limited", "uniq"):
+        assert stream_counts[k] == batch[k], k
+    # the windowed sink follows append-mode semantics: it emits exactly
+    # the windows CLOSED by the final watermark (end <= max_ts - 30s);
+    # batch emits every window including still-open ones
+    closed = (
+        spark.read.parquet(p)
+        .groupBy(F.window("event_ts", "300 seconds"), "event_type")
+        .count()
+        .filter(
+            F.col("window.end")
+            <= F.lit(1704067200 + 399 * 5 - 30).cast("timestamp")
+        )
+        .count()
+    )
+    assert stream_counts["series"] == closed
+    assert 0 < stream_counts["series"] <= batch["series"]
+    assert all(v > 0 for v in stream_counts.values())

@@ -549,8 +549,164 @@ def _encoded_line(df: DataFrame, cfg: dict) -> Column:
     raise ValueError(f"unknown encoded_file encoding {enc!r}")
 
 
+def _build_streaming_stateful(
+    cfg: dict, df: DataFrame
+) -> dict[str, DataFrame] | None:
+    """Streaming dispatch for the stateful transform types (the reference
+    runs EVERY transform on streams; src/topology/builder.rs). Batch
+    implementations of these compile to window functions / multi-pass
+    aggregates that Spark's analyzer rejects on a streaming frame, so a
+    topology whose inputs are streams substitutes the
+    ``streaming/stream.py`` counterpart with the SAME config keys.
+    Returns None for configs that are stream-safe as-is (stateless column
+    programs, keyed hash-mode sample) — the batch builder handles those
+    unchanged.
+    """
+    from vector_spark.streaming.stream import (
+        stream_aggregate,
+        stream_aggregate_diff,
+        stream_dedupe,
+        stream_reduce,
+        stream_reduce_sessions,
+        stream_sample,
+        stream_tag_cardinality,
+        stream_throttle,
+    )
+
+    t = cfg["type"]
+    ts_col = cfg.get("ts_col", "event_ts")
+    if t == "sample":
+        if cfg.get("key_field"):
+            return None  # keyed hash mode is a stateless filter
+        return {
+            "__default": stream_sample(
+                df,
+                rate=int(cfg["rate"]),
+                group_by=cfg.get("group_by"),
+                order_by=cfg.get("order_by", ts_col),
+                exclude=cfg.get("exclude"),
+            )
+        }
+    if t == "throttle":
+        if not cfg.get("key_field"):
+            raise ValueError(
+                "streaming throttle needs key_field (a global stream "
+                "counter cannot scale; key the limiter)"
+            )
+        return {
+            "__default": stream_throttle(
+                df,
+                threshold=int(cfg["threshold"]),
+                window_secs=int(cfg["window_secs"]),
+                key_field=cfg["key_field"],
+                ts_col=ts_col,
+            )
+        }
+    if t == "dedupe":
+        fields = cfg.get("fields", {})
+        match = cfg.get("match", fields.get("match"))
+        ignore = cfg.get("ignore", fields.get("ignore"))
+        if match is None:
+            match = [c for c in df.columns if c not in set(ignore or [])]
+        return {
+            "__default": stream_dedupe(
+                df,
+                match=list(match),
+                ts_col=ts_col,
+                watermark=cfg.get("stream_watermark", "10 minutes"),
+            )
+        }
+    if t == "reduce":
+        if cfg.get("ends_when") or cfg.get("starts_when") or cfg.get("max_events"):
+            group = cfg.get("group_by", [])
+            if isinstance(group, list):
+                if len(group) != 1:
+                    raise ValueError(
+                        "streaming condition-driven reduce takes exactly "
+                        "one group_by column"
+                    )
+                group = group[0]
+            return {
+                "__default": stream_reduce(
+                    df,
+                    group_by=group,
+                    merge_strategies=cfg.get("merge_strategies", {}),
+                    ts_col=ts_col,
+                    ends_when=cfg.get("ends_when"),
+                    starts_when=cfg.get("starts_when"),
+                    max_events=cfg.get("max_events"),
+                    expire_after_secs=cfg.get("expire_after_secs"),
+                    watermark=cfg.get("stream_watermark", "30 seconds"),
+                )
+            }
+        # pure gap sessions → session_window; merge strategies that map to
+        # built-in aggregates ride along
+        aggs = {
+            c: how
+            for c, how in cfg.get("merge_strategies", {}).items()
+            if how in ("sum", "max", "min", "count")
+        }
+        return {
+            "__default": stream_reduce_sessions(
+                df,
+                group_by=cfg.get("group_by", []),
+                gap_secs=int(cfg.get("expire_after_secs", 30)),
+                ts_col=ts_col,
+                watermark=cfg.get("stream_watermark", "30 seconds"),
+                aggs=aggs or None,
+            )
+        }
+    if t == "aggregate":
+        mode = cfg.get("mode", "sum")
+        if mode == "diff":
+            series = cfg["series_cols"]
+            if isinstance(series, list):
+                if len(series) != 1:
+                    raise ValueError(
+                        "streaming diff aggregate takes exactly one "
+                        "series column"
+                    )
+                series = series[0]
+            return {
+                "__default": stream_aggregate_diff(
+                    df,
+                    series_col=series,
+                    value_col=cfg.get("value_col", "value"),
+                    ts_col=ts_col,
+                    interval_secs=int(cfg.get("interval_secs", 10)),
+                )
+            }
+        return {
+            "__default": stream_aggregate(
+                df,
+                series_cols=cfg["series_cols"],
+                value_col=cfg.get("value_col", "value"),
+                ts_col=ts_col,
+                interval_secs=int(cfg.get("interval_secs", 10)),
+                watermark=cfg.get("stream_watermark", "30 seconds"),
+                mode=mode,
+            )
+        }
+    if t == "tag_cardinality_limit":
+        out = df
+        for tag in cfg["tag_cols"]:
+            out = stream_tag_cardinality(
+                out,
+                tag,
+                value_limit=int(cfg.get("value_limit", 500)),
+                action=cfg.get("action", "drop_tag"),
+                order_by=cfg.get("order_by", ts_col),
+            )
+        return {"__default": out}
+    return None
+
+
 def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame]:
     t = cfg["type"]
+    if df.isStreaming:
+        streaming_out = _build_streaming_stateful(cfg, df)
+        if streaming_out is not None:
+            return streaming_out
     if t == "filter":
         return {"__default": filter_events(df, cfg["condition"])}
     if t == "remap":
@@ -1001,11 +1157,18 @@ def run_streaming(
     (``spark.readStream...``) with that source's output schema; the
     config's transforms and sink encoders then apply UNCHANGED — they are
     pure column programs, batch/stream agnostic (the same property
-    pipeline.stream_pipeline relies on). Stateful transform types that
-    compile to batch window functions (reduce/aggregate/dedupe/throttle)
-    need their streaming counterparts from ``streaming/stream.py``
-    instead; Spark's analyzer rejects them on a stream at compile time,
-    so a misuse fails loudly, never silently.
+    pipeline.stream_pipeline relies on). Stateful transform types
+    (sample counter mode / throttle / dedupe / reduce / aggregate /
+    tag_cardinality_limit) are substituted with their
+    ``streaming/stream.py`` counterparts automatically when the input
+    frame is streaming (``_build_streaming_stateful``) — the SAME config
+    keys drive both modes. One constraint inherited from Spark: a single
+    streaming query admits at most one ``applyInPandasWithState``
+    operator, so a config CHAINING two such transforms (e.g. sample →
+    throttle) must run staged — sink the first stage and stream the next
+    from its output, exactly the reference's inter-component disk buffer
+    posture. The analyzer rejects an over-chained plan at compile time,
+    loudly, never silently.
 
     Each sink runs as its own checkpointed append-mode memory query with
     ``trigger(availableNow=True)`` — process everything pending, then

@@ -160,12 +160,11 @@ def stream_throttle(
         events = events.withWatermark(
             ts_col, watermark or f"{window_secs} seconds"
         )
-    out_schema = StructType(
-        [
-            StructField("key", events.schema[key_field].dataType, True),
-            StructField("event_ts", TimestampType(), True),
-        ]
-    )
+    # full-row passthrough: kept events emerge unchanged (the reference
+    # throttle forwards the event itself), so the operator composes in a
+    # topology — not just as a (key, ts) sample
+    out_schema = StructType(list(events.schema.fields))
+    out_cols = [f.name for f in events.schema.fields]
     state_schema = StructType(
         [
             StructField("win_start", LongType(), True),
@@ -213,10 +212,7 @@ def stream_throttle(
             win_start = int(last)
             last_seen_ms = max(last_seen_ms, int(epochs[-1]) * 1000)
             if keep.any():
-                kept = pdf.loc[keep]
-                yield pd.DataFrame(
-                    {"key": key[0], "event_ts": kept[ts_col]}
-                )
+                yield pdf.loc[keep, out_cols]
         state.update((win_start, count))
         if state_ttl_secs is not None:
             # must be strictly beyond the current watermark; late-clamped
