@@ -664,3 +664,62 @@ def test_stateful_config_runs_as_stream_with_equal_sink_counts(
     assert stream_counts["series"] == closed
     assert 0 < stream_counts["series"] <= batch["series"]
     assert all(v > 0 for v in stream_counts.values())
+
+
+def test_chained_stateful_config_streams_via_staging(spark, tmp_path):
+    """A config CHAINING two applyInPandasWithState transforms (sample →
+    throttle) streams end-to-end: the topology cuts the plan at the
+    second stateful operator, flushing the sampled stage to a
+    checkpointed parquet stage and streaming the throttle from it —
+    per-sink counts equal the batch run (reference disk-buffer parity)."""
+    from vector_spark.plans.topology import compile_config, run_streaming
+
+    schema = "event_id long, event_ts timestamp, event_type string, value double"
+    df = spark.range(300).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(1704067200 + F.col("id") * 5).alias("event_ts"),
+        F.concat(F.lit("t"), (F.col("id") % 2).cast("string")).alias(
+            "event_type"
+        ),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    p = str(tmp_path / "chain_src")
+    df.coalesce(1).write.parquet(p)
+
+    config = {
+        "sources": {"ev": {"type": "events"}},
+        "transforms": {
+            "smp": {
+                "type": "sample",
+                "inputs": ["ev"],
+                "rate": 2,
+                "group_by": ["event_type"],
+                "order_by": "event_id",
+            },
+            "thr": {
+                "type": "throttle",
+                "inputs": ["smp"],
+                "threshold": 10,
+                "window_secs": 600,
+                "key_field": "event_type",
+            },
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["thr"]}},
+    }
+    batch = compile_config(
+        spark, config, overrides={"ev": spark.read.parquet(p)}
+    ).write_sinks()
+    stream_counts = run_streaming(
+        spark,
+        config,
+        source_streams={"ev": spark.readStream.schema(schema).parquet(p)},
+        checkpoint_root=str(tmp_path / "ck_chain"),
+        query_prefix="topo_chain",
+    )
+    assert stream_counts == batch
+    assert stream_counts["out"] > 0
+    # the stage actually materialized on disk
+    import os
+
+    staged = os.path.join(str(tmp_path / "ck_chain"), "__staging", "stage_thr")
+    assert os.path.isdir(staged)

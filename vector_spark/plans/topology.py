@@ -198,6 +198,13 @@ class Topology:
     overrides: dict[str, DataFrame] = field(default_factory=dict)
     observe: bool = False
     _observations: dict = field(default_factory=dict)
+    # staged streaming: when set, a stateful streaming transform whose
+    # lineage already holds a stateful operator materializes its input to
+    # this directory first (availableNow parquet stage) and streams on —
+    # the reference's inter-component disk buffer, Spark-shaped
+    staging_root: str | None = None
+    # per-component streaming lineage flags: (has_any_stateful, has_apply)
+    _stream_state: dict = field(default_factory=dict)
 
     # -- resolution --------------------------------------------------------
 
@@ -344,12 +351,62 @@ class Topology:
 
     # -- transforms --------------------------------------------------------
 
+    # -- staged streaming ----------------------------------------------------
+
+    def _lineage_flags(self, refs: list[str]) -> tuple[bool, bool]:
+        """(any stateful upstream, any applyInPandasWithState upstream)
+        across the given input refs (ports share their transform's flags)."""
+        any_state = any_apply = False
+        for ref in refs:
+            s, a = self._stream_state.get(ref.split(".", 1)[0], (False, False))
+            any_state, any_apply = any_state or s, any_apply or a
+        return any_state, any_apply
+
+    def _materialize_stream(self, name: str, df: DataFrame) -> DataFrame:
+        """Flush a streaming frame to a parquet stage (availableNow, own
+        checkpoint) and stream it back — cuts the query so the next
+        stateful operator starts a fresh plan. At the 10^12 tier this is
+        a checkpointed cluster-FS hop between pipeline stages, the exact
+        role of the reference's disk buffers (buffers/disk in
+        vector.dev's model): bounded state per query, restartable at
+        every cut."""
+        import os
+
+        assert self.staging_root is not None
+        path = os.path.join(self.staging_root, f"stage_{name}")
+        ck = os.path.join(self.staging_root, f"__ck_stage_{name}")
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return self.spark.readStream.schema(df.schema).parquet(path)
+
     def _transform_outputs(self, name: str) -> dict[str, DataFrame]:
         cache_key = f"__outs__{name}"
         if cache_key in self._cache:
             return self._cache[cache_key]  # type: ignore[return-value]
         cfg = self.config["transforms"][name]
         df = self._inputs_df(cfg["inputs"])
+        if df.isStreaming:
+            kind = _streaming_stateful_kind(cfg)
+            up_state, up_apply = self._lineage_flags(cfg["inputs"])
+            # Spark admits ONE applyInPandasWithState per streaming query
+            # (and none alongside other stateful ops) — cut the plan at
+            # the boundary with a parquet stage when staging is enabled
+            needs_cut = (kind == "apply" and up_state) or (
+                kind == "builtin" and up_apply
+            )
+            if needs_cut and self.staging_root:
+                df = self._materialize_stream(name, df)
+                up_state = up_apply = False
+            self._stream_state[name] = (
+                up_state or kind is not None,
+                up_apply or kind == "apply",
+            )
         if cfg.get("type") == "enrich" and "table" in cfg:
             # reference shape: the transform references a top-level
             # [enrichment_tables.X] by name
@@ -547,6 +604,28 @@ def _encoded_line(df: DataFrame, cfg: dict) -> Column:
         )
         return encode_key_value(m)
     raise ValueError(f"unknown encoded_file encoding {enc!r}")
+
+
+def _streaming_stateful_kind(cfg: dict) -> str | None:
+    """How this transform type holds state on a stream: ``"apply"`` =
+    applyInPandasWithState (at most one per streaming query), ``"builtin"``
+    = native stateful operator (watermark dedupe / windowed agg), None =
+    stateless column program."""
+    t = cfg["type"]
+    if t == "sample":
+        return None if cfg.get("key_field") else "apply"
+    if t in ("throttle", "tag_cardinality_limit"):
+        return "apply"
+    if t == "reduce":
+        has_conditions = (
+            cfg.get("ends_when") or cfg.get("starts_when") or cfg.get("max_events")
+        )
+        return "apply" if has_conditions else "builtin"
+    if t == "aggregate":
+        return "apply" if cfg.get("mode") == "diff" else "builtin"
+    if t == "dedupe":
+        return "builtin"
+    return None
 
 
 def _build_streaming_stateful(
@@ -1044,6 +1123,7 @@ def compile_config(
     config_or_path,
     overrides: dict[str, DataFrame] | None = None,
     observe: bool = False,
+    staging_root: str | None = None,
 ) -> Topology:
     """Validate + compile a config into a Topology (≙ config::compile).
 
@@ -1104,7 +1184,12 @@ def compile_config(
         raise ValueError(f"cycle detected involving: {cyc}")
 
     return Topology(
-        spark, config, order, overrides=dict(overrides or {}), observe=observe
+        spark,
+        config,
+        order,
+        overrides=dict(overrides or {}),
+        observe=observe,
+        staging_root=staging_root,
     )
 
 
@@ -1164,11 +1249,13 @@ def run_streaming(
     frame is streaming (``_build_streaming_stateful``) — the SAME config
     keys drive both modes. One constraint inherited from Spark: a single
     streaming query admits at most one ``applyInPandasWithState``
-    operator, so a config CHAINING two such transforms (e.g. sample →
-    throttle) must run staged — sink the first stage and stream the next
-    from its output, exactly the reference's inter-component disk buffer
-    posture. The analyzer rejects an over-chained plan at compile time,
-    loudly, never silently.
+    operator, so a config CHAINING two stateful transforms (e.g. sample →
+    throttle) is CUT at the boundary automatically: the upstream stage
+    flushes to a checkpointed parquet stage under
+    ``checkpoint_root/__staging`` (availableNow) and the downstream
+    operator streams from it (``Topology._materialize_stream``) — exactly
+    the reference's inter-component disk buffer posture, Spark-shaped.
+    Each stage is independently checkpointed and restartable.
 
     Each sink runs as its own checkpointed append-mode memory query with
     ``trigger(availableNow=True)`` — process everything pending, then
@@ -1184,7 +1271,14 @@ def run_streaming(
         raise ValueError(
             f"streaming run needs a source stream for: {sorted(missing)}"
         )
-    topo = compile_config(spark, config, overrides=dict(source_streams))
+    import os
+
+    topo = compile_config(
+        spark,
+        config,
+        overrides=dict(source_streams),
+        staging_root=os.path.join(checkpoint_root, "__staging"),
+    )
     counts: dict[str, int] = {}
     for sink_name, df in topo.outputs().items():
         qname = f"{query_prefix}_{sink_name}"
