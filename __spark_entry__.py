@@ -8880,6 +8880,99 @@ def _register_sink_registry_queries() -> None:
 _register_sink_registry_queries()
 
 
+def _register_staged_streaming() -> None:
+    """Staged streaming in the hard gate: a config CHAINING two
+    applyInPandasWithState transforms (counter sample → throttle) runs as
+    REAL Structured Streaming via run_streaming — the topology cuts the
+    plan at the throttle and bridges through a checkpointed parquet stage
+    (the reference's inter-component disk buffer). The memory-sink rows
+    are compared bit-exact against a DuckDB window replay of the same
+    sample-then-throttle semantics."""
+
+    @_q(
+        "stream_staged_chain",
+        """
+        WITH s AS (
+          SELECT event_id, ts, event_type,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY event_id) AS rn
+          FROM events
+        ),
+        samp AS (SELECT * FROM s WHERE (rn - 1) % 5 = 0),
+        t AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY event_type,
+                     time_bucket(INTERVAL 3600 SECOND, ts)
+                   ORDER BY ts) AS rn2
+          FROM samp
+        )
+        SELECT event_id, event_type FROM t WHERE rn2 <= 3
+        """,
+    )
+    def stream_staged_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from vector_spark.plans.topology import run_streaming
+
+        static = _events(spark, sf_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        link_dir = f"/tmp/vs_stream_events_{abs(hash(sf_dir)) % 10**8}"
+        os.makedirs(link_dir, exist_ok=True)
+        link = os.path.join(link_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        sdf = (
+            spark.readStream.schema(_events(spark, sf_dir).schema)
+            .parquet(link_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        config = {
+            "sources": {"ev": {"type": "events"}},
+            "transforms": {
+                "smp": {
+                    "type": "sample",
+                    "inputs": ["ev"],
+                    "rate": 5,
+                    "group_by": ["event_type"],
+                    "order_by": "event_id",
+                    "ts_col": "ts",
+                },
+                "thr": {
+                    "type": "throttle",
+                    "inputs": ["smp"],
+                    "threshold": 3,
+                    "window_secs": 3600,
+                    "key_field": "event_type",
+                    "ts_col": "ts",
+                },
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["thr"]}},
+        }
+        global _STREAM_Q_N
+        _STREAM_Q_N += 1
+        prefix = f"__staged_chain_{_STREAM_Q_N}"
+        ck = f"/tmp/vs_ck_{prefix}"
+        # state-store sizing: tiny key domain (see stream_agg_events)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_streaming(
+                spark,
+                config,
+                source_streams={"ev": sdf},
+                checkpoint_root=ck,
+                query_prefix=prefix,
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return spark.table(f"{prefix}_out").select("event_id", "event_type")
+
+
+_register_staged_streaming()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
