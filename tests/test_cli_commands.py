@@ -137,3 +137,28 @@ _config = st.recursive(
 @given(_config)
 def test_toml_emitter_roundtrip_property(cfg):
     assert tomllib.loads(_toml_dump(cfg)) == cfg
+
+
+def test_generate_schema_shape():
+    """generate-schema emits a JSON Schema whose type enums are the live
+    registries — a generated config always validates structurally."""
+    from vector_spark.__main__ import _cmd_generate_schema
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert _cmd_generate_schema() == 0
+    schema = json.loads(buf.getvalue())
+    comp = schema["properties"]["transforms"]["additionalProperties"]
+    assert "remap" in comp["properties"]["type"]["enum"]
+    assert comp["required"] == ["type", "inputs"]
+    src = schema["properties"]["sources"]["additionalProperties"]
+    assert "inputs" not in src["properties"]
+    cfg = _parse_generate_expr("demo_logs/remap/console")
+    for sec in ("sources", "transforms", "sinks"):
+        enum = set(
+            schema["properties"][sec]["additionalProperties"]["properties"][
+                "type"
+            ]["enum"]
+        )
+        assert all(c["type"] in enum for c in cfg[sec].values())

@@ -181,6 +181,56 @@ def _parse_generate_expr(expr: str) -> dict:
     return {k: v for k, v in config.items() if v}
 
 
+def _cmd_generate_schema() -> int:
+    """`vector generate-schema` (experimental in the reference too,
+    src/cli.rs:285-291): a JSON Schema for the config surface — section
+    layout, per-component `type` enums from the live registries, and the
+    wiring keys the compiler enforces (`inputs`, non-empty). Per-type
+    option fields stay open (additionalProperties) exactly because the
+    compiler validates them at build time with typed errors."""
+    from vector_spark.plans.sink_registry import BUILTIN_SINKS, SINK_TYPES
+    from vector_spark.plans.source_registry import SOURCE_TYPES
+    from vector_spark.plans.topology import TRANSFORM_TYPES
+
+    def component(types: list[str], wired: bool) -> dict:
+        props: dict = {"type": {"enum": sorted(types)}}
+        required = ["type"]
+        if wired:
+            props["inputs"] = {
+                "type": "array",
+                "items": {"type": "string"},
+                "minItems": 1,
+            }
+            required.append("inputs")
+        return {
+            "type": "object",
+            "properties": props,
+            "required": required,
+            "additionalProperties": True,
+        }
+
+    def section(comp: dict) -> dict:
+        return {"type": "object", "additionalProperties": comp}
+
+    schema = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "title": "vector_spark topology config",
+        "type": "object",
+        "properties": {
+            "sources": section(component(sorted(SOURCE_TYPES), wired=False)),
+            "transforms": section(component(list(TRANSFORM_TYPES), wired=True)),
+            "sinks": section(
+                component(sorted(set(SINK_TYPES) | set(BUILTIN_SINKS)), wired=True)
+            ),
+            "enrichment_tables": {"type": "object"},
+            "tests": {"type": "array"},
+        },
+        "additionalProperties": True,
+    }
+    print(json.dumps(schema, indent=2))
+    return 0
+
+
 def _cmd_list(args: list[str]) -> int:
     from vector_spark.plans.sink_registry import BUILTIN_SINKS, SINK_TYPES
     from vector_spark.plans.source_registry import SOURCE_TYPES
@@ -253,6 +303,8 @@ def main() -> int:
 
     if cmd == "list":
         return _cmd_list(sys.argv[2:])
+    if cmd == "generate-schema":
+        return _cmd_generate_schema()
     if cmd == "vrl":
         return _cmd_vrl(sys.argv[2:])
     if cmd == "generate":
