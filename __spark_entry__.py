@@ -14,6 +14,7 @@ over the driver's parquet testdata views.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 import pandas as pd
@@ -2033,7 +2034,13 @@ def _register_more() -> None:
         max_ts = static.agg(F.max("ts")).collect()[0][0]
         # file streams need a DIRECTORY; expose the single parquet file via
         # a symlink dir (testdata itself is read-only)
-        link_dir = f"/tmp/vs_stream_events_{abs(hash(sf_dir)) % 10**8}"
+        # deterministic digest (NOT hash(): PYTHONHASHSEED randomizes it
+        # per process, which leaks one process's dir into another's
+        # checkpointed file-stream log)
+        link_dir = (
+            "/tmp/vs_stream_events_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        )
         os.makedirs(link_dir, exist_ok=True)
         link = os.path.join(link_dir, "events.parquet")
         if not os.path.exists(link):
@@ -2120,7 +2127,13 @@ def _register_more() -> None:
 
         static = _events(spark, sf_dir)
         max_ts = static.agg(F.max("ts")).collect()[0][0]
-        link_dir = f"/tmp/vs_stream_events_{abs(hash(sf_dir)) % 10**8}"
+        # deterministic digest (NOT hash(): PYTHONHASHSEED randomizes it
+        # per process, which leaks one process's dir into another's
+        # checkpointed file-stream log)
+        link_dir = (
+            "/tmp/vs_stream_events_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        )
         os.makedirs(link_dir, exist_ok=True)
         link = os.path.join(link_dir, "events.parquet")
         if not os.path.exists(link):
@@ -8918,7 +8931,13 @@ def _register_staged_streaming() -> None:
         static = _events(spark, sf_dir).withColumn(
             "ts", F.col("ts").cast("timestamp")
         )
-        link_dir = f"/tmp/vs_stream_events_{abs(hash(sf_dir)) % 10**8}"
+        # deterministic digest (NOT hash(): PYTHONHASHSEED randomizes it
+        # per process, which leaks one process's dir into another's
+        # checkpointed file-stream log)
+        link_dir = (
+            "/tmp/vs_stream_events_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        )
         os.makedirs(link_dir, exist_ok=True)
         link = os.path.join(link_dir, "events.parquet")
         if not os.path.exists(link):
@@ -8953,7 +8972,14 @@ def _register_staged_streaming() -> None:
         global _STREAM_Q_N
         _STREAM_Q_N += 1
         prefix = f"__staged_chain_{_STREAM_Q_N}"
-        ck = f"/tmp/vs_ck_{prefix}"
+        # fresh checkpoint per invocation: a fixed path + per-process
+        # counter collides across processes, and Structured Streaming then
+        # resumes a file-stream log pointing at the other process's link
+        # dir ("Wrong basePath"). Resume-from-checkpoint is gate-tested by
+        # checkpointed_resume; this query tests the staged-chain CUT.
+        import tempfile
+
+        ck = tempfile.mkdtemp(prefix=f"vs_ck_{prefix}_")
         # state-store sizing: tiny key domain (see stream_agg_events)
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
