@@ -8024,7 +8024,7 @@ def _register_tpch_shapes2() -> None:
             .groupBy(
                 "supp_nation",
                 "cust_nation",
-                F.year("l_shipdate").alias("l_year"),
+                F.year("l_shipdate").cast("long").alias("l_year"),
             )
             .agg(
                 F.round(F.sum(_vol_col()), 2)
@@ -8083,7 +8083,7 @@ def _register_tpch_shapes2() -> None:
             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("__cnk"))
             .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("__snk"))
-            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
             .agg(
                 F.round(
                     F.sum(
