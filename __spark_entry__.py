@@ -1477,6 +1477,37 @@ def _register_more() -> None:
             tables.sequences(spark, _SUBSTR_N), k=_SUBSTR_K
         )
 
+    _TOKMH_N, _TOKMH_NGRAM, _TOKMH_THR = 3_000, 8, 0.7
+
+    @_q(
+        "seq_token_minhash",
+        osql.minhash_near_dups_sql(
+            num_hashes=16,
+            bands=4,
+            threshold=_TOKMH_THR,
+            table="seq",
+            id_col="doc_id",
+            shingle_expr=osql.token_ngram_hashes_expr("tokens", _TOKMH_NGRAM),
+            extra_cte=f"seq AS ({tables.sequences_sql(_TOKMH_N)})",
+        ),
+    )
+    def seq_token_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MinHash+LSH near-dup pairs DIRECTLY over the BASELINE
+        ``tokens: array<int32>`` payload — integer n-gram fold shingles,
+        zero md5/strings in the signature stage (dataprep/dedup.py::
+        token_minhash_near_dups). The synthetic corpus has real near-dups
+        by construction: token streams are arithmetic progressions, so
+        docs whose start offsets align modulo the step share long windows."""
+        from vector_spark.dataprep.dedup import token_minhash_near_dups
+
+        return token_minhash_near_dups(
+            tables.sequences(spark, _TOKMH_N),
+            n=_TOKMH_NGRAM,
+            num_hashes=16,
+            bands=4,
+            threshold=_TOKMH_THR,
+        )
+
     @_q(
         "seq_throttle",
         f"""

@@ -81,6 +81,26 @@ def test_minhash_finds_planted_near_dup(spark):
     assert all(p in {(1, 2)} for p in found)
 
 
+def test_token_minhash_finds_planted_near_dup(spark):
+    # doc 2 = doc 1 with one token changed at the end; doc 3 disjoint
+    base = list(range(100, 140))
+    near = base[:-1] + [999]
+    far = list(range(5000, 5040))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, tokens array<int>"
+    )
+    pairs = dd.token_minhash_near_dups(df, n=8, threshold=0.3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    assert all(p in {(1, 2)} for p in found)
+
+
+def test_token_ngram_hashes_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, [1, 2, 3])], "doc_id long, tokens array<int>")
+    out = df.select(dd.token_ngram_hashes(F.col("tokens"), n=8).alias("h")).collect()
+    assert out[0].h == []
+
+
 def test_simhash_near_texts_have_low_hamming(spark):
     df = spark.createDataFrame(
         [

@@ -220,16 +220,86 @@ def minhash_near_dups(
     Dedup of pairs found in multiple bands happens BEFORE the (expensive)
     exact-Jaccard verify.
     """
+    return _banded_near_dups(
+        df.select(
+            F.col(id_col).alias("__id"),
+            hashed_shingles(F.col(text_col), k_shingle).alias("__sh"),
+        ),
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )
+
+
+def token_ngram_hashes(tokens_col: Column, n: int = 8) -> Column:
+    """Distinct sorted hashes of token n-grams over an ``array<int>``
+    column — pure integer math end to end (zero md5 / zero strings: the
+    BASELINE payload is already tokenized, so shingling is array windowing
+    rather than word splitting). Each length-``n`` window folds to
+    ``h = fold(acc·1000003 + t) mod MINHASH_PRIME`` (acc stays < 2^51, no
+    64-bit overflow). Engine-portable: DuckDB's seeded ``list_reduce``
+    equals this fold because ``0·p + t₁ = t₁`` (oracles.token_ngram_
+    hashes_expr). Docs shorter than ``n`` tokens yield an empty set (they
+    then minhash to NULL band keys, which equi-joins drop on both engines)."""
+    m = F.lit(MINHASH_PRIME)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+        lambda i: F.aggregate(
+            F.slice(tokens_col, i, n),
+            F.lit(0).cast("long"),
+            lambda acc, t: (acc * 1000003 + t) % m,
+        ),
+    )
+    return F.when(
+        F.size(tokens_col) >= n, F.array_sort(F.array_distinct(grams))
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def token_minhash_near_dups(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs over TOKEN sequences (the BASELINE
+    ``tokens: array<int32>`` payload): same banded plan as
+    ``minhash_near_dups`` but the shingle set is integer n-gram hashes —
+    no tokenization, no md5 per shingle, whole signature stage is integer
+    column math. This is the scale path for dedup of pre-tokenized
+    training corpora (the text minhash exists for raw-text corpora)."""
+    return _banded_near_dups(
+        df.select(
+            F.col(id_col).alias("__id"),
+            token_ngram_hashes(F.col(tokens_col), n).alias("__sh"),
+        ),
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )
+
+
+def _banded_near_dups(
+    shingled: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Shared LSH engine: (__id, __sh: array<long>) → verified near-dup
+    pairs. See ``minhash_near_dups`` for the plan-shape discussion."""
     rows_per_band = num_hashes // bands
     # each step materializes its own column: passing the signature EXPRESSION
     # into the band builder would duplicate the whole tree per band key, and
     # higher-order-function expressions run interpreted (no codegen subexpr
     # elimination) — measured 10× slowdown when inlined
     base = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            hashed_shingles(F.col(text_col), k_shingle).alias("__sh"),
-        )
+        shingled
         .withColumn("__sig", minhash_signature_int(F.col("__sh"), num_hashes))
         .withColumn("__bands", lsh_band_keys(F.col("__sig"), bands, rows_per_band))
         .persist()

@@ -75,6 +75,22 @@ def band_keys_expr(sig_items: list[str], bands: int, rows_per_band: int) -> str:
     return "list_value(" + ", ".join(keys) + ")"
 
 
+def token_ngram_hashes_expr(col: str = "tokens", n: int = 8) -> str:
+    """≙ dedup.token_ngram_hashes: polynomial fold of each length-n token
+    window mod MINHASH_PRIME. DuckDB's list_reduce seeds with the first
+    element, which equals Spark's 0-seeded aggregate because 0·p+t₁ = t₁
+    (every token < MINHASH_PRIME, so the skipped first mod is a no-op)."""
+    from vector_spark.dataprep.dedup import MINHASH_PRIME
+
+    return (
+        f"CASE WHEN len({col}) >= {n} THEN list_sort(list_distinct("
+        f"list_transform(range(1, len({col}) - {n} + 2), "
+        f"i -> list_reduce(({col}[i:i+{n}-1])::BIGINT[], "
+        f"(acc, t) -> (acc * 1000003 + t) % {MINHASH_PRIME}))"
+        f")) ELSE []::BIGINT[] END"
+    )
+
+
 def minhash_near_dups_sql(
     k_shingle: int = 3,
     num_hashes: int = 16,
@@ -82,13 +98,16 @@ def minhash_near_dups_sql(
     threshold: float = 0.6,
     table: str = "documents",
     id_col: str = "doc_id",
+    shingle_expr: str | None = None,
+    extra_cte: str | None = None,
 ) -> str:
     rows_per_band = num_hashes // bands
-    sh = hashed_shingles_expr("text", k_shingle)
+    sh = shingle_expr or hashed_shingles_expr("text", k_shingle)
     sig = minhash_sig_int_exprs("__sh", num_hashes)
     bands_e = band_keys_expr(sig, bands, rows_per_band)
+    pre = f"{extra_cte}," if extra_cte else ""
     return f"""
-    WITH base AS (
+    WITH {pre} base AS (
       SELECT {id_col} AS __id, {sh} AS __sh FROM {table}
     ), withbands AS (
       SELECT __id, __sh, {bands_e} AS __bands FROM base
