@@ -1508,6 +1508,47 @@ def _register_more() -> None:
             threshold=_TOKMH_THR,
         )
 
+    _DECON_N, _DECON_BENCH, _DECON_NGRAM = 3_000, 100, 8
+    _DECON_TOK = osql.token_ngram_hashes_expr("tokens", _DECON_NGRAM)
+
+    @_q(
+        "seq_decontaminate",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_DECON_N)}),
+        bench AS ({tables.sequences_sql(_DECON_BENCH)}),
+        bdim AS (
+          SELECT DISTINCT digest FROM (
+            SELECT unnest({_DECON_TOK}) AS digest FROM bench)),
+        shing AS (SELECT doc_id, unnest({_DECON_TOK}) AS digest FROM seq),
+        hits AS (
+          SELECT s.doc_id,
+                 count(*)::BIGINT AS ngrams_total,
+                 count(b.digest)::BIGINT AS ngrams_overlap
+          FROM shing s LEFT JOIN bdim b ON s.digest = b.digest
+          GROUP BY s.doc_id)
+        SELECT doc_id, ngrams_total, ngrams_overlap,
+               CASE WHEN ngrams_total > 0
+                    THEN ROUND(ngrams_overlap::DOUBLE / ngrams_total, 4)
+                    ELSE 0.0 END AS contamination
+        FROM hits
+        """,
+    )
+    def seq_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Benchmark decontamination DIRECTLY over the BASELINE token
+        payload (GPT-3/PaLM-style n-gram collision, on token ids instead
+        of words): the first {bench} generator docs stand in for a leaked
+        eval set — they score contamination 1.0, and near-dup sequences
+        (shared arithmetic-progression windows) score partial overlap."""
+        from vector_spark.dataprep.contamination import (
+            token_contamination_scores,
+        )
+
+        return token_contamination_scores(
+            tables.sequences(spark, _DECON_N),
+            tables.sequences(spark, _DECON_BENCH),
+            n=_DECON_NGRAM,
+        )
+
     @_q(
         "seq_throttle",
         f"""

@@ -290,6 +290,30 @@ def test_contamination_scores(spark):
     assert out[3].ngrams_total == 0 and out[3].contamination == 0.0
 
 
+def test_token_contamination_scores(spark):
+    from vector_spark.dataprep.contamination import token_contamination_scores
+
+    # doc 1 = benchmark doc exactly; doc 2 shares a suffix window; doc 3
+    # disjoint; doc 4 too short for any 8-gram
+    corpus = spark.createDataFrame(
+        [(1, list(range(20))),
+         (2, list(range(1000, 1010)) + list(range(12, 20))),
+         (3, list(range(5000, 5020))),
+         (4, [1, 2, 3])],
+        "doc_id long, tokens array<int>",
+    )
+    bench = spark.createDataFrame(
+        [(99, list(range(20)))], "doc_id long, tokens array<int>"
+    )
+    out = {r.doc_id: r for r in
+           token_contamination_scores(corpus, bench, n=8).collect()}
+    assert out[1].contamination == 1.0
+    assert out[2].ngrams_overlap == 1  # window 12..19 survives
+    assert 0.0 < out[2].contamination < 1.0
+    assert out[3].contamination == 0.0
+    assert out[4].ngrams_total == 0 and out[4].contamination == 0.0
+
+
 def test_pack_sequences(spark):
     from vector_spark.dataprep.packing import pack_sequences
 

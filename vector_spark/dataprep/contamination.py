@@ -61,6 +61,48 @@ def contamination_scores(
     """
     dim = F.broadcast(benchmark_digest_dim(benchmark, text_col, n))
     shingles = ngram_digests(corpus, text_col, n)
+    return _overlap_scores(corpus, shingles, dim)
+
+
+def token_ngram_digests(
+    df: DataFrame, tokens_col: str = "tokens", n: int = 8
+) -> DataFrame:
+    """doc rows → (doc_id, digest) with one row per DISTINCT token n-gram
+    — the pre-tokenized twin of ``ngram_digests``: digests are int64
+    polynomial folds (dedup.token_ngram_hashes), zero md5/strings, and the
+    explode carries 8-byte longs instead of 32-byte hex digests."""
+    from vector_spark.dataprep.dedup import token_ngram_hashes
+
+    return df.select(
+        "doc_id",
+        F.explode(token_ngram_hashes(F.col(tokens_col), n)).alias("digest"),
+    )
+
+
+def token_benchmark_dim(
+    benchmark: DataFrame, tokens_col: str = "tokens", n: int = 8
+) -> DataFrame:
+    return token_ngram_digests(benchmark, tokens_col, n).select("digest").distinct()
+
+
+def token_contamination_scores(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    tokens_col: str = "tokens",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination DIRECTLY over token sequences: per-doc
+    share of token n-grams colliding with the benchmark set. Same
+    broadcast-dim plan as the text path (corpus streams once; shuffle
+    carries (doc_id, int64) pairs only)."""
+    dim = F.broadcast(token_benchmark_dim(benchmark, tokens_col, n))
+    shingles = token_ngram_digests(corpus, tokens_col, n)
+    return _overlap_scores(corpus, shingles, dim)
+
+
+def _overlap_scores(
+    corpus: DataFrame, shingles: DataFrame, dim: DataFrame
+) -> DataFrame:
     hits = (
         shingles.join(dim.withColumn("__hit", F.lit(1)), "digest", "left")
         .groupBy("doc_id")
