@@ -1549,6 +1549,34 @@ def _register_more() -> None:
             n=_DECON_NGRAM,
         )
 
+    _SPLIT_N = 5_000
+    _SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
+    _SPLIT_H = osql.hash64_expr("'split~' || doc_id")
+    _SPLIT_B1 = int(round(0.9 * float(1 << 60)))
+    _SPLIT_B2 = int(round(0.95 * float(1 << 60)))
+
+    @_q(
+        "seq_split_assign",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_SPLIT_N)})
+        SELECT doc_id,
+               CASE WHEN {_SPLIT_H} < {_SPLIT_B1} THEN 'train'
+                    WHEN {_SPLIT_H} < {_SPLIT_B2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM seq
+        """,
+    )
+    def seq_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic train/val/test assignment over the BASELINE table
+        (dataprep/mixing.py::split_assign): hash-fraction bucketing that is
+        retry-stable, engine-portable, and frozen under corpus growth —
+        randomSplit provides none of those."""
+        from vector_spark.dataprep.mixing import split_assign
+
+        return split_assign(
+            tables.sequences(spark, _SPLIT_N), _SPLIT_FRACS
+        ).select("doc_id", "split")
+
     @_q(
         "seq_throttle",
         f"""

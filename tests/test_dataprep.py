@@ -290,6 +290,34 @@ def test_contamination_scores(spark):
     assert out[3].ngrams_total == 0 and out[3].contamination == 0.0
 
 
+def test_split_assign_deterministic_and_growth_stable(spark):
+    from vector_spark.dataprep.mixing import split_assign
+
+    small = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(200)], "doc_id string"
+    )
+    grown = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(400)], "doc_id string"
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in split_assign(small, fr).collect()}
+    b = {r.doc_id: r.split for r in split_assign(grown, fr).collect()}
+    # growth-stable: every original doc keeps its split
+    assert all(b[k] == v for k, v in a.items())
+    # all three splits occupied, roughly proportional
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert set(c) == {"train", "val", "test"} and c["train"] > c["val"]
+    # a different salt reshuffles membership
+    alt = {r.doc_id: r.split for r in split_assign(grown, fr, salt="v2").collect()}
+    assert any(alt[k] != b[k] for k in alt)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_assign(small, {"train": 0.5})
+
+
 def test_token_contamination_scores(spark):
     from vector_spark.dataprep.contamination import token_contamination_scores
 

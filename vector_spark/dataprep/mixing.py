@@ -123,3 +123,40 @@ def hash_threshold_mixture(
         .filter(shingle_hash64(F.col(key_col).cast("string")) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — a pure scan-side
+    projection (no shuffle, no RNG): bucket = first split whose cumulative
+    fraction bound exceeds ``hash64(salt ~ key) / 2^60``.
+
+    Properties a training pipeline needs and ``randomSplit`` lacks:
+    retry-stable (hash of the key, not task-local RNG), engine-portable
+    (the md5 family, reproducible in plain SQL), and STABLE UNDER CORPUS
+    GROWTH — a document's split never changes when other documents are
+    added or removed, so eval sets stay frozen across corpus versions.
+    ``salt`` namespaces independent splits over the same keys.
+    """
+    from vector_spark.dataprep.dedup import shingle_hash64
+
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    h = shingle_hash64(
+        F.concat(F.lit(salt), F.lit("~"), F.col(key_col).cast("string"))
+    )
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        bound = int(round(cum * float(1 << 60)))
+        cond = h < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = names[-1] if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split)
