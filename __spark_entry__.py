@@ -1577,6 +1577,52 @@ def _register_more() -> None:
             tables.sequences(spark, _SPLIT_N), _SPLIT_FRACS
         ).select("doc_id", "split")
 
+    _PACK_N, _PACK_L = 5_000, 512
+
+    @_q(
+        "seq_pack_tokens",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_PACK_N)}),
+        spans AS (
+          SELECT _i, tokens, n_tok,
+                 SUM(n_tok::BIGINT) OVER (ORDER BY _i) - n_tok AS tok_start
+          FROM seq
+        ),
+        pos AS (
+          SELECT tok_start + j AS gpos, tokens[(j + 1)::INT] AS tok
+          FROM spans, unnest(range(n_tok::BIGINT)) AS t(j)
+        )
+        SELECT (gpos // {_PACK_L})::BIGINT AS chunk_id,
+               count(*)::BIGINT AS n_fill,
+               md5(string_agg(tok::VARCHAR, ',' ORDER BY gpos)) AS digest
+        FROM pos GROUP BY 1
+        """,
+    )
+    def seq_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MATERIALIZED GPT-style packing of the BASELINE token stream
+        into {L}-token training chunks (dataprep/packing.py::pack_tokens:
+        two-phase prefix sum, per-chunk slice explode, one token-payload
+        shuffle). The oracle rebuilds every chunk token-by-token and the
+        per-chunk content digest must match bit-exactly — the gate output
+        digests the array (driver canonicalization can't sort raw arrays)
+        while the library API returns the real array<int> column."""
+        from vector_spark.dataprep.packing import pack_tokens
+
+        packed = pack_tokens(
+            tables.sequences(spark, _PACK_N),
+            seq_len=_PACK_L,
+            order_col="_i",
+        )
+        return packed.select(
+            "chunk_id",
+            "n_fill",
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform("tokens", lambda t: t.cast("string"))
+                )
+            ).alias("digest"),
+        )
+
     @_q(
         "seq_throttle",
         f"""

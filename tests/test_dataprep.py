@@ -366,6 +366,20 @@ def test_pack_sequences(spark):
     assert alt == {k: (v.tok_start, v.tok_end) for k, v in rows.items()}
 
 
+def test_pack_tokens_materializes_exact_stream(spark):
+    from vector_spark.dataprep.packing import pack_tokens
+
+    docs = [(i, list(range(i * 10, i * 10 + n)), n)
+            for i, n in enumerate([3, 4, 5, 2])]
+    d = spark.createDataFrame(docs, "_i long, tokens array<int>, n_tok long")
+    out = {r.chunk_id: r for r in
+           pack_tokens(d, seq_len=4, order_col="_i", bucket_size=2).collect()}
+    stream = [t for _, toks, _ in docs for t in toks]
+    expect = {k: stream[k * 4:(k + 1) * 4] for k in range((len(stream) + 3) // 4)}
+    assert {k: list(v.tokens) for k, v in out.items()} == expect
+    assert out[3].n_fill == 2  # trailing partial chunk kept
+
+
 def test_allocate_quotas_and_sample_mixture(spark):
     from vector_spark.dataprep.mixing import allocate_quotas, sample_mixture
 

@@ -77,3 +77,61 @@ def pack_sequences(
         .drop("__bkt", "__off", "__cum")
     )
     return out
+
+
+def pack_tokens(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    count_col: str = "n_tok",
+    seq_len: int = 512,
+    order_col: str = "_i",
+    bucket_size: int = 8192,
+) -> DataFrame:
+    """MATERIALIZE the packed training stream: (chunk_id, tokens, n_fill)
+    where chunk ``k`` holds global token positions ``[k·L, (k+1)·L)`` of
+    the documents concatenated in ``order_col`` order (the GPT-style
+    pretraining layout; the final partial chunk is kept with n_fill < L).
+
+    Plan: ``pack_sequences`` span assignment (two-phase prefix sum, no
+    global window) → each doc explodes into one row per chunk it overlaps
+    (≤ ceil(len/L)+1 rows) carrying only the SLICE of its tokens inside
+    that chunk → one groupBy(chunk_id) assembles slices in offset order
+    (array_sort over (offset, piece) structs — offsets are distinct within
+    a chunk, so the order is total). The token payload crosses the shuffle
+    exactly once, which is the lower bound for a re-layout."""
+    spans = pack_sequences(df, count_col, seq_len, order_col, bucket_size)
+    lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * seq_len)
+    hi = F.least(F.col("tok_end"), (F.col("chunk_id") + 1) * seq_len)
+    pieces = (
+        spans.select(
+            F.col(tokens_col),
+            "tok_start",
+            "tok_end",
+            F.explode(
+                F.sequence(F.col("chunk_first"), F.col("chunk_last"))
+            ).alias("chunk_id"),
+        )
+        .select(
+            "chunk_id",
+            (lo - F.col("chunk_id") * seq_len).cast("int").alias("__off"),
+            F.slice(
+                F.col(tokens_col),
+                (lo - F.col("tok_start") + 1).cast("int"),
+                (hi - lo).cast("int"),
+            ).alias("__piece"),
+        )
+    )
+    return (
+        pieces.groupBy("chunk_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__off", "__piece"))
+                    ),
+                    lambda s: s["__piece"],
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_fill", F.size("tokens").cast("long"))
+    )
