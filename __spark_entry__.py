@@ -1623,6 +1623,126 @@ def _register_more() -> None:
             ).alias("digest"),
         )
 
+    _SC_N, _SC_BENCH, _SC_L, _SC_THR = 2_000, 50, 256, 0.7
+    _SC_TOK = osql.token_ngram_hashes_expr("tokens", 8)
+    _SC_PAIRS = osql.minhash_near_dups_sql(
+        num_hashes=16,
+        bands=4,
+        threshold=_SC_THR,
+        table="seq",
+        id_col="doc_id",
+        shingle_expr=_SC_TOK,
+        extra_cte=f"seq AS ({tables.sequences_sql(_SC_N)})",
+    )
+    _SC_H = osql.hash64_expr("'split~' || doc_id")
+    _SC_B1 = int(round(0.9 * float(1 << 60)))
+
+    @_q(
+        "cfg_seq_curation",
+        f"""
+        WITH RECURSIVE seq AS ({tables.sequences_sql(_SC_N)}),
+        bench AS ({tables.sequences_sql(_SC_BENCH)}),
+        pairs AS (SELECT id_a, id_b FROM ({_SC_PAIRS})),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        labels AS (SELECT a AS member, MIN(b) AS lab FROM reach GROUP BY a),
+        dd AS (
+          SELECT * FROM seq WHERE doc_id NOT IN (
+            SELECT member FROM labels WHERE member <> lab)
+        ),
+        bdim AS (
+          SELECT DISTINCT digest FROM (
+            SELECT unnest({_SC_TOK}) AS digest FROM bench)),
+        shing AS (SELECT doc_id, unnest({_SC_TOK}) AS digest FROM dd),
+        scores AS (
+          SELECT s.doc_id,
+                 ROUND(count(b.digest)::DOUBLE / count(*), 4) AS c
+          FROM shing s LEFT JOIN bdim b ON s.digest = b.digest
+          GROUP BY s.doc_id),
+        clean AS (
+          SELECT dd.* FROM dd JOIN scores USING (doc_id) WHERE c < 0.5),
+        train AS (SELECT * FROM clean WHERE {_SC_H} < {_SC_B1}),
+        spans AS (
+          SELECT _i, tokens, n_tok,
+                 SUM(n_tok::BIGINT) OVER (ORDER BY _i) - n_tok AS tok_start
+          FROM train
+        ),
+        pos AS (
+          SELECT tok_start + j AS gpos, tokens[(j + 1)::INT] AS tok
+          FROM spans, unnest(range(n_tok::BIGINT)) AS t(j)
+        )
+        SELECT (gpos // {_SC_L})::BIGINT AS chunk_id,
+               count(*)::BIGINT AS n_fill,
+               md5(string_agg(tok::VARCHAR, ',' ORDER BY gpos)) AS digest
+        FROM pos GROUP BY 1
+        """,
+    )
+    def cfg_seq_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The TOKEN-corpus curation pipeline FROM CONFIG: near_dedup
+        (token minhash → connected components → keep min-id rep) →
+        token decontamination (< 0.5) → deterministic train split →
+        materialized {L}-token packing, all declared as a plain topology
+        config over the BASELINE generator source. One recursive-CTE
+        oracle replays the entire chain token-by-token."""
+        from vector_spark.plans import compile_config
+
+        config = {
+            "sources": {
+                "seq": {"type": "sequences", "n": _SC_N, "derived": False}
+            },
+            "transforms": {
+                "dedup": {
+                    "type": "near_dedup",
+                    "inputs": ["seq"],
+                    "tokens_col": "tokens",
+                    "ngram": 8,
+                    "threshold": _SC_THR,
+                    "persist": True,
+                },
+                "decon": {
+                    "type": "decontaminate",
+                    "inputs": ["dedup"],
+                    "tokens_col": "tokens",
+                    "ngram": 8,
+                    "benchmark_sequences_n": _SC_BENCH,
+                    "max_contamination": 0.5,
+                    "persist": True,
+                },
+                "train": {
+                    "type": "split_assign",
+                    "inputs": ["decon"],
+                    "fractions": {"train": 0.9, "val": 0.05, "test": 0.05},
+                    "keep": "train",
+                },
+                "packed": {
+                    "type": "pack_tokens",
+                    "inputs": ["train"],
+                    "seq_len": _SC_L,
+                    "order_col": "_i",
+                },
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["packed"]}},
+        }
+        topo = compile_config(spark, config)
+        return topo.resolve("packed").select(
+            "chunk_id",
+            F.col("n_fill"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform("tokens", lambda t: t.cast("string"))
+                )
+            ).alias("digest"),
+        )
+
     @_q(
         "seq_throttle",
         f"""

@@ -169,6 +169,77 @@ def test_curation_transform_types(spark, tmp_path):
     assert rows[1].chunk_first == 0 and rows[1].chunk_last == 1
 
 
+def test_token_curation_transform_types(spark):
+    """near_dedup / decontaminate(tokens) / split_assign / pack_tokens are
+    first-class topology types over pre-tokenized corpora."""
+    base = list(range(100, 140))
+    near = base[:-1] + [999]          # near-dup of doc 1 → dropped (min-id kept)
+    bench_hit = list(range(100, 120))  # fully inside doc 1's grams
+    far = list(range(5000, 5060))
+    rows = [(1, base, len(base)), (2, near, len(near)), (3, far, len(far))]
+    config = {
+        "sources": {
+            "seq": {
+                "type": "inline",
+                "rows": rows,
+                "schema": "_i long, tokens array<int>, n_tok long",
+            }
+        },
+        "transforms": {
+            "dedup": {"type": "near_dedup", "inputs": ["seq"],
+                      "tokens_col": "tokens", "id_col": "_i",
+                      "ngram": 8, "threshold": 0.3},
+            "decon": {"type": "decontaminate", "inputs": ["dedup"],
+                      "tokens_col": "tokens", "ngram": 8,
+                      "benchmark_rows": [(99, bench_hit)],
+                      "benchmark_schema": "doc_id long, tokens array<int>",
+                      "max_contamination": 0.3},
+            "packed": {"type": "pack_tokens", "inputs": ["decon"],
+                       "seq_len": 16, "order_col": "_i"},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["packed"]}},
+    }
+    # decontaminate joins on doc_id — give the frame one
+    config["transforms"]["decon_pre"] = {
+        "type": "remap", "inputs": ["dedup"], "assign": {"doc_id": "_i"},
+    }
+    config["transforms"]["decon"]["inputs"] = ["decon_pre"]
+    topo = compile_config(spark, config)
+    out = {r.chunk_id: r for r in topo.resolve("packed").collect()}
+    # doc 2 near-dup-dropped, doc 1 contaminated-dropped → only doc 3 packs
+    assert sorted(out) == [0, 1, 2, 3]
+    assert [out[k].n_fill for k in sorted(out)] == [16, 16, 16, 12]
+    assert list(out[0].tokens) == far[:16]
+
+
+def test_split_assign_transform_type(spark):
+    config = {
+        "sources": {
+            "d": {
+                "type": "inline",
+                "rows": [(f"doc-{i}",) for i in range(300)],
+                "schema": "doc_id string",
+            }
+        },
+        "transforms": {
+            "sp": {"type": "split_assign", "inputs": ["d"],
+                   "fractions": {"train": 0.8, "val": 0.1, "test": 0.1}},
+            "tr": {"type": "split_assign", "inputs": ["d"],
+                   "fractions": {"train": 0.8, "val": 0.1, "test": 0.1},
+                   "keep": "train"},
+        },
+        "sinks": {"a": {"type": "memory", "inputs": ["sp"]},
+                  "b": {"type": "memory", "inputs": ["tr"]}},
+    }
+    topo = compile_config(spark, config)
+    full = topo.resolve("sp").collect()
+    train = topo.resolve("tr").collect()
+    by_split = {r.doc_id: r.split for r in full}
+    assert {r.doc_id for r in train} == {
+        k for k, v in by_split.items() if v == "train"}
+    assert "split" not in topo.resolve("tr").columns
+
+
 def test_paragraph_dedup_and_mixture_transform_types(spark, tmp_path):
     """paragraph_dedup / sample_mixture are first-class topology types."""
     from vector_spark.plans import compile_config

@@ -991,21 +991,97 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
             )
         }
     if t == "decontaminate":
-        from vector_spark.dataprep.contamination import contamination_scores
+        from vector_spark.dataprep.contamination import (
+            contamination_scores,
+            token_contamination_scores,
+        )
 
         spark = df.sparkSession
-        bench = (
-            spark.createDataFrame(cfg["benchmark_rows"], cfg["benchmark_schema"])
-            if "benchmark_rows" in cfg
-            else spark.read.parquet(cfg["benchmark_path"])
-        )
-        scores = contamination_scores(
-            df, bench, text_col=cfg.get("text_col", "text"),
-            n=int(cfg.get("ngram", 5)),
-        )
+        if "benchmark_rows" in cfg:
+            bench = spark.createDataFrame(
+                cfg["benchmark_rows"], cfg["benchmark_schema"]
+            )
+        elif "benchmark_sequences_n" in cfg:
+            # deterministic generator benchmark (tests/gates)
+            from vector_spark import tables as _tables
+
+            bench = _tables.sequences(
+                spark, int(cfg["benchmark_sequences_n"])
+            )
+        else:
+            bench = spark.read.parquet(cfg["benchmark_path"])
+        if "tokens_col" in cfg:
+            # pre-tokenized corpora: token n-gram collision (int64 folds)
+            scores = token_contamination_scores(
+                df, bench, tokens_col=cfg["tokens_col"],
+                n=int(cfg.get("ngram", 8)),
+            )
+        else:
+            scores = contamination_scores(
+                df, bench, text_col=cfg.get("text_col", "text"),
+                n=int(cfg.get("ngram", 5)),
+            )
         tau = float(cfg.get("max_contamination", 0.5))
         keep = scores.filter(F.col("contamination") < tau).select("doc_id")
         return {"__default": df.join(keep, "doc_id")}
+    if t == "split_assign":
+        from vector_spark.dataprep.mixing import split_assign
+
+        out = split_assign(
+            df,
+            fractions=cfg.get("fractions"),
+            key_col=cfg.get("key_col", "doc_id"),
+            salt=cfg.get("salt", "split"),
+        )
+        if "keep" in cfg:  # route one split onward (e.g. keep: train)
+            out = out.filter(F.col("split") == cfg["keep"]).drop("split")
+        return {"__default": out}
+    if t == "pack_tokens":
+        from vector_spark.dataprep.packing import pack_tokens
+
+        return {
+            "__default": pack_tokens(
+                df,
+                tokens_col=cfg.get("tokens_col", "tokens"),
+                count_col=cfg.get("count_col", "n_tok"),
+                seq_len=int(cfg["seq_len"]),
+                order_col=cfg.get("order_col", "_i"),
+                bucket_size=int(cfg.get("bucket_size", 8192)),
+            )
+        }
+    if t == "near_dedup":
+        # MinHash near-dup DROP: pairs → connected components → keep the
+        # min-id representative per cluster (plus all singletons)
+        from vector_spark.dataprep.dedup import (
+            dup_clusters,
+            minhash_near_dups,
+            token_minhash_near_dups,
+        )
+
+        id_col = cfg.get("id_col", "doc_id")
+        common = dict(
+            id_col=id_col,
+            num_hashes=int(cfg.get("num_hashes", 16)),
+            bands=int(cfg.get("bands", 4)),
+            threshold=float(cfg.get("threshold", 0.6)),
+            max_bucket=cfg.get("max_bucket"),
+        )
+        if "tokens_col" in cfg:
+            pairs = token_minhash_near_dups(
+                df, tokens_col=cfg["tokens_col"],
+                n=int(cfg.get("ngram", 8)), **common,
+            )
+        else:
+            pairs = minhash_near_dups(
+                df, text_col=cfg.get("text_col", "text"),
+                k_shingle=int(cfg.get("ngram", 3)), **common,
+            )
+        drop = (
+            dup_clusters(pairs)
+            .filter(F.col("member") != F.col("cluster"))
+            .select(F.col("member").alias(id_col))
+        )
+        return {"__default": df.join(drop, id_col, "left_anti")}
     if t == "lm_perplexity":
         # corpus curation as config: CCNet-style LM quality filter — train
         # an add-k unigram LM on the in-corpus reference subset selected
@@ -1114,7 +1190,7 @@ TRANSFORM_TYPES = (
     "aggregate log_to_metric metric_to_log tag_cardinality_limit enrich script "
     "quality_filter exact_dedup decontaminate pack_sequences paragraph_dedup "
     "lm_perplexity tokenize "
-    "sample_mixture"
+    "sample_mixture split_assign pack_tokens near_dedup"
 ).split()
 
 
