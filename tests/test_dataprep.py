@@ -380,6 +380,19 @@ def test_pack_tokens_materializes_exact_stream(spark):
     assert out[3].n_fill == 2  # trailing partial chunk kept
 
 
+def test_pack_tokens_ignores_empty_docs(spark):
+    from vector_spark.dataprep.packing import pack_tokens
+
+    # doc 1 is empty and sits on a chunk boundary at the stream end —
+    # must not fabricate a phantom empty chunk
+    d = spark.createDataFrame(
+        [(0, [1, 2, 3, 4], 4), (1, [], 0)],
+        "_i long, tokens array<int>, n_tok long",
+    )
+    out = pack_tokens(d, seq_len=4, order_col="_i", bucket_size=2).collect()
+    assert len(out) == 1 and list(out[0].tokens) == [1, 2, 3, 4]
+
+
 def test_allocate_quotas_and_sample_mixture(spark):
     from vector_spark.dataprep.mixing import allocate_quotas, sample_mixture
 

@@ -87,6 +87,40 @@ def ops(df: DataFrame) -> dict:
     }
 
 
+TOKEN_BASE_N = 10_000
+
+
+def build_token_corpus(spark, scale: int) -> str:
+    """Scale× BASELINE token corpus: replica r offsets every token id by
+    r·60000 (and prefixes doc_id), so replicas share NO token n-grams —
+    each replica reproduces the base generator's near-dup structure
+    exactly and total pairs grow linearly with scale (same reasoning as
+    the word-prefix trick for text)."""
+    from vector_spark import tables
+
+    base = tables.sequences(spark, TOKEN_BASE_N).select("doc_id", "tokens")
+    reps = spark.range(scale).withColumnRenamed("id", "__r")
+    out = base.crossJoin(reps).select(
+        F.concat(
+            F.lit("r"), F.col("__r").cast("string"), F.lit("~"), "doc_id"
+        ).alias("doc_id"),
+        F.transform(
+            "tokens", lambda t: (t + F.col("__r") * 60000).cast("int")
+        ).alias("tokens"),
+    )
+    path = f"{WORK}/seq_x{scale}"
+    out.repartition(max(8, scale * 2)).write.mode("overwrite").parquet(path)
+    return path
+
+
+def token_ops(df: DataFrame) -> dict:
+    return {
+        "token_minhash_near_dups": lambda: dedup.token_minhash_near_dups(
+            df, n=8, threshold=0.7
+        ).count(),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,16")
@@ -97,23 +131,37 @@ def main() -> None:
     spark = get_spark("dataprep_scale", shuffle_partitions=32)
     results: dict[str, dict[int, dict]] = {}
     for scale in scales:
-        path = build_corpus(spark, scale)
-        df = spark.read.parquet(path)
-        n = df.count()
-        for name, fn in ops(df).items():
-            best, rows = math.inf, 0
-            for _ in range(args.iters + 1):  # +1 warmup, then min of iters
-                t0 = time.monotonic()
-                rows = fn()
-                dt = time.monotonic() - t0
-                best = min(best, dt) if _ else best  # iter 0 = warmup
-            results.setdefault(name, {})[scale] = {
-                "wall_s": round(best, 3),
-                "rows_out": rows,
-                "docs_in": n,
-            }
-            print(f"x{scale:<3} {name:<20} {best:7.2f}s  out={rows}", flush=True)
+        for builder, opfamily in (
+            (build_corpus, ops),
+            (build_token_corpus, token_ops),
+        ):
+            path = builder(spark, scale)
+            df = spark.read.parquet(path)
+            n = df.count()
+            _run_family(results, opfamily(df), scale, n, args.iters)
 
+    _report(results, scales)
+    spark.stop()
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+def _run_family(results, family, scale, n, iters) -> None:
+    for name, fn in family.items():
+        best, rows = math.inf, 0
+        for _ in range(iters + 1):  # +1 warmup, then min of iters
+            t0 = time.monotonic()
+            rows = fn()
+            dt = time.monotonic() - t0
+            best = min(best, dt) if _ else best  # iter 0 = warmup
+        results.setdefault(name, {})[scale] = {
+            "wall_s": round(best, 3),
+            "rows_out": rows,
+            "docs_in": n,
+        }
+        print(f"x{scale:<3} {name:<20} {best:7.2f}s  out={rows}", flush=True)
+
+
+def _report(results, scales) -> None:
     lo, mid, hi = scales[0], scales[-2], scales[-1]
     table = [
         "| op | " + " | ".join(f"{s}× wall (s)" for s in scales)
@@ -136,8 +184,6 @@ def main() -> None:
     print(md)
     with open("/tmp/dataprep_scale.json", "w") as f:
         json.dump(results, f, indent=1)
-    spark.stop()
-    shutil.rmtree(WORK, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -100,6 +100,11 @@ def pack_tokens(
     a chunk, so the order is total). The token payload crosses the shuffle
     exactly once, which is the lower bound for a re-layout."""
     spans = pack_sequences(df, count_col, seq_len, order_col, bucket_size)
+    # zero-token docs contribute nothing but WOULD emit phantom pieces:
+    # their chunk_last (= floor((tok_start-1)/L)) sits BELOW chunk_first
+    # and F.sequence descends for start > stop, fabricating empty chunk
+    # rows past the stream end when tok_start % L == 0
+    spans = spans.filter(F.col(count_col) > 0)
     lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * seq_len)
     hi = F.least(F.col("tok_end"), (F.col("chunk_id") + 1) * seq_len)
     pieces = (
