@@ -1623,6 +1623,49 @@ def _register_more() -> None:
             ).alias("digest"),
         )
 
+    _FIM_N = 3_000
+    _FIM_H = lambda tag: osql.hash64_expr(f"'fim{tag}~' || doc_id")  # noqa: E731
+
+    @_q(
+        "seq_fim",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_FIM_N)}),
+        cut AS (
+          SELECT doc_id, tokens, len(tokens) AS L,
+                 ({_FIM_H('')}) % 100 < 50 AS fim,
+                 (({_FIM_H('1')}) % (len(tokens) + 1))::INT AS a
+          FROM seq
+        ),
+        cut2 AS (
+          SELECT *, (a + ({_FIM_H('2')}) % (L - a + 1))::INT AS b FROM cut
+        )
+        SELECT doc_id, fim,
+               md5(array_to_string(
+                 CASE WHEN fim THEN
+                   [50300] || tokens[1:a] || [50301] || tokens[b+1:L]
+                   || [50302] || tokens[a+1:b]
+                 ELSE tokens END, ',')) AS digest
+        FROM cut2
+        """,
+    )
+    def seq_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic fill-in-the-middle rewrite (Bavarian et al. 2022
+        PSM layout) over the BASELINE tokens — selection and both cut
+        points are hash-derived, so the transform is a retry-stable
+        shuffle-free projection the oracle replays exactly."""
+        from vector_spark.dataprep.tokens import fim_transform
+
+        out = fim_transform(tables.sequences(spark, _FIM_N), rate=0.5)
+        return out.select(
+            "doc_id",
+            "fim",
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform("tokens", lambda t: t.cast("string"))
+                )
+            ).alias("digest"),
+        )
+
     _SC_N, _SC_BENCH, _SC_L, _SC_THR = 2_000, 50, 256, 0.7
     _SC_TOK = osql.token_ngram_hashes_expr("tokens", 8)
     _SC_PAIRS = osql.minhash_near_dups_sql(

@@ -290,6 +290,39 @@ def test_contamination_scores(spark):
     assert out[3].ngrams_total == 0 and out[3].contamination == 0.0
 
 
+def test_fim_transform_psm_invariants(spark):
+    from vector_spark.dataprep.tokens import (
+        FIM_MIDDLE_TOK,
+        FIM_PREFIX_TOK,
+        FIM_SUFFIX_TOK,
+        fim_transform,
+    )
+
+    d = spark.createDataFrame(
+        [(f"doc-{i}", list(range(i * 100, i * 100 + 10))) for i in range(40)],
+        "doc_id string, tokens array<int>",
+    )
+    orig = {r.doc_id: list(r.tokens) for r in d.collect()}
+    out = fim_transform(d, rate=0.5).collect()
+    n_fim = sum(r.fim for r in out)
+    assert 0 < n_fim < 40  # hash selection hits some, not all
+    for r in out:
+        toks = list(r.tokens)
+        if not r.fim:
+            assert toks == orig[r.doc_id]
+            continue
+        # PSM layout: [PRE] prefix [SUF] suffix [MID] middle, lossless
+        assert toks[0] == FIM_PREFIX_TOK and len(toks) == 13
+        isuf = toks.index(FIM_SUFFIX_TOK)
+        imid = toks.index(FIM_MIDDLE_TOK)
+        prefix, suffix, middle = (
+            toks[1:isuf], toks[isuf + 1:imid], toks[imid + 1:])
+        assert prefix + middle + suffix == orig[r.doc_id]
+    # deterministic: a second run selects the same docs with the same cuts
+    again = {r.doc_id: list(r.tokens) for r in fim_transform(d, rate=0.5).collect()}
+    assert again == {r.doc_id: list(r.tokens) for r in out}
+
+
 def test_split_assign_deterministic_and_growth_stable(spark):
     from vector_spark.dataprep.mixing import split_assign
 

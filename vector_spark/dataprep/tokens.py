@@ -74,3 +74,57 @@ def corpus_vocab(
     deterministic :func:`token_topk` cut), as a (token) dimension —
     what a frequency-truncated tokenizer retraining would keep."""
     return token_topk(df, k=size, tokens_col=tokens_col).select("token")
+
+
+# FIM sentinel ids live just above the generator's 50257-id vocab (callers
+# with a real tokenizer pass their own reserved ids)
+FIM_PREFIX_TOK, FIM_SUFFIX_TOK, FIM_MIDDLE_TOK = 50300, 50301, 50302
+
+
+def fim_transform(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    rate: float = 0.5,
+    prefix_tok: int = FIM_PREFIX_TOK,
+    suffix_tok: int = FIM_SUFFIX_TOK,
+    middle_tok: int = FIM_MIDDLE_TOK,
+    salt: str = "fim",
+) -> DataFrame:
+    """Deterministic fill-in-the-middle transformation (the FIM objective
+    of Bavarian et al. 2022, used for code/infilling models): a ``rate``
+    fraction of documents is rewritten from ``[tokens]`` to PSM order
+    ``[PRE] prefix [SUF] suffix [MID] middle``, the rest pass through.
+
+    Everything derives from md5 hashes of (salt, id) — selection AND the
+    two cut points — so the transform is a pure shuffle-free projection,
+    retry-stable, reproducible across engines (the oracle recomputes it
+    in SQL), and re-runnable: unlike RNG-based FIM, a retried partition
+    rewrites the same docs at the same cuts. Adds a ``fim`` flag.
+
+    Cuts: a = h1 mod (L+1), b = a + h2 mod (L-a+1) → 0 ≤ a ≤ b ≤ L,
+    every split (including empty prefix/middle/suffix) reachable.
+    """
+    from vector_spark.dataprep.dedup import shingle_hash64
+
+    def h(tag: str):
+        return shingle_hash64(
+            F.concat(F.lit(f"{salt}{tag}~"), F.col(id_col).cast("string"))
+        )
+
+    toks = F.col(tokens_col)
+    size = F.size(toks)
+    sel = (h("") % 100) < int(round(rate * 100))
+    a = (h("1") % (size + 1)).cast("int")
+    b = (a + h("2") % (size - a + 1)).cast("int")
+    psm = F.concat(
+        F.array(F.lit(prefix_tok)),
+        F.slice(toks, 1, a),
+        F.array(F.lit(suffix_tok)),
+        F.slice(toks, b + 1, size - b),
+        F.array(F.lit(middle_tok)),
+        F.slice(toks, a + 1, b - a),
+    )
+    return df.withColumn("fim", sel).withColumn(
+        tokens_col, F.when(sel, psm).otherwise(toks)
+    )
