@@ -113,6 +113,23 @@ def test_salted_agg_two_exchanges(spark):
     assert sum(rows.values()) == 10_000
 
 
+def test_token_minhash_banded_join_no_cartesian(spark):
+    """The LSH candidate join must be an equi-join on (band, key) — a
+    cartesian/nested-loop pair plan would be the quadratic shape the
+    banded construction exists to avoid. The heavy token/shingle arrays
+    must not ride through the pair self-join either (ids + band keys
+    only; shingles re-join for the verify step afterwards)."""
+    from vector_spark.dataprep.dedup import token_minhash_near_dups
+
+    seq = tables.sequences(spark, 2_000)
+    out = token_minhash_near_dups(seq, n=8, threshold=0.7)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    # band-key equi-join present (hashed join on the exploded band keys)
+    assert "__key" in plan and "__b" in plan
+
+
 def test_tag_cardinality_no_global_window(spark):
     """The first-N allowed-values dimension must plan as TakeOrdered
     (distributed per-partition top-N), never a single-partition global
