@@ -1623,6 +1623,31 @@ def _register_more() -> None:
             ).alias("digest"),
         )
 
+    _EP_N, _EP_EPOCH = 5_000, 2
+    _EP_H = osql.hash64_expr(f"'epoch{_EP_EPOCH}~' || doc_id")
+
+    @_q(
+        "seq_epoch_order",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_EP_N)})
+        SELECT doc_id,
+               (row_number() OVER (ORDER BY {_EP_H}, doc_id) - 1)::BIGINT
+                 AS position
+        FROM seq
+        """,
+    )
+    def seq_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic per-epoch global shuffle order (mixing.py::
+        epoch_order): every epoch is a different reproducible RNG-free
+        permutation; the rank is computed with bucketed two-phase offsets
+        (no global single-task sort) and must equal the oracle's flat
+        row_number() over the epoch hash exactly."""
+        from vector_spark.dataprep.mixing import epoch_order
+
+        return epoch_order(
+            tables.sequences(spark, _EP_N), epoch=_EP_EPOCH, key_col="doc_id"
+        ).select("doc_id", "position")
+
     _FIM_N = 3_000
     _FIM_H = lambda tag: osql.hash64_expr(f"'fim{tag}~' || doc_id")  # noqa: E731
 

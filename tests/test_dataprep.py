@@ -290,6 +290,24 @@ def test_contamination_scores(spark):
     assert out[3].ngrams_total == 0 and out[3].contamination == 0.0
 
 
+def test_epoch_order_is_reproducible_permutation(spark):
+    from vector_spark.dataprep.mixing import epoch_order
+
+    d = spark.createDataFrame(
+        [(f"c-{i}",) for i in range(500)], "chunk_id string"
+    )
+    e1 = {r.chunk_id: r.position for r in epoch_order(d, epoch=1).collect()}
+    # a permutation: every position 0..n-1 exactly once
+    assert sorted(e1.values()) == list(range(500))
+    # bucket count must not change the order (two-phase rank is exact)
+    alt = {r.chunk_id: r.position
+           for r in epoch_order(d, epoch=1, buckets=7).collect()}
+    assert alt == e1
+    # different epoch → different permutation; same epoch → identical
+    e2 = {r.chunk_id: r.position for r in epoch_order(d, epoch=2).collect()}
+    assert e2 != e1 and sorted(e2.values()) == list(range(500))
+
+
 def test_fim_transform_psm_invariants(spark):
     from vector_spark.dataprep.tokens import (
         FIM_MIDDLE_TOK,

@@ -125,6 +125,51 @@ def hash_threshold_mixture(
     )
 
 
+def epoch_order(
+    df: DataFrame,
+    epoch: int,
+    key_col: str = "chunk_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle order for training chunks:
+    adds ``position`` (0-based, a permutation of the rows) where the
+    epoch-``e`` order is by ``hash64('epoch{e}~' ~ key)`` — every epoch
+    is a different, reproducible, RNG-free permutation, and any worker
+    can recompute its slice without coordination.
+
+    Scale shape: positions are a GLOBAL ranking, but the plan is the same
+    two-phase trick as ``packing.pack_sequences`` — rank within
+    value-derived hash buckets (per-bucket window), then add broadcast
+    per-bucket offsets (tiny aggregate). No global single-task sort.
+    """
+    from pyspark.sql import Window
+
+    from vector_spark.dataprep.dedup import shingle_hash64
+
+    h = shingle_hash64(
+        F.concat(F.lit(f"epoch{epoch}~"), F.col(key_col).cast("string"))
+    )
+    # bucket = TOP bits of the 60-bit hash, so (bucket, hash) order IS
+    # hash order and cross-bucket offsets compose into the global rank
+    shift = (1 << 60) // buckets
+    d = df.withColumn("__h", h).withColumn(
+        "__bkt", F.floor(F.col("__h") / F.lit(shift)).cast("int")
+    )
+    totals = d.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bkt", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy("__bkt").orderBy("__h", key_col)
+    return (
+        d.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            "position", F.col("__off") + F.row_number().over(w_in) - 1
+        )
+        .drop("__bkt", "__h", "__off")
+    )
+
+
 def split_assign(
     df: DataFrame,
     fractions: dict[str, float] | None = None,
