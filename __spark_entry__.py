@@ -1623,6 +1623,66 @@ def _register_more() -> None:
             ).alias("digest"),
         )
 
+    _T5_N = 2_000
+    _T5_H = osql.hash64_expr("'t5~' || doc_id || '~' || p")
+
+    @_q(
+        "seq_span_corrupt",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_T5_N)}),
+        pos AS (
+          SELECT doc_id, j AS p, tokens[(j + 1)::INT] AS t
+          FROM seq, unnest(range(n_tok::BIGINT)) AS u(j)
+        ),
+        runs AS (
+          SELECT *, m AND NOT COALESCE(
+                   lag(m) OVER (PARTITION BY doc_id ORDER BY p), FALSE)
+                 AS strt
+          FROM (SELECT *, ({_T5_H}) % 10000 < 1500 AS m FROM pos)
+        ),
+        spans AS (
+          SELECT *, SUM(strt::INT) OVER (
+                   PARTITION BY doc_id ORDER BY p) - 1 AS s
+          FROM runs
+        ),
+        entries AS (
+          SELECT doc_id, p,
+                 CASE WHEN NOT m THEN [t]
+                      WHEN strt THEN [(50310 + s)::INT]
+                      ELSE []::INT[] END AS inp,
+                 CASE WHEN strt THEN [(50310 + s)::INT, t]
+                      WHEN m THEN [t]
+                      ELSE []::INT[] END AS tgt
+          FROM spans
+        )
+        SELECT doc_id,
+               md5(COALESCE(
+                 array_to_string(flatten(list(inp ORDER BY p)), ','), ''))
+                 AS inputs_digest,
+               md5(COALESCE(
+                 array_to_string(flatten(list(tgt ORDER BY p)), ','), ''))
+                 AS targets_digest
+        FROM entries GROUP BY doc_id
+        """,
+    )
+    def seq_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic T5-style span corruption (Raffel et al. 2020)
+        over the BASELINE tokens: hash-Bernoulli token masking, runs of
+        masked tokens become sentinel spans — inputs carry the sentinel,
+        targets carry sentinel + original span. Both streams digested and
+        replayed position-by-position by the oracle."""
+        from vector_spark.dataprep.tokens import span_corrupt
+
+        out = span_corrupt(tables.sequences(spark, _T5_N), rate=0.15)
+        dig = lambda c: F.md5(  # noqa: E731
+            F.concat_ws(",", F.transform(c, lambda t: t.cast("string")))
+        )
+        return out.select(
+            "doc_id",
+            dig("inputs").alias("inputs_digest"),
+            dig("targets").alias("targets_digest"),
+        )
+
     _EP_N, _EP_EPOCH = 5_000, 2
     _EP_H = osql.hash64_expr(f"'epoch{_EP_EPOCH}~' || doc_id")
 

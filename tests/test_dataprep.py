@@ -290,6 +290,38 @@ def test_contamination_scores(spark):
     assert out[3].ngrams_total == 0 and out[3].contamination == 0.0
 
 
+def test_span_corrupt_t5_invariants(spark):
+    from vector_spark.dataprep.tokens import SPAN_SENTINEL_BASE, span_corrupt
+
+    d = spark.createDataFrame(
+        [(f"doc-{i}", list(range(i * 100, i * 100 + 30))) for i in range(20)],
+        "doc_id string, tokens array<int>",
+    )
+    orig = {r.doc_id: list(r.tokens) for r in d.collect()}
+    out = span_corrupt(d, rate=0.3).collect()
+    assert any(len(r.targets) for r in out)  # masking actually happened
+    for r in out:
+        inputs, targets = list(r.inputs), list(r.targets)
+        # sentinels appear in the same order in both streams
+        s_in = [t for t in inputs if t >= SPAN_SENTINEL_BASE]
+        s_tg = [t for t in targets if t >= SPAN_SENTINEL_BASE]
+        assert s_in == s_tg == list(
+            range(SPAN_SENTINEL_BASE, SPAN_SENTINEL_BASE + len(s_in)))
+        # reconstruction: substituting each sentinel's target span back
+        # into the inputs yields the original document
+        spans: dict[int, list[int]] = {}
+        cur = None
+        for t in targets:
+            if t >= SPAN_SENTINEL_BASE:
+                cur = spans.setdefault(t, [])
+            else:
+                cur.append(t)
+        rebuilt: list[int] = []
+        for t in inputs:
+            rebuilt.extend(spans[t] if t >= SPAN_SENTINEL_BASE else [t])
+        assert rebuilt == orig[r.doc_id]
+
+
 def test_epoch_order_is_reproducible_permutation(spark):
     from vector_spark.dataprep.mixing import epoch_order
 

@@ -128,3 +128,88 @@ def fim_transform(
     return df.withColumn("fim", sel).withColumn(
         tokens_col, F.when(sel, psm).otherwise(toks)
     )
+
+
+SPAN_SENTINEL_BASE = 50310
+
+
+def span_corrupt(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    rate: float = 0.15,
+    salt: str = "t5",
+    sentinel_base: int = SPAN_SENTINEL_BASE,
+) -> DataFrame:
+    """Deterministic T5-style span corruption: each token is masked with
+    probability ``rate`` (hash of (salt, id, position) — RNG-free and
+    retry-stable), consecutive masked tokens form a span, span ``s`` is
+    replaced in the INPUT by sentinel ``base+s`` and emitted in the
+    TARGET as ``base+s`` followed by the original span tokens (the
+    Raffel et al. 2020 objective layout).
+
+    Returns (id, inputs array<int>, targets array<int>). Plan: one
+    posexplode → two window passes (span starts, span index) → one
+    groupBy(id) rebuilding both arrays in position order — the token
+    stream crosses the shuffle once, like any per-token relabeling.
+    """
+    from pyspark.sql import Window
+
+    from vector_spark.dataprep.dedup import shingle_hash64
+
+    pct = int(round(rate * 10_000))
+    pos = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(tokens_col)).alias("__p", "__t"),
+    )
+    h = shingle_hash64(
+        F.concat(
+            F.lit(f"{salt}~"),
+            F.col("__id").cast("string"),
+            F.lit("~"),
+            F.col("__p").cast("string"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy("__p")
+    marked = (
+        pos.withColumn("__m", (h % 10_000) < pct)
+        .withColumn(
+            "__start",
+            F.col("__m") & ~F.coalesce(F.lag("__m").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "__s",
+            F.sum(F.col("__start").cast("int")).over(w) - 1,
+        )
+    )
+    sent = F.lit(sentinel_base) + F.col("__s")
+    # input entry per position: token if unmasked, sentinel at span starts,
+    # nothing mid-span; target entry: [sentinel, token] at span starts,
+    # [token] mid-span, nothing if unmasked
+    inp = F.when(~F.col("__m"), F.array(F.col("__t"))).when(
+        F.col("__start"), F.array(sent.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    tgt = F.when(
+        F.col("__start"), F.array(sent.cast("int"), F.col("__t"))
+    ).when(F.col("__m"), F.array(F.col("__t"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    rebuilt = (
+        marked.select("__id", "__p", inp.alias("__inp"), tgt.alias("__tgt"))
+        .groupBy("__id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__p", "__inp"))),
+                    lambda s: s["__inp"],
+                )
+            ).alias("inputs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__p", "__tgt"))),
+                    lambda s: s["__tgt"],
+                )
+            ).alias("targets"),
+        )
+    )
+    return rebuilt.withColumnRenamed("__id", id_col)
