@@ -246,3 +246,52 @@ def test_encode_influxdb_parse_roundtrip(
     assert got[f"{meas}_i1"].value == float(fint)
     assert got[f"{meas}_f1"].value == float(ffloat)
     assert got[f"{meas}_b1"].value == (1.0 if fbool else 0.0)
+
+
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=13), min_size=1, max_size=20),
+    seq_len=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_pack_tokens_matches_python_packing(spark, lens, seq_len):
+    from vector_spark.dataprep.packing import pack_tokens
+
+    docs = []
+    tok = 0
+    for i, n in enumerate(lens):
+        docs.append((i, list(range(tok, tok + n)), n))
+        tok += n
+    d = spark.createDataFrame(docs, "_i long, tokens array<int>, n_tok long")
+    out = {r.chunk_id: list(r.tokens)
+           for r in pack_tokens(d, seq_len=seq_len, order_col="_i",
+                                bucket_size=3).collect()}
+    stream = list(range(tok))  # concatenation in _i order by construction
+    want = {k: stream[k * seq_len:(k + 1) * seq_len]
+            for k in range((len(stream) + seq_len - 1) // seq_len)}
+    assert out == want
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=4999), min_size=0, max_size=40),
+    rate=st.sampled_from([0.0, 0.2, 0.9, 1.0]),
+)
+@settings(**SETTINGS)
+def test_span_corrupt_reconstructs(spark, toks, rate):
+    from vector_spark.dataprep.tokens import SPAN_SENTINEL_BASE, span_corrupt
+
+    d = spark.createDataFrame([("d0", toks)], "doc_id string, tokens array<int>")
+    r = span_corrupt(d, rate=rate).collect()[0]
+    spans: dict[int, list[int]] = {}
+    cur: list[int] | None = None
+    for t in r.targets:
+        if t >= SPAN_SENTINEL_BASE:
+            cur = spans.setdefault(t, [])
+        else:
+            assert cur is not None
+            cur.append(t)
+    rebuilt: list[int] = []
+    for t in r.inputs:
+        rebuilt.extend(spans[t] if t >= SPAN_SENTINEL_BASE else [t])
+    assert rebuilt == list(toks)
+    if rate == 0.0:
+        assert list(r.inputs) == list(toks) and list(r.targets) == []

@@ -212,4 +212,15 @@ def span_corrupt(
             ).alias("targets"),
         )
     )
-    return rebuilt.withColumnRenamed("__id", id_col)
+    # posexplode emits nothing for zero-token docs — rejoin so they
+    # survive with empty streams instead of silently disappearing
+    empty = F.array().cast("array<int>")
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("inputs", empty).alias("inputs"),
+            F.coalesce("targets", empty).alias("targets"),
+        )
+    )
