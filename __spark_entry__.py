@@ -15,6 +15,7 @@ over the driver's parquet testdata views.
 from __future__ import annotations
 
 import hashlib
+import os as _os
 from collections.abc import Callable
 
 import pandas as pd
@@ -58,6 +59,27 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 _STREAM_Q_N = 0  # unique memory-sink names across repeated query runs
+
+
+def _sf_tag(sf_dir: str) -> str:
+    """Deterministic per-sf_dir tag for /tmp artifact names. NOT hash():
+    PYTHONHASHSEED randomizes that per process, so a second process would
+    compute a different tag and resume another process's checkpointed
+    file-stream log / bucketed table against the wrong directory."""
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+
+
+def _stream_link_dir(sf_dir: str, kind: str, links: dict[str, str]) -> str:
+    """A /tmp directory of symlinks exposing read-only testdata files to
+    Spark file streams (which need a listable DIRECTORY, and testdata
+    itself is read-only)."""
+    d = f"/tmp/vs_stream_{kind}_{_sf_tag(sf_dir)}"
+    _os.makedirs(d, exist_ok=True)
+    for stem, src in links.items():
+        p = _os.path.join(d, stem)
+        if not _os.path.exists(p):
+            _os.symlink(src, p)
+    return d
 
 
 def _q(name: str, sql: str | None = None):
@@ -1549,11 +1571,14 @@ def _register_more() -> None:
             n=_DECON_NGRAM,
         )
 
+    from vector_spark.dataprep.mixing import split_bounds as _split_bounds
+
     _SPLIT_N = 5_000
     _SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
     _SPLIT_H = osql.hash64_expr("'split~' || doc_id")
-    _SPLIT_B1 = int(round(0.9 * float(1 << 60)))
-    _SPLIT_B2 = int(round(0.95 * float(1 << 60)))
+    # the library's canonical integer bounds — the oracle replays them
+    # verbatim instead of re-deriving from float addition
+    (_, _SPLIT_B1), (_, _SPLIT_B2) = _split_bounds(_SPLIT_FRACS)
 
     @_q(
         "seq_split_assign",
@@ -1646,12 +1671,14 @@ def _register_more() -> None:
           FROM runs
         ),
         entries AS (
+          -- sentinel cap (≙ span_corrupt max_spans=100): spans past the
+          -- cap revert whole to unmasked
           SELECT doc_id, p,
-                 CASE WHEN NOT m THEN [t]
+                 CASE WHEN NOT (m AND s < 100) THEN [t]
                       WHEN strt THEN [(50310 + s)::INT]
                       ELSE []::INT[] END AS inp,
-                 CASE WHEN strt THEN [(50310 + s)::INT, t]
-                      WHEN m THEN [t]
+                 CASE WHEN strt AND s < 100 THEN [(50310 + s)::INT, t]
+                      WHEN m AND s < 100 THEN [t]
                       ELSE []::INT[] END AS tgt
           FROM spans
         )
@@ -1717,7 +1744,7 @@ def _register_more() -> None:
         WITH seq AS ({tables.sequences_sql(_FIM_N)}),
         cut AS (
           SELECT doc_id, tokens, len(tokens) AS L,
-                 ({_FIM_H('')}) % 100 < 50 AS fim,
+                 ({_FIM_H('')}) % 10000 < 5000 AS fim,
                  (({_FIM_H('1')}) % (len(tokens) + 1))::INT AS a
           FROM seq
         ),
@@ -1763,7 +1790,9 @@ def _register_more() -> None:
         extra_cte=f"seq AS ({tables.sequences_sql(_SC_N)})",
     )
     _SC_H = osql.hash64_expr("'split~' || doc_id")
-    _SC_B1 = int(round(0.9 * float(1 << 60)))
+    from vector_spark.dataprep.mixing import split_bounds as _sc_bounds
+
+    (_, _SC_B1), _ = _sc_bounds({"train": 0.9, "val": 0.05, "test": 0.05})
 
     @_q(
         "cfg_seq_curation",
@@ -2428,17 +2457,9 @@ def _register_more() -> None:
         max_ts = static.agg(F.max("ts")).collect()[0][0]
         # file streams need a DIRECTORY; expose the single parquet file via
         # a symlink dir (testdata itself is read-only)
-        # deterministic digest (NOT hash(): PYTHONHASHSEED randomizes it
-        # per process, which leaks one process's dir into another's
-        # checkpointed file-stream log)
-        link_dir = (
-            "/tmp/vs_stream_events_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        link_dir = _stream_link_dir(
+            sf_dir, "events", {"events.parquet": f"{sf_dir}/events.parquet"}
         )
-        os.makedirs(link_dir, exist_ok=True)
-        link = os.path.join(link_dir, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(f"{sf_dir}/events.parquet", link)
         sdf = (
             spark.readStream.schema(static.schema)
             .parquet(link_dir)
@@ -2521,17 +2542,9 @@ def _register_more() -> None:
 
         static = _events(spark, sf_dir)
         max_ts = static.agg(F.max("ts")).collect()[0][0]
-        # deterministic digest (NOT hash(): PYTHONHASHSEED randomizes it
-        # per process, which leaks one process's dir into another's
-        # checkpointed file-stream log)
-        link_dir = (
-            "/tmp/vs_stream_events_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        link_dir = _stream_link_dir(
+            sf_dir, "events", {"events.parquet": f"{sf_dir}/events.parquet"}
         )
-        os.makedirs(link_dir, exist_ok=True)
-        link = os.path.join(link_dir, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(f"{sf_dir}/events.parquet", link)
         dim = spark.createDataFrame(
             [(b, f"tier{b % 3}") for b in range(10)], "uid_b int, tier string"
         )
@@ -2606,15 +2619,17 @@ def _register_more() -> None:
         from vector_spark.streaming.stream import stream_dedupe
 
         static = _docs(spark, sf_dir)
-        link_dir = f"/tmp/vs_stream_docs_{abs(hash(sf_dir)) % 10**8}"
-        os.makedirs(link_dir, exist_ok=True)
         # the fixture has no exact duplicates — link the file TWICE so every
         # document arrives twice and the stateful dedup provably halves the
         # stream (2N rows in → N fingerprints out)
-        for stem in ("docs_a.parquet", "docs_b.parquet"):
-            link = os.path.join(link_dir, stem)
-            if not os.path.exists(link):
-                os.symlink(f"{sf_dir}/documents.parquet", link)
+        link_dir = _stream_link_dir(
+            sf_dir,
+            "docs",
+            {
+                "docs_a.parquet": f"{sf_dir}/documents.parquet",
+                "docs_b.parquet": f"{sf_dir}/documents.parquet",
+            },
+        )
         sdf = (
             spark.readStream.schema(static.schema)
             .parquet(link_dir)
@@ -2692,11 +2707,9 @@ def _register_more() -> None:
         from vector_spark.streaming.stream import stream_reduce
 
         static = _events(spark, sf_dir)
-        link_dir = f"/tmp/vs_stream_ev2_{abs(hash(sf_dir)) % 10**8}"
-        os.makedirs(link_dir, exist_ok=True)
-        link = os.path.join(link_dir, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(f"{sf_dir}/events.parquet", link)
+        link_dir = _stream_link_dir(
+            sf_dir, "ev2", {"events.parquet": f"{sf_dir}/events.parquet"}
+        )
         sdf = (
             spark.readStream.schema(static.schema)
             .parquet(link_dir)
@@ -2940,7 +2953,7 @@ def _register_more() -> None:
         is the plain join (bucketing must not change a single row)."""
         from vector_spark.sinks import bucketing as bk
 
-        tag = abs(hash(sf_dir)) % 10**8
+        tag = _sf_tag(sf_dir)
         to, tc = f"bk_orders_{tag}", f"bk_cust_{tag}"
         o = tables.load(spark, sf_dir, "orders").select(
             "o_custkey", "o_totalprice"
@@ -3028,7 +3041,7 @@ def _register_more() -> None:
 
         from vector_spark.sinks.upsert import upsert_partitioned
 
-        tag = abs(hash(sf_dir)) % 10**8
+        tag = _sf_tag(sf_dir)
         path = f"/tmp/vs_upsert_{tag}"
         shutil.rmtree(path, ignore_errors=True)
         # a 1/4 subset keeps the gate's write+rewrite volume bounded; the
@@ -3091,7 +3104,7 @@ def _register_more() -> None:
 
         from vector_spark.sinks.manifest import CheckpointedJob
 
-        tag = abs(hash(sf_dir)) % 10**8
+        tag = _sf_tag(sf_dir)
         in_dir = f"/tmp/vs_ckpt_in_{tag}"
         out_dir = f"/tmp/vs_ckpt_q_{tag}"
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -9325,17 +9338,9 @@ def _register_staged_streaming() -> None:
         static = _events(spark, sf_dir).withColumn(
             "ts", F.col("ts").cast("timestamp")
         )
-        # deterministic digest (NOT hash(): PYTHONHASHSEED randomizes it
-        # per process, which leaks one process's dir into another's
-        # checkpointed file-stream log)
-        link_dir = (
-            "/tmp/vs_stream_events_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        link_dir = _stream_link_dir(
+            sf_dir, "events", {"events.parquet": f"{sf_dir}/events.parquet"}
         )
-        os.makedirs(link_dir, exist_ok=True)
-        link = os.path.join(link_dir, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(f"{sf_dir}/events.parquet", link)
         sdf = (
             spark.readStream.schema(_events(spark, sf_dir).schema)
             .parquet(link_dir)
@@ -9387,6 +9392,11 @@ def _register_staged_streaming() -> None:
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            # the memory sink holds the results; the checkpoint (and its
+            # staging parquet) is per-invocation scratch — don't leak it
+            import shutil
+
+            shutil.rmtree(ck, ignore_errors=True)
         return spark.table(f"{prefix}_out").select("event_id", "event_type")
 
 

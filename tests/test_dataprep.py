@@ -399,6 +399,26 @@ def test_split_assign_deterministic_and_growth_stable(spark):
 
     with _pytest.raises(ValueError):
         split_assign(small, {"train": 0.5})
+    # single-fraction degenerate case: everything lands in that split
+    only = split_assign(small, {"train": 1.0}).collect()
+    assert {r.split for r in only} == {"train"}
+
+
+def test_split_bounds_exact_rationals():
+    from fractions import Fraction
+
+    from vector_spark.dataprep.mixing import split_bounds
+
+    b = dict(split_bounds({"train": 0.9, "val": 0.05, "test": 0.05}))
+
+    def half_up(fr):
+        return int(fr) + (1 if fr % 1 >= Fraction(1, 2) else 0)
+
+    # bounds are round(exact_cumulative * 2^60) — 0.9 + 0.05 accumulates
+    # to exactly 19/20, NOT float 0.9500000000000001 (which lands 128
+    # hash values away and flips membership for hashes in that window)
+    assert b["train"] == half_up(Fraction(9, 10) * (1 << 60))
+    assert b["val"] == half_up(Fraction(19, 20) * (1 << 60))
 
 
 def test_token_contamination_scores(spark):

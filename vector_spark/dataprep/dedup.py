@@ -240,8 +240,9 @@ def token_ngram_hashes(tokens_col: Column, n: int = 8) -> Column:
     ``h = fold(acc·1000003 + t) mod MINHASH_PRIME`` (acc stays < 2^51, no
     64-bit overflow). Engine-portable: DuckDB's seeded ``list_reduce``
     equals this fold because ``0·p + t₁ = t₁`` (oracles.token_ngram_
-    hashes_expr). Docs shorter than ``n`` tokens yield an empty set (they
-    then minhash to NULL band keys, which equi-joins drop on both engines)."""
+    hashes_expr). Docs shorter than ``n`` tokens yield an empty set and
+    are excluded from banding by ``_banded_near_dups`` (an all-NULL
+    signature would otherwise band to a constant shared key)."""
     m = F.lit(MINHASH_PRIME)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
@@ -292,7 +293,16 @@ def _banded_near_dups(
     max_bucket: int | None,
 ) -> DataFrame:
     """Shared LSH engine: (__id, __sh: array<long>) → verified near-dup
-    pairs. See ``minhash_near_dups`` for the plan-shape discussion."""
+    pairs. See ``minhash_near_dups`` for the plan-shape discussion.
+
+    Empty shingle sets are dropped BEFORE banding: an empty set minhashes
+    to an all-NULL signature, and ``array_join`` skips nulls, so every
+    shingle-less doc would otherwise share the constant band key
+    ``md5('b{i}~')`` — one mega-bucket of all short docs, quadratic
+    candidate blowup, every pair discarded later by the 0/0-Jaccard
+    filter anyway. (The DuckDB oracle keeps its candidates unfiltered;
+    outputs agree because those pairs never survive the verify.)"""
+    shingled = shingled.filter(F.size("__sh") > 0)
     rows_per_band = num_hashes // bands
     # each step materializes its own column: passing the signature EXPRESSION
     # into the band builder would duplicate the whole tree per band key, and

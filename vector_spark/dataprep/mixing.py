@@ -190,18 +190,38 @@ def split_assign(
     from vector_spark.dataprep.dedup import shingle_hash64
 
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
-    if abs(sum(fractions.values()) - 1.0) > 1e-9:
-        raise ValueError("split fractions must sum to 1")
     h = shingle_hash64(
         F.concat(F.lit(salt), F.lit("~"), F.col(key_col).cast("string"))
     )
     names = list(fractions)
     expr = None
-    cum = 0.0
-    for name in names[:-1]:
-        cum += fractions[name]
-        bound = int(round(cum * float(1 << 60)))
+    for name, bound in split_bounds(fractions):
         cond = h < F.lit(bound)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    split = names[-1] if expr is None else expr.otherwise(names[-1])
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", split)
+
+
+def split_bounds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """The CANONICAL integer hash bounds for :func:`split_assign` — one
+    (name, upper_bound) per split except the last (which takes the rest).
+    Exposed so external SQL replays use the exact same integers: cumulative
+    fractions are accumulated as exact rationals (``Fraction(str(f))``, so
+    0.9 + 0.05 is exactly 0.95, not 0.9500000000000001) before scaling to
+    the 60-bit hash space; re-deriving bounds from float addition can land
+    a few ulps away and flip membership for hashes inside that window.
+    """
+    from fractions import Fraction
+
+    total = sum(Fraction(str(f)) for f in fractions.values())
+    if total != 1:
+        raise ValueError("split fractions must sum to 1")
+    names = list(fractions)
+    out = []
+    cum = Fraction(0)
+    for name in names[:-1]:
+        cum += Fraction(str(fractions[name]))
+        num = cum * (1 << 60)
+        out.append((name, int(num) + (1 if num % 1 >= Fraction(1, 2) else 0)))
+    return out

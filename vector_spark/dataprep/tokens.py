@@ -114,7 +114,7 @@ def fim_transform(
 
     toks = F.col(tokens_col)
     size = F.size(toks)
-    sel = (h("") % 100) < int(round(rate * 100))
+    sel = (h("") % 10_000) < int(round(rate * 10_000))
     a = (h("1") % (size + 1)).cast("int")
     b = (a + h("2") % (size - a + 1)).cast("int")
     psm = F.concat(
@@ -140,6 +140,7 @@ def span_corrupt(
     rate: float = 0.15,
     salt: str = "t5",
     sentinel_base: int = SPAN_SENTINEL_BASE,
+    max_spans: int = 100,
 ) -> DataFrame:
     """Deterministic T5-style span corruption: each token is masked with
     probability ``rate`` (hash of (salt, id, position) — RNG-free and
@@ -147,6 +148,10 @@ def span_corrupt(
     replaced in the INPUT by sentinel ``base+s`` and emitted in the
     TARGET as ``base+s`` followed by the original span tokens (the
     Raffel et al. 2020 objective layout).
+
+    Sentinels are CAPPED at ``max_spans`` (T5 reserves a fixed block of
+    100 sentinel ids): spans past the cap stay unmasked, so sentinel ids
+    never bleed into real-token id space on long documents.
 
     Returns (id, inputs array<int>, targets array<int>). Plan: one
     posexplode → two window passes (span starts, span index) → one
@@ -182,16 +187,22 @@ def span_corrupt(
             F.sum(F.col("__start").cast("int")).over(w) - 1,
         )
     )
+    # sentinel cap: spans with index >= max_spans revert to unmasked
+    # (whole spans — the cap tests the span index, which is constant
+    # within a span, so no span is half-masked)
+    capped = F.col("__s") < max_spans
+    m_eff = F.col("__m") & capped
+    start_eff = F.col("__start") & capped
     sent = F.lit(sentinel_base) + F.col("__s")
     # input entry per position: token if unmasked, sentinel at span starts,
     # nothing mid-span; target entry: [sentinel, token] at span starts,
     # [token] mid-span, nothing if unmasked
-    inp = F.when(~F.col("__m"), F.array(F.col("__t"))).when(
-        F.col("__start"), F.array(sent.cast("int"))
+    inp = F.when(~m_eff, F.array(F.col("__t"))).when(
+        start_eff, F.array(sent.cast("int"))
     ).otherwise(F.array().cast("array<int>"))
     tgt = F.when(
-        F.col("__start"), F.array(sent.cast("int"), F.col("__t"))
-    ).when(F.col("__m"), F.array(F.col("__t"))).otherwise(
+        start_eff, F.array(sent.cast("int"), F.col("__t"))
+    ).when(m_eff, F.array(F.col("__t"))).otherwise(
         F.array().cast("array<int>")
     )
     rebuilt = (
