@@ -295,14 +295,17 @@ def _banded_near_dups(
     """Shared LSH engine: (__id, __sh: array<long>) → verified near-dup
     pairs. See ``minhash_near_dups`` for the plan-shape discussion.
 
-    Empty shingle sets are dropped BEFORE banding: an empty set minhashes
+    Empty shingle sets are excluded from BANDING: an empty set minhashes
     to an all-NULL signature, and ``array_join`` skips nulls, so every
     shingle-less doc would otherwise share the constant band key
     ``md5('b{i}~')`` — one mega-bucket of all short docs, quadratic
     candidate blowup, every pair discarded later by the 0/0-Jaccard
-    filter anyway. (The DuckDB oracle keeps its candidates unfiltered;
-    outputs agree because those pairs never survive the verify.)"""
-    shingled = shingled.filter(F.size("__sh") > 0)
+    filter anyway. The exclusion happens AFTER the persist barrier (on
+    the materialized ``__sh``): filtering the input expression instead
+    lets Catalyst push ``size(<shingle tree>) > 0`` below the projection
+    and re-run the whole interpreted shingle tree per row (measured 4×
+    on doc_minhash_near_dups). (The DuckDB oracle keeps its candidates
+    unfiltered; outputs agree because those pairs never survive verify.)"""
     rows_per_band = num_hashes // bands
     # each step materializes its own column: passing the signature EXPRESSION
     # into the band builder would duplicate the whole tree per band key, and
@@ -322,7 +325,7 @@ def _banded_near_dups(
     # (parquet/Iceberg) rather than cached — same shape, durable.
     # candidate pairs on IDS ONLY — the heavy shingle arrays stay out of the
     # self-join shuffle; dedupe multi-band pairs BEFORE fetching shingles
-    banded = base.select(
+    banded = base.filter(F.size("__sh") > 0).select(
         "__id", F.posexplode("__bands").alias("__b", "__key")
     )
     if max_bucket is not None:
