@@ -114,7 +114,7 @@ def test_vrl_one_shot_semantics(spark):
 
 # --- property: the TOML emitter round-trips arbitrary config-shaped dicts ---
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 _key = st.text(
@@ -135,6 +135,9 @@ _config = st.recursive(
 
 @settings(max_examples=150, deadline=None)
 @given(_config)
+@example(
+    cfg={'_': '\n\x7f'},
+).via('discovered failure')
 def test_toml_emitter_roundtrip_property(cfg):
     assert tomllib.loads(_toml_dump(cfg)) == cfg
 

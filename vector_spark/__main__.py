@@ -65,7 +65,10 @@ def _toml_scalar(v) -> str:
         # basic string otherwise. ensure_ascii=False keeps astral chars
         # literal — JSON's surrogate-pair \uXXXX escapes are invalid TOML.
         if "\n" in v and not any(
-            ord(c) < 0x20 and c not in "\n\t" for c in v
+            # TOML forbids control chars in multiline basic strings too —
+            # including DEL (0x7f), which is NOT < 0x20
+            (ord(c) < 0x20 and c not in "\n\t") or ord(c) == 0x7F
+            for c in v
         ) and "\\" not in v and '"""' not in v and not v.endswith('"'):
             return '"""\n' + v + '"""'
         # DEL is the one control char JSON leaves raw but TOML forbids
