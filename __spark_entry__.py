@@ -1648,6 +1648,65 @@ def _register_more() -> None:
             ).alias("digest"),
         )
 
+    _VR_N, _VR_K, _VR_UNK = 3_000, 1_000, 50256
+
+    @_q(
+        "seq_vocab_remap",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_VR_N)}),
+        counts AS (
+          SELECT t AS old_id, count(*) AS n FROM (
+            SELECT unnest(tokens) AS t FROM seq) GROUP BY 1
+        ),
+        ranked AS (
+          SELECT old_id,
+                 row_number() OVER (ORDER BY n DESC, old_id) - 1 AS new_id
+          FROM counts
+          QUALIFY row_number() OVER (ORDER BY n DESC, old_id) <= {_VR_K}
+        ),
+        pos AS (
+          SELECT doc_id, j AS p, tokens[(j + 1)::INT] AS t
+          FROM seq, unnest(range(n_tok::BIGINT)) AS u(j)
+        ),
+        mapped AS (
+          SELECT doc_id, p, COALESCE(r.new_id, {_VR_UNK}) AS t2
+          FROM pos LEFT JOIN ranked r ON pos.t = r.old_id
+        )
+        SELECT doc_id,
+               md5(string_agg(t2::VARCHAR, ',' ORDER BY p)) AS digest
+        FROM mapped GROUP BY doc_id
+        """,
+    )
+    def seq_vocab_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tokenizer migration (dataprep/tokens.py::vocab_remap): every
+        token rewritten through a frequency-ranked old→new vocab dim
+        (top-{K} keep their rank as the new id, the tail maps to UNK) as
+        ONE broadcast map-literal projection — no explode, no join, no
+        shuffle on the token stream; the oracle replays the remap
+        token-by-token."""
+        from pyspark.sql import Window as W
+
+        from vector_spark.dataprep.tokens import token_topk, vocab_remap
+
+        seq = tables.sequences(spark, _VR_N)
+        mapping = (
+            token_topk(seq, k=_VR_K)
+            .withColumn(
+                "new_id",
+                F.row_number().over(W.orderBy(F.desc("n"), "token")) - 1,
+            )
+            .select(F.col("token").alias("old_id"), "new_id")
+        )
+        out = vocab_remap(seq, mapping, unk_id=_VR_UNK)
+        return out.select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform("tokens", lambda t: t.cast("string"))
+                )
+            ).alias("digest"),
+        )
+
     _T5_N = 2_000
     _T5_H = osql.hash64_expr("'t5~' || doc_id || '~' || p")
 

@@ -290,6 +290,21 @@ def test_contamination_scores(spark):
     assert out[3].ngrams_total == 0 and out[3].contamination == 0.0
 
 
+def test_vocab_remap(spark):
+    from vector_spark.dataprep.tokens import vocab_remap
+
+    d = spark.createDataFrame(
+        [(1, [10, 20, 30, 10]), (2, [20, 99])],
+        "doc_id long, tokens array<int>",
+    )
+    m = spark.createDataFrame(
+        [(10, 0), (20, 1), (30, 2)], "old_id int, new_id int"
+    )
+    out = {r.doc_id: list(r.tokens)
+           for r in vocab_remap(d, m, unk_id=-1).collect()}
+    assert out == {1: [0, 1, 2, 0], 2: [1, -1]}
+
+
 def test_span_corrupt_t5_invariants(spark):
     from vector_spark.dataprep.tokens import SPAN_SENTINEL_BASE, span_corrupt
 

@@ -235,3 +235,39 @@ def span_corrupt(
             F.coalesce("targets", empty).alias("targets"),
         )
     )
+
+
+def vocab_remap(
+    df: DataFrame,
+    mapping: DataFrame,
+    tokens_col: str = "tokens",
+    unk_id: int = 0,
+    old_col: str = "old_id",
+    new_col: str = "new_id",
+) -> DataFrame:
+    """Tokenizer migration: rewrite every token id through an
+    (old_id → new_id) mapping dimension; ids absent from the mapping
+    become ``unk_id``. The mapping is a vocab-sized dim (≤ a few MB for
+    any real tokenizer) collected once and applied as a single JVM
+    ``transform`` over a broadcast map literal — a pure scan-side
+    projection: no explode, no join, no shuffle, and the array never
+    leaves its row.
+    """
+    pairs = [(int(r[old_col]), int(r[new_col])) for r in mapping.collect()]
+    m = F.create_map(
+        *[F.lit(x) for old, new in pairs for x in (old, new)]
+    )
+    from vector_spark.functions.objects import let
+
+    # bind the map literal once — inlining it into the lambda would copy
+    # the (vocab-sized) literal tree per reference
+    return df.withColumn(
+        tokens_col,
+        let(
+            m,
+            lambda mm: F.transform(
+                F.col(tokens_col),
+                lambda t: F.coalesce(mm[t], F.lit(unk_id)).cast("int"),
+            ),
+        ),
+    )
