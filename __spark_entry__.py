@@ -1648,6 +1648,48 @@ def _register_more() -> None:
             ).alias("digest"),
         )
 
+    _DNF_N, _DNF_NGRAM = 3_000, 8
+    _DNF_TOKALL = osql.token_ngram_hashes_expr(
+        "tokens", _DNF_NGRAM, distinct=False
+    )
+
+    @_q(
+        "seq_dup_ngrams",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_DNF_N)}),
+        grams AS (
+          SELECT doc_id, unnest({_DNF_TOKALL}) AS g FROM seq
+        ),
+        counts AS (SELECT g, count(*) AS cnt FROM grams GROUP BY g),
+        per_doc AS (
+          SELECT gr.doc_id,
+                 count(*)::BIGINT AS ngrams_total,
+                 SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)::BIGINT
+                   AS ngrams_dup
+          FROM grams gr JOIN counts c ON gr.g = c.g
+          GROUP BY gr.doc_id
+        )
+        SELECT s.doc_id,
+               COALESCE(ngrams_total, 0) AS ngrams_total,
+               COALESCE(ngrams_dup, 0) AS ngrams_dup,
+               CASE WHEN COALESCE(ngrams_total, 0) > 0
+                    THEN ROUND(ngrams_dup::DOUBLE / ngrams_total, 4)
+                    ELSE 0.0 END AS dup_frac
+        FROM seq s LEFT JOIN per_doc USING (doc_id)
+        """,
+    )
+    def seq_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Corpus-wide duplicate-n-gram fraction per document
+        (tokens.dup_ngram_fraction) — the memorization-risk signal of
+        Lee et al. 2021 at token level: occurrence-level 8-gram hashes,
+        corpus counts, share of a doc's windows that are corpus
+        duplicates. The shuffle carries (id|hash, count) pairs only."""
+        from vector_spark.dataprep.tokens import dup_ngram_fraction
+
+        return dup_ngram_fraction(
+            tables.sequences(spark, _DNF_N), n=_DNF_NGRAM
+        )
+
     _VR_N, _VR_K, _VR_UNK = 3_000, 1_000, 50256
 
     @_q(

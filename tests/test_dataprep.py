@@ -290,6 +290,21 @@ def test_contamination_scores(spark):
     assert out[3].ngrams_total == 0 and out[3].contamination == 0.0
 
 
+def test_dup_ngram_fraction(spark):
+    from vector_spark.dataprep.tokens import dup_ngram_fraction
+
+    # docs 1 and 2 share their full 4-token window; doc 3 unique; doc 4 short
+    d = spark.createDataFrame(
+        [(1, [5, 6, 7, 8]), (2, [5, 6, 7, 8]), (3, [9, 10, 11, 12]),
+         (4, [1, 2])],
+        "doc_id long, tokens array<int>",
+    )
+    out = {r.doc_id: r for r in dup_ngram_fraction(d, n=4).collect()}
+    assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+    assert out[3].dup_frac == 0.0 and out[3].ngrams_total == 1
+    assert out[4].ngrams_total == 0 and out[4].dup_frac == 0.0
+
+
 def test_vocab_remap(spark):
     from vector_spark.dataprep.tokens import vocab_remap
 

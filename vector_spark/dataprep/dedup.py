@@ -232,7 +232,9 @@ def minhash_near_dups(
     )
 
 
-def token_ngram_hashes(tokens_col: Column, n: int = 8) -> Column:
+def token_ngram_hashes(
+    tokens_col: Column, n: int = 8, distinct: bool = True
+) -> Column:
     """Distinct sorted hashes of token n-grams over an ``array<int>``
     column — pure integer math end to end (zero md5 / zero strings: the
     BASELINE payload is already tokenized, so shingling is array windowing
@@ -252,9 +254,10 @@ def token_ngram_hashes(tokens_col: Column, n: int = 8) -> Column:
             lambda acc, t: (acc * 1000003 + t) % m,
         ),
     )
-    return F.when(
-        F.size(tokens_col) >= n, F.array_sort(F.array_distinct(grams))
-    ).otherwise(F.array().cast("array<long>"))
+    out = F.array_sort(F.array_distinct(grams)) if distinct else grams
+    return F.when(F.size(tokens_col) >= n, out).otherwise(
+        F.array().cast("array<long>")
+    )
 
 
 def token_minhash_near_dups(

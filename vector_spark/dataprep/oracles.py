@@ -75,20 +75,24 @@ def band_keys_expr(sig_items: list[str], bands: int, rows_per_band: int) -> str:
     return "list_value(" + ", ".join(keys) + ")"
 
 
-def token_ngram_hashes_expr(col: str = "tokens", n: int = 8) -> str:
+def token_ngram_hashes_expr(
+    col: str = "tokens", n: int = 8, distinct: bool = True
+) -> str:
     """≙ dedup.token_ngram_hashes: polynomial fold of each length-n token
     window mod MINHASH_PRIME. DuckDB's list_reduce seeds with the first
     element, which equals Spark's 0-seeded aggregate because 0·p+t₁ = t₁
-    (every token < MINHASH_PRIME, so the skipped first mod is a no-op)."""
+    (every token < MINHASH_PRIME, so the skipped first mod is a no-op).
+    ``distinct=False`` keeps occurrence multiplicity (≙ the Spark arg)."""
     from vector_spark.dataprep.dedup import MINHASH_PRIME
 
-    return (
-        f"CASE WHEN len({col}) >= {n} THEN list_sort(list_distinct("
+    grams = (
         f"list_transform(range(1, len({col}) - {n} + 2), "
         f"i -> list_reduce(({col}[i:i+{n}-1])::BIGINT[], "
         f"(acc, t) -> (acc * 1000003 + t) % {MINHASH_PRIME}))"
-        f")) ELSE []::BIGINT[] END"
     )
+    if distinct:
+        grams = f"list_sort(list_distinct({grams}))"
+    return f"CASE WHEN len({col}) >= {n} THEN {grams} ELSE []::BIGINT[] END"
 
 
 def minhash_near_dups_sql(

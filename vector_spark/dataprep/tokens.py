@@ -271,3 +271,58 @@ def vocab_remap(
             ),
         ),
     )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Memorization-risk signal: per document, the fraction of token
+    n-gram OCCURRENCES whose n-gram appears at least ``min_count`` times
+    across the whole corpus (the corpus-wide duplicate-text analyses of
+    Lee et al. 2021 / Gopher, at token level; `text.dup_word_frac` is the
+    WITHIN-document repetition twin).
+
+    Plan: occurrence-level n-gram hashes (int64 folds, multiplicity
+    preserved) explode once; corpus counts are a map-side-combined
+    groupBy on the 8-byte hash; the count joins back on the same hash
+    and re-aggregates per doc — two shuffles of (id|hash, count) pairs,
+    never the token arrays. Docs shorter than ``n`` score 0.
+    """
+    from vector_spark.dataprep.dedup import token_ngram_hashes
+
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            token_ngram_hashes(F.col(tokens_col), n, distinct=False)
+        ).alias("__g"),
+    )
+    counts = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__cnt"))
+    per_doc = (
+        grams.join(counts, "__g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("ngrams_total"),
+            F.sum((F.col("__cnt") >= min_count).cast("long")).alias(
+                "ngrams_dup"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("ngrams_total", F.lit(0)).alias("ngrams_total"),
+            F.coalesce("ngrams_dup", F.lit(0)).alias("ngrams_dup"),
+            F.when(
+                F.coalesce("ngrams_total", F.lit(0)) > 0,
+                F.round(F.col("ngrams_dup") / F.col("ngrams_total"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
