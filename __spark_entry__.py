@@ -9504,6 +9504,223 @@ def _register_staged_streaming() -> None:
 _register_staged_streaming()
 
 
+def _register_token_stats() -> None:
+    """Training-pipeline planner/eval views over the BASELINE tokens
+    payload: length-bucket batching stats, strided LM-eval chunking,
+    packed-chunk document boundaries, per-doc unigram health, and the
+    per-source token-budget accounting that feeds mixture sampling."""
+
+    @_q(
+        "seq_length_buckets",
+        f"""
+        {_SEQ_CTE},
+        b AS (
+          SELECT CASE WHEN n_tok <= 1 THEN 1
+                      ELSE 1::BIGINT << length(format('{{:b}}', n_tok - 1))
+                 END AS bucket_len,
+                 n_tok::BIGINT AS n
+          FROM seq
+        )
+        SELECT bucket_len, COUNT(*)::BIGINT AS n_docs,
+               SUM(n)::BIGINT AS tokens_total,
+               SUM(bucket_len - n)::BIGINT AS pad_waste,
+               ROUND(SUM(bucket_len - n) / (bucket_len * COUNT(*)), 6)
+                 AS pad_frac
+        FROM b GROUP BY 1
+        """,
+    )
+    def seq_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Dynamic-batching length histogram (tokens.length_histogram):
+        every sequence lands in the smallest power-of-two context that
+        holds it; per bucket the report carries doc count, token mass and
+        the padding waste pad-to-bucket batching would pay. Pure integer
+        bucket math (bit-length, no float log2), one map-side-combined
+        aggregate, token arrays pruned off the scan."""
+        from vector_spark.dataprep.tokens import length_histogram
+
+        return length_histogram(_seq(spark))
+
+    _SC_N, _SC_W, _SC_S = 3_000, 96, 48
+
+    @_q(
+        "seq_strided_chunks",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_SC_N)}),
+        ch AS (
+          SELECT doc_id, n_tok::BIGINT AS n, tokens,
+                 unnest(range(0, 1 + greatest(
+                   0, (n_tok::BIGINT - {_SC_W} + {_SC_S} - 1) // {_SC_S}
+                 ))) AS k
+          FROM seq WHERE n_tok > 0
+        )
+        SELECT doc_id, k AS chunk_idx, (k * {_SC_S})::BIGINT AS start,
+               least({_SC_W}, n - k * {_SC_S})::BIGINT AS n_ctx,
+               (least(n, k * {_SC_S} + {_SC_W})
+                - CASE WHEN k > 0
+                       THEN least(n, (k - 1) * {_SC_S} + {_SC_W})
+                       ELSE 0 END)::BIGINT AS n_new,
+               md5(array_to_string(
+                 list_slice(tokens, (k * {_SC_S} + 1)::INT,
+                            least(n, k * {_SC_S} + {_SC_W})::INT),
+                 ',')) AS digest
+        FROM ch
+        """,
+    )
+    def seq_strided_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Strided sliding-window chunking for LM evaluation
+        (tokens.strided_chunks): width-{W} contexts advancing by {S},
+        each chunk also reporting n_new — the tokens not already scored
+        by its predecessor (the standard strided-perplexity protocol).
+        Scan-side sequence+explode+slice, no join, no shuffle; the oracle
+        rebuilds every chunk and its content digest must match
+        bit-exactly."""
+        from vector_spark.dataprep.tokens import strided_chunks
+
+        out = strided_chunks(
+            tables.sequences(spark, _SC_N), width=_SC_W, stride=_SC_S
+        )
+        return out.select(
+            "doc_id",
+            "chunk_idx",
+            "start",
+            "n_ctx",
+            "n_new",
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform("tokens", lambda t: t.cast("string"))
+                )
+            ).alias("digest"),
+        )
+
+    _PB_N, _PB_L = 5_000, 512
+
+    @_q(
+        "seq_pack_boundaries",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_PB_N)}),
+        spans AS (
+          SELECT (SUM(n_tok::BIGINT) OVER (ORDER BY _i) - n_tok)::BIGINT
+                   AS tok_start,
+                 (SUM(n_tok::BIGINT) OVER (ORDER BY _i))::BIGINT AS tok_end
+          FROM seq WHERE n_tok > 0
+        ),
+        pieces AS (
+          SELECT tok_start, tok_end,
+                 unnest(range((tok_start // {_PB_L})::BIGINT,
+                              ((tok_end - 1) // {_PB_L} + 1)::BIGINT))
+                   AS chunk_id
+          FROM spans
+        ),
+        segs AS (
+          SELECT chunk_id,
+                 greatest(tok_start, chunk_id * {_PB_L}) AS lo,
+                 least(tok_end, (chunk_id + 1) * {_PB_L}) AS hi
+          FROM pieces
+        )
+        SELECT chunk_id, COUNT(*)::BIGINT AS n_segs,
+               md5(string_agg((hi - lo)::VARCHAR, ',' ORDER BY lo))
+                 AS digest,
+               SUM(hi - lo)::BIGINT AS n_fill
+        FROM segs GROUP BY 1
+        """,
+    )
+    def seq_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Document-boundary metadata for the packed training stream
+        (packing.pack_token_segments): per chunk, the ordered lengths of
+        the document segments inside it — position ids restart at each
+        boundary, and the block-diagonal attention mask is exactly this
+        partition. Same two-phase prefix-sum span assignment as
+        pack_tokens, but only integer overlap lengths cross the wire —
+        the token payload itself never ships."""
+        from vector_spark.dataprep.packing import pack_token_segments
+
+        out = pack_token_segments(
+            tables.sequences(spark, _PB_N), seq_len=_PB_L, order_col="_i"
+        )
+        return out.select(
+            "chunk_id",
+            "n_segs",
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform("seg_lens", lambda x: x.cast("string"))
+                )
+            ).alias("digest"),
+            "n_fill",
+        )
+
+    _US_N = 3_000
+
+    @_q(
+        "seq_unigram_stats",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_US_N)}),
+        ex AS (SELECT doc_id, unnest(tokens) AS t FROM seq),
+        cnt AS (SELECT doc_id, t, COUNT(*)::BIGINT AS c
+                FROM ex GROUP BY 1, 2),
+        agg AS (
+          SELECT doc_id, COUNT(*)::BIGINT AS n_unique, MAX(c) AS cmax,
+                 SUM(c * CAST(ROUND(LN(c) * 1000000.0) AS BIGINT))::BIGINT
+                   AS s
+          FROM cnt GROUP BY 1
+        )
+        SELECT q.doc_id, q.n_tok::BIGINT AS n_tok,
+               COALESCE(a.n_unique, 0)::BIGINT AS n_unique,
+               CASE WHEN q.n_tok > 0
+                    THEN ROUND(a.n_unique / q.n_tok, 6) ELSE 0.0 END
+                 AS unique_ratio,
+               CASE WHEN q.n_tok > 0
+                    THEN ROUND(a.cmax / q.n_tok, 6) ELSE 0.0 END
+                 AS top_share,
+               CASE WHEN q.n_tok > 0
+                    THEN ROUND(
+                      ((q.n_tok::BIGINT
+                        * CAST(ROUND(LN(q.n_tok) * 1000000.0) AS BIGINT)
+                        - a.s)::DOUBLE / q.n_tok) / 1000000.0 / LN(2), 6)
+                    ELSE 0.0 END AS entropy_bits
+        FROM seq q LEFT JOIN agg a USING (doc_id)
+        """,
+    )
+    def seq_unigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-document unigram health (tokens.unigram_stats):
+        distinct-token ratio, top-token share, and Shannon entropy in
+        bits on the micro-quantized-integer plan (per-(doc,token) term
+        c·round(ln c ·1e6) is an integer, so the sum is
+        associative-exact and bit-identical across engines and
+        partitionings). Shuffles carry (id, token|count) pairs only."""
+        from vector_spark.dataprep.tokens import unigram_stats
+
+        return unigram_stats(tables.sequences(spark, _US_N))
+
+    @_q(
+        "seq_token_accounting",
+        f"""
+        {_SEQ_CTE},
+        per AS (
+          SELECT source, COUNT(*)::BIGINT AS n_docs,
+                 SUM(n_tok::BIGINT)::BIGINT AS n_tokens
+          FROM seq GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_tokens)::BIGINT AS total FROM per)
+        SELECT source, n_docs, n_tokens,
+               ROUND(n_tokens / n_docs, 6) AS mean_len,
+               ROUND(n_tokens / total, 6) AS share
+        FROM per CROSS JOIN tot
+        """,
+    )
+    def seq_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source token-budget accounting (mixing.token_accounting):
+        doc count, token mass, mean length, corpus share — the report
+        that feeds mixture/temperature sampling. One map-side-combined
+        aggregate + a broadcast 1-row total; token arrays pruned off the
+        scan."""
+        from vector_spark.dataprep.mixing import token_accounting
+
+        return token_accounting(_seq(spark))
+
+
+_register_token_stats()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -60,3 +60,94 @@ def test_plan_shapes(spark, docs):
     assert "BroadcastHashJoin" in oov_plan and "LeftAnti" in oov_plan, (
         "OOV detection must be a broadcast anti join on the exploded stream"
     )
+
+
+# --- length buckets / strided chunks / unigram stats / accounting -----------
+
+
+def test_pow2_bucket_exact_powers_and_edges(spark):
+    df = spark.range(1).select(
+        *[tk.pow2_bucket(F.lit(n)).alias(f"b{n}") for n in (1, 2, 3, 4, 5, 127, 128, 129, 256)]
+    )
+    row = df.collect()[0]
+    assert [row[f"b{n}"] for n in (1, 2, 3, 4, 5, 127, 128, 129, 256)] == [
+        1, 2, 4, 4, 8, 128, 128, 256, 256
+    ]
+
+
+def test_length_histogram(spark, docs):
+    got = {r.bucket_len: (r.n_docs, r.tokens_total, r.pad_waste) for r in tk.length_histogram(docs).collect()}
+    # a,b: n=4 → bucket 4 (no waste); c: n=5 → bucket 8, waste 3
+    assert got == {4: (2, 8, 0), 8: (1, 5, 3)}
+
+
+def test_strided_chunks_protocol(spark):
+    # one 10-token doc, width 4 stride 2: chunks at 0,2,4,6 — stop once
+    # the previous window reached the end (start 8 would be all-overlap)
+    df = spark.createDataFrame(
+        [("d", list(range(10, 20)), 10)], "doc_id string, tokens array<int>, n_tok int"
+    )
+    out = sorted(
+        (r.chunk_idx, r.start, r.tokens, r.n_ctx, r.n_new)
+        for r in tk.strided_chunks(df, width=4, stride=2).collect()
+    )
+    assert out == [
+        (0, 0, [10, 11, 12, 13], 4, 4),
+        (1, 2, [12, 13, 14, 15], 4, 2),
+        (2, 4, [14, 15, 16, 17], 4, 2),
+        (3, 6, [16, 17, 18, 19], 4, 2),
+    ]
+    # coverage: n_new sums to the doc length
+    assert sum(r[-1] for r in out) == 10
+
+
+def test_strided_chunks_short_doc_single_chunk(spark):
+    df = spark.createDataFrame(
+        [("s", [7, 8], 2), ("z", [], 0)], "doc_id string, tokens array<int>, n_tok int"
+    )
+    out = tk.strided_chunks(df, width=4, stride=2).collect()
+    assert len(out) == 1 and out[0].doc_id == "s"
+    assert (out[0].n_ctx, out[0].n_new, out[0].tokens) == (2, 2, [7, 8])
+
+
+def test_unigram_stats_hand_checked(spark, docs):
+    import math
+
+    got = {r.doc_id: r for r in tk.unigram_stats(docs).collect()}
+    # c = [1,9,9,9,9]: counts {1:1, 9:4}; H = -(1/5)log2(1/5)-(4/5)log2(4/5)
+    h = -(1 / 5) * math.log2(1 / 5) - (4 / 5) * math.log2(4 / 5)
+    assert got["c"].n_unique == 2
+    assert got["c"].top_share == 0.8
+    assert abs(got["c"].entropy_bits - h) < 1e-4
+    assert got["a"].n_unique == 3 and got["a"].unique_ratio == 0.75
+
+
+def test_token_accounting_shares(spark):
+    from vector_spark.dataprep.mixing import token_accounting
+
+    df = spark.createDataFrame(
+        [("w", "s1", 6), ("x", "s1", 4), ("y", "s2", 10)],
+        "doc_id string, source string, n_tok int",
+    )
+    got = {r.source: r for r in token_accounting(df).collect()}
+    assert got["s1"].n_docs == 2 and got["s1"].n_tokens == 10
+    assert got["s1"].mean_len == 5.0 and got["s1"].share == 0.5
+    assert got["s2"].share == 0.5
+
+
+def test_pack_token_segments_matches_pack_tokens(spark):
+    """seg_lens must partition every packed chunk: same chunk ids, and
+    sum(seg_lens) == n_fill of the materialized packer."""
+    from vector_spark.dataprep.packing import pack_token_segments, pack_tokens
+
+    rows = [(i, list(range(i * 100, i * 100 + 5 + (i * 7) % 11)), 5 + (i * 7) % 11) for i in range(40)]
+    df = spark.createDataFrame(rows, "_i long, tokens array<int>, n_tok int")
+    segs = {r.chunk_id: (r.seg_lens, r.n_fill) for r in pack_token_segments(df, seq_len=16, order_col="_i").collect()}
+    packed = {r.chunk_id: r.n_fill for r in pack_tokens(df, seq_len=16, order_col="_i").collect()}
+    assert segs.keys() == packed.keys()
+    for cid, (lens, nf) in segs.items():
+        assert sum(lens) == nf == packed[cid]
+        assert all(l > 0 for l in lens)
+    # boundaries reproduce the concatenation: doc lengths reassemble
+    total = sum(nf for _, nf in segs.values())
+    assert total == sum(r[2] for r in rows)

@@ -225,3 +225,32 @@ def split_bounds(fractions: dict[str, float]) -> list[tuple[str, int]]:
         num = cum * (1 << 60)
         out.append((name, int(num) + (1 if num % 1 >= Fraction(1, 2) else 0)))
     return out
+
+
+def token_accounting(
+    df: DataFrame,
+    source_col: str = "source",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Per-source corpus accounting — the report that feeds every
+    mixture/temperature decision (:func:`hash_threshold_mixture` takes
+    exactly these ``n_tokens`` masses as its weights input): document
+    count, token mass, mean document length, and each source's share of
+    the corpus token budget. One map-side-combined aggregate (≤ |sources|
+    partial rows per task) plus a broadcast of the 1-row corpus total —
+    the token arrays are pruned off the scan entirely."""
+    per_src = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(n_tok_col).cast("long")).alias("n_tokens"),
+    )
+    total = per_src.agg(F.sum("n_tokens").alias("__total"))
+    return (
+        per_src.join(F.broadcast(total))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias("mean_len"),
+            F.round(F.col("n_tokens") / F.col("__total"), 6).alias("share"),
+        )
+    )

@@ -140,3 +140,57 @@ def pack_tokens(
         )
         .withColumn("n_fill", F.size("tokens").cast("long"))
     )
+
+
+def pack_token_segments(
+    df: DataFrame,
+    count_col: str = "n_tok",
+    seq_len: int = 512,
+    order_col: str = "_i",
+    bucket_size: int = 8192,
+) -> DataFrame:
+    """The document-boundary metadata a trainer needs next to the packed
+    stream of :func:`pack_tokens`: per chunk, the ordered lengths of the
+    document SEGMENTS inside it (``seg_lens``). Position ids restart at
+    each boundary and the block-diagonal attention mask is exactly the
+    partition induced by ``seg_lens`` — emitting lengths instead of a
+    width×width mask keeps the row O(docs-per-chunk), not O(L²).
+
+    Plan: identical span assignment to :func:`pack_tokens` (two-phase
+    prefix sum, no global window) but the explode carries only the
+    per-(doc, chunk) OVERLAP LENGTH — integer arithmetic on the span
+    bounds — so unlike the materializing packer the token payload never
+    crosses the wire at all. ``sum(seg_lens) == n_fill`` of the packed
+    chunk by construction."""
+    spans = pack_sequences(df, count_col, seq_len, order_col, bucket_size)
+    spans = spans.filter(F.col(count_col) > 0)
+    lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * seq_len)
+    hi = F.least(F.col("tok_end"), (F.col("chunk_id") + 1) * seq_len)
+    pieces = spans.select(
+        "tok_start",
+        "tok_end",
+        F.explode(F.sequence(F.col("chunk_first"), F.col("chunk_last"))).alias(
+            "chunk_id"
+        ),
+    ).select(
+        "chunk_id",
+        (lo - F.col("chunk_id") * seq_len).cast("int").alias("__off"),
+        (hi - lo).cast("int").alias("__len"),
+    )
+    return (
+        pieces.groupBy("chunk_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__off", "__len"))),
+                lambda s: s["__len"],
+            ).alias("seg_lens")
+        )
+        .select(
+            "chunk_id",
+            F.size("seg_lens").cast("long").alias("n_segs"),
+            "seg_lens",
+            F.aggregate(
+                "seg_lens", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("n_fill"),
+        )
+    )

@@ -326,3 +326,185 @@ def dup_ngram_fraction(
             .alias("dup_frac"),
         )
     )
+
+
+def pow2_bucket(n: Column) -> Column:
+    """Smallest power of two >= ``n`` (n >= 1), as pure integer math:
+    ``1 << bit_length(n - 1)``. Spark has no clz/bit_length builtin, so
+    the bit length is the string length of ``bin(n - 1)`` (and bin(0) is
+    "0", whose length 1 would be wrong, hence the n==1 special case) —
+    closed-form, engine-portable (DuckDB: format('{:b}', n-1)), and free
+    of float log2 edge cases at exact powers of two."""
+    return (
+        F.when(n <= 1, F.lit(1))
+        .otherwise(
+            # F.shiftleft only takes a literal shift — call the SQL
+            # function directly to shift by a column
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.length(F.bin(n - 1)).cast("int"),
+            )
+        )
+        .cast("long")
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Dynamic-batching planner input: bucket every sequence into the
+    smallest power-of-two context length that holds it and report, per
+    bucket, the doc count, real token mass, and the padding waste a
+    pad-to-bucket batching scheme would pay (`pad_waste` tokens,
+    `pad_frac` of the padded volume). The whole computation is one
+    map-side-combined aggregate over scan-side column math — the token
+    arrays are never read (column pruning drops them), nothing but the
+    per-bucket partials crosses the shuffle, so the plan is identical at
+    10^12 rows."""
+    n = F.col(n_tok_col).cast("long")
+    b = pow2_bucket(n)
+    return (
+        df.select(b.alias("bucket_len"), n.alias("__n"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("tokens_total"),
+            F.sum(F.col("bucket_len") - F.col("__n")).alias("pad_waste"),
+        )
+        .withColumn(
+            "pad_frac",
+            F.round(
+                F.col("pad_waste")
+                / (F.col("bucket_len") * F.col("n_docs")),
+                6,
+            ),
+        )
+    )
+
+
+def strided_chunks(
+    df: DataFrame,
+    width: int = 128,
+    stride: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Sliding-window chunking for LM evaluation (the standard strided
+    perplexity protocol: contexts of ``width`` tokens advancing by
+    ``stride``, each chunk scoring only the ``n_new`` tokens not already
+    scored by its predecessor). Chunk ``k`` covers token positions
+    ``[k*stride, min(k*stride + width, n))``; chunks stop once the
+    previous window already reached the end of the document, i.e.
+    ``n_chunks = 1 + max(0, ceil((n - width) / stride))``.
+
+    Plan shape: a pure scan-side ``sequence``+``explode`` over the chunk
+    index followed by an ``F.slice`` of the in-row token array — no join,
+    no shuffle; the ~``width/stride``× token expansion is inherent to the
+    protocol and stays inside each task. Empty documents produce no
+    chunks."""
+    if not (0 < stride <= width):
+        raise ValueError("require 0 < stride <= width")
+    n = F.col(n_tok_col).cast("long")
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((n - width + stride - 1) / stride).cast("long"),
+    )
+    out = (
+        df.filter(n > 0)
+        .select(
+            id_col,
+            tokens_col,
+            n.alias("__n"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).alias("start"),
+            F.slice(
+                F.col(tokens_col),
+                (F.col("chunk_idx") * stride + 1).cast("int"),
+                F.least(
+                    F.lit(width).cast("long"),
+                    F.col("__n") - F.col("chunk_idx") * stride,
+                ).cast("int"),
+            ).alias("tokens"),
+            F.col("__n"),
+        )
+    )
+    end = F.col("start") + F.size("tokens")
+    prev_end = F.when(
+        F.col("chunk_idx") > 0,
+        F.least(F.col("__n"), (F.col("chunk_idx") - 1) * stride + width),
+    ).otherwise(F.lit(0).cast("long"))
+    return out.select(
+        id_col,
+        "chunk_idx",
+        "start",
+        "tokens",
+        F.size("tokens").cast("long").alias("n_ctx"),
+        (end - prev_end).cast("long").alias("n_new"),
+    )
+
+
+def unigram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Per-document token-distribution health signals: distinct-token
+    ratio, the share of the single most frequent token (degenerate
+    repetition shows up as top_share → 1), and the unigram Shannon
+    entropy in bits. Entropy is computed on the micro-quantized-integer
+    plan this repo uses everywhere float sums must be bit-exact across
+    engines and partitionings (see lm.py): per (doc, token) the term
+    ``c * round(ln(c) * 1e6)`` is an INTEGER, so the per-doc sum is
+    associative-exact; the final ``H = (n*round(ln(n)*1e6) - S) /
+    (n * 1e6 * ln 2)`` division happens once on identical integers.
+
+    Plan: explode → map-side-combined (doc, token) counts → per-doc
+    re-aggregate; both shuffles carry (id, token|count) pairs, never the
+    arrays. Empty documents report zeros."""
+    q = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("long")  # noqa: E731
+    counts = (
+        df.select(F.col(id_col).alias("__id"), F.explode(tokens_col).alias("__t"))
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per_doc = counts.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.max("__c").alias("__cmax"),
+        F.sum(F.col("__c") * q(F.col("__c"))).alias("__s"),
+    )
+    n = F.col(n_tok_col).cast("long")
+    ent_micro = n * q(n) - F.col("__s")
+    return (
+        df.select(id_col, n.alias("n_tok"))
+        .join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "n_tok",
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.when(n > 0, F.round(F.col("n_unique") / n, 6))
+            .otherwise(F.lit(0.0))
+            .alias("unique_ratio"),
+            F.when(n > 0, F.round(F.col("__cmax") / n, 6))
+            .otherwise(F.lit(0.0))
+            .alias("top_share"),
+            F.when(
+                n > 0,
+                F.round(
+                    ent_micro.cast("double") / n / F.lit(1e6) / F.log(F.lit(2.0)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("entropy_bits"),
+        )
+    )
