@@ -43,6 +43,9 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "doc_bpe_stats": {
         "bnl_join": (2, "1-row word-dim count × 1-row roundtrip flag"),
     },
+    "seq_token_accounting": {
+        "bnl_join": (2, "1-row corpus-token-total frame cross-joined"),
+    },
     "tpch_q22_antijoin": {
         "bnl_join": (2, "1-row scalar avg(acctbal) subquery frame"),
     },
