@@ -9721,6 +9721,98 @@ def _register_token_stats() -> None:
 _register_token_stats()
 
 
+def _register_sampling() -> None:
+    """Deterministic sampling/ordering over the BASELINE table: exact-k
+    per-group eval carve-outs and length-curriculum ordering."""
+    from vector_spark.dataprep import oracles as osql
+
+    _GS_K, _GS_M = 100, 4
+    _GS_TOP = 1 << 60
+    _GS_H = osql.hash64_expr("'gsample~' || doc_id")
+
+    @_q(
+        "seq_group_sample",
+        f"""
+        {_SEQ_CTE},
+        cnt AS (SELECT source, COUNT(*)::BIGINT AS n_g FROM seq GROUP BY 1),
+        dim AS (
+          SELECT source,
+                 CASE WHEN n_g <= {_GS_M * _GS_K} THEN {_GS_TOP}
+                      ELSE ({_GS_TOP} // n_g) * {_GS_M * _GS_K}
+                 END AS cutoff
+          FROM cnt
+        ),
+        h AS (
+          SELECT s.doc_id, s.source, {_GS_H} AS hh, d.cutoff
+          FROM seq s JOIN dim d USING (source)
+        ),
+        ranked AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id)
+                   AS sample_rank
+          FROM h WHERE hh < cutoff
+        )
+        SELECT doc_id, source, sample_rank::INT AS sample_rank
+        FROM ranked WHERE sample_rank <= {_GS_K}
+        """,
+    )
+    def seq_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact-{k}-per-source deterministic sample
+        (mixing.group_sample): the k smallest md5-hash rows per group —
+        retry-stable, engine-portable, membership frozen per row. Two
+        phases like heavy_hitters: per-group counts derive a broadcast
+        hash cutoff that filters scan-side, so only ~margin·k survivors
+        per group pay the rank window — never the whole group through
+        one task. The skewed source distribution exercises both branches
+        (app 45% → filtered; misc 2% → whole-group)."""
+        from vector_spark.dataprep.mixing import group_sample
+
+        return group_sample(
+            _seq(spark), k=_GS_K, margin=_GS_M
+        ).select("doc_id", "source", "sample_rank")
+
+    _CUR_H = osql.hash64_expr("'cur0~' || doc_id")
+
+    @_q(
+        "seq_curriculum",
+        f"""
+        {_SEQ_CTE},
+        b AS (
+          SELECT doc_id,
+                 CASE WHEN n_tok <= 1 THEN 1
+                      ELSE 1::BIGINT << length(format('{{:b}}', n_tok - 1))
+                 END AS bucket_len,
+                 {_CUR_H} AS hh
+          FROM seq
+        )
+        SELECT doc_id, bucket_len,
+               (ROW_NUMBER() OVER (ORDER BY bucket_len, hh, doc_id) - 1)
+                 ::BIGINT AS position
+        FROM b
+        """,
+    )
+    def seq_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Length-curriculum ordering (mixing.curriculum_order +
+        tokens.pow2_bucket): a global position ranking short sequences
+        first with a reproducible RNG-free per-epoch shuffle inside each
+        length bucket. The global rank is two-phase (per-(bucket,
+        hash-top-bits) broadcast offsets + sub-bucket windows) — the
+        oracle's flat ROW_NUMBER must match it bit-exactly, proving no
+        global single-task sort is needed."""
+        from vector_spark.dataprep.mixing import curriculum_order
+        from vector_spark.dataprep.tokens import pow2_bucket
+
+        d = _seq(spark).withColumn(
+            "bucket_len", pow2_bucket(F.col("n_tok").cast("long"))
+        )
+        return curriculum_order(d, "bucket_len", epoch=0).select(
+            "doc_id", "bucket_len", "position"
+        )
+
+
+_register_sampling()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -151,3 +151,68 @@ def test_pack_token_segments_matches_pack_tokens(spark):
     # boundaries reproduce the concatenation: doc lengths reassemble
     total = sum(nf for _, nf in segs.values())
     assert total == sum(r[2] for r in rows)
+
+
+def test_group_sample_exact_k_and_determinism(spark):
+    from vector_spark.dataprep.mixing import group_sample
+
+    rows = [(f"d{i:04d}", "big" if i < 400 else "small", 10) for i in range(450)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    out = group_sample(df, k=20, margin=4)
+    got = {r.source: [] for r in out.collect()}
+    for r in out.collect():
+        got[r.source].append((r.sample_rank, r.doc_id))
+    # exact k from the big group, whole-group path caps at k for small too
+    assert len(got["big"]) == 20 and len(got["small"]) == 20
+    # determinism: re-running yields the identical membership and ranks
+    again = {(r.source, r.sample_rank, r.doc_id) for r in group_sample(df, k=20, margin=4).collect()}
+    assert again == {(s, rk, d) for s, v in got.items() for rk, d in v}
+    # ranks are 1..k without gaps
+    assert sorted(rk for rk, _ in got["big"]) == list(range(1, 21))
+
+
+def test_group_sample_matches_true_k_smallest(spark):
+    """Two-phase cutoff must reproduce the true k-smallest-hash set."""
+    from vector_spark.dataprep.dedup import shingle_hash64
+    from vector_spark.dataprep.mixing import group_sample
+
+    rows = [(f"d{i:04d}", "g", 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    naive = [
+        r.doc_id
+        for r in df.select(
+            "doc_id",
+            shingle_hash64(F.concat(F.lit("gsample~"), F.col("doc_id"))).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(25)
+        .collect()
+    ]
+    got = sorted(
+        (r.sample_rank, r.doc_id) for r in group_sample(df, k=25).collect()
+    )
+    assert [d for _, d in got] == naive
+
+
+def test_curriculum_order_is_bucket_then_hash(spark):
+    from vector_spark.dataprep.dedup import shingle_hash64
+    from vector_spark.dataprep.mixing import curriculum_order
+
+    rows = [(f"d{i:03d}", (i % 3) + 1, 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, bucket int, n_tok int")
+    out = curriculum_order(df, "bucket", epoch=2)
+    flat = (
+        df.select(
+            "doc_id",
+            "bucket",
+            shingle_hash64(F.concat(F.lit("cur2~"), F.col("doc_id"))).alias("h"),
+        )
+        .orderBy("bucket", "h", "doc_id")
+        .collect()
+    )
+    expect = {r.doc_id: i for i, r in enumerate(flat)}
+    got = {r.doc_id: r.position for r in out.collect()}
+    assert got == expect
+    # different epoch ⇒ different within-bucket permutation
+    other = {r.doc_id: r.position for r in curriculum_order(df, "bucket", epoch=3).collect()}
+    assert other != got

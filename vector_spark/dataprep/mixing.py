@@ -254,3 +254,108 @@ def token_accounting(
             F.round(F.col("n_tokens") / F.col("__total"), 6).alias("share"),
         )
     )
+
+
+def group_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    margin: int = 4,
+) -> DataFrame:
+    """Deterministic exact-``k``-per-group sample: the ``k`` rows of each
+    group with the smallest ``md5('gsample~' || id)`` hash — a uniform
+    sample that is retry-stable, engine-portable, and frozen per row (a
+    doc's membership never flips when OTHER docs arrive, unlike
+    rate-based sampling). The eval-set carve-out every training pipeline
+    needs ("take 10k docs per source").
+
+    Scale shape (the heavy_hitters two-phase trick): ranking k-of-n with
+    a window partitioned by group would funnel each group through ONE
+    task — instead a per-group count (tiny dim, broadcast) derives a
+    hash cutoff keeping ~``margin*k`` expected survivors, the cutoff
+    filters scan-side, and only the survivors (≈margin·k per group) pay
+    the per-group rank window. Groups smaller than ``margin*k`` skip the
+    filter entirely. The result equals the true k-smallest-hash set
+    whenever the cutoff keeps ≥ k rows (probability of shortfall at
+    margin 4 is exp(-Θ(k)) by a Chernoff bound); the protocol itself is
+    deterministic either way. Adds ``sample_rank`` (1-based)."""
+    from pyspark.sql import Window
+
+    from vector_spark.dataprep.dedup import shingle_hash64
+
+    top = F.lit(1 << 60).cast("long")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_g"))
+    # ((1<<60) // n_g) * (margin*k) stays < 2^60 exactly when the filter
+    # branch is taken (n_g > margin*k) — no 64-bit overflow by design
+    dim = counts.select(
+        group_col,
+        F.when(F.col("__n_g") <= margin * k, top)
+        .otherwise(
+            # integer DIV, not floor(double /): 2^60/n quotients exceed
+            # the 53-bit double mantissa and would round differently
+            F.expr(f"{1 << 60} DIV __n_g") * F.lit(margin * k)
+        )
+        .alias("__cutoff"),
+    )
+    h = shingle_hash64(
+        F.concat(F.lit("gsample~"), F.col(id_col).cast("string"))
+    )
+    surv = (
+        df.withColumn("__h", h)
+        .join(F.broadcast(dim), group_col)
+        .filter(F.col("__h") < F.col("__cutoff"))
+    )
+    w = Window.partitionBy(group_col).orderBy("__h", id_col)
+    return (
+        surv.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__h", "__cutoff")
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    bucket_col: str,
+    key_col: str = "doc_id",
+    epoch: int = 0,
+    sub_buckets: int = 1024,
+) -> DataFrame:
+    """Curriculum ordering: a global 0-based ``position`` ranking rows by
+    (``bucket_col`` asc, per-epoch hash, key) — easy buckets first, a
+    fresh reproducible RNG-free shuffle WITHIN each difficulty bucket
+    every epoch (pair with :func:`~vector_spark.dataprep.tokens.pow2_bucket`
+    for the classic train-short-to-long length curriculum).
+
+    ``bucket_col`` must be small-domain (difficulty tiers, length
+    buckets); like :func:`epoch_order` the global rank is two-phase —
+    per-(bucket, hash-top-bits) counts make a tiny broadcast offsets dim,
+    rows rank inside their sub-bucket only — so there is never a global
+    single-task sort, and the offsets frame is ≤ |buckets|·sub_buckets
+    rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    from vector_spark.dataprep.dedup import shingle_hash64
+
+    h = shingle_hash64(
+        F.concat(F.lit(f"cur{epoch}~"), F.col(key_col).cast("string"))
+    )
+    shift = (1 << 60) // sub_buckets
+    d = df.withColumn("__h", h).withColumn(
+        "__sub", F.floor(F.col("__h") / F.lit(shift)).cast("int")
+    )
+    totals = d.groupBy(bucket_col, "__sub").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy(bucket_col, "__sub").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        bucket_col,
+        "__sub",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy(bucket_col, "__sub").orderBy("__h", key_col)
+    return (
+        d.join(F.broadcast(offsets), [bucket_col, "__sub"])
+        .withColumn("position", F.col("__off") + F.row_number().over(w_in) - 1)
+        .drop("__sub", "__h", "__off")
+    )
