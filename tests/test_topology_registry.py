@@ -352,3 +352,42 @@ def test_static_metrics_source(spark):
     assert len(gauges) == 3
     assert all(r.name == "build_info" and r.tags["team"] == "core"
                for r in gauges)
+
+
+def test_sampling_curriculum_chunk_transform_types(spark):
+    """group_sample / curriculum / strided_chunks are first-class topology
+    types: a config can carve an eval set, order it easy-first, and cut
+    eval windows without any Python."""
+    rows = [
+        (f"doc-{i:03d}", "a" if i < 30 else "b", list(range(i, i + 6 + i % 5)), 6 + i % 5)
+        for i in range(40)
+    ]
+    config = {
+        "sources": {
+            "seq": {
+                "type": "inline",
+                "rows": rows,
+                "schema": "doc_id string, source string, tokens array<int>, n_tok int",
+            }
+        },
+        "transforms": {
+            "carve": {"type": "group_sample", "inputs": ["seq"], "k": 5},
+            "order": {"type": "curriculum", "inputs": ["carve"], "epoch": 1},
+            "chunks": {"type": "strided_chunks", "inputs": ["carve"],
+                       "width": 6, "stride": 3},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["order"]},
+                  "out2": {"type": "memory", "inputs": ["chunks"]}},
+    }
+    from vector_spark.plans.topology import compile_config
+
+    topo = compile_config(spark, config)
+    ordered = topo.resolve("order").collect()
+    assert len(ordered) == 10  # 5 per source
+    assert sorted(r.position for r in ordered) == list(range(10))
+    # easy-first: positions ascend with bucket_len
+    by_pos = sorted(ordered, key=lambda r: r.position)
+    assert [r.bucket_len for r in by_pos] == sorted(r.bucket_len for r in ordered)
+    chunks = topo.resolve("chunks").collect()
+    assert all(len(c.tokens) == c.n_ctx and c.n_ctx <= 6 for c in chunks)
+    assert {c.doc_id for c in chunks} == {r.doc_id for r in topo.resolve("carve").collect()}

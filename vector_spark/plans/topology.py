@@ -1049,6 +1049,51 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
                 bucket_size=int(cfg.get("bucket_size", 8192)),
             )
         }
+    if t == "group_sample":
+        from vector_spark.dataprep.mixing import group_sample
+
+        return {
+            "__default": group_sample(
+                df,
+                k=int(cfg["k"]),
+                group_col=cfg.get("group_by", "source"),
+                id_col=cfg.get("id_col", "doc_id"),
+                margin=int(cfg.get("margin", 4)),
+            )
+        }
+    if t == "curriculum":
+        from vector_spark.dataprep.mixing import curriculum_order
+        from vector_spark.dataprep.tokens import pow2_bucket
+
+        bucket_col = cfg.get("bucket_col")
+        if bucket_col is None:
+            # default difficulty = power-of-two length bucket
+            df = df.withColumn(
+                "bucket_len",
+                pow2_bucket(F.col(cfg.get("count_col", "n_tok")).cast("long")),
+            )
+            bucket_col = "bucket_len"
+        return {
+            "__default": curriculum_order(
+                df,
+                bucket_col,
+                key_col=cfg.get("key_col", "doc_id"),
+                epoch=int(cfg.get("epoch", 0)),
+            )
+        }
+    if t == "strided_chunks":
+        from vector_spark.dataprep.tokens import strided_chunks
+
+        return {
+            "__default": strided_chunks(
+                df,
+                width=int(cfg["width"]),
+                stride=int(cfg.get("stride", cfg["width"])),
+                id_col=cfg.get("id_col", "doc_id"),
+                tokens_col=cfg.get("tokens_col", "tokens"),
+                n_tok_col=cfg.get("count_col", "n_tok"),
+            )
+        }
     if t == "near_dedup":
         # MinHash near-dup DROP: pairs → connected components → keep the
         # min-id representative per cluster (plus all singletons)
@@ -1190,7 +1235,8 @@ TRANSFORM_TYPES = (
     "aggregate log_to_metric metric_to_log tag_cardinality_limit enrich script "
     "quality_filter exact_dedup decontaminate pack_sequences paragraph_dedup "
     "lm_perplexity tokenize "
-    "sample_mixture split_assign pack_tokens near_dedup"
+    "sample_mixture split_assign pack_tokens near_dedup "
+    "group_sample curriculum strided_chunks"
 ).split()
 
 
