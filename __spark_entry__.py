@@ -9813,6 +9813,121 @@ def _register_sampling() -> None:
 _register_sampling()
 
 
+def _register_hybrid_retrieval() -> None:
+    """Sparse+dense hybrid retrieval fused by reciprocal ranks."""
+
+    _RRF_TERMS = {0: ("table", "hash"), 1: ("sort", "merge"), 2: ("spark", "row")}
+    _RRF_KLEG, _RRF_K, _RRF_C = 20, 10, 60
+    _qt_values = ", ".join(
+        f"({q}, '{t}')" for q, ts in _RRF_TERMS.items() for t in ts
+    )
+
+    @_q(
+        "doc_hybrid_rrf",
+        f"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                  'g')), ' ') AS ws
+          FROM documents
+        ), d AS (
+          SELECT doc_id, len(ws)::DOUBLE AS dl FROM w
+        ), stats AS (
+          SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM d
+        ), qt(query_id, term) AS (VALUES {_qt_values}),
+        hits AS (
+          SELECT qt.query_id, w.doc_id, u.term
+          FROM w, unnest(ws) AS u(term) JOIN qt ON u.term = qt.term
+        ), tf AS (
+          SELECT query_id, doc_id, term, COUNT(*)::DOUBLE AS tf
+          FROM hits GROUP BY 1, 2, 3
+        ), dfq AS (
+          SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS dft
+          FROM hits GROUP BY 1
+        ), bm AS (
+          SELECT tf.query_id, tf.doc_id,
+                 ROUND(SUM(ln(1 + (n - dft + 0.5) / (dft + 0.5))
+                           * tf * 2.2
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / avgdl))),
+                       6) AS bm25
+          FROM tf JOIN dfq USING (term) JOIN d ON tf.doc_id = d.doc_id
+          CROSS JOIN stats GROUP BY 1, 2
+        ), sparse AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY bm25 DESC, doc_id)
+                   AS rank_sparse
+          FROM bm
+          QUALIFY rank_sparse <= {_RRF_KLEG}
+        ), q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 3
+        ), scored AS (
+          SELECT q.query_id, e.vec_id AS doc_id,
+                 ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                       (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+          FROM embeddings e, q
+        ), dense AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, doc_id)
+                   AS rank_dense
+          FROM scored
+          QUALIFY rank_dense <= {_RRF_KLEG}
+        ), fused AS (
+          SELECT query_id, doc_id,
+                 rank_sparse::BIGINT AS rank_sparse,
+                 rank_dense::BIGINT AS rank_dense,
+                 COALESCE(1.0 / ({_RRF_C} + rank_sparse), 0.0)
+                 + COALESCE(1.0 / ({_RRF_C} + rank_dense), 0.0) AS rrf
+          FROM sparse FULL JOIN dense USING (query_id, doc_id)
+        )
+        SELECT query_id, doc_id, rank_sparse, rank_dense,
+               ROUND(rrf, 6) AS rrf, fused_rank::BIGINT AS fused_rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id)
+                      AS fused_rank
+          FROM fused
+        ) WHERE fused_rank <= {_RRF_K}
+        """,
+    )
+    def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hybrid sparse+dense retrieval (dataprep/retrieval.py): BM25
+        keyword leg (round-6 before ranking — partition-order-stable)
+        and embedding-cosine leg, each cut to its own top-20, fused by
+        reciprocal-rank fusion 1/(60+rank) and re-ranked. The fusion
+        join touches O(queries×k) rows regardless of corpus size; RRF
+        consumes only integer ranks, never the incomparable raw scores.
+        The query-id space ties each term query to its query vector
+        (vec_id == query_id in the testdata)."""
+        from vector_spark.dataprep import similarity as sim
+        from vector_spark.dataprep.retrieval import bm25_ranked, rrf_fuse
+
+        docs = tables.load(spark, sf_dir, "documents")
+        sparse = None
+        for qid, terms in _RRF_TERMS.items():
+            leg = bm25_ranked(docs, list(terms), k=_RRF_KLEG).select(
+                F.lit(qid).cast("long").alias("query_id"), "doc_id", "rank"
+            )
+            sparse = leg if sparse is None else sparse.unionByName(leg)
+        emb = tables.load(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        qs = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        dense = sim.brute_force_topk(emb, qs, k=_RRF_KLEG).select(
+            "query_id", F.col("vec_id").alias("doc_id"), "rank"
+        )
+        return rrf_fuse(sparse, dense, k=_RRF_K, c=_RRF_C)
+
+
+_register_hybrid_retrieval()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -59,3 +59,40 @@ def test_bm25_requires_terms(spark):
     docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
     with pytest.raises(ValueError):
         bm25_scores(docs, [])
+
+
+# --- hybrid RRF fusion -------------------------------------------------------
+
+
+def test_rrf_fuse_math_and_missing_legs(spark):
+    from vector_spark.dataprep.retrieval import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, doc_id long, rank long"
+    )
+    dense = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, doc_id long, rank long"
+    )
+    got = {r.doc_id: r for r in rrf_fuse(sparse, dense, k=10, c=60).collect()}
+    # doc 11 in both legs wins; 10/12 one-leg docs contribute a single term
+    assert got[11].fused_rank == 1
+    assert abs(got[11].rrf - (1 / 62 + 1 / 61)) < 1e-6
+    assert got[10].rank_dense is None and abs(got[10].rrf - 1 / 61) < 1e-6
+    assert got[12].rank_sparse is None and abs(got[12].rrf - 1 / 62) < 1e-6
+    # deterministic tie-break: 10 (1/61) beats 12 (1/62)
+    assert got[10].fused_rank == 2 and got[12].fused_rank == 3
+
+
+def test_bm25_ranked_is_take_ordered(spark):
+    from vector_spark.dataprep.retrieval import bm25_ranked
+
+    docs_df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    out = bm25_ranked(docs_df, ["spark", "hash"], k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, (
+        "top-k cut must be distributed TakeOrdered, not a global sort"
+    )
+    rows = out.collect()
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, len(rows) + 1)
+    )

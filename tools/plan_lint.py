@@ -59,6 +59,13 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     # set broadcast against one corpus scan — the BNL IS the design
     # (bounded by the cap, never corpus × corpus).
     "emb_cosine_topk": {"bnl_join": (2, "50-query broadcast set × corpus scan")},
+    "doc_hybrid_rrf": {
+        "bnl_join": (
+            8,
+            "3 BM25 legs × 1-row stats frame + 3-query broadcast set × "
+            "corpus scan + 1-row avgdl frames — all bounded build sides",
+        ),
+    },
     "emb_near_dups": {
         "bnl_join": (2, "exact baseline capped to 500 vectors (gate subset)")
     },
