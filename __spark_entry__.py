@@ -9928,6 +9928,85 @@ def _register_hybrid_retrieval() -> None:
 _register_hybrid_retrieval()
 
 
+def _register_shard_manifest() -> None:
+    """Corpus materialization capstone: pack → epoch order → round-robin
+    shards, with a per-shard manifest the trainer (and the resume path)
+    can verify against."""
+    from vector_spark.dataprep import oracles as osql
+
+    _SH_N, _SH_L, _SH_K, _SH_EP = 5_000, 512, 8, 1
+    _SH_H = osql.hash64_expr(f"'epoch{_SH_EP}~' || chunk_id")
+
+    @_q(
+        "seq_shard_manifest",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_SH_N)}),
+        spans AS (
+          SELECT _i, tokens, n_tok,
+                 SUM(n_tok::BIGINT) OVER (ORDER BY _i) - n_tok AS tok_start
+          FROM seq
+        ),
+        pos AS (
+          SELECT tok_start + j AS gpos
+          FROM spans, unnest(range(n_tok::BIGINT)) AS t(j)
+        ),
+        chunks AS (
+          SELECT (gpos // {_SH_L})::BIGINT AS chunk_id,
+                 COUNT(*)::BIGINT AS n_fill
+          FROM pos GROUP BY 1
+        ),
+        ordered AS (
+          SELECT chunk_id, n_fill,
+                 (row_number() OVER (ORDER BY {_SH_H}, chunk_id) - 1)
+                   ::BIGINT AS position
+          FROM chunks
+        )
+        SELECT (position % {_SH_K})::BIGINT AS shard,
+               COUNT(*)::BIGINT AS n_chunks,
+               SUM(n_fill)::BIGINT AS n_tokens,
+               md5(string_agg(chunk_id::VARCHAR, ',' ORDER BY position))
+                 AS id_digest
+        FROM ordered GROUP BY 1
+        """,
+    )
+    def seq_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end corpus materialization metadata: the BASELINE
+        stream packed into {L}-token chunks (packing.pack_tokens), given
+        a reproducible epoch-1 training order (mixing.epoch_order), dealt
+        round-robin into {K} shards (mixing.shard_assign — balanced ±1
+        with no total-count pass), and summarized as the per-shard
+        manifest (chunk count, token count, order-sensitive id digest)
+        a trainer verifies before reading. Every stage is the gate-
+        verified two-phase machinery; the oracle replays the whole chain
+        token-by-token."""
+        from vector_spark.dataprep.mixing import epoch_order, shard_assign
+        from vector_spark.dataprep.packing import pack_tokens
+
+        chunks = pack_tokens(
+            tables.sequences(spark, _SH_N), seq_len=_SH_L, order_col="_i"
+        ).select("chunk_id", "n_fill")
+        ordered = epoch_order(chunks, epoch=_SH_EP, key_col="chunk_id")
+        sharded = shard_assign(ordered, _SH_K)
+        return sharded.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_fill").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("position", "chunk_id"))
+                        ),
+                        lambda s: s["chunk_id"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("id_digest"),
+        )
+
+
+_register_shard_manifest()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

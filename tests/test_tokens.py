@@ -216,3 +216,18 @@ def test_curriculum_order_is_bucket_then_hash(spark):
     # different epoch ⇒ different within-bucket permutation
     other = {r.doc_id: r.position for r in curriculum_order(df, "bucket", epoch=3).collect()}
     assert other != got
+
+
+def test_shard_assign_balance_and_order(spark):
+    from vector_spark.dataprep.mixing import shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(103)], "position long")
+    out = shard_assign(df, 8).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[-1] - sizes[0] <= 1  # balanced ±1
+    # round-robin interleave preserves global order when read round-robin
+    for s, ps in by_shard.items():
+        assert all(p % 8 == s for p in ps)

@@ -359,3 +359,21 @@ def curriculum_order(
         .withColumn("position", F.col("__off") + F.row_number().over(w_in) - 1)
         .drop("__sub", "__h", "__off")
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    position_col: str = "position",
+) -> DataFrame:
+    """Round-robin shard assignment over a global training order (the
+    ``position`` of :func:`epoch_order` / :func:`curriculum_order`):
+    ``shard = position % n_shards``. Balanced to ±1 chunk without ever
+    computing a total count, deterministic, and stable — a chunk's shard
+    depends only on its own position. Interleaving consecutive positions
+    across shards also preserves the training order when shards are
+    read round-robin, which blocked (contiguous-range) sharding does
+    not without a second pass."""
+    return df.withColumn(
+        "shard", (F.col(position_col) % n_shards).cast("long")
+    )
