@@ -672,3 +672,27 @@ def test_classifier_separates_planted_extremes(spark):
     w, _ = clf.train(feats)
     out = {r.doc_id: r.score for r in clf.predictions(feats, w).collect()}
     assert out[0] > out[1]
+
+
+def test_lsh_plan_properties():
+    """Band/row planning: S-curve midpoint lands near the target, the
+    curve is steep in the right direction, and budgets are respected."""
+    import pytest
+
+    from vector_spark.dataprep.dedup import lsh_plan
+
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+        p = lsh_plan(t, max_hashes=128)
+        assert p["num_hashes"] <= 128
+        assert p["bands"] * p["rows_per_band"] == p["num_hashes"]
+        assert abs(p["t_star"] - t) < 0.08
+        # S-curve: well below threshold mostly rejected, well above kept
+        assert p["p_below"] < p["p_at_threshold"] < p["p_above"]
+        assert p["p_above"] > 0.85
+    # the repo's default 16-hash config corresponds to a mid threshold
+    p16 = lsh_plan(0.5, max_hashes=16)
+    assert p16["num_hashes"] <= 16 and p16["bands"] >= 2
+    with pytest.raises(ValueError):
+        lsh_plan(0.0)
+    with pytest.raises(ValueError):
+        lsh_plan(0.5, max_hashes=1)

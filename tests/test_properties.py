@@ -295,3 +295,64 @@ def test_span_corrupt_reconstructs(spark, toks, rate):
     assert rebuilt == list(toks)
     if rate == 0.0:
         assert list(r.inputs) == list(toks) and list(r.targets) == []
+
+
+@given(
+    n=st.integers(min_value=0, max_value=60),
+    width=st.integers(min_value=1, max_value=12),
+    stride_frac=st.integers(min_value=1, max_value=12),
+)
+@settings(**SETTINGS)
+def test_strided_chunks_cover_exactly_once_by_n_new(spark, n, width, stride_frac):
+    """The strided-perplexity invariant: concatenating each chunk's LAST
+    n_new tokens reproduces the document exactly once, in order."""
+    from vector_spark.dataprep.tokens import strided_chunks
+
+    stride = min(stride_frac, width)
+    d = spark.createDataFrame(
+        [("d", list(range(100, 100 + n)), n)],
+        "doc_id string, tokens array<int>, n_tok long",
+    )
+    rows = sorted(
+        strided_chunks(d, width=width, stride=stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    if n == 0:
+        assert rows == []
+        return
+    rebuilt = []
+    for r in rows:
+        assert 1 <= r.n_ctx <= width and len(r.tokens) == r.n_ctx
+        assert r.n_new >= 1  # no fully-overlapped (useless) chunk is emitted
+        rebuilt.extend(list(r.tokens)[-r.n_new:])
+    assert rebuilt == list(range(100, 100 + n))
+
+
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=15),
+    seq_len=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_pack_token_segments_partitions_chunks(spark, lens, seq_len):
+    from vector_spark.dataprep.packing import pack_token_segments
+
+    docs = [(i, n) for i, n in enumerate(lens)]
+    d = spark.createDataFrame(docs, "_i long, n_tok long")
+    total = sum(lens)
+    segs = {r.chunk_id: list(r.seg_lens)
+            for r in pack_token_segments(d, seq_len=seq_len, order_col="_i",
+                                         bucket_size=3).collect()}
+    n_chunks = (total + seq_len - 1) // seq_len
+    assert set(segs) == set(range(n_chunks))
+    for cid, ls in segs.items():
+        expect = seq_len if cid < n_chunks - 1 else total - cid * seq_len
+        assert sum(ls) == expect and all(x > 0 for x in ls)
+    # every non-empty doc contributes ceil-bounded segments: one per
+    # chunk it overlaps
+    expect_segments = 0
+    pos = 0
+    for _, nl in docs:
+        if nl > 0:
+            expect_segments += (pos + nl - 1) // seq_len - pos // seq_len + 1
+            pos += nl
+    assert sum(len(v) for v in segs.values()) == expect_segments

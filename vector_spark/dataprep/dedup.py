@@ -718,3 +718,46 @@ def cluster_representatives(
         .drop("__rk")
         .withColumnRenamed("__c", cluster_col)
     )
+
+
+def lsh_plan(
+    threshold: float,
+    max_hashes: int = 256,
+) -> dict:
+    """Plan MinHash-LSH parameters for a target Jaccard ``threshold``:
+    choose (bands b, rows-per-band r) with b·r ≤ ``max_hashes``
+    minimizing |t* − threshold| where t* = (1/b)^(1/r) is the S-curve
+    midpoint (Leskovec/Rajaraman/Ullman, MMDS §3.4). Returns the chosen
+    (bands, rows_per_band, num_hashes, t_star) plus the collision
+    probabilities P(candidate | s) = 1 − (1 − s^r)^b at s = threshold
+    and at ±0.1 around it — the false-positive / false-negative posture
+    the cap-and-verify stages will actually see. Driver-side planning
+    math only; feed the result into ``minhash_signature_int`` +
+    ``lsh_band_keys``."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    if max_hashes < 2:
+        raise ValueError("max_hashes must be >= 2")
+    best = None
+    for r in range(1, max_hashes + 1):
+        b = max_hashes // r
+        if b < 1:
+            break
+        t_star = (1.0 / b) ** (1.0 / r)
+        cand = (abs(t_star - threshold), r, b)
+        if best is None or cand < best:
+            best = cand
+    _, r, b = best
+
+    def p_cand(s: float) -> float:
+        return 1.0 - (1.0 - s ** r) ** b
+
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "num_hashes": b * r,
+        "t_star": (1.0 / b) ** (1.0 / r),
+        "p_at_threshold": p_cand(threshold),
+        "p_below": p_cand(max(threshold - 0.1, 0.0)),
+        "p_above": p_cand(min(threshold + 0.1, 1.0)),
+    }
