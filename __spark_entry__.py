@@ -10007,6 +10007,49 @@ def _register_shard_manifest() -> None:
 _register_shard_manifest()
 
 
+def _register_source_kl() -> None:
+    _KL_N = 3_000
+    _KL_Q = "CAST(ROUND(LN({x}) * 1000000.0) AS BIGINT)"
+
+    @_q(
+        "seq_source_kl",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_KL_N)}),
+        st AS (SELECT source AS s, unnest(tokens) AS t FROM seq),
+        cst AS (SELECT s, t, COUNT(*)::BIGINT AS c_st FROM st GROUP BY 1, 2),
+        ct AS (SELECT t, SUM(c_st)::BIGINT AS c_t FROM cst GROUP BY 1),
+        ns AS (SELECT s, SUM(c_st)::BIGINT AS n_s FROM cst GROUP BY 1),
+        nn AS (SELECT SUM(c_st)::BIGINT AS n_all FROM cst),
+        terms AS (
+          SELECT cst.s, ns.n_s,
+                 c_st * (({_KL_Q.format(x='c_st')} - {_KL_Q.format(x='n_s')})
+                         - ({_KL_Q.format(x='c_t')} - {_KL_Q.format(x='n_all')}))
+                   AS term
+          FROM cst JOIN ct USING (t) JOIN ns USING (s) CROSS JOIN nn
+        )
+        SELECT s AS source, ANY_VALUE(n_s) AS n_tokens,
+               ROUND(SUM(term)::DOUBLE / ANY_VALUE(n_s) / 1000000.0, 6)
+                 AS kl_nats
+        FROM terms GROUP BY 1
+        """,
+    )
+    def seq_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source token-distribution drift (tokens.source_kl):
+        KL(p_source ‖ p_corpus) over unigram token distributions — the
+        mixture-monitoring signal that catches tokenizer changes,
+        corrupted shards, and domain shift. Assembled from integer
+        micro-quantized-ln terms so the per-source sums are
+        associative-exact and bit-identical across engines; corpus
+        counts re-aggregate from the (source, token) partials, so the
+        corpus is scanned once and the token arrays never shuffle."""
+        from vector_spark.dataprep.tokens import source_kl
+
+        return source_kl(tables.sequences(spark, _KL_N))
+
+
+_register_source_kl()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

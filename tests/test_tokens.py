@@ -231,3 +231,31 @@ def test_shard_assign_balance_and_order(spark):
     # round-robin interleave preserves global order when read round-robin
     for s, ps in by_shard.items():
         assert all(p % 8 == s for p in ps)
+
+
+def test_source_kl_hand_checked(spark):
+    import math
+
+    # s1 skews to token 1, s2 is the complement; corpus is their mix
+    rows = [
+        ("a", "s1", [1, 1, 1, 2]),
+        ("b", "s2", [2, 2, 1, 2]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, tokens array<int>")
+    got = {r.source: r for r in tk.source_kl(df).collect()}
+
+    def kl(p, q):
+        return sum(pi * math.log(pi / qi) for pi, qi in zip(p, q) if pi > 0)
+
+    # corpus: token1 4/8, token2 4/8; s1: (3/4, 1/4); s2: (1/4, 3/4)
+    want = kl([3 / 4, 1 / 4], [1 / 2, 1 / 2])
+    assert got["s1"].n_tokens == 4 and got["s2"].n_tokens == 4
+    assert abs(got["s1"].kl_nats - want) < 1e-4
+    assert abs(got["s2"].kl_nats - want) < 1e-4  # symmetric construction
+
+
+def test_source_kl_zero_for_identical_distributions(spark):
+    rows = [("a", "x", [1, 2, 3]), ("b", "y", [1, 2, 3])]
+    df = spark.createDataFrame(rows, "doc_id string, source string, tokens array<int>")
+    for r in tk.source_kl(df).collect():
+        assert r.kl_nats == 0.0

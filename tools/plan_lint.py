@@ -46,6 +46,9 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "seq_token_accounting": {
         "bnl_join": (2, "1-row corpus-token-total frame cross-joined"),
     },
+    "seq_source_kl": {
+        "bnl_join": (2, "1-row corpus-total frame cross-joined"),
+    },
     "tpch_q22_antijoin": {
         "bnl_join": (2, "1-row scalar avg(acctbal) subquery frame"),
     },

@@ -508,3 +508,66 @@ def unigram_stats(
             .alias("entropy_bits"),
         )
     )
+
+
+def source_kl(
+    df: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Corpus-drift monitor: per source, the KL divergence
+    ``KL(p_source ‖ p_corpus)`` between the source's unigram token
+    distribution and the corpus-wide one — the signal that tells a
+    mixture pipeline when one source's token statistics diverge (new
+    tokenizer, corrupted shard, domain shift). Zero-smoothing is safe by
+    construction: every source token also appears in the corpus
+    distribution.
+
+    Bit-exactness: KL is assembled from INTEGER terms on the
+    micro-quantized-ln plan (see :func:`unigram_stats` / lm.py) —
+    per (source, token): ``c_st · [(q(c_st) − q(n_s)) − (q(c_t) − q(N))]``
+    with ``q(x) = round(ln(x)·1e6)`` — so the per-source sum is
+    associative-exact and identical across engines/partitionings; one
+    final division converts to nats.
+
+    Plan: explode → map-side-combined (source, token) counts (≤
+    |sources|·|vocab| partials); corpus token counts re-aggregate FROM
+    the source counts (never a second scan); totals are a broadcast
+    |sources|-row dim. The token arrays cross no shuffle."""
+    q = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("long")  # noqa: E731
+    st = (
+        df.select(F.col(source_col).alias("__s"), F.explode(tokens_col).alias("__t"))
+        .groupBy("__s", "__t")
+        .agg(F.count(F.lit(1)).alias("__c_st"))
+    )
+    tot_t = st.groupBy("__t").agg(F.sum("__c_st").alias("__c_t"))
+    tot_s = st.groupBy("__s").agg(F.sum("__c_st").alias("__n_s"))
+    tot = st.agg(F.sum("__c_st").alias("__N"))
+    terms = (
+        st.join(tot_t, "__t")
+        .join(F.broadcast(tot_s), "__s")
+        .join(F.broadcast(tot))
+        .select(
+            "__s",
+            "__n_s",
+            (
+                F.col("__c_st")
+                * (
+                    (q(F.col("__c_st")) - q(F.col("__n_s")))
+                    - (q(F.col("__c_t")) - q(F.col("__N")))
+                )
+            ).alias("__term"),
+        )
+    )
+    return (
+        terms.groupBy("__s")
+        .agg(F.sum("__term").alias("__kl_micro"), F.first("__n_s").alias("__n_s"))
+        .select(
+            F.col("__s").alias(source_col),
+            F.col("__n_s").alias("n_tokens"),
+            F.round(
+                F.col("__kl_micro").cast("double") / F.col("__n_s") / F.lit(1e6),
+                6,
+            ).alias("kl_nats"),
+        )
+    )
