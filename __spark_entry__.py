@@ -10050,6 +10050,49 @@ def _register_source_kl() -> None:
 _register_source_kl()
 
 
+def _register_vocab_coverage() -> None:
+    _VC_N = 3_000
+    _VC_CUTS = (100, 1_000, 10_000)
+
+    @_q(
+        "seq_vocab_coverage",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_VC_N)}),
+        counts AS (
+          SELECT t AS token, COUNT(*)::BIGINT AS n
+          FROM (SELECT unnest(tokens) AS t FROM seq) GROUP BY 1
+        ),
+        ranked AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r
+          FROM counts
+        )
+        SELECT cutoff::BIGINT AS cutoff,
+               SUM(CASE WHEN r <= cutoff THEN n ELSE 0 END)::BIGINT
+                 AS covered,
+               SUM(n)::BIGINT AS total,
+               ROUND(SUM(CASE WHEN r <= cutoff THEN n ELSE 0 END)
+                     / SUM(n), 6) AS coverage
+        FROM ranked, unnest([{", ".join(str(c) for c in _VC_CUTS)}])
+               AS c(cutoff)
+        GROUP BY 1
+        """,
+    )
+    def seq_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tokenizer-sizing curve (tokens.vocab_coverage): occurrence
+        share covered by a top-k frequency vocabulary at k ∈ {100, 1k,
+        10k}. The corpus scans once into a map-side-combined token
+        count; ranking and cumulative shares run on the vocab-bounded
+        dim (the same bounded-dim window budget the BPE trainer uses)."""
+        from vector_spark.dataprep.tokens import vocab_coverage
+
+        return vocab_coverage(
+            tables.sequences(spark, _VC_N), cutoffs=list(_VC_CUTS)
+        )
+
+
+_register_vocab_coverage()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -509,3 +509,53 @@ def test_tpch_q19_disjunction_derives_single_side_pushdown(spark, tpch_dir):
         f"derived part bound not pushed:\n{joined}"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_length_histogram_and_accounting_prune_tokens(spark, seq_parquet):
+    """Planner reports must never read the fat tokens column."""
+    from vector_spark.dataprep.mixing import token_accounting
+    from vector_spark.dataprep.tokens import length_histogram
+
+    seq = spark.read.parquet(seq_parquet)
+    for df in (length_histogram(seq), token_accounting(seq)):
+        plan = plan_of(df)
+        scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert scan_lines and all("tokens" not in l for l in scan_lines), (
+            "planner report reads token arrays — column pruning broken"
+        )
+
+
+def test_pack_token_segments_prunes_tokens(spark, seq_parquet):
+    """Boundary metadata derives from span arithmetic only — the token
+    payload must not cross the plan at all."""
+    from vector_spark.dataprep.packing import pack_token_segments
+
+    seq = spark.read.parquet(seq_parquet)
+    plan = plan_of(pack_token_segments(seq, seq_len=512, order_col="_i"))
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and all("tokens" not in l for l in scan_lines)
+
+
+def test_group_sample_no_whole_group_window(spark, seq_parquet):
+    """The rank window must see only cutoff survivors: the plan filters
+    on the broadcast cutoff BEFORE the window sort."""
+    from vector_spark.dataprep.mixing import group_sample
+
+    seq = spark.read.parquet(seq_parquet)
+    plan = plan_of(group_sample(seq, k=10))
+    assert "BroadcastHashJoin" in plan, "cutoff dim must broadcast"
+    w = plan.find("Window")
+    f = plan.find("__cutoff")
+    assert w != -1 and f != -1, f"missing window/cutoff in plan:\n{plan[:600]}"
+    # physical plans print top-down: the window consumes the filtered side
+    assert "Filter" in plan
+
+
+def test_strided_chunks_no_shuffle(spark, seq_parquet):
+    from vector_spark.dataprep.tokens import strided_chunks
+
+    seq = spark.read.parquet(seq_parquet)
+    plan = plan_of(strided_chunks(seq, width=96, stride=48))
+    assert "Exchange" not in plan, (
+        "strided chunking must stay scan-side (no shuffle)"
+    )

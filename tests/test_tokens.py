@@ -259,3 +259,12 @@ def test_source_kl_zero_for_identical_distributions(spark):
     df = spark.createDataFrame(rows, "doc_id string, source string, tokens array<int>")
     for r in tk.source_kl(df).collect():
         assert r.kl_nats == 0.0
+
+
+def test_vocab_coverage_hand_checked(spark, docs):
+    # corpus occurrences: 9 x5, 2 x4, 1 x3, 3 x1 → total 13
+    got = {r.cutoff: r for r in tk.vocab_coverage(docs, cutoffs=[1, 2, 10]).collect()}
+    assert got[1].covered == 5 and got[1].total == 13
+    assert got[2].covered == 9
+    assert got[10].covered == 13 and got[10].coverage == 1.0
+    assert abs(got[1].coverage - 5 / 13) < 1e-6

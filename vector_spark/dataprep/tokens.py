@@ -571,3 +571,45 @@ def source_kl(
             ).alias("kl_nats"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    cutoffs: list[int] | None = None,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Tokenizer-sizing curve: for each candidate vocab size ``k``, the
+    share of token OCCURRENCES a top-``k``-by-frequency vocabulary would
+    cover (the complement is the OOV mass a frequency-truncated
+    retraining accepts). Returns (cutoff, covered, total, coverage).
+
+    Scale shape: one map-side-combined token count (shuffle ≤ |vocab|
+    partial rows per task), then ranking and cumulative sums run on the
+    VOCAB DIM — bounded by the tokenizer id space (≤ a few hundred k
+    rows), the same bounded-dim window budget the BPE trainer uses. The
+    corpus is scanned once; cutoffs are evaluated from one ranked dim."""
+    cutoffs = cutoffs or [100, 1_000, 10_000]
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "token")
+    ranked = counts.withColumn("__r", F.row_number().over(w))
+    cuts = F.array(*[F.lit(int(k)) for k in sorted(cutoffs)])
+    per_cut = ranked.select(
+        F.explode(cuts).alias("cutoff"), "__r", "n"
+    ).groupBy("cutoff").agg(
+        F.sum(F.when(F.col("__r") <= F.col("cutoff"), F.col("n")).otherwise(0)).alias(
+            "covered"
+        ),
+        F.sum("n").alias("total"),
+    )
+    return per_cut.select(
+        F.col("cutoff").cast("long").alias("cutoff"),
+        "covered",
+        "total",
+        F.round(F.col("covered") / F.col("total"), 6).alias("coverage"),
+    )
