@@ -10093,6 +10093,105 @@ def _register_vocab_coverage() -> None:
 _register_vocab_coverage()
 
 
+def _register_stream_token_pipeline() -> None:
+    @_q(
+        "stream_token_pipeline",
+        f"""
+        {_SEQ_FULL_CTE},
+        {_DIM_CTE},
+        parsed AS (
+          SELECT seq.*, dim.team, dim.tier,
+                 regexp_extract(message, '^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] "(\\S+) (\\S+) ([^"]*)" (\\d+) (\\S+)', 8)::INT AS status
+          FROM seq LEFT JOIN dim USING (source)
+        ),
+        routed AS (
+          SELECT *, 'errors' AS route FROM parsed WHERE status >= 400
+          UNION ALL
+          SELECT *, 'alerts' AS route FROM parsed
+          WHERE status >= 500 AND tier = 1
+          UNION ALL
+          SELECT *, 'redirects' AS route FROM parsed
+          WHERE status >= 300 AND status < 400
+          UNION ALL
+          SELECT *, 'ok' AS route FROM parsed WHERE status < 300
+        ),
+        mx AS (SELECT MAX(event_ts) AS m FROM parsed),
+        g AS (
+          SELECT route, source,
+                 time_bucket(INTERVAL 60 SECOND, event_ts) AS tb,
+                 COUNT(*) AS events, SUM(n_tok)::BIGINT AS tokens_total,
+                 ANY_VALUE(m) AS m
+          FROM routed, mx GROUP BY 1, 2, 3
+        )
+        SELECT route, source,
+               strftime(tb, '%Y-%m-%d %H:%M:%S') AS ws,
+               events, tokens_total
+        FROM g WHERE tb + INTERVAL 60 SECOND <= m - INTERVAL 60 SECOND
+        """,
+    )
+    def stream_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """THE FLAGSHIP AS A REAL STREAMING QUERY over the BASELINE token
+        table (pipeline.stream_pipeline): the identical parse → enrich →
+        route stages (pure column transforms, batch/stream agnostic) run
+        under Structured Streaming with an event-time watermarked
+        windowed aggregate, and the emitted windows must equal the batch
+        replay bit-exactly (one-window safety margin below the final
+        watermark — see stream_agg_events). This is the north-star
+        sources→transforms→sinks contract demonstrated end-to-end in
+        streaming mode on the tokens payload itself."""
+        import shutil
+        import tempfile
+
+        global _STREAM_Q_N
+        _STREAM_Q_N += 1
+        name = f"__stream_tokpipe_{_STREAM_Q_N}"
+        batch = _seq(spark)
+        staged = tempfile.mkdtemp(prefix="vs_stream_tokpipe_")
+        try:
+            batch.write.mode("overwrite").parquet(staged)
+            max_ts = (
+                tables.with_event_ts(batch).agg(F.max("event_ts")).collect()[0][0]
+            )
+            sdf = spark.readStream.schema(batch.schema).parquet(staged)
+            agg = pipeline.stream_pipeline(
+                sdf, tables.enrich_sources(spark), watermark="0 seconds"
+            )["agg"]
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try:
+                q = (
+                    agg.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("append")
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            out = spark.table(name)
+            return (
+                out.filter(
+                    F.col("window_start") + F.expr("INTERVAL 120 SECONDS")
+                    <= F.lit(max_ts)
+                )
+                .select(
+                    "route",
+                    "source",
+                    F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                        "ws"
+                    ),
+                    "events",
+                    "tokens_total",
+                )
+            )
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
+
+
+_register_stream_token_pipeline()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
