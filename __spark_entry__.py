@@ -10192,6 +10192,55 @@ def _register_stream_token_pipeline() -> None:
 _register_stream_token_pipeline()
 
 
+def _register_token_exact_dedup() -> None:
+    _TED_N = 3_000
+
+    @_q(
+        "seq_exact_dedup",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_TED_N)}),
+        all_rows AS (
+          SELECT doc_id, tokens, n_tok, source FROM seq
+          UNION ALL
+          SELECT 'dup-' || doc_id, tokens, n_tok, source
+          FROM seq WHERE _i % 17 = 0
+          UNION ALL
+          SELECT 'aa-' || doc_id, tokens, n_tok, source
+          FROM seq WHERE _i % 23 = 0
+        ),
+        fp AS (
+          SELECT *, md5(array_to_string(tokens, ',')) AS f FROM all_rows
+        )
+        SELECT doc_id, source, n_tok
+        FROM fp
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY f)
+        """,
+    )
+    def seq_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact dedup directly on the token payload
+        (dedup.token_exact_dedup) with PLANTED duplicates: every 17th
+        doc re-labeled 'dup-…' (loses to the original under min-id) and
+        every 23rd re-labeled 'aa-…' (wins — proving the keep rule is
+        min-id, not insertion order). The shuffle carries only (16-byte
+        digest, id) pairs; token arrays never leave their rows."""
+        from vector_spark.dataprep.dedup import token_exact_dedup
+
+        base = tables.sequences(spark, _TED_N)
+        dup = base.filter(F.col("_i") % 17 == 0).withColumn(
+            "doc_id", F.concat(F.lit("dup-"), F.col("doc_id"))
+        )
+        aa = base.filter(F.col("_i") % 23 == 0).withColumn(
+            "doc_id", F.concat(F.lit("aa-"), F.col("doc_id"))
+        )
+        allr = (
+            base.unionByName(dup).unionByName(aa).drop("_i")
+        )
+        return token_exact_dedup(allr).select("doc_id", "source", "n_tok")
+
+
+_register_token_exact_dedup()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -761,3 +761,22 @@ def lsh_plan(
         "p_below": p_cand(max(threshold - 0.1, 0.0)),
         "p_above": p_cand(min(threshold + 0.1, 1.0)),
     }
+
+
+def token_exact_dedup(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup DIRECTLY on the token payload: fingerprint =
+    md5 of the comma-joined token ids (content-exact — no normalization
+    question exists at token level), keep the min-id representative per
+    fingerprint. The shuffle carries (16-byte digest, id) pairs only —
+    the token arrays never leave their rows, so the plan is identical at
+    10^12 sequences (same scale posture as the text `exact_dedup`)."""
+    fp = F.md5(
+        F.concat_ws(",", F.transform(F.col(tokens_col), lambda t: t.cast("string")))
+    )
+    keyed = df.withColumn("__fp", fp)
+    keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, on=["__fp", id_col], how="inner").drop("__fp")
