@@ -10241,6 +10241,84 @@ def _register_token_exact_dedup() -> None:
 _register_token_exact_dedup()
 
 
+def _register_token_lm() -> None:
+    _TLM_N, _TLM_V, _TLM_B = 2_000, 4_096, 16_384
+
+    @_q(
+        "seq_bigram_ppl",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_TLM_N)}),
+        uni AS (
+          SELECT t, COUNT(*) AS c FROM (
+            SELECT unnest(tokens) AS t FROM seq WHERE _i % 10 = 0)
+          GROUP BY 1 ORDER BY c DESC, t LIMIT {_TLM_V}
+        ),
+        bi AS (
+          SELECT g, COUNT(*) AS cb FROM (
+            SELECT unnest(list_transform(
+              range(1, greatest(len(tokens) - 1, 0) + 1),
+              i -> tokens[i]::BIGINT * 4294967296 + tokens[i + 1])) AS g
+            FROM seq WHERE _i % 10 = 0)
+          GROUP BY 1 ORDER BY cb DESC, g LIMIT {_TLM_B}
+        ),
+        tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM uni),
+        pairs AS (
+          SELECT doc_id, (p).prev AS prev, (p).cur AS cur FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(tokens) + 1),
+              i -> struct_pack(prev := CASE WHEN i > 1 THEN tokens[i-1] END,
+                               cur := tokens[i]))) AS p
+            FROM seq WHERE len(tokens) > 0)
+        ),
+        scored AS (
+          SELECT pairs.doc_id,
+            round(-log2(CASE WHEN prev IS NULL
+              THEN (COALESCE(u2.c, 0) + 0.5) / (tot.n + 0.5 * (tot.v + 1))
+              ELSE 0.7 * ((COALESCE(bi.cb, 0) + 0.5)
+                          / (COALESCE(u1.c, 0) + 0.5 * (tot.v + 1)))
+                 + (1.0 - 0.7) * ((COALESCE(u2.c, 0) + 0.5)
+                          / (tot.n + 0.5 * (tot.v + 1)))
+              END) * 1000000)::BIGINT AS m
+          FROM pairs
+          LEFT JOIN uni u2 ON pairs.cur = u2.t
+          LEFT JOIN uni u1 ON pairs.prev = u1.t
+          LEFT JOIN bi ON prev::BIGINT * 4294967296 + cur = bi.g
+          CROSS JOIN tot
+        ),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_tok, SUM(m) AS ce_micro
+          FROM scored GROUP BY 1
+        )
+        SELECT doc_id, n_tok::BIGINT AS n_tok,
+               ce_micro::BIGINT AS ce_micro,
+               round(pow(2, ce_micro / (n_tok * 1000000.0)), 4) AS ppl
+        FROM agg
+        """,
+    )
+    def seq_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CCNet-style interpolated bigram perplexity DIRECTLY over token
+        ids (lm.token_cross_entropy_bigram) — the quality filter for
+        corpora that ship only tokens: top-V unigram + top-B packed-pair
+        (prev·2^32+cur, exact, hash-free) reference dims trained on a
+        1/10 doc sample, Jelinek-Mercer add-k scoring, per-doc integer
+        micro-sums. Every join key is an integer — no strings anywhere
+        in the hot path; three bounded broadcast dims, corpus scans
+        once."""
+        from vector_spark.dataprep.lm import (
+            token_bigram_lm,
+            token_cross_entropy_bigram,
+            token_unigram_lm,
+        )
+
+        seq = tables.sequences(spark, _TLM_N)
+        ref = seq.filter(F.col("_i") % 10 == 0)
+        uni = token_unigram_lm(ref, vocab_size=_TLM_V)
+        bi = token_bigram_lm(ref, bigram_size=_TLM_B)
+        return token_cross_entropy_bigram(seq, uni, bi)
+
+
+_register_token_lm()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

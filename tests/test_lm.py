@@ -228,3 +228,60 @@ def test_lm_perplexity_topology_type(spark, docs):
     )
     kept = {r["doc_id"] for r in topo2.resolve("lmq").collect()}
     assert 2 not in kept  # the all-OOV doc scores worst
+
+
+def test_token_bigram_ppl_matches_naive(spark):
+    """Int-native token bigram LM vs an independent Python replay."""
+    import math
+
+    from vector_spark.dataprep.lm import (
+        token_bigram_lm,
+        token_cross_entropy_bigram,
+        token_unigram_lm,
+    )
+
+    rows = [("a", [1, 2, 1, 2, 3]), ("b", [2, 3, 2]), ("c", [9])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    uni = token_unigram_lm(df, vocab_size=100)
+    bi = token_bigram_lm(df, bigram_size=100)
+    got = {r.doc_id: r for r in token_cross_entropy_bigram(df, uni, bi).collect()}
+
+    # naive replay
+    toks = {d: t for d, t in rows}
+    uc, bc = {}, {}
+    for t in toks.values():
+        for x in t:
+            uc[x] = uc.get(x, 0) + 1
+        for p, c in zip(t, t[1:]):
+            bc[(p, c)] = bc.get((p, c), 0) + 1
+    n, v, k, lam = sum(uc.values()), len(uc), 0.5, 0.7
+    for d, t in toks.items():
+        ce = 0
+        for i, c in enumerate(t):
+            p_uni = (uc.get(c, 0) + k) / (n + k * (v + 1))
+            if i == 0:
+                p = p_uni
+            else:
+                p_bi = (bc.get((t[i - 1], c), 0) + k) / (
+                    uc.get(t[i - 1], 0) + k * (v + 1)
+                )
+                p = lam * p_bi + (1 - lam) * p_uni
+            ce += round(-math.log2(p) * 1e6)
+        assert got[d].ce_micro == ce
+        assert got[d].n_tok == len(t)
+        assert abs(got[d].ppl - 2 ** (ce / (len(t) * 1e6))) < 1e-3
+
+
+def test_token_bigram_ppl_skips_empty_docs(spark):
+    from vector_spark.dataprep.lm import (
+        token_bigram_lm,
+        token_cross_entropy_bigram,
+        token_unigram_lm,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1, 2]), ("z", [])], "doc_id string, tokens array<int>"
+    )
+    uni = token_unigram_lm(df)
+    out = token_cross_entropy_bigram(df, uni, token_bigram_lm(df)).collect()
+    assert {r.doc_id for r in out} == {"a"}

@@ -49,6 +49,9 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "seq_source_kl": {
         "bnl_join": (2, "1-row corpus-total frame cross-joined"),
     },
+    "seq_bigram_ppl": {
+        "bnl_join": (2, "1-row N/V totals frame cross-joined"),
+    },
     "tpch_q22_antijoin": {
         "bnl_join": (2, "1-row scalar avg(acctbal) subquery frame"),
     },

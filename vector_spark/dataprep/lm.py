@@ -269,3 +269,109 @@ def doc_cross_entropy_bigram(
         F.pow(F.lit(2.0), F.col("ce_micro") / (F.col("n_words") * MICRO)), 4
     )
     return agg.withColumn("ppl", ppl)
+
+
+# --- token-native LM (no strings anywhere) -----------------------------------
+
+_PACK = 4_294_967_296  # 2^32: bigram key = prev * 2^32 + cur (ids < 2^31)
+
+
+def token_unigram_lm(
+    ref: DataFrame, tokens_col: str = "tokens", vocab_size: int = 4096
+) -> DataFrame:
+    """Top-V token-id counts from the reference corpus → (t, c). Pure
+    integer twin of :func:`unigram_lm`: ties break by the id itself
+    (ints have no collation question), the cap is a distributed
+    TakeOrdered, and nothing is ever a string."""
+    w = ref.select(F.explode(F.col(tokens_col)).alias("t"))
+    counts = w.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    return counts.orderBy(F.col("c").desc(), "t").limit(vocab_size)
+
+
+def token_bigram_lm(
+    ref: DataFrame, tokens_col: str = "tokens", bigram_size: int = 16384
+) -> DataFrame:
+    """Top-B adjacent-pair counts → (g, cb) with the EXACT packed key
+    ``g = prev·2^32 + cur`` — no hash, no collision, no string."""
+    toks = F.col(tokens_col)
+    grams = ref.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: a.cast("long") * _PACK + b,
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("g")
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cb"))
+    return counts.orderBy(F.col("cb").desc(), "g").limit(bigram_size)
+
+
+def token_cross_entropy_bigram(
+    corpus: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram cross-entropy DIRECTLY over token ids (the
+    CCNet perplexity filter for corpora that ship only tokens): same
+    Jelinek-Mercer math as :func:`doc_cross_entropy_bigram`, but every
+    join key is an integer — unigram dims on the id, the bigram dim on
+    the packed ``prev·2^32 + cur`` key — so the hot path carries no
+    strings at all. Per-doc scores are the same micro-quantized integer
+    sums (associative-exact, engine-portable)."""
+    toks = F.col(tokens_col)
+    totals = uni.agg(F.sum("c").alias("__N"), F.count(F.lit(1)).alias("__V"))
+    # zero-token docs would zip the [null] prefix against [] and emit a
+    # phantom (null, null) pair — they have no scoreable tokens, skip them
+    pairs = corpus.filter(F.size(toks) > 0).select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.concat(
+                    F.array(F.lit(None).cast("int")),
+                    F.slice(toks, 1, F.size(toks) - 1),
+                ),
+                toks,
+                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+            )
+        ).alias("__p"),
+    ).select(
+        id_col, F.col("__p.prev").alias("__prev"), F.col("__p.cur").alias("__cur")
+    )
+    u_cur = F.broadcast(uni.select(F.col("t").alias("__cur"), F.col("c").alias("__c2")))
+    u_prev = F.broadcast(uni.select(F.col("t").alias("__prev"), F.col("c").alias("__c1")))
+    b_dim = F.broadcast(bi.select("g", "cb"))
+    j = (
+        pairs.join(u_cur, "__cur", "left")
+        .join(u_prev, "__prev", "left")
+        .join(
+            b_dim,
+            F.col("__prev").cast("long") * _PACK + F.col("__cur") == F.col("g"),
+            "left",
+        )
+        .join(F.broadcast(totals))
+    )
+    denom = F.col("__N") + F.lit(add_k) * (F.col("__V") + 1)
+    p_uni = (F.coalesce(F.col("__c2"), F.lit(0)) + F.lit(add_k)) / denom
+    p_bi = (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(add_k)) / (
+        F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(add_k) * (F.col("__V") + 1)
+    )
+    p = F.when(F.col("__prev").isNull(), p_uni).otherwise(
+        F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni
+    )
+    micro = F.round(-F.log2(p) * MICRO).cast("long")
+    agg = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(micro).alias("ce_micro"),
+    )
+    return agg.withColumn(
+        "ppl",
+        F.round(F.pow(F.lit(2.0), F.col("ce_micro") / (F.col("n_tok") * MICRO)), 4),
+    )
