@@ -391,3 +391,27 @@ def test_sampling_curriculum_chunk_transform_types(spark):
     chunks = topo.resolve("chunks").collect()
     assert all(len(c.tokens) == c.n_ctx and c.n_ctx <= 6 for c in chunks)
     assert {c.doc_id for c in chunks} == {r.doc_id for r in topo.resolve("carve").collect()}
+
+
+def test_lm_perplexity_tokens_mode(spark):
+    """lm_perplexity with tokens_col scores and filters over token ids."""
+    from vector_spark.plans.topology import compile_config
+
+    rows = [(f"d{i}", [1, 2, 1, 2] if i < 8 else [77, 91, 33, 5], i)
+            for i in range(10)]
+    config = {
+        "sources": {
+            "seq": {"type": "inline", "rows": rows,
+                    "schema": "doc_id string, tokens array<int>, _i long"}
+        },
+        "transforms": {
+            "lm": {"type": "lm_perplexity", "inputs": ["seq"],
+                   "tokens_col": "tokens", "ref_condition": "._i < 8",
+                   "max_ppl": 5.0},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["lm"]}},
+    }
+    topo = compile_config(spark, config)
+    kept = {r.doc_id for r in topo.resolve("lm").collect()}
+    # the 8 in-distribution docs survive; the 2 outlier docs blow the cap
+    assert kept == {f"d{i}" for i in range(8)}

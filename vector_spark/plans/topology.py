@@ -1133,13 +1133,27 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
         # by ref_condition, stamp each doc's perplexity, optionally filter
         from vector_spark.dataprep import lm as lmod
 
-        text_col = cfg.get("text_col", "text")
         id_col = cfg.get("id_col", "doc_id")
         ref = df.filter(to_column(cfg["ref_condition"]))
-        uni = lmod.unigram_lm(
-            ref, text_col, vocab_size=int(cfg.get("vocab_size", 4096))
-        )
-        scored = lmod.doc_cross_entropy(df, uni, text_col, id_col)
+        if "tokens_col" in cfg:
+            # token-native path (corpora that ship only ids): integer
+            # keys end-to-end, interpolated bigram scoring
+            tokens_col = cfg["tokens_col"]
+            uni = lmod.token_unigram_lm(
+                ref, tokens_col, vocab_size=int(cfg.get("vocab_size", 4096))
+            )
+            bi = lmod.token_bigram_lm(
+                ref, tokens_col, bigram_size=int(cfg.get("bigram_size", 16384))
+            )
+            scored = lmod.token_cross_entropy_bigram(
+                df, uni, bi, tokens_col, id_col
+            )
+        else:
+            text_col = cfg.get("text_col", "text")
+            uni = lmod.unigram_lm(
+                ref, text_col, vocab_size=int(cfg.get("vocab_size", 4096))
+            )
+            scored = lmod.doc_cross_entropy(df, uni, text_col, id_col)
         out = df.join(scored.select(id_col, "ppl"), id_col)
         if "max_ppl" in cfg:
             out = out.filter(F.col("ppl") <= float(cfg["max_ppl"]))
