@@ -10319,6 +10319,51 @@ def _register_token_lm() -> None:
 _register_token_lm()
 
 
+def _register_self_repetition() -> None:
+    from vector_spark.dataprep import oracles as osql
+
+    _SR_N, _SR_NGRAM = 3_000, 8
+    _SR_G = osql.token_ngram_hashes_expr("tokens", _SR_NGRAM, distinct=False)
+
+    @_q(
+        "seq_self_repetition",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_SR_N)}),
+        grams AS (SELECT doc_id, unnest({_SR_G}) AS g FROM seq),
+        per AS (
+          SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT doc_id, SUM(c)::BIGINT AS ngrams_total,
+                 SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT
+                   AS ngrams_rep
+          FROM per GROUP BY 1
+        )
+        SELECT s.doc_id,
+               COALESCE(ngrams_total, 0) AS ngrams_total,
+               COALESCE(ngrams_rep, 0) AS ngrams_rep,
+               CASE WHEN COALESCE(ngrams_total, 0) > 0
+                    THEN ROUND(ngrams_rep::DOUBLE / ngrams_total, 4)
+                    ELSE 0.0 END AS rep_frac
+        FROM seq s LEFT JOIN agg USING (doc_id)
+        """,
+    )
+    def seq_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Within-document repeated-8-gram fraction over token ids
+        (tokens.self_repetition) — the token-level Gopher repetition
+        filter catching looped generations and boilerplate; within-doc
+        complement of the corpus-wide seq_dup_ngrams. Integer n-gram
+        folds, (id, hash, count) shuffles only."""
+        from vector_spark.dataprep.tokens import self_repetition
+
+        return self_repetition(
+            tables.sequences(spark, _SR_N), n=_SR_NGRAM
+        )
+
+
+_register_self_repetition()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

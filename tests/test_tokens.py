@@ -268,3 +268,14 @@ def test_vocab_coverage_hand_checked(spark, docs):
     assert got[2].covered == 9
     assert got[10].covered == 13 and got[10].coverage == 1.0
     assert abs(got[1].coverage - 5 / 13) < 1e-6
+
+
+def test_self_repetition_hand_checked(spark):
+    # doc a: [1,2,1,2,1,2] with n=2 → grams (1,2),(2,1),(1,2),(2,1),(1,2):
+    # all 5 occurrences repeated. doc b: strictly increasing → none.
+    rows = [("a", [1, 2, 1, 2, 1, 2]), ("b", [1, 2, 3, 4, 5, 6])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {r.doc_id: r for r in tk.self_repetition(df, n=2).collect()}
+    assert got["a"].ngrams_total == 5 and got["a"].ngrams_rep == 5
+    assert got["a"].rep_frac == 1.0
+    assert got["b"].ngrams_rep == 0 and got["b"].rep_frac == 0.0

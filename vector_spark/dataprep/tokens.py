@@ -613,3 +613,57 @@ def vocab_coverage(
         "total",
         F.round(F.col("covered") / F.col("total"), 6).alias("coverage"),
     )
+
+
+def self_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """WITHIN-document repeated-n-gram fraction over token ids — the
+    token-level twin of the Gopher dup-word filters (`text.
+    repetition_features`) and the within-doc complement of the
+    corpus-wide :func:`dup_ngram_fraction`: share of a doc's n-gram
+    occurrences whose n-gram appears at least ``min_count`` times in the
+    SAME document (looped generations and boilerplate score high).
+
+    Plan: occurrence-level int64 n-gram folds explode once; counts
+    aggregate per (doc, gram) — map-side combined, shuffle carries
+    (id, 8-byte hash, count) — and re-aggregate per doc. Docs shorter
+    than ``n`` score 0."""
+    from vector_spark.dataprep.dedup import token_ngram_hashes
+
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            token_ngram_hashes(F.col(tokens_col), n, distinct=False)
+        ).alias("__g"),
+    )
+    per_doc = (
+        grams.groupBy("__id", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__id")
+        .agg(
+            F.sum("__c").alias("ngrams_total"),
+            F.sum(F.when(F.col("__c") >= min_count, F.col("__c")).otherwise(0)).alias(
+                "ngrams_rep"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("ngrams_total", F.lit(0)).alias("ngrams_total"),
+            F.coalesce("ngrams_rep", F.lit(0)).alias("ngrams_rep"),
+            F.when(
+                F.coalesce("ngrams_total", F.lit(0)) > 0,
+                F.round(F.col("ngrams_rep") / F.col("ngrams_total"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rep_frac"),
+        )
+    )
