@@ -10364,6 +10364,63 @@ def _register_self_repetition() -> None:
 _register_self_repetition()
 
 
+def _register_decon_report() -> None:
+    from vector_spark.dataprep import oracles as osql
+
+    _DR_N, _DR_NGRAM = 3_000, 8
+    _DR_G = osql.token_ngram_hashes_expr("tokens", _DR_NGRAM)
+
+    @_q(
+        "seq_decon_report",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_DR_N)}),
+        dim AS (
+          SELECT 'benchA' AS benchmark, digest FROM (
+            SELECT DISTINCT unnest({_DR_G}) AS digest
+            FROM seq WHERE _i < 25)
+          UNION ALL
+          SELECT 'benchB' AS benchmark, digest FROM (
+            SELECT DISTINCT unnest({_DR_G}) AS digest
+            FROM seq WHERE _i % 101 = 0)
+        ),
+        sh AS (SELECT doc_id, unnest({_DR_G}) AS digest FROM seq),
+        tot AS (
+          SELECT doc_id, COUNT(*)::BIGINT AS ngrams_total
+          FROM sh GROUP BY 1
+        ),
+        hits AS (
+          SELECT doc_id, benchmark, COUNT(*)::BIGINT AS ngrams_overlap
+          FROM sh JOIN dim USING (digest) GROUP BY 1, 2
+        )
+        SELECT h.doc_id, benchmark, ngrams_overlap, ngrams_total,
+               ROUND(ngrams_overlap::DOUBLE / ngrams_total, 4)
+                 AS contamination
+        FROM hits h JOIN tot USING (doc_id)
+        WHERE ngrams_overlap::DOUBLE / ngrams_total > 0
+        """,
+    )
+    def seq_decon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multi-benchmark contamination ATTRIBUTION
+        (contamination.token_contamination_report): which eval set
+        leaked into which doc, with per-(doc, benchmark) overlap shares
+        — the per-suite accounting of GPT-3's decontamination appendix.
+        Named benchmark dims union into ONE broadcast dim, so the corpus
+        streams once regardless of benchmark count."""
+        from vector_spark.dataprep.contamination import (
+            token_contamination_report,
+        )
+
+        seq = tables.sequences(spark, _DR_N)
+        benchmarks = {
+            "benchA": seq.filter(F.col("_i") < 25),
+            "benchB": seq.filter(F.col("_i") % 101 == 0),
+        }
+        return token_contamination_report(seq, benchmarks, n=_DR_NGRAM)
+
+
+_register_decon_report()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -696,3 +696,29 @@ def test_lsh_plan_properties():
         lsh_plan(0.0)
     with pytest.raises(ValueError):
         lsh_plan(0.5, max_hashes=1)
+
+
+def test_token_contamination_report_attribution(spark):
+    """Per-benchmark attribution: each doc reports overlap against the
+    right benchmark, full containment scores 1.0, non-overlap is absent."""
+    from vector_spark.dataprep.contamination import token_contamination_report
+
+    a = list(range(100, 120))
+    b = list(range(500, 520))
+    c = list(range(900, 920))
+    corpus = spark.createDataFrame(
+        [("da", a), ("db", b), ("dc", c)], "doc_id string, tokens array<int>"
+    )
+    benchmarks = {
+        "A": spark.createDataFrame([("x", a)], "doc_id string, tokens array<int>"),
+        "B": spark.createDataFrame([("y", b[:12])], "doc_id string, tokens array<int>"),
+    }
+    rows = {
+        (r.doc_id, r.benchmark): r
+        for r in token_contamination_report(corpus, benchmarks, n=8).collect()
+    }
+    assert set(rows) == {("da", "A"), ("db", "B")}
+    assert rows[("da", "A")].contamination == 1.0
+    # b has 13 8-grams; bench covers b[:12] → 5 of them
+    assert rows[("db", "B")].ngrams_overlap == 5
+    assert rows[("db", "B")].ngrams_total == 13

@@ -126,3 +126,50 @@ def _overlap_scores(
             .alias("contamination"),
         )
     )
+
+
+def token_contamination_report(
+    corpus: DataFrame,
+    benchmarks: dict[str, DataFrame],
+    tokens_col: str = "tokens",
+    n: int = 8,
+    min_overlap: float = 0.0,
+) -> DataFrame:
+    """Multi-benchmark contamination ATTRIBUTION: for every (doc,
+    benchmark) pair with any n-gram collision, the overlap share against
+    THAT benchmark — the report that tells a release process not just
+    "this doc is contaminated" but WHICH eval set leaked (the per-suite
+    accounting in Brown et al. 2020 App. C / GPT-3's decontamination).
+
+    Plan: the named benchmark dims union into ONE (benchmark, digest)
+    broadcast dim — benchmarks are eval sets, tiny by definition — so
+    the corpus still streams exactly once regardless of how many
+    benchmarks are registered; the shuffle carries (doc, benchmark,
+    count) partials. Only rows with contamination > ``min_overlap``
+    are emitted (the all-pairs zero matrix would be |docs|·|benchmarks|
+    of noise)."""
+    if not benchmarks:
+        raise ValueError("benchmarks must be non-empty")
+    dim = None
+    for name, bdf in sorted(benchmarks.items()):
+        d = token_benchmark_dim(bdf, tokens_col, n).withColumn(
+            "benchmark", F.lit(name)
+        )
+        dim = d if dim is None else dim.unionByName(d)
+    shingles = token_ngram_digests(corpus, tokens_col, n)
+    totals = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("ngrams_total")
+    )
+    hits = (
+        shingles.join(F.broadcast(dim), "digest")
+        .groupBy("doc_id", "benchmark")
+        .agg(F.count(F.lit(1)).alias("ngrams_overlap"))
+    )
+    return (
+        hits.join(totals, "doc_id")
+        .withColumn(
+            "contamination",
+            F.round(F.col("ngrams_overlap") / F.col("ngrams_total"), 4),
+        )
+        .filter(F.col("contamination") > min_overlap)
+    )
