@@ -10421,6 +10421,61 @@ def _register_decon_report() -> None:
 _register_decon_report()
 
 
+def _register_novelty() -> None:
+    from vector_spark.dataprep import oracles as osql
+
+    _NV_N, _NV_NGRAM = 3_000, 8
+    _NV_G = osql.token_ngram_hashes_expr("tokens", _NV_NGRAM)
+
+    @_q(
+        "seq_novelty",
+        f"""
+        WITH seq AS ({tables.sequences_sql(_NV_N)}),
+        sh AS (SELECT doc_id, unnest({_NV_G}) AS digest FROM seq),
+        ref AS (
+          SELECT DISTINCT unnest({_NV_G}) AS digest
+          FROM seq WHERE _i % 2 = 0
+        ),
+        tot AS (
+          SELECT doc_id, COUNT(*)::BIGINT AS ngrams_total
+          FROM sh GROUP BY 1
+        ),
+        nov AS (
+          SELECT doc_id, COUNT(*)::BIGINT AS ngrams_novel
+          FROM sh WHERE NOT EXISTS (
+            SELECT 1 FROM ref WHERE ref.digest = sh.digest)
+          GROUP BY 1
+        )
+        SELECT s.doc_id,
+               COALESCE(ngrams_total, 0) AS ngrams_total,
+               COALESCE(ngrams_novel, 0) AS ngrams_novel,
+               CASE WHEN COALESCE(ngrams_total, 0) > 0
+                    THEN ROUND(COALESCE(ngrams_novel, 0)::DOUBLE
+                               / ngrams_total, 4)
+                    ELSE 0.0 END AS novelty
+        FROM seq s LEFT JOIN tot USING (doc_id) LEFT JOIN nov USING (doc_id)
+        """,
+    )
+    def seq_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Corpus-version n-gram novelty
+        (contamination.token_novelty_scores): per doc, the share of
+        distinct token 8-grams absent from a previous corpus version
+        (here: the even-indexed half) — the re-train gating signal. The
+        reference is corpus-sized, so this is a SHUFFLE anti-join on
+        8-byte digests (not a broadcast dim) — hashes only cross the
+        wire; even-half docs score 0 by construction, which the oracle
+        confirms bit-exactly."""
+        from vector_spark.dataprep.contamination import token_novelty_scores
+
+        seq = tables.sequences(spark, _NV_N)
+        return token_novelty_scores(
+            seq, seq.filter(F.col("_i") % 2 == 0), n=_NV_NGRAM
+        )
+
+
+_register_novelty()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

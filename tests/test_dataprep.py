@@ -722,3 +722,24 @@ def test_token_contamination_report_attribution(spark):
     # b has 13 8-grams; bench covers b[:12] → 5 of them
     assert rows[("db", "B")].ngrams_overlap == 5
     assert rows[("db", "B")].ngrams_total == 13
+
+
+def test_token_novelty_scores(spark):
+    from vector_spark.dataprep.contamination import token_novelty_scores
+
+    old = spark.createDataFrame(
+        [("o1", list(range(100, 120)))], "doc_id string, tokens array<int>"
+    )
+    new = spark.createDataFrame(
+        [
+            ("seen", list(range(100, 120))),       # fully in reference
+            ("fresh", list(range(700, 720))),      # fully novel
+            ("mixed", list(range(108, 128))),      # overlaps the tail
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    got = {r.doc_id: r for r in token_novelty_scores(new, old, n=8).collect()}
+    assert got["seen"].novelty == 0.0
+    assert got["fresh"].novelty == 1.0
+    # mixed: 13 grams, those starting at 108..112 are in the reference (5)
+    assert got["mixed"].ngrams_novel == 8 and got["mixed"].ngrams_total == 13

@@ -173,3 +173,59 @@ def token_contamination_report(
         )
         .filter(F.col("contamination") > min_overlap)
     )
+
+
+def token_novelty_scores(
+    corpus: DataFrame,
+    reference: DataFrame,
+    tokens_col: str = "tokens",
+    n: int = 8,
+) -> DataFrame:
+    """Corpus-version diff: per document of ``corpus``, the share of its
+    distinct token n-grams NOT present anywhere in ``reference`` (the
+    previous corpus version / an existing training set) — the "how much
+    genuinely new content does this crawl add" signal that gates
+    re-training and prices incremental data.
+
+    Scale posture — deliberately DIFFERENT from decontamination: the
+    reference here is corpus-sized, so its digest set cannot broadcast.
+    Both sides reduce to (digest) / (doc_id, digest) streams of 8-byte
+    int64 folds and meet in a SHUFFLE left-anti join on the digest — the
+    join carries hashes only, never tokens, and partitions by digest
+    uniformly (hash keys have no skew). At 10^12 sequences the reference
+    digest table is the thing you persist (bucketed by digest) so each
+    new crawl anti-joins co-located, mirroring `incremental_dedup`'s
+    store pattern at n-gram granularity."""
+    sh = token_ngram_digests(corpus, tokens_col, n)
+    ref_dim = token_ngram_digests(reference, tokens_col, n).select(
+        "digest"
+    ).distinct()
+    novel = (
+        sh.join(ref_dim, "digest", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("ngrams_novel"))
+    )
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ngrams_total"))
+    return (
+        corpus.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ngrams_total", F.lit(0)).alias("ngrams_total"),
+            F.coalesce("ngrams_novel", F.lit(0)).alias("ngrams_novel"),
+            F.when(
+                F.coalesce("ngrams_total", F.lit(0)) > 0,
+                # coalesce INSIDE the division: a doc fully covered by the
+                # reference has no `novel` row (left-join null), which must
+                # score 0.0, not null
+                F.round(
+                    F.coalesce("ngrams_novel", F.lit(0))
+                    / F.col("ngrams_total"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("novelty"),
+        )
+    )
