@@ -415,3 +415,30 @@ def test_lm_perplexity_tokens_mode(spark):
     kept = {r.doc_id for r in topo.resolve("lm").collect()}
     # the 8 in-distribution docs survive; the 2 outlier docs blow the cap
     assert kept == {f"d{i}" for i in range(8)}
+
+
+def test_self_repetition_and_novelty_transform_types(spark):
+    from vector_spark.plans.topology import compile_config
+
+    loopy = [1, 2, 1, 2, 1, 2, 1, 2, 1, 2]
+    clean = list(range(50, 60))
+    old = list(range(200, 210))
+    config = {
+        "sources": {
+            "seq": {"type": "inline",
+                    "rows": [("loop", loopy), ("ok", clean), ("old", old)],
+                    "schema": "doc_id string, tokens array<int>"}
+        },
+        "transforms": {
+            "rep": {"type": "self_repetition", "inputs": ["seq"],
+                    "ngram": 2, "max_repetition": 0.5},
+            "nov": {"type": "novelty", "inputs": ["rep"], "ngram": 8,
+                    "reference_rows": [("r", old)],
+                    "reference_schema": "doc_id string, tokens array<int>",
+                    "min_novelty": 0.5},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["nov"]}},
+    }
+    topo = compile_config(spark, config)
+    assert {r.doc_id for r in topo.resolve("rep").collect()} == {"ok", "old"}
+    assert {r.doc_id for r in topo.resolve("nov").collect()} == {"ok"}

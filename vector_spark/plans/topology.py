@@ -1049,6 +1049,42 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
                 bucket_size=int(cfg.get("bucket_size", 8192)),
             )
         }
+    if t == "self_repetition":
+        from vector_spark.dataprep.tokens import self_repetition
+
+        scored = self_repetition(
+            df,
+            id_col=cfg.get("id_col", "doc_id"),
+            tokens_col=cfg.get("tokens_col", "tokens"),
+            n=int(cfg.get("ngram", 8)),
+        )
+        out = df.join(
+            scored.select(cfg.get("id_col", "doc_id"), "rep_frac"),
+            cfg.get("id_col", "doc_id"),
+        )
+        if "max_repetition" in cfg:
+            out = out.filter(F.col("rep_frac") <= float(cfg["max_repetition"]))
+        return {"__default": out}
+    if t == "novelty":
+        from vector_spark.dataprep.contamination import token_novelty_scores
+
+        spark = df.sparkSession
+        if "reference_rows" in cfg:
+            ref = spark.createDataFrame(
+                cfg["reference_rows"], cfg["reference_schema"]
+            )
+        else:
+            ref = spark.read.parquet(cfg["reference_path"])
+        scored = token_novelty_scores(
+            df,
+            ref,
+            tokens_col=cfg.get("tokens_col", "tokens"),
+            n=int(cfg.get("ngram", 8)),
+        )
+        out = df.join(scored.select("doc_id", "novelty"), "doc_id")
+        if "min_novelty" in cfg:
+            out = out.filter(F.col("novelty") >= float(cfg["min_novelty"]))
+        return {"__default": out}
     if t == "group_sample":
         from vector_spark.dataprep.mixing import group_sample
 
@@ -1250,7 +1286,7 @@ TRANSFORM_TYPES = (
     "quality_filter exact_dedup decontaminate pack_sequences paragraph_dedup "
     "lm_perplexity tokenize "
     "sample_mixture split_assign pack_tokens near_dedup "
-    "group_sample curriculum strided_chunks"
+    "group_sample curriculum strided_chunks self_repetition novelty"
 ).split()
 
 
