@@ -10476,6 +10476,94 @@ def _register_novelty() -> None:
 _register_novelty()
 
 
+def _register_stream_token_accounting() -> None:
+    @_q(
+        "stream_token_accounting",
+        f"""
+        {_SEQ_FULL_CTE},
+        mx AS (SELECT MAX(event_ts) AS m FROM seq),
+        g AS (
+          SELECT source,
+                 time_bucket(INTERVAL 60 SECOND, event_ts) AS tb,
+                 COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
+                 ANY_VALUE(m) AS m
+          FROM seq, mx GROUP BY 1, 2
+        )
+        SELECT source, strftime(tb, '%Y-%m-%d %H:%M:%S') AS ws,
+               n_docs, n_tokens
+        FROM g WHERE tb + INTERVAL 60 SECOND <= m - INTERVAL 60 SECOND
+        """,
+    )
+    def stream_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming per-source token accounting: the mixture-monitoring
+        report (mixing.token_accounting) as a LIVE windowed aggregate —
+        per (source, minute) doc and token mass under a real Structured
+        Streaming query with event-time watermarking, bit-exact vs the
+        batch replay (one-window margin, see stream_agg_events). The
+        ingestion-side twin of the batch accounting/drift reports."""
+        import shutil
+        import tempfile
+
+        global _STREAM_Q_N
+        _STREAM_Q_N += 1
+        name = f"__stream_tokacct_{_STREAM_Q_N}"
+        batch = tables.with_event_ts(_seq(spark))
+        staged = tempfile.mkdtemp(prefix="vs_stream_tokacct_")
+        try:
+            batch.write.mode("overwrite").parquet(staged)
+            max_ts = batch.agg(F.max("event_ts")).collect()[0][0]
+            sdf = (
+                spark.readStream.schema(batch.schema)
+                .parquet(staged)
+                .withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+                .withWatermark("event_ts", "0 seconds")
+                .groupBy(
+                    F.window("event_ts", "60 seconds").alias("__w"), "source"
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.col("n_tok").cast("long")).alias("n_tokens"),
+                )
+                .select(
+                    F.col("__w.start").alias("wstart"),
+                    F.col("__w.end").alias("wend"),
+                    "source",
+                    "n_docs",
+                    "n_tokens",
+                )
+            )
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try:
+                q = (
+                    sdf.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("append")
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            out = spark.table(name)
+            return (
+                out.filter(
+                    F.col("wend") <= F.lit(max_ts) - F.expr("INTERVAL 60 SECONDS")
+                )
+                .select(
+                    "source",
+                    F.date_format("wstart", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                    "n_docs",
+                    "n_tokens",
+                )
+            )
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
+
+
+_register_stream_token_accounting()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
