@@ -10564,6 +10564,60 @@ def _register_stream_token_accounting() -> None:
 _register_stream_token_accounting()
 
 
+def _register_bucket_batches() -> None:
+    from vector_spark.dataprep import oracles as osql
+
+    _BB_N, _BB_B, _BB_EP = 20_000, 32, 1
+    _BB_H = osql.hash64_expr(f"'cur{_BB_EP}~' || doc_id")
+
+    @_q(
+        "seq_bucket_batches",
+        f"""
+        {_SEQ_CTE},
+        b AS (
+          SELECT doc_id, n_tok,
+                 CASE WHEN n_tok <= 1 THEN 1
+                      ELSE 1::BIGINT << length(format('{{:b}}', n_tok - 1))
+                 END AS bucket_len,
+                 {_BB_H} AS hh
+          FROM seq
+        ),
+        r AS (
+          SELECT doc_id, n_tok, bucket_len,
+                 row_number() OVER (PARTITION BY bucket_len
+                                    ORDER BY hh, doc_id) - 1 AS rk
+          FROM b
+        )
+        SELECT doc_id, bucket_len,
+               (rk // {_BB_B})::BIGINT AS batch_id,
+               (rk % {_BB_B})::BIGINT AS batch_pos,
+               n_tok
+        FROM r
+        """,
+    )
+    def seq_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Dynamic-batching materialization (mixing.bucket_batches +
+        tokens.pow2_bucket): every sequence dealt into a concrete
+        (bucket, batch_id, batch_pos) slot — same-length batches in a
+        reproducible per-epoch hash order, the executable plan behind
+        length_histogram's padding-waste report. The within-bucket rank
+        is the two-phase curriculum machinery (hot buckets never funnel
+        through one task); the oracle's flat per-bucket ROW_NUMBER must
+        match bit-exactly."""
+        from vector_spark.dataprep.mixing import bucket_batches
+        from vector_spark.dataprep.tokens import pow2_bucket
+
+        d = _seq(spark).withColumn(
+            "bucket_len", pow2_bucket(F.col("n_tok").cast("long"))
+        )
+        return bucket_batches(
+            d, "bucket_len", batch_size=_BB_B, epoch=_BB_EP
+        ).select("doc_id", "bucket_len", "batch_id", "batch_pos", "n_tok")
+
+
+_register_bucket_batches()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

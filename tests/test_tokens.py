@@ -279,3 +279,29 @@ def test_self_repetition_hand_checked(spark):
     assert got["a"].ngrams_total == 5 and got["a"].ngrams_rep == 5
     assert got["a"].rep_frac == 1.0
     assert got["b"].ngrams_rep == 0 and got["b"].rep_frac == 0.0
+
+
+def test_bucket_batches_structure(spark):
+    from vector_spark.dataprep.mixing import bucket_batches
+
+    rows = [(f"d{i:03d}", (i % 2) + 1) for i in range(70)]  # 2 buckets, 35 each
+    df = spark.createDataFrame(rows, "doc_id string, bucket int")
+    out = bucket_batches(df, "bucket", batch_size=8, epoch=3).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r.bucket, r.batch_id), []).append(r.batch_pos)
+    for (b, bid), poss in by.items():
+        # full batches are exactly 0..7; only the LAST batch per bucket is partial
+        n_batches = max(i for (bb, i) in by if bb == b) + 1
+        if bid < n_batches - 1:
+            assert sorted(poss) == list(range(8))
+        else:
+            assert sorted(poss) == list(range(35 - 8 * (n_batches - 1)))
+    # determinism
+    again = {(r.doc_id, r.batch_id, r.batch_pos)
+             for r in bucket_batches(df, "bucket", batch_size=8, epoch=3).collect()}
+    assert again == {(r.doc_id, r.batch_id, r.batch_pos) for r in out}
+    # a different epoch deals different batches
+    other = {(r.doc_id, r.batch_id, r.batch_pos)
+             for r in bucket_batches(df, "bucket", batch_size=8, epoch=4).collect()}
+    assert other != again

@@ -377,3 +377,37 @@ def shard_assign(
     return df.withColumn(
         "shard", (F.col(position_col) % n_shards).cast("long")
     )
+
+
+def bucket_batches(
+    df: DataFrame,
+    bucket_col: str,
+    batch_size: int,
+    key_col: str = "doc_id",
+    epoch: int = 0,
+) -> DataFrame:
+    """Materialize the dynamic-batching assignment: within each length/
+    difficulty bucket, deal rows into consecutive ``batch_size`` batches
+    in a reproducible per-epoch hash order — the concrete batch plan a
+    pad-to-bucket loader executes (pair with
+    :func:`~vector_spark.dataprep.tokens.pow2_bucket` /
+    ``length_histogram`` for the classic same-length batching that
+    minimizes padding). Adds ``batch_id`` (0-based within the bucket)
+    and ``batch_pos`` (0-based within the batch).
+
+    Scale shape: the within-bucket rank is :func:`curriculum_order`'s
+    two-phase plan (per-(bucket, hash-top-bits) windows + broadcast
+    offsets — a hot bucket never funnels through one task); the
+    bucket-local rank is the global position minus the bucket's first
+    position, joined from a tiny per-bucket min-position dim."""
+    ordered = curriculum_order(df, bucket_col, key_col=key_col, epoch=epoch)
+    starts = ordered.groupBy(bucket_col).agg(
+        F.min("position").alias("__start")
+    )
+    return (
+        ordered.join(F.broadcast(starts), bucket_col)
+        .withColumn("__r", F.col("position") - F.col("__start"))
+        .withColumn("batch_id", F.floor(F.col("__r") / batch_size).cast("long"))
+        .withColumn("batch_pos", (F.col("__r") % batch_size).cast("long"))
+        .drop("__start", "__r", "position")
+    )
