@@ -10618,6 +10618,80 @@ def _register_bucket_batches() -> None:
 _register_bucket_batches()
 
 
+def _register_template_drift() -> None:
+    _TD_MSG_SQL = """
+      CASE WHEN event_id % 499 = 0
+           THEN 'FATAL disk ' || event_id || ' offline now'
+           ELSE event_type || ' user=' || user_id
+                || ' req-' || event_id || ' done' END"""
+    _TD_TPL_SQL = """array_to_string(list_transform(string_split(message, ' '),
+        t -> CASE WHEN regexp_matches(t, '[0-9]') THEN '<*>' ELSE t END), ' ')"""
+
+    @_q(
+        "ev_template_drift",
+        f"""
+        WITH base AS (
+          SELECT event_id, {_TD_MSG_SQL} AS message FROM events
+        ),
+        mx AS (SELECT MAX(event_id) AS m FROM events),
+        sides AS (
+          SELECT {_TD_TPL_SQL} AS template,
+                 CASE WHEN event_id * 2 < m THEN 1 ELSE 0 END AS a
+          FROM base, mx
+        ),
+        counts AS (
+          SELECT template, SUM(a)::BIGINT AS n_a,
+                 SUM(1 - a)::BIGINT AS n_b
+          FROM sides GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts)
+        SELECT template, n_a, n_b,
+               ROUND(n_a / ta, 6) AS share_a,
+               ROUND(n_b / tb, 6) AS share_b,
+               ROUND(ROUND(n_a / ta, 6) * (-1) + ROUND(n_b / tb, 6), 6)
+                 AS drift
+        FROM counts CROSS JOIN tot
+        """,
+    )
+    def ev_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Template-distribution drift between stream halves
+        (operators/templates.py::template_drift) — the "new error shape
+        appeared / old one vanished" triage view: per template, counts
+        and shares on each side of the event-id midpoint and the share
+        delta. One map-side-combined (template, side) pass; the rest
+        runs on the tiny template dim."""
+        from vector_spark.operators.templates import template_drift
+
+        ev = _events(spark, sf_dir)
+        mid = ev.agg(F.max("event_id")).collect()[0][0]
+        ev = ev.withColumn(
+            "message",
+            F.when(
+                F.col("event_id") % 499 == 0,
+                F.concat(
+                    F.lit("FATAL disk "),
+                    F.col("event_id").cast("string"),
+                    F.lit(" offline now"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.col("event_type"),
+                    F.lit(" user="),
+                    F.col("user_id").cast("string"),
+                    F.lit(" req-"),
+                    F.col("event_id").cast("string"),
+                    F.lit(" done"),
+                )
+            ),
+        )
+        return template_drift(
+            ev, "message", split_cond=F.col("event_id") * 2 < F.lit(int(mid))
+        )
+
+
+_register_template_drift()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

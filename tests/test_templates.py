@@ -81,3 +81,21 @@ def test_custom_variable_predicate(spark):
         "timeout connecting to <*> after 30s",
         "timeout connecting to cache-1 after 5s",
     ]
+
+
+def test_template_drift_detects_new_shape(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators.templates import template_drift
+
+    rows = [(i, "ok user=%d" % i) for i in range(50)] + [
+        (i, "BOOM code=%d" % i) for i in range(50, 60)  # only in side B
+    ]
+    df = spark.createDataFrame(rows, "event_id long, message string")
+    out = {r.template: r for r in template_drift(
+        df, "message", split_cond=F.col("event_id") < 50
+    ).collect()}
+    boom = out["BOOM <*>"]
+    assert boom.n_a == 0 and boom.n_b == 10 and boom.drift == 1.0
+    ok = out["ok <*>"]
+    assert ok.n_a == 50 and ok.n_b == 0 and ok.drift == -1.0

@@ -52,6 +52,9 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "seq_bigram_ppl": {
         "bnl_join": (2, "1-row N/V totals frame cross-joined"),
     },
+    "ev_template_drift": {
+        "bnl_join": (2, "1-row side-totals frame cross-joined"),
+    },
     "tpch_q22_antijoin": {
         "bnl_join": (2, "1-row scalar avg(acctbal) subquery frame"),
     },

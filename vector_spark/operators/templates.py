@@ -104,3 +104,49 @@ def template_outliers(
     return df.withColumn("template", tpl).join(
         F.broadcast(dim), "template", "inner"
     )
+
+
+def template_drift(
+    df: DataFrame,
+    message_col: str = "message",
+    split_cond: Column | None = None,
+    is_var: Callable[[Column], Column] | None = None,
+    mask: str = MASK,
+) -> DataFrame:
+    """Template-distribution drift between two halves of the stream (the
+    "a new error shape appeared / an old one vanished" detector): per
+    template, counts and shares in the A side (``split_cond`` true) and
+    the B side, plus ``drift = share_b − share_a``. Templates absent
+    from one side count 0 there — exactly the newly-appeared /
+    disappeared cases a triage view sorts to the top.
+
+    One pass over the stream into a map-side-combined (template, side)
+    aggregate; everything after runs on the tiny template dim. Share
+    math is ROUND(…, 6) on identical expression shapes so the report is
+    engine-portable."""
+    if split_cond is None:
+        raise ValueError("split_cond is required (e.g. ts < cutoff)")
+    tpl = mask_message(F.col(message_col), is_var, mask).alias("template")
+    sides = df.select(tpl, split_cond.cast("int").alias("__a"))
+    counts = sides.groupBy("template").agg(
+        F.sum("__a").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("__a")).cast("long").alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "template",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_a") / F.col("__ta"), 6).alias("share_a"),
+            F.round(F.col("n_b") / F.col("__tb"), 6).alias("share_b"),
+            F.round(
+                F.round(F.col("n_b") / F.col("__tb"), 6)
+                - F.round(F.col("n_a") / F.col("__ta"), 6),
+                6,
+            ).alias("drift"),
+        )
+    )
