@@ -10692,6 +10692,49 @@ def _register_template_drift() -> None:
 _register_template_drift()
 
 
+def _register_rate_anomaly() -> None:
+    @_q(
+        "ev_rate_anomaly",
+        """
+        WITH counts AS (
+          SELECT event_type AS key,
+                 time_bucket(INTERVAL 600 SECOND, ts) AS wstart,
+                 COUNT(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2
+        ),
+        base AS (
+          SELECT key, COUNT(*)::BIGINT AS n_windows,
+                 AVG(n) AS mean, stddev_pop(n) AS sd
+          FROM counts GROUP BY 1
+        )
+        SELECT c.key, strftime(wstart, '%Y-%m-%d %H:%M:%S') AS ws, n,
+               n_windows,
+               CASE WHEN n_windows >= 3 AND sd > 0
+                    THEN ROUND((n - mean) / sd, 4) ELSE 0.0 END AS z
+        FROM counts c JOIN base USING (key)
+        """,
+    )
+    def ev_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-key event-rate anomaly scores (operators/anomaly.py):
+        windowed counts z-scored against each key's own across-window
+        baseline — the spike-triage view built on the log_to_metric →
+        aggregate chain. One map-side-combined count pass; the baseline
+        and scoring run on the tiny (key, window) dim via broadcast."""
+        from vector_spark.operators.anomaly import rate_zscores
+
+        out = rate_zscores(_events(spark, sf_dir), "event_type", "ts", 600)
+        return out.select(
+            "key",
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "n",
+            "n_windows",
+            "z",
+        )
+
+
+_register_rate_anomaly()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

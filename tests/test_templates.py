@@ -99,3 +99,26 @@ def test_template_drift_detects_new_shape(spark):
     assert boom.n_a == 0 and boom.n_b == 10 and boom.drift == 1.0
     ok = out["ok <*>"]
     assert ok.n_a == 50 and ok.n_b == 0 and ok.drift == -1.0
+
+
+def test_rate_zscores_spike_detection(spark):
+    import datetime
+
+    from vector_spark.operators.anomaly import rate_zscores
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # key 'a': 10 events in each of 4 windows, 100 in the 5th (spike)
+    for w in range(5):
+        n = 100 if w == 4 else 10
+        for i in range(n):
+            rows.append(("a", t0 + datetime.timedelta(seconds=w * 600 + i)))
+    # key 'b': constant rate → sd 0 → z 0 everywhere
+    for w in range(4):
+        rows.append(("b", t0 + datetime.timedelta(seconds=w * 600)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {(r.key, r.window_start.minute // 10): r
+           for r in rate_zscores(df, window_secs=600).collect()}
+    zs = [out[("a", w)].z for w in range(5)]
+    assert zs[4] > 1.7 and all(z < 0 for z in zs[:4])  # spike stands out
+    assert all(out[("b", w)].z == 0.0 for w in range(4))
