@@ -10735,6 +10735,74 @@ def _register_rate_anomaly() -> None:
 _register_rate_anomaly()
 
 
+def _register_rate_silence() -> None:
+    @_q(
+        "ev_rate_silence",
+        """
+        WITH ev AS (
+          SELECT event_type || '|' || (user_id % 7) AS key, ts FROM events
+        ),
+        counts AS (
+          SELECT key, time_bucket(INTERVAL 600 SECOND, ts) AS wstart,
+                 COUNT(*)::BIGINT AS n
+          FROM ev GROUP BY 1, 2
+        ),
+        bounds AS (
+          SELECT time_bucket(INTERVAL 600 SECOND, MIN(ts)) AS lo,
+                 time_bucket(INTERVAL 600 SECOND, MAX(ts)) AS hi
+          FROM ev
+        ),
+        keys AS (SELECT DISTINCT key FROM ev),
+        spine AS (
+          SELECT key, unnest(generate_series(lo, hi, INTERVAL 600 SECOND))
+                   AS wstart
+          FROM keys CROSS JOIN bounds
+        ),
+        dense AS (
+          SELECT s.key, s.wstart, COALESCE(n, 0)::BIGINT AS n
+          FROM spine s LEFT JOIN counts USING (key, wstart)
+        ),
+        base AS (
+          SELECT key, COUNT(*)::BIGINT AS n_windows,
+                 AVG(n) AS mean, stddev_pop(n) AS sd
+          FROM dense GROUP BY 1
+        )
+        SELECT d.key, strftime(d.wstart, '%Y-%m-%d %H:%M:%S') AS ws, n,
+               n_windows,
+               CASE WHEN n_windows >= 3 AND sd > 0
+                    THEN ROUND((n - mean) / sd, 4) ELSE 0.0 END AS z
+        FROM dense d JOIN base USING (key)
+        """,
+    )
+    def ev_rate_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Silence-aware rate anomaly (anomaly.rate_zscores_dense): every
+        observed (type, user-bucket) key scored on EVERY window of the
+        stream's span via a declarative window spine — empty windows
+        appear with n=0 and negative z, so outages surface, which the
+        sparse variant structurally cannot see. The spine is keys ×
+        windows rows, never proportional to events."""
+        from vector_spark.operators.anomaly import rate_zscores_dense
+
+        ev = _events(spark, sf_dir).withColumn(
+            "k",
+            F.concat(
+                F.col("event_type"), F.lit("|"),
+                (F.col("user_id") % 7).cast("string"),
+            ),
+        )
+        out = rate_zscores_dense(ev, "k", "ts", 600)
+        return out.select(
+            "key",
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "n",
+            "n_windows",
+            "z",
+        )
+
+
+_register_rate_silence()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

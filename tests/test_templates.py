@@ -122,3 +122,22 @@ def test_rate_zscores_spike_detection(spark):
     zs = [out[("a", w)].z for w in range(5)]
     assert zs[4] > 1.7 and all(z < 0 for z in zs[:4])  # spike stands out
     assert all(out[("b", w)].z == 0.0 for w in range(4))
+
+
+def test_rate_zscores_dense_scores_silence(spark):
+    import datetime
+
+    from vector_spark.operators.anomaly import rate_zscores_dense
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # key 'a' emits in windows 0,1,3,4 — window 2 is SILENT
+    for w in (0, 1, 3, 4):
+        for i in range(10):
+            rows.append(("a", t0 + datetime.timedelta(seconds=w * 600 + i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r.window_start: r for r in rate_zscores_dense(df, window_secs=600).collect()}
+    assert len(out) == 5  # the spine closes the gap
+    silent = out[t0 + datetime.timedelta(seconds=1200)]
+    assert silent.n == 0 and silent.z < -1.5  # outage surfaces as anomaly
+    assert all(r.z > 0 for w, r in out.items() if r.n == 10)

@@ -55,6 +55,9 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "ev_template_drift": {
         "bnl_join": (2, "1-row side-totals frame cross-joined"),
     },
+    "ev_rate_silence": {
+        "bnl_join": (4, "1-row window-bounds frame cross-joined onto the key dim"),
+    },
     "tpch_q22_antijoin": {
         "bnl_join": (2, "1-row scalar avg(acctbal) subquery frame"),
     },

@@ -65,3 +65,73 @@ def rate_zscores(
             .alias("z"),
         )
     )
+
+
+def rate_zscores_dense(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_secs: int = 600,
+    min_windows: int = 3,
+) -> DataFrame:
+    """The silence-aware variant promised by :func:`rate_zscores`: every
+    observed key is scored on EVERY window between the stream's first
+    and last bucket — windows with no events appear with ``n = 0`` and
+    strongly negative ``z`` (an outage reads as anomalous silence, which
+    the sparse variant cannot see because absent windows have no row).
+
+    The spine is declarative: a 1-row (first_bucket, last_bucket) frame
+    cross-joined onto the distinct-key dim, exploded via a timestamp
+    ``sequence`` — keys × windows rows, never proportional to events;
+    the observed counts LEFT-join onto it."""
+    w = F.lit(window_secs)
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / w) * w
+    )
+    counts = (
+        df.select(F.col(key_col).alias("key"), bucket.alias("window_start"))
+        .groupBy("key", "window_start")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    bounds = df.agg(
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.min(ts_col)) / w) * w
+        ).alias("__lo"),
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.max(ts_col)) / w) * w
+        ).alias("__hi"),
+    )
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    spine = keys.join(F.broadcast(bounds)).select(
+        "key",
+        F.explode(
+            F.sequence(
+                F.col("__lo"),
+                F.col("__hi"),
+                F.expr(f"INTERVAL {window_secs} SECONDS"),
+            )
+        ).alias("window_start"),
+    )
+    dense = spine.join(counts, ["key", "window_start"], "left").select(
+        "key", "window_start", F.coalesce("__n", F.lit(0)).alias("n")
+    )
+    base = dense.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.avg("n").alias("__mean"),
+        F.stddev_pop("n").alias("__sd"),
+    )
+    return (
+        dense.join(F.broadcast(base), "key")
+        .select(
+            "key",
+            "window_start",
+            "n",
+            "n_windows",
+            F.when(
+                (F.col("n_windows") >= min_windows) & (F.col("__sd") > 0),
+                F.round((F.col("n") - F.col("__mean")) / F.col("__sd"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("z"),
+        )
+    )
