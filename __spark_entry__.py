@@ -10803,6 +10803,53 @@ def _register_rate_silence() -> None:
 _register_rate_silence()
 
 
+def _register_seasonal_anomaly() -> None:
+    @_q(
+        "ev_seasonal_anomaly",
+        """
+        WITH counts AS (
+          SELECT event_type AS key,
+                 (epoch(time_bucket(INTERVAL 3600 SECOND, ts)))::BIGINT AS e,
+                 COUNT(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2
+        ),
+        slotted AS (SELECT *, (e % 86400)::BIGINT AS slot FROM counts),
+        base AS (
+          SELECT key, slot, COUNT(*)::BIGINT AS n_periods,
+                 AVG(n) AS mean, stddev_pop(n) AS sd
+          FROM slotted GROUP BY 1, 2
+        )
+        SELECT s.key,
+               strftime(TIMESTAMP '1970-01-01' + e * INTERVAL 1 SECOND,
+                        '%Y-%m-%d %H:%M:%S') AS ws,
+               s.slot, n, n_periods,
+               CASE WHEN n_periods >= 3 AND sd > 0
+                    THEN ROUND((n - mean) / sd, 4) ELSE 0.0 END AS z
+        FROM slotted s JOIN base USING (key, slot)
+        """,
+    )
+    def ev_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Seasonality-aware rate anomaly (anomaly.seasonal_zscores):
+        each hourly count z-scored against the SAME time-of-day slot
+        across all days — nightly batch spikes stay normal, the same
+        volume at an unusual hour alarms. Baseline dim ≤ keys × 24
+        slots, broadcast back onto the count dim."""
+        from vector_spark.operators.anomaly import seasonal_zscores
+
+        out = seasonal_zscores(_events(spark, sf_dir), "event_type", "ts", 3600)
+        return out.select(
+            "key",
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "slot",
+            "n",
+            "n_periods",
+            "z",
+        )
+
+
+_register_seasonal_anomaly()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

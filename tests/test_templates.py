@@ -141,3 +141,31 @@ def test_rate_zscores_dense_scores_silence(spark):
     silent = out[t0 + datetime.timedelta(seconds=1200)]
     assert silent.n == 0 and silent.z < -1.5  # outage surfaces as anomaly
     assert all(r.z > 0 for w, r in out.items() if r.n == 10)
+
+
+def test_seasonal_zscores_hour_of_day_baseline(spark):
+    import datetime
+
+    import pytest as _pytest
+
+    from vector_spark.operators.anomaly import seasonal_zscores
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 03:00 slot: 100 events every day (normal); 14:00 slot: 5 events
+    # daily except day 3, which spikes to 100 — same volume, wrong hour
+    for day in range(5):
+        for i in range(100):
+            rows.append(("a", t0 + datetime.timedelta(days=day, hours=3, seconds=i)))
+        n14 = 100 if day == 3 else 5
+        for i in range(n14):
+            rows.append(("a", t0 + datetime.timedelta(days=day, hours=14, seconds=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {(r.slot, r.window_start.day): r for r in seasonal_zscores(df).collect()}
+    # 03:00 volume is seasonal-normal every day
+    assert all(out[(3 * 3600, d)].z == 0.0 for d in range(1, 6))
+    # the 14:00 spike on day 4 (Jan 4) alarms; other 14:00 days are below mean
+    assert out[(14 * 3600, 4)].z > 1.7
+    assert out[(14 * 3600, 1)].z < 0
+    with _pytest.raises(ValueError):
+        seasonal_zscores(df, window_secs=7000)

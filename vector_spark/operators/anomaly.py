@@ -135,3 +135,58 @@ def rate_zscores_dense(
             .alias("z"),
         )
     )
+
+
+def seasonal_zscores(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_secs: int = 3600,
+    min_periods: int = 3,
+) -> DataFrame:
+    """Seasonality-aware rate anomaly: each (key, window) count is
+    z-scored against the mean/std of the SAME time-of-day slot across
+    all days — so a nightly batch spike at 03:00 is normal while the
+    same volume at 14:00 alarms, which the flat baseline of
+    :func:`rate_zscores` cannot distinguish. ``window_secs`` must divide
+    86400 (slots repeat daily).
+
+    Plan: one map-side-combined (key, window) count; the seasonal
+    baseline aggregates the count dim by (key, slot) — ≤ keys ×
+    (86400/window_secs) rows — and broadcast-joins back. Degenerate
+    slots (fewer than ``min_periods`` days observed, or zero variance)
+    score 0."""
+    if 86400 % window_secs:
+        raise ValueError("window_secs must divide 86400")
+    w = F.lit(window_secs)
+    epoch = F.floor(F.unix_timestamp(F.col(ts_col)) / w) * w
+    counts = (
+        df.select(
+            F.col(key_col).alias("key"),
+            epoch.cast("long").alias("__e"),
+        )
+        .groupBy("key", "__e")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("slot", (F.col("__e") % 86400).cast("long"))
+    )
+    base = counts.groupBy("key", "slot").agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.avg("n").alias("__mean"),
+        F.stddev_pop("n").alias("__sd"),
+    )
+    return (
+        counts.join(F.broadcast(base), ["key", "slot"])
+        .select(
+            "key",
+            F.timestamp_seconds(F.col("__e")).alias("window_start"),
+            "slot",
+            "n",
+            "n_periods",
+            F.when(
+                (F.col("n_periods") >= min_periods) & (F.col("__sd") > 0),
+                F.round((F.col("n") - F.col("__mean")) / F.col("__sd"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("z"),
+        )
+    )
