@@ -442,3 +442,31 @@ def test_self_repetition_and_novelty_transform_types(spark):
     topo = compile_config(spark, config)
     assert {r.doc_id for r in topo.resolve("rep").collect()} == {"ok", "old"}
     assert {r.doc_id for r in topo.resolve("nov").collect()} == {"ok"}
+
+
+def test_rate_anomaly_transform_type(spark):
+    import datetime
+
+    from vector_spark.plans.topology import compile_config
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for w in range(5):
+        n = 60 if w == 4 else 10
+        for i in range(n):
+            rows.append((f"e{w}_{i}", "api",
+                         t0 + datetime.timedelta(seconds=w * 600 + i)))
+    config = {
+        "sources": {
+            "ev": {"type": "inline", "rows": rows,
+                   "schema": "event_id string, event_type string, ts timestamp"}
+        },
+        "transforms": {
+            "an": {"type": "rate_anomaly", "inputs": ["ev"],
+                   "window_secs": 600, "min_abs_z": 1.5},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["an"]}},
+    }
+    topo = compile_config(spark, config)
+    hits = topo.resolve("an").collect()
+    assert len(hits) == 1 and hits[0].n == 60 and hits[0].z > 1.5

@@ -1049,6 +1049,27 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
                 bucket_size=int(cfg.get("bucket_size", 8192)),
             )
         }
+    if t == "rate_anomaly":
+        from vector_spark.operators.anomaly import (
+            rate_zscores,
+            rate_zscores_dense,
+            seasonal_zscores,
+        )
+
+        fn = {
+            "flat": rate_zscores,
+            "dense": rate_zscores_dense,
+            "seasonal": seasonal_zscores,
+        }[cfg.get("baseline", "flat")]
+        out = fn(
+            df,
+            key_col=cfg.get("key_field", "event_type"),
+            ts_col=cfg.get("ts_col", "ts"),
+            window_secs=int(cfg.get("window_secs", 600)),
+        )
+        if "min_abs_z" in cfg:
+            out = out.filter(F.abs(F.col("z")) >= float(cfg["min_abs_z"]))
+        return {"__default": out}
     if t == "self_repetition":
         from vector_spark.dataprep.tokens import self_repetition
 
@@ -1286,7 +1307,8 @@ TRANSFORM_TYPES = (
     "quality_filter exact_dedup decontaminate pack_sequences paragraph_dedup "
     "lm_perplexity tokenize "
     "sample_mixture split_assign pack_tokens near_dedup "
-    "group_sample curriculum strided_chunks self_repetition novelty"
+    "group_sample curriculum strided_chunks self_repetition novelty "
+    "rate_anomaly"
 ).split()
 
 
