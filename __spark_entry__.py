@@ -10850,6 +10850,82 @@ def _register_seasonal_anomaly() -> None:
 _register_seasonal_anomaly()
 
 
+def _register_anomaly_incidents() -> None:
+    _AI_TAU = 1.5
+
+    @_q(
+        "ev_anomaly_incidents",
+        f"""
+        WITH counts AS (
+          SELECT event_type || '|' || (user_id % 7) AS key,
+                 time_bucket(INTERVAL 600 SECOND, ts) AS wstart,
+                 COUNT(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2
+        ),
+        base AS (
+          SELECT key, COUNT(*)::BIGINT AS n_windows,
+                 AVG(n) AS mean, stddev_pop(n) AS sd
+          FROM counts GROUP BY 1
+        ),
+        scored AS (
+          SELECT c.key, wstart,
+                 CASE WHEN n_windows >= 3 AND sd > 0
+                      THEN ROUND((n - mean) / sd, 4) ELSE 0.0 END AS z
+          FROM counts c JOIN base USING (key)
+        ),
+        hot AS (
+          SELECT key, wstart,
+                 (epoch(wstart) / 600)::BIGINT AS w, z
+          FROM scored WHERE abs(z) >= {_AI_TAU}
+        ),
+        runs AS (
+          SELECT *, w - row_number() OVER (PARTITION BY key ORDER BY w)
+                     AS island
+          FROM hot
+        )
+        SELECT key,
+               strftime(MIN(wstart), '%Y-%m-%d %H:%M:%S') AS start,
+               strftime(MAX(wstart), '%Y-%m-%d %H:%M:%S') AS "end",
+               COUNT(*)::BIGINT AS n_windows,
+               ROUND(MAX(abs(z)), 4) AS peak_abs_z,
+               (epoch(MAX(wstart)) - epoch(MIN(wstart)) + 600)::BIGINT
+                 AS duration_secs
+        FROM runs GROUP BY key, island
+        """,
+    )
+    def ev_anomaly_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incident rollup (anomaly.anomaly_incidents): maximal runs of
+        adjacent |z|≥{tau} windows become one page-worthy row with
+        start/end/duration/peak — gaps-and-islands on the tiny scored
+        dim, per-key windows only. Feeds from rate_zscores over the
+        (type, user-bucket) key."""
+        from vector_spark.operators.anomaly import (
+            anomaly_incidents,
+            rate_zscores,
+        )
+
+        ev = _events(spark, sf_dir).withColumn(
+            "k",
+            F.concat(
+                F.col("event_type"), F.lit("|"),
+                (F.col("user_id") % 7).cast("string"),
+            ),
+        )
+        scored = rate_zscores(ev, "k", "ts", 600)
+        out = anomaly_incidents(scored, threshold=_AI_TAU, window_secs=600)
+        return out.select(
+            "key",
+            F.date_format("start", "yyyy-MM-dd HH:mm:ss").alias("start"),
+            F.date_format("end", "yyyy-MM-dd HH:mm:ss").alias("end"),
+            "n_windows",
+            "peak_abs_z",
+            "duration_secs",
+        )
+
+
+_register_anomaly_incidents()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -169,3 +169,27 @@ def test_seasonal_zscores_hour_of_day_baseline(spark):
     assert out[(14 * 3600, 1)].z < 0
     with _pytest.raises(ValueError):
         seasonal_zscores(df, window_secs=7000)
+
+
+def test_anomaly_incidents_islands(spark):
+    import datetime
+
+    from vector_spark.operators.anomaly import anomaly_incidents
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # key 'a': hot windows 2,3,4 (one incident) and 8 (another); cold rest
+    for w, z in [(0, 0.1), (1, 0.2), (2, 2.5), (3, 3.0), (4, 2.1),
+                 (5, 0.0), (6, 0.3), (7, 0.2), (8, -2.4), (9, 0.1)]:
+        rows.append(("a", t0 + datetime.timedelta(seconds=w * 600), z))
+    df = spark.createDataFrame(rows, "key string, window_start timestamp, z double")
+    out = sorted(
+        anomaly_incidents(df, threshold=2.0, window_secs=600).collect(),
+        key=lambda r: r.start,
+    )
+    assert len(out) == 2
+    first, second = out
+    assert first.n_windows == 3 and first.peak_abs_z == 3.0
+    assert first.duration_secs == 1800
+    assert second.n_windows == 1 and second.peak_abs_z == 2.4
+    assert second.duration_secs == 600

@@ -190,3 +190,50 @@ def seasonal_zscores(
             .alias("z"),
         )
     )
+
+
+def anomaly_incidents(
+    scored: DataFrame,
+    threshold: float = 2.0,
+    window_secs: int = 600,
+    key_col: str = "key",
+    ts_col: str = "window_start",
+    z_col: str = "z",
+) -> DataFrame:
+    """Roll consecutive anomalous windows into INCIDENTS — the page a
+    human actually receives: per key, maximal runs of adjacent windows
+    with ``|z| >= threshold`` become one row with start/end, duration,
+    window count, and the peak |z|. The classic gaps-and-islands
+    grouping (window_index − run_index is constant within a run).
+
+    Runs on the scored (key, window) dim of :func:`rate_zscores` /
+    :func:`rate_zscores_dense` / :func:`seasonal_zscores` — tiny by
+    construction — with per-key windows only."""
+    from pyspark.sql import Window
+
+    e = (F.unix_timestamp(F.col(ts_col)) / window_secs).cast("long")
+    hot = scored.filter(F.abs(F.col(z_col)) >= threshold).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("__ts"),
+        e.alias("__w"),
+        F.col(z_col).alias("__z"),
+    )
+    rn = F.row_number().over(Window.partitionBy("key").orderBy("__w"))
+    runs = hot.withColumn("__island", F.col("__w") - rn)
+    return (
+        runs.groupBy("key", "__island")
+        .agg(
+            F.min("__ts").alias("start"),
+            F.max("__ts").alias("end"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.round(F.max(F.abs(F.col("__z"))), 4).alias("peak_abs_z"),
+        )
+        .withColumn(
+            "duration_secs",
+            (
+                F.unix_timestamp("end") - F.unix_timestamp("start")
+                + window_secs
+            ).cast("long"),
+        )
+        .drop("__island")
+    )
