@@ -470,3 +470,9 @@ def test_rate_anomaly_transform_type(spark):
     topo = compile_config(spark, config)
     hits = topo.resolve("an").collect()
     assert len(hits) == 1 and hits[0].n == 60 and hits[0].z > 1.5
+    # incidents mode rolls the hot windows into one page-worthy row
+    config["transforms"]["an"]["emit"] = "incidents"
+    config["transforms"]["an"]["min_abs_z"] = 1.5
+    topo2 = compile_config(spark, config)
+    inc = topo2.resolve("an").collect()
+    assert len(inc) == 1 and inc[0].n_windows == 1 and inc[0].duration_secs == 600

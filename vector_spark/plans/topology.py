@@ -1067,6 +1067,16 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
             ts_col=cfg.get("ts_col", "ts"),
             window_secs=int(cfg.get("window_secs", 600)),
         )
+        if cfg.get("emit") == "incidents":
+            from vector_spark.operators.anomaly import anomaly_incidents
+
+            return {
+                "__default": anomaly_incidents(
+                    out,
+                    threshold=float(cfg.get("min_abs_z", 2.0)),
+                    window_secs=int(cfg.get("window_secs", 600)),
+                )
+            }
         if "min_abs_z" in cfg:
             out = out.filter(F.abs(F.col("z")) >= float(cfg["min_abs_z"]))
         return {"__default": out}
