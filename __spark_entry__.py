@@ -10926,6 +10926,60 @@ def _register_anomaly_incidents() -> None:
 _register_anomaly_incidents()
 
 
+def _register_error_budget() -> None:
+    _EB_SLO = 0.95
+
+    @_q(
+        "ev_error_budget",
+        f"""
+        WITH counts AS (
+          SELECT event_type AS key,
+                 time_bucket(INTERVAL 3600 SECOND, ts) AS wstart,
+                 COUNT(*)::BIGINT AS n,
+                 SUM(CASE WHEN event_type = 'error' OR value >= 450
+                          THEN 1 ELSE 0 END)::BIGINT AS n_err
+          FROM events GROUP BY 1, 2
+        )
+        SELECT key, strftime(wstart, '%Y-%m-%d %H:%M:%S') AS ws, n, n_err,
+               ROUND(n_err / n, 6) AS err_share,
+               ROUND(n_err / n / {1.0 - _EB_SLO}, 6) AS burn_rate,
+               ROUND(SUM(n_err) OVER (PARTITION BY key ORDER BY wstart
+                                      ROWS UNBOUNDED PRECEDING)
+                     / (SUM(n) OVER (PARTITION BY key) * {1.0 - _EB_SLO}),
+                     6) AS budget_burned
+        FROM counts
+        """,
+    )
+    def ev_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SLO error-budget burn per event type
+        (anomaly.error_budget_burn): hourly error share, burn rate over
+        the {slo} allowance, and the running share of the period's total
+        budget consumed — the "budget gone by Tuesday" view. One
+        map-side-combined count pass; cumulative math on the tiny (key,
+        window) dim."""
+        from vector_spark.operators.anomaly import error_budget_burn
+
+        ev = _events(spark, sf_dir)
+        out = error_budget_burn(
+            ev,
+            (F.col("event_type") == "error") | (F.col("value") >= 450),
+            slo=_EB_SLO,
+            window_secs=3600,
+        )
+        return out.select(
+            "key",
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "n",
+            "n_err",
+            "err_share",
+            "burn_rate",
+            "budget_burned",
+        )
+
+
+_register_error_budget()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

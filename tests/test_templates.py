@@ -193,3 +193,28 @@ def test_anomaly_incidents_islands(spark):
     assert first.duration_secs == 1800
     assert second.n_windows == 1 and second.peak_abs_z == 2.4
     assert second.duration_secs == 600
+
+
+def test_error_budget_burn_math(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators.anomaly import error_budget_burn
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # window 0: 100 events, 1 error; window 1: 100 events, 4 errors
+    for w, errs in [(0, 1), (1, 4)]:
+        for i in range(100):
+            rows.append(("api", i < errs, t0 + datetime.timedelta(hours=w, seconds=i)))
+    df = spark.createDataFrame(rows, "event_type string, is_err boolean, ts timestamp")
+    out = sorted(
+        error_budget_burn(df, F.col("is_err"), slo=0.99, window_secs=3600).collect(),
+        key=lambda r: r.window_start,
+    )
+    assert out[0].err_share == 0.01 and out[0].burn_rate == 1.0
+    assert out[1].err_share == 0.04 and out[1].burn_rate == 4.0
+    # total budget = 200 events * 1% = 2 errors; 5 happened → 2.5x burned
+    assert out[1].budget_burned == 2.5
+    assert out[0].budget_burned == 0.5

@@ -237,3 +237,54 @@ def anomaly_incidents(
         )
         .drop("__island")
     )
+
+
+def error_budget_burn(
+    df: DataFrame,
+    error_cond,
+    slo: float = 0.99,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_secs: int = 3600,
+) -> DataFrame:
+    """SLO error-budget accounting per key: windowed error share, the
+    window's budget consumption (error share over the allowance
+    ``1 − slo``), and the RUNNING share of the period's total budget
+    burned so far — the view that says "at this rate the monthly budget
+    is gone by Tuesday". ``error_cond`` is a boolean Column.
+
+    Plan: one map-side-combined (key, window) aggregate counting rows
+    and errors; the cumulative sums are per-key ordered windows over the
+    tiny count dim. Shares are ROUND(…, 6) on identical expression
+    shapes for engine portability."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(ts_col, f"{window_secs} seconds").alias("__w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(error_cond.cast("long")).alias("n_err"),
+        )
+        .select("key", F.col("__w.start").alias("window_start"), "n", "n_err")
+    )
+    allowance = 1.0 - slo
+    w = Window.partitionBy("key").orderBy("window_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("key")
+    return counts.select(
+        "key",
+        "window_start",
+        "n",
+        "n_err",
+        F.round(F.col("n_err") / F.col("n"), 6).alias("err_share"),
+        F.round(F.col("n_err") / F.col("n") / allowance, 6).alias("burn_rate"),
+        F.round(
+            F.sum("n_err").over(w)
+            / (F.sum("n").over(tot) * allowance),
+            6,
+        ).alias("budget_burned"),
+    )
