@@ -10980,6 +10980,40 @@ def _register_error_budget() -> None:
 _register_error_budget()
 
 
+def _register_mixture_report() -> None:
+    @_q(
+        "seq_mixture_report",
+        f"""
+        {_SEQ_CTE},
+        per AS (
+          SELECT source, SUM(n_tok::BIGINT)::BIGINT AS n_tokens
+          FROM seq GROUP BY 1
+        ),
+        ww AS (SELECT *, pow(n_tokens, 0.5) AS w FROM per),
+        tot AS (SELECT SUM(n_tokens) AS tn, SUM(w) AS tw FROM ww)
+        SELECT source, n_tokens,
+               ROUND(n_tokens / tn, 6) AS actual_share,
+               ROUND(w / tw, 6) AS target_share,
+               ROUND(ROUND(n_tokens / tn, 6) * (-1)
+                     + ROUND(w / tw, 6), 6) AS deviation,
+               ROUND((w / tw) / (n_tokens / tn), 6) AS resample_factor
+        FROM ww CROSS JOIN tot
+        """,
+    )
+    def seq_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Target-vs-actual mixture deviation (mixing.mixture_report):
+        per source, actual token share vs the α=0.5 temperature target
+        (the hash_threshold_mixture rule), the gap, and the resampling
+        factor that closes it — the end-of-curation sanity report.
+        One |sources|-row aggregate + dim math."""
+        from vector_spark.dataprep.mixing import mixture_report
+
+        return mixture_report(_seq(spark), alpha=0.5)
+
+
+_register_mixture_report()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

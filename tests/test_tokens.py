@@ -305,3 +305,18 @@ def test_bucket_batches_structure(spark):
     other = {(r.doc_id, r.batch_id, r.batch_pos)
              for r in bucket_batches(df, "bucket", batch_size=8, epoch=4).collect()}
     assert other != again
+
+
+def test_mixture_report_explicit_weights(spark):
+    from vector_spark.dataprep.mixing import mixture_report
+
+    df = spark.createDataFrame(
+        [("a", "web", 60), ("b", "web", 20), ("c", "code", 20)],
+        "doc_id string, source string, n_tok int",
+    )
+    got = {r.source: r for r in mixture_report(
+        df, weights={"web": 0.5, "code": 0.5}
+    ).collect()}
+    assert got["web"].actual_share == 0.8 and got["web"].target_share == 0.5
+    assert got["code"].deviation == 0.3  # under-represented by 30 points
+    assert got["code"].resample_factor == 2.5  # 0.5 / 0.2

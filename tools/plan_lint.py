@@ -58,6 +58,9 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "ev_rate_silence": {
         "bnl_join": (4, "1-row window-bounds frame cross-joined onto the key dim"),
     },
+    "seq_mixture_report": {
+        "bnl_join": (2, "1-row mixture-totals frame cross-joined"),
+    },
     "tpch_q22_antijoin": {
         "bnl_join": (2, "1-row scalar avg(acctbal) subquery frame"),
     },

@@ -411,3 +411,50 @@ def bucket_batches(
         .withColumn("batch_pos", (F.col("__r") % batch_size).cast("long"))
         .drop("__start", "__r", "position")
     )
+
+
+def mixture_report(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Target-vs-actual mixture accounting — the check a curation run
+    ends with: per source, the actual token share against the target
+    share (explicit ``weights``, or the ``w_s = n_s^alpha`` temperature
+    rule of :func:`hash_threshold_mixture` when weights are None), with
+    the deviation and the resampling factor that would close it. One
+    |sources|-row aggregate; everything else is dim math."""
+    per = df.groupBy(source_col).agg(
+        F.sum(F.col(n_tok_col).cast("long")).alias("n_tokens")
+    )
+    if weights is None:
+        wcol = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    else:
+        wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+        wcol = wmap[F.col(source_col)].cast("double")
+        per = per.filter(wcol.isNotNull())
+    per = per.withColumn("__w", wcol)
+    tot = per.agg(
+        F.sum("n_tokens").alias("__tn"), F.sum("__w").alias("__tw")
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("__tn"), 6).alias("actual_share"),
+            F.round(F.col("__w") / F.col("__tw"), 6).alias("target_share"),
+            F.round(
+                F.round(F.col("n_tokens") / F.col("__tn"), 6) * (-1)
+                + F.round(F.col("__w") / F.col("__tw"), 6),
+                6,
+            ).alias("deviation"),
+            F.round(
+                (F.col("__w") / F.col("__tw"))
+                / (F.col("n_tokens") / F.col("__tn")),
+                6,
+            ).alias("resample_factor"),
+        )
+    )
