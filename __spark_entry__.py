@@ -11014,6 +11014,51 @@ def _register_mixture_report() -> None:
 _register_mixture_report()
 
 
+def _register_cardinality_growth() -> None:
+    @_q(
+        "ev_cardinality_growth",
+        """
+        WITH pairs AS (
+          SELECT DISTINCT time_bucket(INTERVAL 3600 SECOND, ts) AS wstart,
+                 user_id
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        counts AS (
+          SELECT wstart, COUNT(*)::BIGINT AS n_distinct
+          FROM pairs GROUP BY 1
+        )
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS ws, n_distinct,
+               (n_distinct - COALESCE(lag(n_distinct) OVER (ORDER BY wstart),
+                                      n_distinct))::BIGINT AS delta,
+               CASE WHEN lag(n_distinct) OVER (ORDER BY wstart) > 0
+                    THEN ROUND(n_distinct
+                               / lag(n_distinct) OVER (ORDER BY wstart), 4)
+                    ELSE 1.0 END AS growth
+        FROM counts
+        """,
+    )
+    def ev_cardinality_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tag-cardinality explosion monitor
+        (anomaly.cardinality_growth) — the observability twin of
+        tag_cardinality_limit: exact distinct user_id per hour with
+        delta and growth ratio vs the previous window (a deploy emitting
+        per-request tag values shows a cliff before the limiter trips).
+        Distinct (window, value) pairs shuffle, never events; the lag
+        runs on the tiny window dim."""
+        from vector_spark.operators.anomaly import cardinality_growth
+
+        out = cardinality_growth(_events(spark, sf_dir), "user_id", "ts", 3600)
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "n_distinct",
+            "delta",
+            "growth",
+        )
+
+
+_register_cardinality_growth()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

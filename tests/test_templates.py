@@ -218,3 +218,26 @@ def test_error_budget_burn_math(spark):
     # total budget = 200 events * 1% = 2 errors; 5 happened → 2.5x burned
     assert out[1].budget_burned == 2.5
     assert out[0].budget_burned == 0.5
+
+
+def test_cardinality_growth_detects_cliff(spark):
+    import datetime
+
+    from vector_spark.operators.anomaly import cardinality_growth
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # hours 0-2: 10 distinct values; hour 3: 100 (the cliff)
+    for h in range(4):
+        vals = 100 if h == 3 else 10
+        for v in range(vals):
+            rows.append((f"v{v}", t0 + datetime.timedelta(hours=h, seconds=v)))
+    rows.append((None, t0))  # nulls excluded
+    df = spark.createDataFrame(rows, "tag string, ts timestamp")
+    out = sorted(
+        cardinality_growth(df, "tag", window_secs=3600).collect(),
+        key=lambda r: r.window_start,
+    )
+    assert [r.n_distinct for r in out] == [10, 10, 10, 100]
+    assert out[0].growth == 1.0 and out[0].delta == 0
+    assert out[3].growth == 10.0 and out[3].delta == 90

@@ -288,3 +288,51 @@ def error_budget_burn(
             6,
         ).alias("budget_burned"),
     )
+
+
+def cardinality_growth(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window_secs: int = 3600,
+) -> DataFrame:
+    """Tag-cardinality explosion monitor — the observability twin of the
+    `tag_cardinality_limit` enforcement transform: per window, the
+    EXACT distinct-value count of a tag plus its delta and growth ratio
+    vs the previous window, so a deploy that starts emitting per-request
+    tag values shows up as a cardinality cliff before the limiter ever
+    trips.
+
+    Plan: dedup to (window, value) pairs first (map-side combined — the
+    shuffle carries distinct pairs, not events), count per window, then
+    lag over the tiny window dim."""
+    from pyspark.sql import Window
+
+    pairs = (
+        df.select(
+            F.window(ts_col, f"{window_secs} seconds")["start"].alias(
+                "window_start"
+            ),
+            F.col(value_col).alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+    )
+    counts = pairs.groupBy("window_start").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    w = Window.orderBy("window_start")
+    prev = F.lag("n_distinct").over(w)
+    return counts.select(
+        "window_start",
+        "n_distinct",
+        (F.col("n_distinct") - F.coalesce(prev, F.col("n_distinct")))
+        .cast("long")
+        .alias("delta"),
+        F.when(
+            prev.isNotNull() & (prev > 0),
+            F.round(F.col("n_distinct") / prev, 4),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("growth"),
+    )
