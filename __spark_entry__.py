@@ -11059,6 +11059,50 @@ def _register_cardinality_growth() -> None:
 _register_cardinality_growth()
 
 
+def _register_first_seen() -> None:
+    @_q(
+        "ev_first_seen",
+        """
+        WITH pairs AS (
+          SELECT DISTINCT time_bucket(INTERVAL 3600 SECOND, ts) AS wstart,
+                 user_id
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        firsts AS (
+          SELECT user_id, MIN(wstart) AS wstart FROM pairs GROUP BY 1
+        ),
+        n_first AS (
+          SELECT wstart, COUNT(*)::BIGINT AS n_new FROM firsts GROUP BY 1
+        ),
+        n_all AS (
+          SELECT wstart, COUNT(*)::BIGINT AS n_distinct FROM pairs GROUP BY 1
+        )
+        SELECT strftime(a.wstart, '%Y-%m-%d %H:%M:%S') AS ws,
+               n_distinct, COALESCE(n_new, 0)::BIGINT AS n_new,
+               ROUND(COALESCE(n_new, 0) / n_distinct, 6) AS new_share
+        FROM n_all a LEFT JOIN n_first USING (wstart)
+        """,
+    )
+    def ev_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """New-entity detection (anomaly.first_seen_keys): per hour, how
+        many user ids appear for the first time in the stream and what
+        share of the hour's distinct ids are new — new hosts after a
+        deploy, new user-agents during an attack. All stages run on the
+        distinct (window, value) pair dim; events are touched once."""
+        from vector_spark.operators.anomaly import first_seen_keys
+
+        out = first_seen_keys(_events(spark, sf_dir), "user_id", "ts", 3600)
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "n_distinct",
+            "n_new",
+            "new_share",
+        )
+
+
+_register_first_seen()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

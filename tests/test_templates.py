@@ -241,3 +241,22 @@ def test_cardinality_growth_detects_cliff(spark):
     assert [r.n_distinct for r in out] == [10, 10, 10, 100]
     assert out[0].growth == 1.0 and out[0].delta == 0
     assert out[3].growth == 10.0 and out[3].delta == 90
+
+
+def test_first_seen_keys(spark):
+    import datetime
+
+    from vector_spark.operators.anomaly import first_seen_keys
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # hour 0: u0..u4 (all new); hour 1: u0..u4 again + u5,u6 (2 new of 7)
+    for v in range(5):
+        rows.append((f"u{v}", t0))
+    for v in range(7):
+        rows.append((f"u{v}", t0 + datetime.timedelta(hours=1)))
+    df = spark.createDataFrame(rows, "uid string, ts timestamp")
+    out = sorted(first_seen_keys(df, "uid").collect(), key=lambda r: r.window_start)
+    assert (out[0].n_distinct, out[0].n_new, out[0].new_share) == (5, 5, 1.0)
+    assert (out[1].n_distinct, out[1].n_new) == (7, 2)
+    assert abs(out[1].new_share - 2 / 7) < 1e-6

@@ -336,3 +336,51 @@ def cardinality_growth(
         .otherwise(F.lit(1.0))
         .alias("growth"),
     )
+
+
+def first_seen_keys(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window_secs: int = 3600,
+) -> DataFrame:
+    """New-entity detection: per window, how many values of
+    ``value_col`` appear for the FIRST time in the whole stream, plus
+    the share of that window's distinct values that are new — new hosts
+    after a deploy, new user-agents during an attack, new token sources
+    after an ingest change.
+
+    Plan: dedup to (window, value) pairs (map-side combined), find each
+    value's first window with a min-aggregate on the pair dim, count
+    firsts per window, join back onto per-window distinct counts — every
+    stage runs on the pair dim, events are touched once."""
+    pairs = (
+        df.select(
+            F.window(ts_col, f"{window_secs} seconds")["start"].alias(
+                "window_start"
+            ),
+            F.col(value_col).alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+    )
+    firsts = pairs.groupBy("__v").agg(
+        F.min("window_start").alias("window_start")
+    )
+    n_first = firsts.groupBy("window_start").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    n_all = pairs.groupBy("window_start").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    return (
+        n_all.join(n_first, "window_start", "left")
+        .select(
+            "window_start",
+            "n_distinct",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.round(
+                F.coalesce("n_new", F.lit(0)) / F.col("n_distinct"), 6
+            ).alias("new_share"),
+        )
+    )
