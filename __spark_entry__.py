@@ -11103,6 +11103,58 @@ def _register_first_seen() -> None:
 _register_first_seen()
 
 
+def _register_retention() -> None:
+    @_q(
+        "ev_retention",
+        """
+        WITH pairs AS (
+          SELECT DISTINCT time_bucket(INTERVAL 3600 SECOND, ts) AS ws,
+                 user_id
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        retained AS (
+          SELECT c.ws, COUNT(*)::BIGINT AS n_retained
+          FROM pairs c JOIN pairs p
+            ON c.user_id = p.user_id
+           AND c.ws = p.ws + INTERVAL 3600 SECOND
+          GROUP BY 1
+        ),
+        n_all AS (
+          SELECT ws, COUNT(*)::BIGINT AS n_distinct FROM pairs GROUP BY 1
+        ),
+        prev_all AS (
+          SELECT ws + INTERVAL 3600 SECOND AS ws, n_distinct AS n_prev
+          FROM n_all
+        )
+        SELECT strftime(a.ws, '%Y-%m-%d %H:%M:%S') AS ws, n_distinct,
+               COALESCE(n_retained, 0)::BIGINT AS n_retained,
+               CASE WHEN n_prev > 0
+                    THEN ROUND(COALESCE(n_retained, 0) / n_prev, 6)
+                    ELSE 0.0 END AS retention
+        FROM n_all a LEFT JOIN retained USING (ws)
+        LEFT JOIN prev_all USING (ws)
+        """,
+    )
+    def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Window-over-window entity retention
+        (anomaly.window_retention): share of the previous hour's active
+        user ids active again this hour — separates "traffic dropped"
+        from "the same clients left". Pair-dim self-equi-join on
+        (value, window−1); events touched once."""
+        from vector_spark.operators.anomaly import window_retention
+
+        out = window_retention(_events(spark, sf_dir), "user_id", "ts", 3600)
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "n_distinct",
+            "n_retained",
+            "retention",
+        )
+
+
+_register_retention()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

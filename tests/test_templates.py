@@ -260,3 +260,21 @@ def test_first_seen_keys(spark):
     assert (out[0].n_distinct, out[0].n_new, out[0].new_share) == (5, 5, 1.0)
     assert (out[1].n_distinct, out[1].n_new) == (7, 2)
     assert abs(out[1].new_share - 2 / 7) < 1e-6
+
+
+def test_window_retention(spark):
+    import datetime
+
+    from vector_spark.operators.anomaly import window_retention
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # hour 0: u0..u3; hour 1: u2,u3 (2 of 4 retained) + u9 new
+    for v in range(4):
+        rows.append((f"u{v}", t0))
+    for v in ("u2", "u3", "u9"):
+        rows.append((v, t0 + datetime.timedelta(hours=1)))
+    df = spark.createDataFrame(rows, "uid string, ts timestamp")
+    out = sorted(window_retention(df, "uid").collect(), key=lambda r: r.window_start)
+    assert (out[0].n_distinct, out[0].n_retained, out[0].retention) == (4, 0, 0.0)
+    assert (out[1].n_distinct, out[1].n_retained, out[1].retention) == (3, 2, 0.5)

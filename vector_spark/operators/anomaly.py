@@ -384,3 +384,56 @@ def first_seen_keys(
             ).alias("new_share"),
         )
     )
+
+
+def window_retention(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window_secs: int = 3600,
+) -> DataFrame:
+    """Window-over-window entity retention: of the values active in the
+    previous window, what share is active again in this one — the churn
+    signal that separates "traffic dropped" from "the SAME clients left"
+    (and, inverted, detects session-storms of one-shot entities).
+
+    Plan: everything runs on the distinct (window, value) pair dim; the
+    retained count is a pair-dim self-equi-join on (value, window−1) —
+    keys are (value, window) so the join is uniform, never eventful."""
+    one = F.expr(f"INTERVAL {window_secs} SECONDS")
+    pairs = (
+        df.select(
+            F.window(ts_col, f"{window_secs} seconds")["start"].alias("ws"),
+            F.col(value_col).alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+    )
+    cur = pairs.alias("cur")
+    prv = pairs.select((F.col("ws") + one).alias("ws"), "__v").alias("prv")
+    retained = (
+        cur.join(prv, ["ws", "__v"])
+        .groupBy("ws")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    n_all = pairs.groupBy("ws").agg(F.count(F.lit(1)).alias("n_distinct"))
+    prev_all = n_all.select(
+        (F.col("ws") + one).alias("ws"), F.col("n_distinct").alias("__n_prev")
+    )
+    return (
+        n_all.join(retained, "ws", "left")
+        .join(prev_all, "ws", "left")
+        .select(
+            F.col("ws").alias("window_start"),
+            "n_distinct",
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.when(
+                F.col("__n_prev") > 0,
+                F.round(
+                    F.coalesce("n_retained", F.lit(0)) / F.col("__n_prev"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("retention"),
+        )
+    )
