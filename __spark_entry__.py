@@ -11155,6 +11155,56 @@ def _register_retention() -> None:
 _register_retention()
 
 
+def _register_co_spike() -> None:
+    _CS_TAU = 1.0
+
+    @_q(
+        "ev_co_spikes",
+        f"""
+        WITH counts AS (
+          SELECT event_type || '|' || (user_id % 7) AS key,
+                 time_bucket(INTERVAL 600 SECOND, ts) AS wstart,
+                 COUNT(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2
+        ),
+        base AS (
+          SELECT key, COUNT(*)::BIGINT AS n_windows,
+                 AVG(n) AS mean, stddev_pop(n) AS sd
+          FROM counts GROUP BY 1
+        ),
+        hot AS (
+          SELECT c.key, wstart
+          FROM counts c JOIN base USING (key)
+          WHERE n_windows >= 3 AND sd > 0
+            AND abs(ROUND((n - mean) / sd, 4)) >= {_CS_TAU}
+        )
+        SELECT a.key AS key_a, b.key AS key_b, COUNT(*)::BIGINT AS n_cooccur
+        FROM hot a JOIN hot b ON a.wstart = b.wstart AND a.key < b.key
+        GROUP BY 1, 2
+        """,
+    )
+    def ev_co_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Co-spiking key pairs (anomaly.co_spike_pairs): unordered
+        (type, user-bucket) key pairs ranked by shared anomalous
+        windows — shared-cause triage (a dying backend spikes every
+        dependent in the same windows). Self-equi-join on the window
+        over the tiny hot set only."""
+        from vector_spark.operators.anomaly import co_spike_pairs, rate_zscores
+
+        ev = _events(spark, sf_dir).withColumn(
+            "k",
+            F.concat(
+                F.col("event_type"), F.lit("|"),
+                (F.col("user_id") % 7).cast("string"),
+            ),
+        )
+        scored = rate_zscores(ev, "k", "ts", 600)
+        return co_spike_pairs(scored, threshold=_CS_TAU, min_cooccur=1)
+
+
+_register_co_spike()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

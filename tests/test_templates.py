@@ -278,3 +278,21 @@ def test_window_retention(spark):
     out = sorted(window_retention(df, "uid").collect(), key=lambda r: r.window_start)
     assert (out[0].n_distinct, out[0].n_retained, out[0].retention) == (4, 0, 0.0)
     assert (out[1].n_distinct, out[1].n_retained, out[1].retention) == (3, 2, 0.5)
+
+
+def test_co_spike_pairs(spark):
+    import datetime
+
+    from vector_spark.operators.anomaly import co_spike_pairs
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # a and b spike together in windows 0 and 2; c spikes alone in 1
+    for w, keys in [(0, ["a", "b"]), (1, ["c"]), (2, ["a", "b"]), (3, [])]:
+        for k in keys:
+            rows.append((k, t0 + datetime.timedelta(seconds=w * 600), 3.0))
+        rows.append(("cold", t0 + datetime.timedelta(seconds=w * 600), 0.1))
+    df = spark.createDataFrame(rows, "key string, window_start timestamp, z double")
+    out = co_spike_pairs(df, threshold=2.0, min_cooccur=2).collect()
+    assert len(out) == 1
+    assert (out[0].key_a, out[0].key_b, out[0].n_cooccur) == ("a", "b", 2)

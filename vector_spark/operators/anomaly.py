@@ -437,3 +437,34 @@ def window_retention(
             .alias("retention"),
         )
     )
+
+
+def co_spike_pairs(
+    scored: DataFrame,
+    threshold: float = 2.0,
+    min_cooccur: int = 2,
+    key_col: str = "key",
+    ts_col: str = "window_start",
+    z_col: str = "z",
+) -> DataFrame:
+    """Which keys spike TOGETHER: unordered key pairs ranked by how many
+    windows both were anomalous in (``|z| >= threshold``) — shared-cause
+    triage (one backend dying makes every dependent service spike in the
+    same windows; unrelated noise doesn't repeat).
+
+    Plan: the hot set is the scored dim filtered by threshold (tiny);
+    the pair join is a self-equi-join ON THE WINDOW over that hot set,
+    bounded by (hot keys per window)² — the gaps-and-islands cousin of
+    :func:`anomaly_incidents`, never touching events."""
+    hot = scored.filter(F.abs(F.col(z_col)) >= threshold).select(
+        F.col(ts_col).alias("__t"), F.col(key_col).alias("__k")
+    )
+    a, b = hot.alias("a"), hot.alias("b")
+    pairs = a.join(b, "__t").filter(F.col("a.__k") < F.col("b.__k"))
+    return (
+        pairs.groupBy(
+            F.col("a.__k").alias("key_a"), F.col("b.__k").alias("key_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .filter(F.col("n_cooccur") >= min_cooccur)
+    )
