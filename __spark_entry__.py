@@ -11130,7 +11130,7 @@ def _register_retention() -> None:
                COALESCE(n_retained, 0)::BIGINT AS n_retained,
                CASE WHEN n_prev > 0
                     THEN ROUND(COALESCE(n_retained, 0) / n_prev, 6)
-                    ELSE 0.0 END AS retention
+                    ELSE NULL END AS retention
         FROM n_all a LEFT JOIN retained USING (ws)
         LEFT JOIN prev_all USING (ws)
         """,

@@ -276,8 +276,44 @@ def test_window_retention(spark):
         rows.append((v, t0 + datetime.timedelta(hours=1)))
     df = spark.createDataFrame(rows, "uid string, ts timestamp")
     out = sorted(window_retention(df, "uid").collect(), key=lambda r: r.window_start)
-    assert (out[0].n_distinct, out[0].n_retained, out[0].retention) == (4, 0, 0.0)
+    # first window has no baseline: retention is NULL, not 0.0
+    assert (out[0].n_distinct, out[0].n_retained, out[0].retention) == (4, 0, None)
     assert (out[1].n_distinct, out[1].n_retained, out[1].retention) == (3, 2, 0.5)
+
+
+def test_window_retention_null_baseline_vs_true_zero(spark):
+    import datetime
+
+    from vector_spark.operators.anomaly import window_retention
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [("a", t0), ("b", t0)]
+    # hour 1: all-new entities -> baseline exists, true zero retention
+    rows += [("c", t0 + datetime.timedelta(hours=1))]
+    # hour 2 empty; hour 3 follows silence -> no baseline again
+    rows += [("d", t0 + datetime.timedelta(hours=3))]
+    df = spark.createDataFrame(rows, "uid string, ts timestamp")
+    out = sorted(window_retention(df, "uid").collect(), key=lambda r: r.window_start)
+    assert out[0].retention is None
+    assert out[1].retention == 0.0
+    assert out[2].retention is None
+
+
+def test_template_drift_null_cond_and_one_sided(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators.templates import template_drift
+
+    df = spark.createDataFrame(
+        [("err 1",), ("err 2",), ("err 3",)], "message string"
+    ).withColumn("ts", F.lit(None).cast("timestamp"))
+    # NULL split condition counts on the B side, and the empty A side
+    # yields 0.0 shares rather than NULL
+    out = template_drift(df, split_cond=F.col("ts") < F.lit("2024")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_a, r.n_b) == (0, 3)
+    assert (r.share_a, r.share_b, r.drift) == (0.0, 1.0, 1.0)
 
 
 def test_co_spike_pairs(spark):

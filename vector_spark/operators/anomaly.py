@@ -303,6 +303,13 @@ def cardinality_growth(
     tag values shows up as a cardinality cliff before the limiter ever
     trips.
 
+    Sparse-window semantics (like the non-dense rate_zscores): only
+    windows that contain events emit rows, so after a fully-empty
+    window the "previous window" is the previous NON-EMPTY one — a
+    cliff to zero and back reads as flat. When silence itself is the
+    signal, densify on a window spine first (the rate_zscores_dense
+    pattern) before lagging.
+
     Plan: dedup to (window, value) pairs first (map-side combined — the
     shuffle carries distinct pairs, not events), count per window, then
     lag over the tiny window dim."""
@@ -397,6 +404,11 @@ def window_retention(
     signal that separates "traffic dropped" from "the SAME clients left"
     (and, inverted, detects session-storms of one-shot entities).
 
+    ``retention`` is NULL when there is no previous-window baseline at
+    all (the stream's first window, or a window following total
+    silence) and 0.0 only when the previous window genuinely retained
+    nothing — consumers can tell "no baseline" from "everyone left".
+
     Plan: everything runs on the distinct (window, value) pair dim; the
     retained count is a pair-dim self-equi-join on (value, window−1) —
     keys are (value, window) so the join is uniform, never eventful."""
@@ -432,9 +444,7 @@ def window_retention(
                 F.round(
                     F.coalesce("n_retained", F.lit(0)) / F.col("__n_prev"), 6
                 ),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("retention"),
+            ).alias("retention"),
         )
     )
 

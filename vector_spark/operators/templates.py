@@ -123,11 +123,16 @@ def template_drift(
     One pass over the stream into a map-side-combined (template, side)
     aggregate; everything after runs on the tiny template dim. Share
     math is ROUND(…, 6) on identical expression shapes so the report is
-    engine-portable."""
+    engine-portable. Rows where ``split_cond`` is NULL (e.g. a null ts
+    in ``ts < cutoff``) count on the B side rather than vanishing, and
+    an all-one-side split yields 0.0 shares on the empty side instead
+    of NULL (divide-by-zero guard)."""
     if split_cond is None:
         raise ValueError("split_cond is required (e.g. ts < cutoff)")
     tpl = mask_message(F.col(message_col), is_var, mask).alias("template")
-    sides = df.select(tpl, split_cond.cast("int").alias("__a"))
+    sides = df.select(
+        tpl, F.coalesce(split_cond.cast("int"), F.lit(0)).alias("__a")
+    )
     counts = sides.groupBy("template").agg(
         F.sum("__a").cast("long").alias("n_a"),
         F.sum(F.lit(1) - F.col("__a")).cast("long").alias("n_b"),
@@ -141,11 +146,17 @@ def template_drift(
             "template",
             "n_a",
             "n_b",
-            F.round(F.col("n_a") / F.col("__ta"), 6).alias("share_a"),
-            F.round(F.col("n_b") / F.col("__tb"), 6).alias("share_b"),
             F.round(
-                F.round(F.col("n_b") / F.col("__tb"), 6)
-                - F.round(F.col("n_a") / F.col("__ta"), 6),
+                F.col("n_a") / F.greatest(F.col("__ta"), F.lit(1)), 6
+            ).alias("share_a"),
+            F.round(
+                F.col("n_b") / F.greatest(F.col("__tb"), F.lit(1)), 6
+            ).alias("share_b"),
+            F.round(
+                F.round(F.col("n_b") / F.greatest(F.col("__tb"), F.lit(1)), 6)
+                - F.round(
+                    F.col("n_a") / F.greatest(F.col("__ta"), F.lit(1)), 6
+                ),
                 6,
             ).alias("drift"),
         )
