@@ -1270,7 +1270,8 @@ def _register_dataprep() -> None:
         from vector_spark.dataprep import bpe
 
         d = _docs(spark, sf_dir)
-        wc = bpe.word_counts(d).cache()  # uncapped: the oracle counts all
+        # explicit uncapped opt-out: the oracle counts ALL distinct words
+        wc = bpe.word_counts(d, top_v=None).cache()
         merges = bpe.bpe_train(wc, num_merges=200)
         vocab = bpe.bpe_vocab(merges, bpe.corpus_alphabet(wc))
         n_alpha = len(bpe.corpus_alphabet(wc))

@@ -97,3 +97,20 @@ def test_word_counts_top_v_cap(spark):
     )
     got = {r.word: r.n for r in bpe.word_counts(df, top_v=2).collect()}
     assert got == {"a": 3, "b": 2}
+
+
+def test_word_counts_capped_by_default():
+    # bpe_train collects the (word, n) dim to the driver, so the default
+    # signature must carry a cap; top_v=None is an explicit opt-out only.
+    import inspect
+
+    default = inspect.signature(bpe.word_counts).parameters["top_v"].default
+    assert default is not None and default == 50_000
+
+
+def test_bpe_train_on_capped_dim_deterministic(spark):
+    rows = [(i, f"alpha beta gamma token{i % 7} alpha") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m1 = bpe.bpe_train(bpe.word_counts(df, top_v=6), num_merges=20)
+    m2 = bpe.bpe_train(bpe.word_counts(df, top_v=6), num_merges=20)
+    assert m1 == m2 and len(m1) > 0

@@ -43,9 +43,14 @@ END = "</w>"  # end-of-word marker (Sennrich §3.2) — keeps merges from
 
 
 def word_counts(df: DataFrame, text_col: str = "text",
-                top_v: int | None = None) -> DataFrame:
+                top_v: int | None = 50_000) -> DataFrame:
     """(word, n) over the normalized corpus — THE corpus-scale pass.
-    ``top_v`` caps the dim via distributed TakeOrdered (ties: word ASC)."""
+    ``top_v`` caps the dim via distributed TakeOrdered (ties: word ASC).
+    The cap is the contract: downstream ``bpe_train`` collects this dim
+    to the driver, so the DEFAULT is a 50k cap (plenty for any merge
+    budget — Sennrich trains on the top tens of thousands). Passing
+    ``top_v=None`` is an explicit opt-out for small-corpus parity
+    checks, never the implicit path."""
     w = (
         df.select(F.explode(tx.words(F.col(text_col))).alias("word"))
         .filter(F.col("word") != "")
