@@ -6246,7 +6246,7 @@ def _register_native_json() -> None:
           'evt_' || event_type AS metric_name,
           'app' AS namespace, 'incremental' AS kind,
           'counter' AS metric_type, v::DOUBLE AS metric_value,
-          ts AS ts_rt,
+          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_rt,
           (user_id % 5)::VARCHAR AS tag_uid,
           'z' || (user_id % 3) AS tag_zone
         FROM t
@@ -6281,7 +6281,10 @@ def _register_native_json() -> None:
         return dec.select(
             "event_id", "line", "metric_name", "namespace", "kind",
             "metric_type", "metric_value",
-            F.col("event_ts").alias("ts_rt"),
+            # µs-pinned string so the oracle diff needs no dtype
+            # normalization (Spark->pandas timestamps land as ns)
+            F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("ts_rt"),
             F.col("tags")["uid"].alias("tag_uid"),
             F.col("tags")["zone"].alias("tag_zone"),
         )
@@ -6897,7 +6900,7 @@ def _register_dnstap() -> None:
                '10.0.0.53' AS response_address,
                (40000 + event_id % 20000)::INT AS query_port,
                53::INT AS response_port,
-               ts AS event_ts,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
                (event_id % 65536)::INT AS dns_id,
                CASE WHEN nx THEN 'NXDomain' ELSE 'NoError' END AS rcode,
                TRUE AS aa, qname, 'A' AS qtype,
@@ -6950,7 +6953,11 @@ def _register_dnstap() -> None:
             enc(F.col("event_id"), F.col("user_id"),
                 F.col("ts").cast("timestamp")).alias("payload"),
         )
-        return dt.parse_dnstap(payload)
+        # µs-pinned string (see ev_native_json): no dtype normalization
+        return dt.parse_dnstap(payload).withColumn(
+            "event_ts",
+            F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        )
 
 
 def _register_ecs_metrics() -> None:

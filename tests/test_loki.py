@@ -60,3 +60,34 @@ def test_push_body_stream_order(spark):
     df = _df(spark, [({"z": "1"}, "a", 1), ({"a": "1"}, "b", 2)])
     body = json.loads(loki.push_body(loki.loki_streams(df)))
     assert [s["stream"] for s in body["streams"]] == [{"a": "1"}, {"z": "1"}]
+
+
+def test_push_bodies_distributed_assembly(spark):
+    rows = [({"app": f"a{i}"}, f"line{i}", i) for i in range(40)]
+    streams = loki.loki_streams(_df(spark, rows))
+    bodies = loki.push_bodies(streams, buckets=4)
+    out = bodies.collect()
+    # every stream lands in exactly one bounded body
+    assert sum(r.n_streams for r in out) == 40
+    assert {r.batch_id for r in out} <= set(range(4))
+    seen = []
+    for r in out:
+        parsed = json.loads(r.body)
+        keys = [s["stream"]["app"] for s in parsed["streams"]]
+        assert keys == sorted(keys)  # key-ordered inside each body
+        seen += keys
+    assert sorted(seen) == sorted(f"a{i}" for i in range(40))
+
+
+def test_push_bodies_plan_has_no_driver_collect(spark):
+    # the production assembly is a pure groupBy plan: building it must
+    # not trigger any job (a driver-side collect would), and the plan
+    # is aggregate/exchange only
+    streams = loki.loki_streams(_df(spark, [({"a": "1"}, "l", 1)]))
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    bodies = loki.push_bodies(streams)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after  # lazy: no driver materialization
+    plan = bodies._jdf.queryExecution().executedPlan().toString()
+    assert "CollectLimit" not in plan

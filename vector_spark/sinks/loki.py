@@ -118,9 +118,38 @@ def loki_streams(
     )
 
 
+def push_bodies(streams: DataFrame, buckets: int = 16) -> DataFrame:
+    """THE default push-request assembly: streams → one bounded request
+    body per deterministic hash bucket, fully distributed (no driver
+    collect anywhere in the path — loki label-set cardinality is the
+    classic blow-up, so the body count scales with the stream dim
+    instead of funnelling through the driver). Same batching contract
+    as the body sinks in ``plans/sink_registry.py``: bucket =
+    ``crc32(stream_key) % buckets``, streams sorted by key inside each
+    bucket, body = ``{"streams":[...]}``. Returns
+    (batch_id, n_streams, body)."""
+    b = (F.crc32(F.col("stream_key")) % buckets).cast("int")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("stream_key", "stream_json"))),
+        lambda x: x["stream_json"],
+    )
+    return (
+        streams.groupBy(b.alias("batch_id"))
+        .agg(ordered.alias("__s"))
+        .select(
+            "batch_id",
+            F.size("__s").alias("n_streams"),
+            F.concat(
+                F.lit('{"streams":['), F.array_join("__s", ","), F.lit("]}")
+            ).alias("body"),
+        )
+    )
+
+
 def push_body(streams: DataFrame) -> str:
-    """Driver-side render of one push request: streams in stream_key
-    order. Bounded by stream (label-set) cardinality — at scale, batch
-    per partition with the same assembly instead of one global body."""
+    """DEBUG-ONLY driver-side render of one global push request
+    (streams in stream_key order) for small fixtures and tests. The
+    production path is :func:`push_bodies` — this one collects and is
+    bounded only by stream (label-set) cardinality."""
     rows = streams.orderBy("stream_key").collect()
     return '{"streams":[' + ",".join(r.stream_json for r in rows) + "]}"
