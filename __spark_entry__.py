@@ -11213,9 +11213,86 @@ def _register_co_spike() -> None:
 _register_co_spike()
 
 
+# --- curated hard-verification window --------------------------------------
+# The driver oracle-verifies the FIRST 50 entries of queries() each round.
+# Registration order accretes historically, so the first 50 slots are
+# curated here instead: one representative per subsystem, rotated each
+# round toward whatever CHANGED since its last driver-green row (rewritten
+# plans, new operators, semantics fixes). Everything else stays registered
+# (bench still runs all) in registration order after the window.
+_WINDOW: list[str] = [
+    # flagship + core pipeline
+    "seq_pipeline_agg",
+    "seq_parse_common_log",
+    "vrl_remap_program",
+    "seq_salted_agg",
+    # operators whose plans/semantics changed since their last green row
+    "ev_tag_cardinality",
+    "ev_reduce_sessions",
+    "ev_aggregate_latest",
+    "ev_aggregate_diff",
+    "ev_aggregate_auto",
+    "ev_enrich_range",
+    "ev_enrich_geoip",
+    "ev_enrich_geoip6",
+    "ev_asof_join",
+    "ev_set_ops",
+    "ev_rollup",
+    "ev_pivot",
+    "ev_sample_keyed",
+    "multiline_agg",
+    "checkpointed_resume",
+    "stream_agg_events",
+    # source / sink registries (one decode, one encode, plus this
+    # round's µs-pinned and loki-assembly changes)
+    "ev_dnstap",
+    "ev_prometheus",
+    "ev_native_json",
+    "ev_loki_push",
+    # codecs + conditions
+    "ev_parse_avro",
+    "ev_parse_proto",
+    "ev_datadog_search",
+    "ev_metric_to_log",
+    # config-compiled end-to-end pipeline
+    "cfg_seq_curation",
+    # dataprep representatives (dedup tiers, similarity tiers, tokenizer,
+    # packing/mixing, LM scoring, quality, multimodal, retrieval)
+    "doc_exact_dedup",
+    "doc_minhash_near_dups",
+    "doc_dup_clusters",
+    "doc_paragraph_dedup",
+    "doc_simhash",
+    "emb_near_dups_lsh",
+    "emb_ivf_recall",
+    "emb_pq_topk",
+    "doc_bpe_roundtrip",
+    "seq_substring_dedup",
+    "seq_decontaminate",
+    "seq_pack_tokens",
+    "seq_epoch_order",
+    "seq_bigram_ppl",
+    "doc_quality_classifier",
+    "media_features",
+    "doc_hybrid_rrf",
+    # anomaly/report semantics changed this round (NULL baselines)
+    "ev_template_drift",
+    "ev_cardinality_growth",
+    "ev_retention",
+    # TPC-H representative
+    "tpch_q1_pricing",
+]
+
+
+def _windowed(reg: dict) -> dict:
+    out = {n: reg[n] for n in _WINDOW if n in reg}
+    out.update((n, v) for n, v in reg.items() if n not in out)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return _windowed(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _windowed(_ORACLES)
