@@ -11213,6 +11213,72 @@ def _register_co_spike() -> None:
 _register_co_spike()
 
 
+def _register_vrl_closures() -> None:
+    @_q(
+        "vrl_closures",
+        """
+        WITH e AS (
+          SELECT event_id,
+                 [event_type, 'u' || (user_id % 5),
+                  'zone-' || (user_id % 3), 'foo'] AS tags
+          FROM events WHERE event_id % 11 = 0
+        )
+        SELECT event_id,
+               list_filter(tags, x -> x != 'foo') AS kept,
+               list_transform(tags, x -> upper(x)) AS up,
+               len(tags)::BIGINT AS n_tags,
+               list_sum(list_transform(tags, x -> length(x)))::BIGINT
+                 AS n_chars,
+               list_transform(list_filter(tags, (x, i) -> (i - 1) % 2 = 0),
+                              x -> upper(x)) AS alt_up
+        FROM e
+        """,
+    )
+    def vrl_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """VRL closure compilation (reference website/cue/reference/remap/
+        functions/{filter,map_values,for_each}.cue): filter/map_values
+        expression closures lower to F.filter/F.transform lambdas,
+        for_each statement closures lower to F.aggregate with a struct
+        accumulator — all JVM-side higher-order functions, zero Python
+        per element. The oracle replays each closure with DuckDB list
+        lambdas (1-based indices shifted to VRL's 0-based)."""
+        from vector_spark.vrl import remap_program
+
+        src = """
+.kept = filter(array!(.tags)) -> |_index, value| { value != "foo" }
+.up = map_values(array!(.tags)) -> |v| { upcase(v) }
+n = 0
+c = 0
+for_each(array!(.tags)) -> |_i, value| {
+  n = n + 1
+  c = c + length(value)
+}
+.n_tags = n
+.n_chars = c
+.alt_up = map_values(filter(array!(.tags)) -> |i, v| { i % 2 == 0 })
+  -> |v| { upcase(v) }
+"""
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 11 == 0)
+        ev = ev.select(
+            "event_id",
+            F.array(
+                F.col("event_type"),
+                F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string")),
+                F.concat(
+                    F.lit("zone-"), (F.col("user_id") % 3).cast("string")
+                ),
+                F.lit("foo"),
+            ).alias("tags"),
+        )
+        out = remap_program(ev, src)["primary"]
+        return out.select(
+            "event_id", "kept", "up", "n_tags", "n_chars", "alt_up"
+        )
+
+
+_register_vrl_closures()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are
@@ -11253,7 +11319,7 @@ _WINDOW: list[str] = [
     "ev_parse_avro",
     "ev_parse_proto",
     "ev_datadog_search",
-    "ev_metric_to_log",
+    "vrl_closures",
     # config-compiled end-to-end pipeline
     "cfg_seq_curation",
     # dataprep representatives (dedup tiers, similarity tiers, tokenizer,

@@ -338,3 +338,133 @@ def test_map_root_replacement_event(spark):
         '.path == "/x" && .status == "304"', dict(out.dtypes)
     )
     assert out.filter(F.coalesce(cond, F.lit(False))).count() == 1
+
+
+# --- closures (for_each.cue / filter.cue / map_keys.cue / map_values.cue) ----
+def _coll(spark):
+    return spark.createDataFrame(
+        [(["foo", "bar", "foo", "baz"], {"a": "x", "b": "y"})],
+        "tags array<string>, attrs map<string,string>",
+    )
+
+
+def test_closure_filter_array_cue_example(spark):
+    # filter.cue: keep any elements that aren't equal to "foo"
+    out = remap_program(
+        _coll(spark),
+        '.kept = filter(array!(.tags)) -> |_index, value| { value != "foo" }',
+    )["primary"].collect()[0]
+    assert out.kept == ["bar", "baz"]
+
+
+def test_closure_filter_array_index_param(spark):
+    out = remap_program(
+        _coll(spark), ".evens = filter(array!(.tags)) -> |i, v| { i % 2 == 0 }"
+    )["primary"].collect()[0]
+    assert out.evens == ["foo", "foo"]  # 0-based indices 0 and 2
+
+
+def test_closure_map_values_array_and_map(spark):
+    out = remap_program(
+        _coll(spark),
+        ".t2 = map_values(array!(.tags)) -> |v| { upcase(v) }\n"
+        ".up = map_values(.attrs) -> |value| { upcase(value) }",
+    )["primary"].collect()[0]
+    assert out.t2 == ["FOO", "BAR", "FOO", "BAZ"]
+    assert dict(out.up) == {"a": "X", "b": "Y"}
+
+
+def test_closure_map_keys_cue_example(spark):
+    # map_keys.cue: upcase the keys
+    out = remap_program(
+        _coll(spark), ".uk = map_keys(.attrs) -> |key| { upcase(key) }"
+    )["primary"].collect()[0]
+    assert dict(out.uk) == {"A": "x", "B": "y"}
+
+
+def test_closure_map_filter(spark):
+    out = remap_program(
+        _coll(spark), '.kept = filter(.attrs) -> |k, v| { k == "a" }'
+    )["primary"].collect()[0]
+    assert dict(out.kept) == {"a": "x"}
+
+
+def test_closure_for_each_scalar_accumulators(spark):
+    src = """
+count = 0
+chars = 0
+for_each(array!(.tags)) -> |_index, value| {
+  count = count + 1
+  chars = chars + length(value)
+}
+.n = count
+.c = chars
+"""
+    out = remap_program(_coll(spark), src)["primary"].collect()[0]
+    assert (out.n, out.c) == (4, 12)
+
+
+def test_closure_for_each_map_string_accumulator(spark):
+    src = """
+joined = ""
+for_each(.attrs) -> |key, value| { joined = joined + key + "=" + value + ";" }
+.j = joined
+"""
+    out = remap_program(_coll(spark), src)["primary"].collect()[0]
+    assert out.j == "a=x;b=y;"
+
+
+def test_closure_nested_composition(spark):
+    src = (
+        ".alt = map_values(filter(array!(.tags)) -> |i, v| { i % 2 == 0 })"
+        " -> |v| { upcase(v) }"
+    )
+    out = remap_program(_coll(spark), src)["primary"].collect()[0]
+    assert out.alt == ["FOO", "FOO"]
+
+
+def test_closure_recursive_raises(spark):
+    with pytest.raises(VrlCompileError, match="recursive"):
+        remap_program(
+            _coll(spark),
+            ".x = map_values(.attrs, recursive: true) -> |v| { upcase(v) }",
+        )
+
+
+def test_closure_untyped_target_raises(spark):
+    df = _one(spark, foo="x")
+    with pytest.raises(VrlCompileError, match="statically-typed"):
+        remap_program(df, ".x = filter(.foo) -> |i, v| { v }")
+
+
+def test_closure_for_each_path_write_raises(spark):
+    with pytest.raises(VrlCompileError, match="only assign variables"):
+        remap_program(
+            _coll(spark),
+            'for_each(array!(.tags)) -> |_i, v| { .hit = v }',
+        )
+
+
+def test_closure_for_each_accumulator_needs_literal_init(spark):
+    with pytest.raises(VrlCompileError, match="literal-initialized"):
+        remap_program(
+            _coll(spark),
+            "acc = [] \n"
+            "for_each(array!(.tags)) -> |_i, v| { acc = v }\n"
+            ".n = acc",
+        )
+
+
+def test_closure_local_variables_stay_scoped(spark):
+    # for_each.cue scoping: new variables in the closure block are
+    # unavailable outside it
+    src = """
+total = 0
+for_each(array!(.tags)) -> |_i, v| {
+  local = length(v)
+  total = total + local
+}
+.t = total
+"""
+    out = remap_program(_coll(spark), src)["primary"].collect()[0]
+    assert out.t == 12

@@ -33,9 +33,18 @@ Subset grammar::
               with postfix ".field" / "[i]" access
     call    := ident "!"? "(" (expr | ident ":" expr) ("," ...)* ")"
 
-Out of scope (loud ``VrlCompileError``, never silent): closures
-(``for_each``), dynamic paths, ``.`` root assignment (use
-``remap_explode``), functions absent from the registry.
+Closures (``fn(args) -> |p1, p2| { body }``) compile to Spark
+higher-order functions: ``filter``/``map_keys``/``map_values`` expression
+bodies become ``F.filter``/``F.transform_keys``/``F.transform_values``/
+``F.transform`` lambdas over statically-typed array/map targets, and
+``for_each`` statement bodies become ``F.aggregate`` with a struct
+accumulator of the outer variables the body reassigns (see the closure
+section in ``_Compiler`` for the documented deviations).
+
+Out of scope (loud ``VrlCompileError``, never silent): dynamic paths,
+``.`` root assignment (use ``remap_explode``), recursive closure
+iteration, dynamic-key object mutation inside closures, functions absent
+from the registry.
 """
 
 from __future__ import annotations
@@ -62,7 +71,7 @@ _TOKEN = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*)
       | (?P<meta>%[A-Za-z_][A-Za-z0-9_.]*|%(?![A-Za-z_]))
-      | (?P<op>\?\?|\|\||&&|==|!=|>=|<=|>|<|[=!(){}\[\],:;+\-*/%])
+      | (?P<op>\?\?|\|\||&&|==|!=|>=|<=|->|>|<|[=!(){}\[\],:;+\-*/%|])
       | (?P<path>\.[A-Za-z_][A-Za-z0-9_.]*|\.)
       | (?P<str>\"\"\"(?:[^\\]|\\.)*?\"\"\"|"(?:[^"\\]|\\.)*"|r'(?:[^'\\]|\\.)*'|'(?:[^'\\]|\\.)*')
       | (?P<num>\d+\.\d+|\d+)
@@ -1161,6 +1170,14 @@ class _Compiler:
                 depth += v2 == "("
                 depth -= v2 == ")"
             return
+        if kind == "word" and val in ("for_each", "for_each!") and (
+            self.toks[self.i + 1][1] == "("
+        ):
+            # statement-position enumeration closure: its whole effect is
+            # mutating outer accumulator variables (for_each.cue)
+            self.next()
+            self.call(val)
+            return
         if kind == "word" and val in ("set_secret", "remove_secret") and (
             self.toks[self.i + 1][1] == "("
         ):
@@ -1688,6 +1705,246 @@ class _Compiler:
         fallible = [one]
         return _Val(one, fallible=fallible, is_obj=True)
 
+    # -- closures (`fn(args) -> |p1, p2| { body }`) ---------------------------
+    #
+    # The reference's enumeration functions take closure blocks
+    # (website/cue/reference/remap/functions/{for_each,filter,map_keys,
+    # map_values}.cue). Expression-bodied closures compile to Spark
+    # higher-order functions (F.transform / F.filter / F.map_filter /
+    # F.transform_keys / F.transform_values) — the lambda re-runs the
+    # body's symbolic evaluation with the closure parameters bound to the
+    # lambda's Columns, so the emitted plan is pure JVM-side HOF
+    # expressions, no Python per element. `for_each` statement bodies
+    # compile to F.aggregate over the collection with a struct
+    # accumulator holding every OUTER variable the body reassigns
+    # (VRL scoping: mutations to parent-scope variables persist, closure
+    # locals don't — exactly the accumulator/local split).
+    #
+    # Deviations, all loud or documented: `recursive: true` raises
+    # (the reference's for_each is also non-recursive); closure bodies
+    # are element-wise infallible — a `!` assertion inside a body yields
+    # a NULL element instead of aborting the whole program (lambda-scoped
+    # columns cannot escape into the program-level error predicate);
+    # targets must be statically-typed arrays or maps (wrap in
+    # `array!()`, or declare the column dtype) — VRL's dynamic-object
+    # iteration over struct-typed events stays out of scope, as does the
+    # dynamic-key object mutation of the for_each tally example
+    # (frequency maps are groupBy aggregations on a distributed engine,
+    # not per-row loops; see operators/log_to_metric.py).
+
+    def _parse_closure(self) -> tuple[list[str], list]:
+        """Parse ``-> |p, q| { ... }``; returns (params, body tokens)."""
+        self.expect("->")
+        self.expect("|")
+        params: list[str] = []
+        while self.peek()[1] != "|":
+            kind, val = self.next()
+            if kind != "word":
+                raise VrlCompileError("closure parameters must be identifiers")
+            params.append(val)
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect("|")
+        self.expect("{")
+        depth, start = 1, self.i
+        while depth:
+            kind, val = self.next()
+            if kind == "eof":
+                raise VrlCompileError("unterminated closure body")
+            if val == "{":
+                depth += 1
+            elif val == "}":
+                depth -= 1
+        end = self.toks[self.i - 1][4]
+        return params, list(self.toks[start : self.i - 1]) + [
+            ("eof", "", True, end, end)
+        ]
+
+    def _closure_scope(self, body_toks: list, bindings: dict) -> "_Compiler":
+        sub = _Compiler(list(body_toks))
+        sub.columns = self.columns
+        sub.dtypes = self.dtypes
+        sub.env = dict(self.env)
+        sub.meta = dict(self.meta)
+        sub.vars = dict(self.vars)
+        sub.vars.update(bindings)
+        sub.secrets = dict(self.secrets)
+        sub.enrichment_tables = self.enrichment_tables
+        sub.dropped = set(self.dropped)
+        return sub
+
+    def _closure_expr(self, body_toks: list, bindings: dict) -> Column:
+        sub = self._closure_scope(body_toks, bindings)
+        val = sub.expr()
+        if sub.peek()[0] != "eof":
+            raise VrlCompileError(
+                "this closure body must be a single expression "
+                "(statement bodies are for for_each)"
+            )
+        return val.col
+
+    @staticmethod
+    def _acc_dtype(name: str, v: _Val) -> str:
+        if v.has_lit and not v.is_obj:
+            t = {bool: "boolean", int: "long", float: "double",
+                 str: "string"}.get(type(v.lit))
+            if t:
+                return t
+        if v.is_str:
+            return "string"
+        if v.dtype:
+            return v.dtype
+        raise VrlCompileError(
+            f"for_each accumulator {name!r} needs a literal-initialized "
+            "outer variable (e.g. `count = 0`) so the accumulator type "
+            "is known at plan time"
+        )
+
+    def _closure_call(self, fname: str, args: list[_Val],
+                      kwargs: dict[str, _Val]) -> _Val:
+        params, body = self._parse_closure()
+        if not args:
+            args.append(kwargs.pop("value", None) or _Val(F.lit(None)))
+        rec = kwargs.get("recursive")
+        if rec is None and fname in ("map_keys", "map_values") and len(args) > 1:
+            rec = args[1]
+        if rec is not None and not (rec.has_lit and rec.lit is False):
+            raise VrlCompileError(
+                f"recursive {fname} closures are unsupported (flatten "
+                "first, or use map_keys/map_values per nesting level)"
+            )
+        target = args[0]
+        dt = (target.dtype or "").replace(" ", "")
+        is_arr = dt.startswith("array")
+        is_map = dt.startswith("map")
+        if not (is_arr or is_map):
+            raise VrlCompileError(
+                f"{fname} closure target must be a statically-typed array "
+                "or map column (wrap in array!() / declare the dtype) — "
+                "struct-typed objects don't support dynamic iteration"
+            )
+        col = target.col
+        n = len(params)
+
+        def _need(k: int) -> None:
+            if n != k:
+                raise VrlCompileError(
+                    f"{fname} closure takes {k} parameter(s), got {n}"
+                )
+
+        if fname == "filter":
+            # |index, value| on arrays, |key, value| on maps (filter.cue)
+            _need(2)
+            if is_arr:
+                out = F.filter(
+                    col,
+                    lambda x, i: self._closure_expr(
+                        body,
+                        {params[0]: _Val(i.cast("long")), params[1]: _Val(x)},
+                    ),
+                )
+                return _Val(out, dtype=target.dtype or "array")
+            out = F.map_filter(
+                col,
+                lambda k, v: self._closure_expr(
+                    body, {params[0]: _Val(k, is_str=True), params[1]: _Val(v)}
+                ),
+            )
+            return _Val(out, dtype=target.dtype)
+        if fname == "map_values":
+            _need(1)
+            if is_arr:
+                out = F.transform(
+                    col, lambda x: self._closure_expr(body, {params[0]: _Val(x)})
+                )
+                return _Val(out, dtype="array")
+            out = F.transform_values(
+                col,
+                lambda k, v: self._closure_expr(body, {params[0]: _Val(v)}),
+            )
+            return _Val(out, dtype="map")
+        if fname == "map_keys":
+            _need(1)
+            if not is_map:
+                raise VrlCompileError("map_keys iterates objects, not arrays")
+            out = F.transform_keys(
+                col,
+                lambda k, v: self._closure_expr(
+                    body, {params[0]: _Val(k, is_str=True)}
+                ),
+            )
+            return _Val(out, dtype=target.dtype)
+        if fname == "for_each":
+            _need(2)
+            # discovery pass: which OUTER variables does the body
+            # reassign? (those become accumulator struct fields; body
+            # locals are closure-scoped and discarded, event-path writes
+            # inside closures are unsupported)
+            probe = self._closure_scope(
+                body,
+                {params[0]: _Val(F.lit(None)), params[1]: _Val(F.lit(None))},
+            )
+            probe.compile()
+            if (
+                set(probe.env) != set(self.env)
+                or probe.dropped != self.dropped
+                or probe.aborts
+            ):
+                raise VrlCompileError(
+                    "for_each closure bodies may only assign variables "
+                    "(event-path writes / abort inside closures are "
+                    "unsupported — assign the aggregate afterwards)"
+                )
+            mutated = [
+                name
+                for name in self.vars
+                if probe.vars.get(name) is not self.vars[name]
+            ]
+            if not mutated:
+                return _Val(F.lit(None), is_null_lit=True)
+            types = {m: self._acc_dtype(m, self.vars[m]) for m in mutated}
+            entries = F.map_entries(col) if is_map else F.transform(
+                col, lambda x, i: F.struct(i.alias("i"), x.alias("v"))
+            )
+            init = F.struct(
+                *[self.vars[m].col.cast(types[m]).alias(m) for m in mutated]
+            )
+
+            def merge(acc: Column, x: Column) -> Column:
+                bind = (
+                    {
+                        params[0]: _Val(x["key"], is_str=True),
+                        params[1]: _Val(x["value"]),
+                    }
+                    if is_map
+                    else {
+                        params[0]: _Val(x["i"].cast("long")),
+                        params[1]: _Val(x["v"]),
+                    }
+                )
+                for m in mutated:
+                    bind[m] = _Val(
+                        acc[m], is_str=types[m] == "string", dtype=types[m]
+                    )
+                sub = self._closure_scope(body, bind)
+                sub.compile()
+                return F.struct(
+                    *[sub.vars[m].col.cast(types[m]).alias(m) for m in mutated]
+                )
+
+            agg = F.aggregate(entries, init, merge)
+            for m in mutated:
+                self.vars[m] = _Val(
+                    agg.getField(m),
+                    is_str=types[m] == "string",
+                    dtype=types[m],
+                )
+            return _Val(F.lit(None), is_null_lit=True)
+        raise VrlCompileError(
+            f"{fname} does not take a closure (closures are for "
+            "for_each/filter/map_keys/map_values)"
+        )
+
     def expr_call_discard(self, name: str) -> None:
         """Parse and apply a statement-position call, discarding the value."""
         self.call(name)
@@ -1711,6 +1968,8 @@ class _Compiler:
                 self.next()
         self.expect(")")
         call_end = self.toks[self.i - 1][4]  # span end = the ")" token
+        if self.peek()[1] == "->":
+            return self._closure_call(fname, args, kwargs)
         if fname in (
             "get_enrichment_table_record",
             "find_enrichment_table_records",
@@ -1788,6 +2047,10 @@ class _Compiler:
             and len(args) == 1
             and "schema" not in kwargs,
             err_msg=err_msg,
+            # `array!(.x)` asserts an array — propagate that static type
+            # so closure targets (filter.cue style) are recognized
+            dtype="array" if fname == "array"
+            else (args[0].dtype if fname == "object" and args else None),
         )
 
 
