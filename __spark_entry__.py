@@ -11279,6 +11279,174 @@ for_each(array!(.tags)) -> |_i, value| {
 _register_vrl_closures()
 
 
+def _register_nested_codecs() -> None:
+    @_q(
+        "ev_parse_avro_nested",
+        """
+        SELECT event_id, event_type AS svc,
+               CASE WHEN event_id % 3 = 0 THEN NULL
+                    ELSE event_id % 9 END AS attempt,
+               'u' || (user_id % 5) AS label_u,
+               'z' || (user_id % 3) AS label_z,
+               'h' || (event_id % 4) AS hop0,
+               CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END::BIGINT
+                 AS n_hops
+        FROM events WHERE event_id % 7 = 0
+        """,
+    )
+    def ev_parse_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Nested-record avro codec in the gate (the round-2 flat-subset
+        gap): record containing a nested record (nullable union field),
+        a map, and an array of records — encode each event through the
+        recursive public wire format (functions/avro.py) and decode it
+        back; the oracle supplies the pre-encode values so any wire
+        asymmetry at any nesting depth breaks equality. Golden BYTES for
+        the nested walk are pinned by tests/test_codecs_binary.py."""
+        from vector_spark.functions import avro as A
+
+        schema = {
+            "type": "record", "name": "ev", "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "ctx", "type": {
+                    "type": "record", "name": "ctx", "fields": [
+                        {"name": "svc", "type": "string"},
+                        {"name": "attempt", "type": ["null", "long"]},
+                    ]}},
+                {"name": "labels",
+                 "type": {"type": "map", "values": "string"}},
+                {"name": "hops", "type": {"type": "array", "items": {
+                    "type": "record", "name": "hop", "fields": [
+                        {"name": "host", "type": "string"}]}}},
+            ],
+        }
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 7 == 0)
+        ev = ev.select(
+            "event_id",
+            F.struct(
+                F.col("event_type").alias("svc"),
+                F.when(
+                    F.col("event_id") % 3 != 0, F.col("event_id") % 9
+                ).alias("attempt"),
+            ).alias("ctx"),
+            F.create_map(
+                F.lit("u"),
+                F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string")),
+                F.lit("z"),
+                F.concat(F.lit("z"), (F.col("user_id") % 3).cast("string")),
+            ).alias("labels"),
+            F.when(
+                F.col("event_id") % 2 == 0,
+                F.array(
+                    F.struct(
+                        F.concat(
+                            F.lit("h"), (F.col("event_id") % 4).cast("string")
+                        ).alias("host")
+                    ),
+                    F.struct(F.lit("hX").alias("host")),
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        F.concat(
+                            F.lit("h"), (F.col("event_id") % 4).cast("string")
+                        ).alias("host")
+                    )
+                )
+            )
+            .alias("hops"),
+        )
+        enc = ev.select(
+            A.avro_encode(
+                F.struct("event_id", "ctx", "labels", "hops"), schema
+            ).alias("body")
+        )
+        dec = enc.select(A.avro_decode(F.col("body"), schema).alias("r"))
+        return dec.select(
+            F.col("r.event_id").alias("event_id"),
+            F.col("r.ctx.svc").alias("svc"),
+            F.col("r.ctx.attempt").alias("attempt"),
+            F.col("r.labels")["u"].alias("label_u"),
+            F.col("r.labels")["z"].alias("label_z"),
+            F.col("r.hops")[0]["host"].alias("hop0"),
+            F.size("r.hops").cast("long").alias("n_hops"),
+        )
+
+    @_q(
+        "ev_parse_proto_nested",
+        """
+        SELECT event_id, event_type AS svc,
+               CASE WHEN event_id % 3 = 0 THEN NULL
+                    ELSE -(event_id % 9)::INT END AS attempt,
+               'h' || (event_id % 4) AS hop0,
+               CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END::BIGINT
+                 AS n_hops
+        FROM events WHERE event_id % 13 = 0
+        """,
+    )
+    def ev_parse_proto_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Nested-message protobuf codec in the gate: embedded message
+        (wire type 2, recursive) with a zigzag sint32 field plus a
+        repeated nested message, encode → decode against the descriptor
+        (functions/proto.py); oracle supplies pre-encode values. The
+        protobuf.dev embedded-message golden (1a 03 08 96 01) is pinned
+        by tests/test_codecs_binary.py."""
+        from vector_spark.functions import proto as P
+
+        desc = {
+            1: ("event_id", "int64"),
+            2: ("ctx", {1: ("svc", "string"), 2: ("attempt", "sint32")}),
+            3: ("hops", {1: ("host", "string")}, "repeated"),
+        }
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 13 == 0)
+        ev = ev.select(
+            "event_id",
+            F.struct(
+                F.col("event_type").alias("svc"),
+                F.when(
+                    F.col("event_id") % 3 != 0,
+                    -(F.col("event_id") % 9).cast("int"),
+                ).alias("attempt"),
+            ).alias("ctx"),
+            F.when(
+                F.col("event_id") % 2 == 0,
+                F.array(
+                    F.struct(
+                        F.concat(
+                            F.lit("h"), (F.col("event_id") % 4).cast("string")
+                        ).alias("host")
+                    ),
+                    F.struct(F.lit("hX").alias("host")),
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        F.concat(
+                            F.lit("h"), (F.col("event_id") % 4).cast("string")
+                        ).alias("host")
+                    )
+                )
+            )
+            .alias("hops"),
+        )
+        enc = ev.select(
+            P.proto_encode(F.struct("event_id", "ctx", "hops"), desc)
+            .alias("body")
+        )
+        dec = enc.select(P.proto_decode(F.col("body"), desc).alias("r"))
+        return dec.select(
+            F.col("r.event_id").alias("event_id"),
+            F.col("r.ctx.svc").alias("svc"),
+            F.col("r.ctx.attempt").alias("attempt"),
+            F.col("r.hops")[0]["host"].alias("hop0"),
+            F.size("r.hops").cast("long").alias("n_hops"),
+        )
+
+
+_register_nested_codecs()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are
@@ -11315,9 +11483,10 @@ _WINDOW: list[str] = [
     "ev_prometheus",
     "ev_native_json",
     "ev_loki_push",
-    # codecs + conditions
-    "ev_parse_avro",
-    "ev_parse_proto",
+    # codecs + conditions (nested-record variants exercise the round-3
+    # recursive wire paths; the flat goldens stay pinned in pytest)
+    "ev_parse_avro_nested",
+    "ev_parse_proto_nested",
     "ev_datadog_search",
     "vrl_closures",
     # config-compiled end-to-end pipeline

@@ -72,11 +72,34 @@ def test_avro_array_and_union_golden():
     assert A.decode_record(schema, buf2) == {"xs": [], "opt": "hi"}
 
 
-def test_avro_rejects_nested_records():
+def test_avro_nested_record_map_roundtrip():
+    schema = {
+        "type": "record", "name": "root", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "sub", "type": {"type": "record", "name": "s", "fields": [
+                {"name": "x", "type": "string"},
+                {"name": "y", "type": ["null", "long"]},
+            ]}},
+            {"name": "tags", "type": {"type": "map", "values": "string"}},
+            {"name": "subs", "type": {"type": "array", "items": {
+                "type": "record", "name": "t2",
+                "fields": [{"name": "k", "type": "string"}]}}},
+        ],
+    }
+    row = {"id": 7, "sub": {"x": "hi", "y": None}, "tags": {"a": "1"},
+           "subs": [{"k": "z"}]}
+    buf = A.encode_record(schema, row)
+    # spec walk: long 7 -> 0e; record{string "hi" -> 04 6869, union null
+    # (index 0) -> 00}; map 1 block {"a":"1"} -> 02 0261 0231 00;
+    # array 1 block {record{string "z"}} -> 02 027a 00
+    assert buf.hex() == "0e0468690002026102310002027a00"
+    assert A.decode_record(schema, buf) == row
+
+
+def test_avro_rejects_multibranch_union():
     bad = {
-        "type": "record",
-        "name": "t",
-        "fields": [{"name": "x", "type": {"type": "record", "name": "n", "fields": []}}],
+        "type": "record", "name": "t",
+        "fields": [{"name": "x", "type": ["null", "long", "string"]}],
     }
     with pytest.raises(ValueError):
         A.record_fields(bad)
@@ -184,3 +207,87 @@ def test_proto_spark_roundtrip(spark):
     assert len(rows) == 50
     assert rows[6].event_type == "k2" and rows[6].value == 1.5
     assert rows[6].tags == [1, 7]
+
+
+def test_proto_nested_message_golden():
+    # protobuf.dev encoding guide: Test1{a=150} -> 08 96 01 and
+    # Test3{c=Test1{a=150}} (field 3 embedded) -> 1a 03 08 96 01
+    t1 = {1: ("a", "int32")}
+    t3 = {3: ("c", t1)}
+    b = P.encode_message(t3, {"c": {"a": 150}})
+    assert b.hex() == "1a03089601"
+    assert P.decode_message(t3, b) == {"c": {"a": 150}}
+
+
+def test_proto_repeated_nested_and_map_entry_roundtrip():
+    # proto map<K,V> is repeated message {1: key, 2: value} per spec
+    desc = {
+        1: ("id", "int64"),
+        2: ("subs", {1: ("k", "string"), 2: ("n", "int32")}, "repeated"),
+        3: ("attrs", {1: ("key", "string"), 2: ("value", "string")},
+            "repeated"),
+    }
+    row = {
+        "id": 9,
+        "subs": [{"k": "x", "n": 1}, {"k": "y", "n": 2}],
+        "attrs": [{"key": "a", "value": "b"}],
+    }
+    assert P.decode_message(desc, P.encode_message(desc, row)) == row
+
+
+def test_avro_nested_spark_roundtrip(spark):
+    schema = {
+        "type": "record", "name": "evt", "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "ctx", "type": {"type": "record", "name": "c",
+                                     "fields": [
+                                         {"name": "svc", "type": "string"},
+                                         {"name": "attempt",
+                                          "type": ["null", "long"]},
+                                     ]}},
+            {"name": "labels", "type": {"type": "map", "values": "string"}},
+        ],
+    }
+    df = spark.createDataFrame(
+        [(1, ("api", 2), {"z": "1"}), (2, ("web", None), {})],
+        "event_id long, ctx struct<svc string, attempt bigint>, "
+        "labels map<string,string>",
+    )
+    enc = df.select(
+        "event_id",
+        A.avro_encode(
+            F.struct("event_id", "ctx", "labels"), schema
+        ).alias("body"),
+    )
+    dec = enc.select(
+        "event_id", A.avro_decode(F.col("body"), schema).alias("r")
+    )
+    rows = {r.event_id: r.r for r in dec.collect()}
+    assert rows[1].ctx.svc == "api" and rows[1].ctx.attempt == 2
+    assert dict(rows[1].labels) == {"z": "1"}
+    assert rows[2].ctx.attempt is None and dict(rows[2].labels) == {}
+
+
+def test_proto_nested_spark_roundtrip(spark):
+    desc = {
+        1: ("event_id", "int64"),
+        2: ("ctx", {1: ("svc", "string"), 2: ("attempt", "int32")}),
+        3: ("hops", {1: ("host", "string")}, "repeated"),
+    }
+    df = spark.createDataFrame(
+        [(1, ("api", 2), [("h1",), ("h2",)]), (2, ("web", None), [])],
+        "event_id long, ctx struct<svc string, attempt int>, "
+        "hops array<struct<host string>>",
+    )
+    enc = df.select(
+        "event_id",
+        P.proto_encode(F.struct("event_id", "ctx", "hops"), desc)
+        .alias("body"),
+    )
+    dec = enc.select(
+        "event_id", P.proto_decode(F.col("body"), desc).alias("r")
+    )
+    rows = {r.event_id: r.r for r in dec.collect()}
+    assert rows[1].ctx.svc == "api" and rows[1].ctx.attempt == 2
+    assert [h.host for h in rows[1].hops] == ["h1", "h2"]
+    assert rows[2].hops == []

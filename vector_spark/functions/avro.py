@@ -11,10 +11,12 @@ Per-row byte walking is unavoidable for a record codec (the connector does
 the same JVM-side); batches arrive via Arrow so there is no per-row Python
 *dispatch*.
 
-Supported schema subset: record of primitives (null/boolean/int/long/
+Supported schema subset: records of primitives (null/boolean/int/long/
 float/double/string/bytes), nullable unions ``["null", T]`` / ``[T,
-"null"]``, and arrays of primitives — the shapes log pipelines actually
-put on the wire. Nested records raise ``ValueError`` up front.
+"null"]``, and — recursively — nested records, arrays, and maps of any
+supported type (OTLP-style payloads nest; the wire spec's recursive
+grammar maps 1:1 onto Spark struct/array/map types). Multi-branch
+non-null unions and named-type references stay loud ``ValueError``s.
 """
 
 from __future__ import annotations
@@ -76,53 +78,118 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 # --- schema handling -------------------------------------------------------
 
 
-def _field_kind(t: Any) -> tuple[str, bool]:
-    """Returns (base type or 'array:<item>', nullable)."""
+def _field_kind(t: Any) -> tuple[Any, bool, bool]:
+    """Returns ``(kind, nullable, null_first)``.
+
+    ``kind`` is the recursive type descriptor: a primitive name, or
+    ``("array", item_triple)`` / ``("map", value_triple)`` /
+    ``("record", [(name, kind, nullable, null_first), ...])`` — the
+    Avro spec's recursive grammar. ``null_first`` preserves the union
+    branch ORDER as written (the union index on the wire is positional,
+    spec "Binary encoding > complex types > unions")."""
     if isinstance(t, list):
         non_null = [x for x in t if x != "null"]
         if len(t) != 2 or len(non_null) != 1:
             raise ValueError(f"only 2-branch null unions supported, got {t}")
-        base, _ = _field_kind(non_null[0])
-        return base, True
+        base, inner_nullable, _ = _field_kind(non_null[0])
+        if inner_nullable:
+            raise ValueError(f"nested nullable union in {t}")
+        return base, True, t[0] == "null"
     if isinstance(t, dict):
-        if t.get("type") == "array":
-            item = t["items"]
-            if not isinstance(item, str) or item not in _PRIMITIVES or item == "null":
-                raise ValueError(f"array items must be primitive, got {item}")
-            return f"array:{item}", False
-        raise ValueError(f"unsupported complex type {t.get('type')}")
+        tt = t.get("type")
+        if tt == "array":
+            return ("array", _field_kind(t["items"])), False, True
+        if tt == "map":
+            return ("map", _field_kind(t["values"])), False, True
+        if tt == "record":
+            return ("record", _fields_of(t)), False, True
+        if isinstance(tt, (str, list, dict)) and tt not in (
+            "array", "map", "record",
+        ):
+            return _field_kind(tt)  # {"type": "string"} wrapper form
+        raise ValueError(f"unsupported complex type {tt}")
     if t not in _PRIMITIVES:
         raise ValueError(f"unsupported avro type {t!r}")
-    return t, False
+    return t, False, True
 
 
-def _spark_type(kind: str) -> str:
-    if kind.startswith("array:"):
-        return f"array<{_PRIMITIVES[kind.split(':', 1)[1]]}>"
+def _fields_of(schema: dict) -> list[tuple[str, Any, bool, bool]]:
+    return [
+        (f["name"], *_field_kind(f["type"])) for f in schema["fields"]
+    ]
+
+
+def _spark_type(kind: Any) -> str:
+    if isinstance(kind, tuple):
+        tag, inner = kind
+        if tag == "array":
+            return f"array<{_spark_type(inner[0])}>"
+        if tag == "map":
+            return f"map<string,{_spark_type(inner[0])}>"
+        if tag == "record":
+            inner_fields = ", ".join(
+                f"`{n}`: {_spark_type(k)}" for n, k, _, _ in inner
+            )
+            return f"struct<{inner_fields}>"
     return _PRIMITIVES[kind]
 
 
-def record_fields(schema: dict) -> list[tuple[str, str, bool]]:
-    """[(name, kind, nullable)] for a record schema."""
+def record_fields(schema: dict) -> list[tuple[str, Any, bool, bool]]:
+    """[(name, kind, nullable, null_first)] for a record schema."""
     if schema.get("type") != "record":
         raise ValueError("schema must be an avro record")
-    out = []
-    for f in schema["fields"]:
-        kind, nullable = _field_kind(f["type"])
-        out.append((f["name"], kind, nullable))
-    return out
+    return _fields_of(schema)
 
 
 def spark_schema_of(schema: dict) -> str:
     return ", ".join(
-        f"`{n}`: {_spark_type(k)}" for n, k, _ in record_fields(schema)
+        f"`{n}`: {_spark_type(k)}" for n, k, _, _ in record_fields(schema)
     )
 
 
 # --- one-value encode/decode ----------------------------------------------
 
 
-def _encode_value(out: bytearray, kind: str, v: Any) -> None:
+def _encode_triple(
+    out: bytearray, triple: tuple[Any, bool, bool], v: Any, name: str = "?"
+) -> None:
+    """Encode one (possibly nullable-union) value."""
+    kind, nullable, null_first = triple
+    if nullable:
+        # union index: branch order as written in the schema
+        if v is None:
+            _write_varint(out, 0 if null_first else 1)
+            return
+        _write_varint(out, 1 if null_first else 0)
+    elif v is None:
+        raise ValueError(f"field {name} is not nullable")
+    _encode_value(out, kind, v)
+
+
+def _encode_value(out: bytearray, kind: Any, v: Any) -> None:
+    if isinstance(kind, tuple):
+        tag, inner = kind
+        if tag == "array":
+            items = list(v)
+            if items:
+                _write_varint(out, len(items))  # one block
+                for x in items:
+                    _encode_triple(out, inner, x)
+            _write_varint(out, 0)  # end of blocks
+            return
+        if tag == "map":
+            entries = list(v.items()) if isinstance(v, dict) else list(v)
+            if entries:
+                _write_varint(out, len(entries))
+                for mk, mv in entries:
+                    _encode_value(out, "string", mk)
+                    _encode_triple(out, inner, mv)
+            _write_varint(out, 0)
+            return
+        # nested record: field order is the schema's field order
+        for name, fk, fnull, fnf in inner:
+            _encode_triple(out, (fk, fnull, fnf), v.get(name), name)
+        return
     if kind == "null":
         return
     if kind == "boolean":
@@ -141,19 +208,52 @@ def _encode_value(out: bytearray, kind: str, v: Any) -> None:
         b = bytes(v)
         _write_varint(out, len(b))
         out += b
-    elif kind.startswith("array:"):
-        item = kind.split(":", 1)[1]
-        items = list(v)
-        if items:
-            _write_varint(out, len(items))  # one block
-            for x in items:
-                _encode_value(out, item, x)
-        _write_varint(out, 0)  # end of blocks
     else:  # pragma: no cover
         raise ValueError(kind)
 
 
-def _decode_value(buf: bytes, pos: int, kind: str) -> tuple[Any, int]:
+def _decode_triple(
+    buf: bytes, pos: int, triple: tuple[Any, bool, bool]
+) -> tuple[Any, int]:
+    kind, nullable, null_first = triple
+    if nullable:
+        idx, pos = _read_varint(buf, pos)
+        if (idx == 0) == null_first:
+            return None, pos
+    return _decode_value(buf, pos, kind)
+
+
+def _decode_value(buf: bytes, pos: int, kind: Any) -> tuple[Any, int]:
+    if isinstance(kind, tuple):
+        tag, inner = kind
+        if tag == "array":
+            acc = []
+            while True:
+                n, pos = _read_varint(buf, pos)
+                if n == 0:
+                    return acc, pos
+                if n < 0:  # block with byte-size prefix (spec form)
+                    n = -n
+                    _, pos = _read_varint(buf, pos)
+                for _ in range(n):
+                    x, pos = _decode_triple(buf, pos, inner)
+                    acc.append(x)
+        if tag == "map":
+            m: dict[str, Any] = {}
+            while True:
+                n, pos = _read_varint(buf, pos)
+                if n == 0:
+                    return m, pos
+                if n < 0:
+                    n = -n
+                    _, pos = _read_varint(buf, pos)
+                for _ in range(n):
+                    mk, pos = _decode_value(buf, pos, "string")
+                    m[mk], pos = _decode_triple(buf, pos, inner)
+        rec: dict[str, Any] = {}
+        for name, fk, fnull, fnf in inner:
+            rec[name], pos = _decode_triple(buf, pos, (fk, fnull, fnf))
+        return rec, pos
     if kind == "null":
         return None, pos
     if kind == "boolean":
@@ -170,51 +270,22 @@ def _decode_value(buf: bytes, pos: int, kind: str) -> tuple[Any, int]:
     if kind == "bytes":
         n, pos = _read_varint(buf, pos)
         return bytes(buf[pos : pos + n]), pos + n
-    if kind.startswith("array:"):
-        item = kind.split(":", 1)[1]
-        acc = []
-        while True:
-            n, pos = _read_varint(buf, pos)
-            if n == 0:
-                return acc, pos
-            if n < 0:  # block with byte-size prefix (spec-permitted form)
-                n = -n
-                _, pos = _read_varint(buf, pos)
-            for _ in range(n):
-                x, pos = _decode_value(buf, pos, item)
-                acc.append(x)
     raise ValueError(kind)  # pragma: no cover
 
 
 def encode_record(schema: dict, row: dict) -> bytes:
     """One record → avro binary body (no container-file framing)."""
     out = bytearray()
-    for name, kind, nullable in record_fields(schema):
-        v = row.get(name)
-        if nullable:
-            # union index: branch order as written in the schema
-            branches = schema_field_types(schema)[name]
-            idx = branches.index("null") if v is None else 1 - branches.index("null")
-            _write_varint(out, idx)
-            if v is None:
-                continue
-        elif v is None:
-            raise ValueError(f"field {name} is not nullable")
-        _encode_value(out, kind, v)
+    for name, kind, nullable, null_first in record_fields(schema):
+        _encode_triple(out, (kind, nullable, null_first), row.get(name), name)
     return bytes(out)
 
 
 def decode_record(schema: dict, buf: bytes) -> dict:
     out: dict[str, Any] = {}
     pos = 0
-    for name, kind, nullable in record_fields(schema):
-        if nullable:
-            branches = schema_field_types(schema)[name]
-            idx, pos = _read_varint(buf, pos)
-            if branches[idx] == "null":
-                out[name] = None
-                continue
-        out[name], pos = _decode_value(buf, pos, kind)
+    for name, kind, nullable, null_first in record_fields(schema):
+        out[name], pos = _decode_triple(buf, pos, (kind, nullable, null_first))
     return out
 
 
@@ -231,7 +302,7 @@ def schema_field_types(schema: dict) -> dict[str, list]:
 def avro_decode(col: Column, schema: dict) -> Column:
     """binary avro record column → struct column (vectorized batch UDF)."""
     fields = record_fields(schema)  # validate up front, fail fast
-    names = [n for n, _, _ in fields]
+    names = [n for n, _, _, _ in fields]
     out_schema = f"struct<{spark_schema_of(schema)}>"
 
     @pandas_udf(out_schema)

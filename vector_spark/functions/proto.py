@@ -12,9 +12,12 @@ scratch inside Arrow-batched pandas UDFs.
 
 Descriptor: ``{field_number: (name, type)}`` or ``(name, type, "repeated")``
 with type in int32/int64/uint32/uint64/sint32/sint64/bool/enum/
-fixed64/sfixed64/double/fixed32/sfixed32/float/string/bytes.
-Unknown fields are skipped on decode (per spec), missing fields decode to
-NULL (proto3 presence semantics for this flat subset).
+fixed64/sfixed64/double/fixed32/sfixed32/float/string/bytes — or a nested
+descriptor dict for an embedded message (wire type 2, recursively; proto
+map<K,V> fields are their spec-defined repeated ``{1: key, 2: value}``
+message, so they ride the same path). Unknown fields are skipped on
+decode (per spec), missing fields decode to NULL (proto3 presence
+semantics).
 """
 
 from __future__ import annotations
@@ -40,22 +43,29 @@ _SPARK = {
 }
 
 
-def _norm_desc(desc: dict) -> dict[int, tuple[str, str, bool]]:
+def _norm_desc(desc: dict) -> dict[int, tuple[str, Any, bool]]:
     out = {}
     for num, spec in desc.items():
         name, typ = spec[0], spec[1]
         repeated = len(spec) > 2 and spec[2] == "repeated"
-        if typ not in _SPARK:
+        if isinstance(typ, dict):
+            _norm_desc(typ)  # validate the nested message descriptor
+        elif typ not in _SPARK:
             raise ValueError(f"unsupported proto type {typ!r}")
         out[int(num)] = (name, typ, repeated)
     return out
 
 
 def spark_schema_of(desc: dict) -> str:
+    d = _norm_desc(desc)
     parts = []
-    for num in sorted(_norm_desc(desc)):
-        name, typ, repeated = _norm_desc(desc)[num]
-        t = _SPARK[typ]
+    for num in sorted(d):
+        name, typ, repeated = d[num]
+        t = (
+            f"struct<{spark_schema_of(typ)}>"
+            if isinstance(typ, dict)
+            else _SPARK[typ]
+        )
         parts.append(f"`{name}`: {f'array<{t}>' if repeated else t}")
     return ", ".join(parts)
 
@@ -86,8 +96,10 @@ def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
         shift += 7
 
 
-def _to_wire(typ: str, v: Any) -> tuple[int, Any]:
+def _to_wire(typ: Any, v: Any) -> tuple[int, Any]:
     """(wire_type, raw) for one scalar."""
+    if isinstance(typ, dict):
+        return 2, v  # embedded message: length-delimited
     if typ in _VARINT:
         if typ == "bool":
             return 0, 1 if v else 0
@@ -103,7 +115,12 @@ def _to_wire(typ: str, v: Any) -> tuple[int, Any]:
     return 2, v  # length-delimited
 
 
-def _encode_scalar(out: bytearray, typ: str, v: Any) -> None:
+def _encode_scalar(out: bytearray, typ: Any, v: Any) -> None:
+    if isinstance(typ, dict):
+        body = encode_message(typ, v)
+        _write_uvarint(out, len(body))
+        out += body
+        return
     wt, raw = _to_wire(typ, v)
     if wt == 0:
         _write_uvarint(out, raw)
@@ -119,7 +136,10 @@ def _encode_scalar(out: bytearray, typ: str, v: Any) -> None:
         out += b
 
 
-def _decode_scalar(buf: bytes, pos: int, typ: str) -> tuple[Any, int]:
+def _decode_scalar(buf: bytes, pos: int, typ: Any) -> tuple[Any, int]:
+    if isinstance(typ, dict):
+        n, pos = _read_uvarint(buf, pos)
+        return decode_message(typ, buf[pos : pos + n]), pos + n
     if typ in _VARINT:
         n, pos = _read_uvarint(buf, pos)
         if typ in ("sint32", "sint64"):
@@ -169,7 +189,8 @@ def encode_message(desc: dict, row: dict) -> bytes:
         if v is None:
             continue
         if repeated:
-            if typ in _LEN:  # strings/bytes repeat unpacked
+            if isinstance(typ, dict) or typ in _LEN:
+                # strings/bytes/messages repeat unpacked
                 for x in v:
                     _write_uvarint(out, (num << 3) | 2)
                     _encode_scalar(out, typ, x)
@@ -198,7 +219,10 @@ def decode_message(desc: dict, buf: bytes) -> dict:
             pos = _skip(buf, pos, wt)
             continue
         name, typ, repeated = d[num]
-        if repeated and wt == 2 and typ not in _LEN:
+        if (
+            repeated and wt == 2
+            and not isinstance(typ, dict) and typ not in _LEN
+        ):
             n, pos = _read_uvarint(buf, pos)  # packed block
             end = pos + n
             while pos < end:
