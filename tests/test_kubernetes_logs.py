@@ -79,3 +79,118 @@ def test_merge_partial_runs(spark):
     dang = msgs[("pod1", "stdout", "dangling")]
     assert dang.partial  # flushed at end-of-input, flagged partial
     assert len(out) == 5
+
+
+# --- pod-metadata dim tool + annotation ------------------------------------
+
+PODLIST = {
+    "kind": "PodList",
+    "items": [
+        {
+            "metadata": {
+                "name": "api-7f9c", "namespace": "prod",
+                "uid": "uid-1",
+                "labels": {"app": "api", "tier": "web"},
+                "annotations": {"team": "core"},
+                "ownerReferences": [
+                    {"kind": "ReplicaSet", "name": "api-7f9c"},
+                ],
+            },
+            "spec": {
+                "nodeName": "node-a",
+                "containers": [
+                    {"name": "app", "image": "api:1.2"},
+                    {"name": "sidecar", "image": "envoy:9"},
+                ],
+            },
+            "status": {
+                "podIP": "10.0.0.5",
+                "podIPs": [{"ip": "10.0.0.5"}, {"ip": "fd00::5"}],
+                "containerStatuses": [
+                    {"name": "app", "imageID": "sha256:aa",
+                     "containerID": "containerd://c1"},
+                ],
+            },
+        },
+        {"metadata": {"name": "bare", "namespace": "dev", "uid": "uid-2"},
+         "spec": {}, "status": {}},
+    ],
+}
+
+
+def test_pods_to_rows_flattens_per_container():
+    import sys
+
+    sys.path.insert(0, "tools")
+    from k8s_metadata_dump import pods_to_rows
+
+    rows = pods_to_rows(PODLIST)
+    assert len(rows) == 3  # 2 containers + 1 pod-level row for `bare`
+    app = next(r for r in rows if r["container_name"] == "app")
+    assert app["pod_owner"] == "ReplicaSet/api-7f9c"
+    assert app["pod_ips"] == ["10.0.0.5", "fd00::5"]
+    assert app["container_image_id"] == "sha256:aa"
+    side = next(r for r in rows if r["container_name"] == "sidecar")
+    assert side["container_image"] == "envoy:9"
+    assert side["container_id"] is None  # no status entry
+    bare = next(r for r in rows if r["pod_name"] == "bare")
+    assert bare["container_name"] is None and bare["pod_labels"] == {}
+
+
+def test_parse_log_file_path_reference_case(spark):
+    # path_helpers.rs::test_parse_log_file_path sandbox fixture
+    from vector_spark.sources.kubernetes import parse_log_file_path
+
+    df = spark.createDataFrame(
+        [("/var/log/pods/sandbox0-ns_sandbox0-name_sandbox0-uid/"
+          "sandbox0-container0-name/1.log",)],
+        "file string",
+    )
+    (r,) = df.select(parse_log_file_path("file").alias("p")).collect()
+    assert (
+        r.p.pod_namespace, r.p.pod_name, r.p.pod_uid, r.p.container_name
+    ) == ("sandbox0-ns", "sandbox0-name", "sandbox0-uid",
+          "sandbox0-container0-name")
+
+
+def test_annotate_pod_metadata_broadcast_join(spark, tmp_path):
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "tools")
+    from k8s_metadata_dump import main as dump_main
+
+    from vector_spark.sources.kubernetes import annotate_pod_metadata
+
+    src = tmp_path / "pods.json"
+    out = tmp_path / "dim.parquet"
+    src.write_text(_json.dumps(PODLIST))
+    assert dump_main(["x", str(src), str(out)]) == 0
+    dim = spark.read.parquet(str(out))
+
+    logs = spark.createDataFrame(
+        [
+            ("/var/log/pods/prod_api-7f9c_uid-1/app/0.log", "m1"),
+            ("/var/log/pods/prod_api-7f9c_uid-1/sidecar/0.log", "m2"),
+            ("/var/log/pods/other_gone_uid-9/x/0.log", "m3"),
+        ],
+        "file string, message string",
+    )
+    got = {
+        r.message: r
+        for r in annotate_pod_metadata(logs, dim).collect()
+    }
+    r1 = got["m1"]
+    assert r1["kubernetes.pod_node_name"] == "node-a"
+    assert r1["kubernetes.pod_owner"] == "ReplicaSet/api-7f9c"
+    assert dict(r1["kubernetes.pod_labels"]) == {"app": "api", "tier": "web"}
+    assert r1["kubernetes.container_image"] == "api:1.2"
+    assert got["m2"]["kubernetes.container_image"] == "envoy:9"
+    # unknown pod passes through with null metadata, keys still parsed
+    r3 = got["m3"]
+    assert r3["kubernetes.pod_namespace"] == "other"
+    assert r3["kubernetes.pod_owner"] is None
+    # the dim side must be broadcast (no event-stream shuffle)
+    plan = annotate_pod_metadata(logs, dim)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan

@@ -130,3 +130,63 @@ def merge_partial_lines(
         # every line still partial → unterminated trailing run
         F.element_at("runs", -1)["p"].alias("partial"),
     )
+
+
+# --- pod-metadata annotation (path identity + dim equality join) -----------
+
+_LOG_PATH_RE = r"^.*/([^/_]*)_([^/_]*)_([^/]*)/([^/]+)/[^/]+$"
+
+
+def parse_log_file_path(path: Column | str) -> Column:
+    """``/var/log/pods/<ns>_<pod>_<uid>/<container>/N.log`` → struct of
+    (pod_namespace, pod_name, pod_uid, container_name).
+
+    Parity: reference path_helpers.rs::parse_log_file_path — rsplit on
+    '/' for (file, container, pod_dir), rsplit the pod dir on '_' for
+    (uid, name, namespace); the uid group here is greedy-from-the-right
+    so underscores inside the uid never shift the split."""
+    p = F.col(path) if isinstance(path, str) else path
+    return F.struct(
+        F.regexp_extract(p, _LOG_PATH_RE, 1).alias("pod_namespace"),
+        F.regexp_extract(p, _LOG_PATH_RE, 2).alias("pod_name"),
+        F.regexp_extract(p, _LOG_PATH_RE, 3).alias("pod_uid"),
+        F.regexp_extract(p, _LOG_PATH_RE, 4).alias("container_name"),
+    )
+
+
+def annotate_pod_metadata(
+    df: DataFrame,
+    dim: DataFrame,
+    file_col: str = "file",
+    prefix: str = "kubernetes.",
+) -> DataFrame:
+    """Annotate container log events with pod metadata — the batch twin
+    of pod_metadata_annotator.rs, with the live API watch replaced by a
+    dim table from ``tools/k8s_metadata_dump.py``.
+
+    The join identity is the log-path identity the reference uses:
+    (pod_namespace, pod_name, pod_uid, container_name). A pod inventory
+    is thousands of rows, so the dim side is broadcast — no shuffle of
+    the event stream. Emits the annotator's field set under ``prefix``
+    (kubernetes.pod_name … kubernetes.container_image_id); events whose
+    pod is not in the dim pass through with null metadata, exactly like
+    the reference's "no pod info found" path."""
+    keys = ["pod_namespace", "pod_name", "pod_uid", "container_name"]
+    out_fields = [
+        "pod_ip", "pod_ips", "pod_labels", "pod_annotations",
+        "pod_node_name", "pod_owner", "container_image",
+        "container_image_id", "container_id",
+    ]
+    parsed = df.withColumn("__k8s", parse_log_file_path(file_col))
+    d = dim.select(
+        *[F.col(k).alias(f"__d_{k}") for k in keys],
+        *[F.col(c).alias(f"__d_{c}") for c in out_fields],
+    )
+    cond = [parsed["__k8s"][k] == d[f"__d_{k}"] for k in keys]
+    joined = parsed.join(F.broadcast(d), cond, "left")
+    for k in keys:
+        joined = joined.withColumn(prefix + k, F.col("__k8s")[k])
+    for c in out_fields:
+        joined = joined.withColumn(prefix + c, F.col(f"__d_{c}"))
+    return joined.drop("__k8s", *[f"__d_{k}" for k in keys],
+                       *[f"__d_{c}" for c in out_fields])
