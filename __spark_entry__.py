@@ -11447,6 +11447,67 @@ def _register_nested_codecs() -> None:
 _register_nested_codecs()
 
 
+def _register_vrl_dynamic_paths() -> None:
+    @_q(
+        "vrl_dynamic_paths",
+        """
+        WITH e AS (
+          SELECT event_id,
+                 MAP {'et': event_type,
+                      'uid': 'u' || (user_id % 7),
+                      'zone': 'z' || (user_id % 3)} AS attrs,
+                 CASE WHEN event_id % 2 = 0 THEN 'uid' ELSE 'zone' END
+                   AS key
+          FROM events WHERE event_id % 9 = 0
+        )
+        SELECT event_id,
+               attrs[key][1] AS val,
+               (cardinality(attrs) + 1)::BIGINT AS n_tagged,
+               (cardinality(attrs) - 1)::BIGINT AS n_rest,
+               attrs['et'][1] AS et_after
+        FROM e
+        """,
+    )
+    def vrl_dynamic_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """VRL dynamic-path functions (reference website/cue/reference/
+        remap/functions/{get,set,remove}.cue): get with a key read from
+        another FIELD (dynamic segment → element_at on the map), set and
+        remove lowering to map_concat/map_filter — pure column math, the
+        last VRL grammar family that previously raised VrlCompileError.
+        The oracle recomputes every read/update effect directly."""
+        from vector_spark.vrl import remap_program
+
+        src = """
+.val = get!(.attrs, [.key])
+.tagged = set(.attrs, ["seen"], "1")
+.n_tagged = length(.tagged)
+.rest = remove(.attrs, [.key])
+.n_rest = length(.rest)
+.et_after = get(.rest, ["et"])
+"""
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 9 == 0)
+        ev = ev.select(
+            "event_id",
+            F.create_map(
+                F.lit("et"), F.col("event_type"),
+                F.lit("uid"),
+                F.concat(F.lit("u"), (F.col("user_id") % 7).cast("string")),
+                F.lit("zone"),
+                F.concat(F.lit("z"), (F.col("user_id") % 3).cast("string")),
+            ).alias("attrs"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("uid"))
+            .otherwise(F.lit("zone"))
+            .alias("key"),
+        )
+        out = remap_program(ev, src)["primary"]
+        return out.select(
+            "event_id", "val", "n_tagged", "n_rest", "et_after"
+        )
+
+
+_register_vrl_dynamic_paths()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are

@@ -468,3 +468,48 @@ for_each(array!(.tags)) -> |_i, v| {
 """
     out = remap_program(_coll(spark), src)["primary"].collect()[0]
     assert out.t == 12
+
+
+# --- dynamic paths: get / set / remove (get.cue / set.cue / remove.cue) ------
+def test_get_set_remove_dynamic_map(spark):
+    df = spark.createDataFrame(
+        [({"a": "x", "b": "y"}, "a")], "attrs map<string,string>, key string"
+    )
+    src = """
+.val = get!(.attrs, [.key])
+.attrs2 = set(.attrs, ["added"], "yes")
+.added = get(.attrs2, ["added"])
+.rest = remove(.attrs, [.key])
+.n_rest = length(.rest)
+.miss = get(.attrs, ["zz"])
+"""
+    out = remap_program(df, src)["primary"].collect()[0]
+    assert (out.val, out.added, out.n_rest, out.miss) == ("x", "yes", 1, None)
+    assert dict(out.rest) == {"b": "y"}
+
+
+def test_get_set_struct_and_object_literal(spark):
+    df = spark.createDataFrame([(("v1", 5),)], "ctx struct<s string, n long>")
+    src = """
+.s = get(.ctx, ["s"])
+.ctx2 = set(.ctx, ["n"], 9)
+.obj = set({"p": 1, "q": 2}, ["q"], 3)
+.drop = remove(.ctx, ["s"])
+"""
+    out = remap_program(df, src)["primary"].collect()[0]
+    assert out.s == "v1"
+    assert out.ctx2.asDict() == {"s": "v1", "n": 9}
+    assert out.obj.asDict() == {"p": 1, "q": 3}
+    assert out.drop.asDict() == {"n": 5}
+
+
+def test_set_multisegment_path_raises_on_map(spark):
+    df = spark.createDataFrame([({"a": "x"},)], "attrs map<string,string>")
+    with pytest.raises(VrlCompileError, match="1-segment"):
+        remap_program(df, '.x = set(.attrs, ["a", "b"], 1)')
+
+
+def test_get_path_must_be_array(spark):
+    df = spark.createDataFrame([({"a": "x"},)], "attrs map<string,string>")
+    with pytest.raises(VrlCompileError, match="path ARRAY"):
+        remap_program(df, '.x = get(.attrs, "a")')

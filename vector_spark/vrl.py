@@ -41,10 +41,17 @@ bodies become ``F.filter``/``F.transform_keys``/``F.transform_values``/
 accumulator of the outer variables the body reassigns (see the closure
 section in ``_Compiler`` for the documented deviations).
 
-Out of scope (loud ``VrlCompileError``, never silent): dynamic paths,
-``.`` root assignment (use ``remap_explode``), recursive closure
-iteration, dynamic-key object mutation inside closures, functions absent
-from the registry.
+Dynamic paths ride ``get``/``set``/``remove`` with path arrays
+(get.cue/set.cue/remove.cue): literal segments walk object-literal
+fields at compile time or structs via getItem/withField/dropFields,
+dynamic expression segments lower to ``element_at``/``map_filter``/
+``map_concat`` on map-typed values.
+
+Out of scope (loud ``VrlCompileError``, never silent): dynamic path
+SYNTAX on the left of ``=`` (``.a[.k] = …`` — route through
+``set``), ``.`` root assignment (use ``remap_explode``), recursive
+closure iteration, dynamic-key object mutation inside closures,
+functions absent from the registry.
 """
 
 from __future__ import annotations
@@ -282,6 +289,8 @@ class _Val:
     dtype: str | None = None  # known Spark dtype (direct column reads)
     is_obj: bool = False  # an object literal (compares via JSON rendering)
     fields: dict | None = None  # object literal's per-field _Vals
+    items: list | None = None  # array literal's per-element _Vals (lets
+    # get/set/remove walk dynamic path arrays segment by segment)
 
 
 def _v(x: _Val) -> object:
@@ -530,6 +539,94 @@ def _registry():
         txt = F.when(arr.isNotNull(), arr_txt).otherwise(map_txt)
         return _Val(F.try_parse_json(txt), is_variant=True)
 
+    def _path_segs(p: _Val) -> list[_Val]:
+        """get/set/remove path argument → per-segment _Vals. Literal
+        arrays keep their python values; dynamic arrays keep their
+        element expressions (vrl.py array-literal `items`)."""
+        if p.items is not None:
+            return p.items
+        if p.has_lit and isinstance(p.lit, list):
+            return [_lit(x) for x in p.lit]
+        raise VrlCompileError(
+            'get/set/remove need a path ARRAY (e.g. ["a", "b"]; dynamic '
+            "expression segments are allowed on map-typed values)"
+        )
+
+    def get_fn(a, k):
+        # get.cue: read a value at a path, null on a miss — dynamic-path
+        # reads. Literal string segments walk object-literal fields at
+        # compile time or structs/maps via getItem; dynamic segments
+        # lower to element_at (maps; arrays are 1-based there, so VRL's
+        # 0-based literal int indices shift by one).
+        cur = a[0]
+        for seg in _path_segs(a[1]):
+            if (
+                seg.has_lit and isinstance(seg.lit, str)
+                and cur.is_obj and cur.fields is not None
+            ):
+                got = cur.fields.get(seg.lit)
+                cur = got if got is not None else _Val(
+                    F.lit(None), is_null_lit=True
+                )
+                continue
+            if seg.has_lit and isinstance(seg.lit, str):
+                cur = _Val(cur.col.getItem(seg.lit))
+            elif seg.has_lit and isinstance(seg.lit, int):
+                cur = _Val(F.element_at(cur.col, int(seg.lit) + 1))
+            else:
+                cur = _Val(F.element_at(cur.col, seg.col.cast("string")))
+        return cur
+
+    def _is_map(v: _Val) -> bool:
+        return (v.dtype or "").replace(" ", "").startswith("map")
+
+    def set_fn(a, k):
+        # set.cue: return the value with `data` written at the path.
+        # Map values update per key (dynamic keys allowed); struct
+        # values use nested withField on an all-literal path.
+        tgt, p, data = a[0], a[1], a[2]
+        segs = _path_segs(p)
+        if _is_map(tgt):
+            if len(segs) != 1:
+                raise VrlCompileError("set on a map takes a 1-segment path")
+            key = segs[0].col.cast("string")
+            updated = F.map_concat(
+                F.map_filter(tgt.col, lambda mk, mv: mk != key),
+                F.map_from_arrays(F.array(key), F.array(data.col)),
+            )
+            return _Val(updated, dtype=tgt.dtype)
+        if all(s.has_lit and isinstance(s.lit, str) for s in segs):
+            dotted = ".".join(
+                s.lit.replace("`", "") for s in segs
+            )
+            return _Val(tgt.col.withField(dotted, data.col), is_obj=True)
+        raise VrlCompileError(
+            "set needs a map-typed value (dynamic key) or an all-literal "
+            "path on a struct"
+        )
+
+    def remove_fn(a, k):
+        # remove.cue: return the value with the path deleted
+        tgt, p = a[0], a[1]
+        segs = _path_segs(p)
+        if _is_map(tgt):
+            if len(segs) != 1:
+                raise VrlCompileError(
+                    "remove on a map takes a 1-segment path"
+                )
+            key = segs[0].col.cast("string")
+            return _Val(
+                F.map_filter(tgt.col, lambda mk, mv: mk != key),
+                dtype=tgt.dtype,
+            )
+        if all(s.has_lit and isinstance(s.lit, str) for s in segs):
+            dotted = ".".join(s.lit.replace("`", "") for s in segs)
+            return _Val(tgt.col.dropFields(dotted), is_obj=True)
+        raise VrlCompileError(
+            "remove needs a map-typed value (dynamic key) or an "
+            "all-literal path on a struct"
+        )
+
     def merge(a, k):
         # shallow merge, right wins (merge.cue; `deep` nested structures
         # come back as variant values and merge shallowly here)
@@ -704,6 +801,9 @@ def _registry():
                 .otherwise(F.length(a[0].col.cast("string")))
                 .cast("long")
             )
+        dt = (a[0].dtype or "").replace(" ", "")
+        if dt.startswith(("map", "array")):
+            return F.size(a[0].col).cast("long")
         return F.length(a[0].col)
 
     def _precision(a, k):
@@ -927,6 +1027,9 @@ def _registry():
         "to_syslog_severity": lambda a, k: syslog.to_syslog_severity(a[0].col),
         # objects / arrays (variant arrays normalize to array<string>)
         "merge": merge,
+        "get": get_fn,
+        "set": set_fn,
+        "remove": remove_fn,
         "flatten": flatten_fn,
         "push": lambda a, k: F.array_append(_arr(a[0]), a[1].col.cast("string") if a[0].is_variant else a[1].col),
         "append": lambda a, k: F.concat(_arr(a[0]), _arr(a[1])),
@@ -1019,6 +1122,8 @@ class _Compiler:
         self.columns = set(columns) if columns is not None else None
         self.dtypes = columns if isinstance(columns, dict) else {}
         self.env: dict[str, Column] = {}
+        self.env_dtype: dict[str, str] = {}  # known dtypes of assigned
+        # paths (maps/arrays keep their container type for length/get)
         self.root: Column | None = None  # `. = expr` replacement root
         self.vars: dict[str, _Val] = {}  # VRL local variables
         self.indexed: dict[str, dict[int, object]] = {}  # `.a[i]` writes
@@ -1084,6 +1189,8 @@ class _Compiler:
                     v.is_str, v.is_ts, v.is_variant = self.meta[prefix][:3]
                     if len(self.meta[prefix]) > 3:
                         v.elem_variant = self.meta[prefix][3]
+                if not parts[cut:]:
+                    v.dtype = self.env_dtype.get(prefix)
                 return self._navigate(v, parts[cut:])
             if prefix in self.dropped:
                 return _Val(F.lit(None))
@@ -1318,6 +1425,10 @@ class _Compiler:
                 rhs.is_variant,
                 rhs.elem_variant,
             )
+            if rhs.dtype:
+                self.env_dtype[path] = rhs.dtype
+            else:
+                self.env_dtype.pop(path, None)
             self.dropped.discard(path)
             return
         raise VrlCompileError(f"unexpected token {val!r} at statement start")
@@ -1541,8 +1652,10 @@ class _Compiler:
                         is_obj=True,
                         is_variant=True,
                     )
-                return _lit(vals)
-            return _Val(F.array(*[i.col for i in items]))
+                out = _lit(vals)
+                out.items = items
+                return out
+            return _Val(F.array(*[i.col for i in items]), items=items)
         if val == "{":
             # object literal → struct (VRL objects are our typed structs)
             fields = {}
@@ -1765,6 +1878,7 @@ class _Compiler:
         sub.columns = self.columns
         sub.dtypes = self.dtypes
         sub.env = dict(self.env)
+        sub.env_dtype = dict(self.env_dtype)
         sub.meta = dict(self.meta)
         sub.vars = dict(self.vars)
         sub.vars.update(bindings)
@@ -2035,6 +2149,9 @@ class _Compiler:
                 is_ts=res.is_ts,
                 is_variant=res.is_variant,
                 elem_variant=res.elem_variant,
+                dtype=res.dtype,
+                is_obj=res.is_obj,
+                fields=res.fields,
                 err_msg=err_msg,
             )
         col = res
