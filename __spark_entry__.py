@@ -11508,6 +11508,130 @@ def _register_vrl_dynamic_paths() -> None:
 _register_vrl_dynamic_paths()
 
 
+def _register_url_filters() -> None:
+    _URL_HOST_SQL = """
+      CASE doc_id % 5
+        WHEN 0 THEN 'example.com'
+        WHEN 1 THEN 'ads.example.com'
+        WHEN 2 THEN 'notexample.com'
+        WHEN 3 THEN 'good' || (doc_id % 7) || '.org'
+        ELSE 'tracker.spam.net' END"""
+
+    @_q(
+        "doc_url_blocklist",
+        f"""
+        WITH d AS (
+          SELECT doc_id, {_URL_HOST_SQL} AS host FROM documents
+        )
+        SELECT doc_id, host,
+               CASE WHEN doc_id % 5 IN (0, 1) THEN 'example.com'
+                    WHEN doc_id % 5 = 4 THEN 'spam.net'
+                    ELSE NULL END AS blocked_domain
+        FROM d
+        """,
+    )
+    def doc_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Domain-blocklist marking (dataprep/urls.py::blocklist_mark —
+        RefinedWeb §3.1 URL filtering): hosts explode into bounded
+        dot-suffixes and equality-join the BROADCAST blocklist dim, so a
+        million-domain list costs the same plan as this two-domain one;
+        nothing regex-scans per pattern. example.com blocks itself and
+        every subdomain; notexample.com must NOT suffix-match."""
+        from vector_spark.dataprep import urls as U
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("example.com"))
+                .when(F.col("doc_id") % 5 == 1, F.lit("ads.example.com"))
+                .when(F.col("doc_id") % 5 == 2, F.lit("notexample.com"))
+                .when(
+                    F.col("doc_id") % 5 == 3,
+                    F.concat(
+                        F.lit("good"),
+                        (F.col("doc_id") % 7).cast("string"),
+                        F.lit(".org"),
+                    ),
+                )
+                .otherwise(F.lit("tracker.spam.net")),
+                F.lit("/p"),
+                (F.col("doc_id") % 3).cast("string"),
+            ).alias("url"),
+        )
+        bl = spark.createDataFrame(
+            [("example.com",), ("spam.net",)], "domain string"
+        )
+        return U.blocklist_mark(d, bl).select(
+            "doc_id", "host", "blocked_domain"
+        )
+
+    @_q(
+        "doc_url_quality",
+        f"""
+        WITH d AS (
+          SELECT doc_id, {_URL_HOST_SQL} AS host,
+                 CASE WHEN doc_id % 2 = 0 THEN '?x=1&y=2' ELSE '' END AS q
+          FROM documents
+        )
+        SELECT doc_id,
+               length(host)::INT AS host_len,
+               len(string_split(host, '.'))::INT AS n_labels,
+               ROUND(length(regexp_replace(host, '[^0-9]', '', 'g'))
+                     / greatest(length(host), 1), 6) AS digit_frac_host,
+               1::INT AS path_depth,
+               CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END::INT AS n_params,
+               (length('https://' || host || '/p'
+                       || (doc_id % 3) || q))::INT AS url_len
+        FROM d
+        """,
+    )
+    def doc_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """URL-quality features (dataprep/urls.py::url_quality_features):
+        host length/label depth, digit fraction (DGA/hex-soup hosts),
+        path depth, query-parameter count, total length — pure column
+        math, whole-stage codegen, the oracle recomputes every feature
+        with DuckDB string ops."""
+        from vector_spark.dataprep import urls as U
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("example.com"))
+                .when(F.col("doc_id") % 5 == 1, F.lit("ads.example.com"))
+                .when(F.col("doc_id") % 5 == 2, F.lit("notexample.com"))
+                .when(
+                    F.col("doc_id") % 5 == 3,
+                    F.concat(
+                        F.lit("good"),
+                        (F.col("doc_id") % 7).cast("string"),
+                        F.lit(".org"),
+                    ),
+                )
+                .otherwise(F.lit("tracker.spam.net")),
+                F.lit("/p"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("?x=1&y=2"))
+                .otherwise(F.lit("")),
+            ).alias("url"),
+        )
+        return d.select(
+            "doc_id", U.url_quality_features(F.col("url")).alias("f")
+        ).select(
+            "doc_id",
+            F.col("f.host_len").alias("host_len"),
+            F.col("f.n_labels").alias("n_labels"),
+            F.col("f.digit_frac_host").alias("digit_frac_host"),
+            F.col("f.path_depth").alias("path_depth"),
+            F.col("f.n_params").alias("n_params"),
+            F.col("f.url_len").alias("url_len"),
+        )
+
+
+_register_url_filters()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are

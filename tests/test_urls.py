@@ -1,0 +1,85 @@
+"""URL / domain filtering (dataprep/urls.py) — RefinedWeb-style source
+cleaning: suffix blocklists as equality joins, URL-quality features."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_spark.dataprep import urls as U
+
+
+def test_url_parts(spark):
+    df = spark.createDataFrame(
+        [("https://User@Ads.Example.COM:8080/a/b/c?x=1&y=2#frag",)],
+        "url string",
+    )
+    r = df.select(
+        U.url_host(F.col("url")).alias("h"),
+        U.url_path(F.col("url")).alias("p"),
+        U.url_query(F.col("url")).alias("q"),
+    ).collect()[0]
+    assert r.h == "ads.example.com"
+    assert r.p == "/a/b/c"
+    assert r.q == "x=1&y=2"
+
+
+def test_host_suffixes_capped(spark):
+    df = spark.createDataFrame([("a.b.c.d",)], "h string")
+    (r,) = df.select(U.host_suffixes(F.col("h")).alias("s")).collect()
+    assert r.s == ["a.b.c.d", "b.c.d", "c.d", "d"]
+    deep = spark.createDataFrame([(".".join("x" * 1 for _ in range(40)),)],
+                                 "h string")
+    (rd,) = deep.select(
+        F.size(U.host_suffixes(F.col("h"), max_labels=8)).alias("n")
+    ).collect()
+    assert rd.n == 8  # hostile depth stays bounded
+
+
+def test_blocklist_suffix_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://example.com/x"),
+            (2, "https://ads.example.com/y"),
+            (3, "https://notexample.com/z"),
+            (4, "https://good.org/"),
+            (5, "https://tracker.ads.example.com/deep"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("example.com",), ("spam.net",)],
+                               "domain string")
+    marked = {r.doc_id: r.blocked_domain
+              for r in U.blocklist_mark(docs, bl).collect()}
+    # example.com blocks itself and every subdomain; notexample.com is
+    # NOT a suffix match
+    assert marked[1] == "example.com"
+    assert marked[2] == "example.com"
+    assert marked[3] is None
+    assert marked[4] is None
+    assert marked[5] == "example.com"
+    kept = {r.doc_id for r in U.blocklist_filter(docs, bl).collect()}
+    assert kept == {3, 4}
+
+
+def test_blocklist_is_broadcast_join(spark):
+    docs = spark.createDataFrame([(1, "https://a.b/x")],
+                                 "doc_id long, url string")
+    bl = spark.createDataFrame([("b",)], "domain string")
+    plan = U.blocklist_mark(docs, bl)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_url_quality_features(spark):
+    df = spark.createDataFrame(
+        [("http://a1b2.example.com/p1/p2?x=1&y=2&z=3",)], "url string"
+    )
+    (r,) = df.select(U.url_quality_features(F.col("url")).alias("f")) \
+        .collect()
+    f = r.f
+    assert f.host_len == len("a1b2.example.com")
+    assert f.n_labels == 3
+    assert abs(f.digit_frac_host - round(2 / 16, 6)) < 1e-9
+    assert f.path_depth == 2
+    assert f.n_params == 3

@@ -1,0 +1,128 @@
+"""URL / domain filtering for web-scraped corpora (RefinedWeb §3.1,
+C4-style source cleaning).
+
+Beyond-reference training-data ops: the first stage of every web-corpus
+curation pipeline drops documents by their source URL — blocklisted
+domains (including every subdomain), and heuristic URL-quality signals
+(hex-soup hosts, parameter farms, porn/spam keyword fractions) — before
+any text is even read.
+
+Scale shapes:
+
+* **blocklist matching is an equality join, never a regex scan**: the
+  host explodes into its dot-suffixes (``a.b.c.d`` → ``a.b.c.d, b.c.d,
+  c.d`` — bounded by label count, capped), and the suffix stream joins
+  the broadcast blocklist dim. A million-domain blocklist costs the
+  same plan as a ten-domain one; nothing evaluates per-pattern.
+* **features are pure column math** (regexp_extract / split / length)
+  — whole-stage codegen, no Python, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)"
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host of a URL (empty string when unparseable)."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def url_path(url: Column) -> Column:
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+
+def url_query(url: Column) -> Column:
+    return F.regexp_extract(url, r"\?([^#]*)", 1)
+
+
+def host_suffixes(host: Column, max_labels: int = 8) -> Column:
+    """All dot-suffixes of a host, most-specific first:
+    ``a.b.c`` → ``[a.b.c, b.c, c]`` (capped at ``max_labels`` labels —
+    a hostile 200-label host contributes 8 suffixes, not 200)."""
+    labels = F.slice(F.split(host, r"\."), 1, max_labels)
+    n = F.size(labels)
+    return F.filter(
+        F.transform(
+            labels,
+            lambda _, i: F.array_join(F.slice(labels, i + 1, n), "."),
+        ),
+        lambda s: s != "",
+    )
+
+
+def blocklist_mark(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Annotate each row with ``host`` and ``blocked_domain`` (the
+    most-specific blocklisted suffix of the URL's host, null when
+    clean). ``example.com`` in the list blocks ``example.com`` AND every
+    ``*.example.com`` — standard domain-suffix semantics.
+
+    Plan: suffix-explode (bounded fan-out) → broadcast equality join
+    against the blocklist dim → min_by most-specific match folded back
+    per row. The input stream is never regex-scanned per pattern."""
+    d = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col)).alias("__bl"))
+    )
+    with_host = df.withColumn("host", url_host(F.col(url_col)))
+    sufs = with_host.select(
+        "*", F.posexplode(host_suffixes(F.col("host"))).alias("__i", "__suf")
+    )
+    hits = (
+        sufs.join(d, sufs["__suf"] == d["__bl"], "inner")
+        .groupBy("host")
+        .agg(F.min_by("__suf", "__i").alias("blocked_domain"))
+    )
+    return with_host.join(F.broadcast(hits), "host", "left")
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Rows whose URL host matches no blocklisted domain suffix."""
+    return (
+        blocklist_mark(df, blocklist, url_col, domain_col)
+        .filter(F.col("blocked_domain").isNull())
+        .drop("blocked_domain")
+    )
+
+
+def url_quality_features(url: Column) -> Column:
+    """Struct of URL-quality signals (RefinedWeb-style):
+
+    - ``host_len`` / ``n_labels`` — hex-soup and DGA hosts are long/deep
+    - ``digit_frac_host`` — digit fraction of the host
+    - ``path_depth`` — number of non-empty path segments
+    - ``n_params`` — query parameter count (parameter farms)
+    - ``url_len`` — total length
+
+    Pure column math; ROUND(…, 6) keeps the fraction engine-portable."""
+    host = url_host(url)
+    path = url_path(url)
+    q = url_query(url)
+    return F.struct(
+        F.length(host).alias("host_len"),
+        F.size(F.split(host, r"\.")).alias("n_labels"),
+        F.round(
+            F.length(F.regexp_replace(host, r"[^0-9]", ""))
+            / F.greatest(F.length(host), F.lit(1)),
+            6,
+        ).alias("digit_frac_host"),
+        F.size(F.filter(F.split(path, "/"), lambda s: s != "")).alias(
+            "path_depth"
+        ),
+        F.when(F.length(q) == 0, F.lit(0))
+        .otherwise(F.size(F.split(q, "&")))
+        .alias("n_params"),
+        F.length(url).alias("url_len"),
+    )
