@@ -11632,6 +11632,89 @@ def _register_url_filters() -> None:
 _register_url_filters()
 
 
+def _register_dataset_reports() -> None:
+    @_q(
+        "doc_dataset_card",
+        """
+        WITH dup AS (
+          SELECT source, md5(text) AS dig, COUNT(*) AS n,
+                 SUM(length(text)) AS c
+          FROM documents GROUP BY 1, 2
+        ),
+        per_src AS (
+          SELECT source, SUM(n)::BIGINT AS n_docs,
+                 (SUM(n) - COUNT(*))::BIGINT AS n_dups,
+                 SUM(c)::BIGINT AS n_chars
+          FROM dup GROUP BY 1
+        ),
+        lang AS (
+          SELECT source, lang, COUNT(*) AS ln FROM documents GROUP BY 1, 2
+        ),
+        top AS (
+          SELECT source, lang AS top_lang, ln,
+                 SUM(ln) OVER (PARTITION BY source) AS tot,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY ln DESC, lang DESC) AS rk
+          FROM lang
+        ),
+        tot AS (SELECT SUM(n_docs) AS all_docs FROM per_src)
+        SELECT p.source, n_docs, n_dups, n_chars,
+               ROUND(n_docs / all_docs, 6) AS corpus_share,
+               ROUND(n_dups / n_docs, 6) AS dup_frac,
+               t.top_lang,
+               ROUND(t.ln / t.tot, 6) AS top_lang_share
+        FROM per_src p
+        JOIN (SELECT * FROM top WHERE rk = 1) t USING (source)
+        CROSS JOIN tot
+        """,
+    )
+    def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source dataset card (dataprep/report.py::dataset_card) —
+        the datasheet table a corpus release ships with: volume, exact-
+        duplicate rate (what a dedup stage would remove), corpus share,
+        top language + share. One map-side-combined digest aggregation
+        plus dim-side rollups; the oracle replays every number."""
+        from vector_spark.dataprep.report import dataset_card
+
+        return dataset_card(_docs(spark, sf_dir))
+
+    @_q(
+        "seq_fertility",
+        f"""
+        {_SEQ_FULL_CTE},
+        per AS (
+          SELECT source AS group_key, COUNT(*)::BIGINT AS n_rows,
+                 SUM(n_tok)::BIGINT AS n_tokens,
+                 SUM(length(message))::BIGINT AS n_chars
+          FROM seq GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_tokens) AS all_tok FROM per)
+        SELECT group_key, n_rows, n_tokens, n_chars,
+               ROUND(n_tokens / n_rows, 6) AS tokens_per_row,
+               ROUND(n_tokens / greatest(n_chars, 1), 6) AS tokens_per_char,
+               ROUND(n_tokens / all_tok, 6) AS token_share
+        FROM per CROSS JOIN tot
+        """,
+    )
+    def seq_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tokenizer-fertility report per source
+        (dataprep/report.py::token_fertility): tokens per row and per
+        message CHARACTER — a tokenizer mismatched to a source shows up
+        as fertility drift long before loss does. Token arrays are never
+        read (n_tok is the payload-pruned column); one aggregation plus
+        a broadcast 1-row total."""
+        from vector_spark.dataprep.report import token_fertility
+
+        return token_fertility(
+            tables.with_message(_seq(spark)),
+            group_col="source",
+            text_col="message",
+        )
+
+
+_register_dataset_reports()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are

@@ -45,6 +45,11 @@ def main() -> None:
     ap.add_argument("--noop-sink", action="store_true",
                     help="blackhole both sinks (throughput measurement: "
                          "isolates scan+compute from output-commit IO)")
+    ap.add_argument("--parse", choices=["jvm", "arrow"], default="jvm",
+                    help="parse stage strategy (jvm regexp fast path, or "
+                         "the Arrow-batched pandas-UDF grok variant — "
+                         "heavier per row, useful as a CPU-bound scaling "
+                         "probe)")
     ap.add_argument("--iters", type=int, default=1,
                     help="evaluate the pipeline N times and report each "
                          "pass's wall seconds (steady-state = min: later "
@@ -83,7 +88,7 @@ def main() -> None:
             if args.input
             else tables.sequences(spark, args.synthesize)
         )
-        out = pipeline.run_pipeline(seq, dim)
+        out = pipeline.run_pipeline(seq, dim, parse=args.parse)
         iters: list[float] = []
         for _ in range(max(1, args.iters)):
             t0 = time.perf_counter()

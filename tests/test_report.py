@@ -1,0 +1,42 @@
+"""Dataset-card / tokenizer-fertility reports (dataprep/report.py)."""
+
+from __future__ import annotations
+
+from vector_spark.dataprep.report import dataset_card, token_fertility
+
+
+def test_dataset_card_counts_and_dups(spark):
+    rows = [
+        (1, "same text", "en", "a"),
+        (2, "same text", "en", "a"),   # exact dup within source a
+        (3, "unique 1", "de", "a"),
+        (4, "same text", "en", "b"),   # same digest, DIFFERENT source: not a dup
+        (5, "unique 2", "en", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    card = {r.source: r for r in dataset_card(df).collect()}
+    a, b = card["a"], card["b"]
+    assert (a.n_docs, a.n_dups) == (3, 1)
+    assert (b.n_docs, b.n_dups) == (2, 0)
+    assert a.corpus_share == 0.6 and b.corpus_share == 0.4
+    assert a.dup_frac == round(1 / 3, 6)
+    assert a.top_lang == "en" and a.top_lang_share == round(2 / 3, 6)
+
+
+def test_token_fertility(spark):
+    rows = [
+        ("a", 10, "12345"),      # 10 tok / 5 chars
+        ("a", 30, "1234567890"),
+        ("b", 20, "1234"),
+    ]
+    df = spark.createDataFrame(rows, "source string, n_tok int, text string")
+    out = {r.group_key: r for r in
+           token_fertility(df, text_col="text").collect()}
+    a = out["a"]
+    assert (a.n_rows, a.n_tokens, a.n_chars) == (2, 40, 15)
+    assert a.tokens_per_row == 20.0
+    assert a.tokens_per_char == round(40 / 15, 6)
+    assert a.token_share == round(40 / 60, 6)
+    assert out["b"].token_share == round(20 / 60, 6)

@@ -61,6 +61,12 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "seq_mixture_report": {
         "bnl_join": (2, "1-row mixture-totals frame cross-joined"),
     },
+    "seq_fertility": {
+        "bnl_join": (2, "1-row corpus-token-total frame cross-joined"),
+    },
+    "doc_dataset_card": {
+        "bnl_join": (2, "1-row corpus-doc-total frame cross-joined"),
+    },
     "tpch_q22_antijoin": {
         "bnl_join": (2, "1-row scalar avg(acctbal) subquery frame"),
     },

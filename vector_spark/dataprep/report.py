@@ -1,0 +1,126 @@
+"""Dataset-card reports: the summary tables a training-data release ships
+with (per-source volume, duplication, language mix, tokenizer health).
+
+Beyond-reference training-data ops. Every public corpus release (C4,
+RefinedWeb, Dolma) publishes a "datasheet" of per-source statistics; at
+100 TB these must come out of the same distributed pass as the pipeline
+itself, not a notebook afterthought.
+
+Scale shapes: every report is ONE map-side-combined aggregation over the
+corpus (plus a tiny dim-side rollup). Duplicate counting shuffles only
+(digest, source) pairs; nothing collects rows to the driver; shares are
+ROUND(…, 6) on identical expression shapes so DuckDB replays bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dataset_card(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source dataset card: document/char volume, corpus share,
+    exact-duplicate rate (md5 digest, within source), and top language
+    with its share.
+
+    One pass to (source, digest[, lang]) aggregates; the final rollup
+    runs on the source dim. ``dup_frac`` is the share of documents whose
+    text digest appeared before them in the same source — the number a
+    dedup stage would remove."""
+    base = df.select(
+        F.col(source_col).alias("__src"),
+        F.md5(F.col(text_col)).alias("__dig"),
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+        *( [F.col(lang_col).alias("__lang")] if lang_col else [] ),
+    )
+    per_digest = base.groupBy("__src", "__dig").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__chars").alias("__c"),
+    )
+    agg = [
+        F.sum("__n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (F.sum("__n") - F.count(F.lit(1))).cast("long").alias("n_dups"),
+        F.sum("__c").cast("long").alias("n_chars"),
+    ]
+    per_src = per_digest.groupBy("__src").agg(*agg)
+    if lang_col:
+        lang_counts = base.groupBy("__src", "__lang").agg(
+            F.count(F.lit(1)).alias("__ln")
+        )
+        top_lang = lang_counts.groupBy("__src").agg(
+            F.max_by("__lang", F.struct("__ln", "__lang")).alias("top_lang"),
+            F.max(F.struct("__ln", "__lang"))["__ln"].alias("__top_n"),
+            F.sum("__ln").alias("__tot"),
+        )
+        per_src = per_src.join(top_lang, "__src")
+    tot = per_src.agg(F.sum("n_docs").alias("__all"))
+    out = per_src.join(F.broadcast(tot))
+    cols = [
+        F.col("__src").alias("source"),
+        "n_docs",
+        "n_dups",
+        "n_chars",
+        F.round(F.col("n_docs") / F.col("__all"), 6).alias("corpus_share"),
+        F.round(F.col("n_dups") / F.col("n_docs"), 6).alias("dup_frac"),
+    ]
+    if lang_col:
+        cols += [
+            "top_lang",
+            F.round(F.col("__top_n") / F.col("__tot"), 6).alias(
+                "top_lang_share"
+            ),
+        ]
+    return out.select(*cols)
+
+
+def token_fertility(
+    df: DataFrame,
+    group_col: str = "source",
+    n_tok_col: str = "n_tok",
+    text_col: str | None = None,
+    n_chars_col: str | None = None,
+) -> DataFrame:
+    """Tokenizer-health report per group: tokens per document, tokens
+    per character ("fertility" — a tokenizer mismatched to a source
+    produces visibly more tokens per char), and the group's token share
+    of the corpus. Pass either ``text_col`` (chars measured here) or a
+    precomputed ``n_chars_col``.
+
+    One map-side-combined aggregation; the share join is a broadcast of
+    a 1-row total."""
+    chars = (
+        F.length(F.col(text_col)).cast("long")
+        if text_col
+        else F.col(n_chars_col).cast("long")
+    )
+    per = df.groupBy(F.col(group_col).alias("group_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(n_tok_col).cast("long")).cast("long").alias("n_tokens"),
+        F.sum(chars).cast("long").alias("n_chars"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("__all_tok"))
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "group_key",
+            "n_rows",
+            "n_tokens",
+            "n_chars",
+            F.round(F.col("n_tokens") / F.col("n_rows"), 6).alias(
+                "tokens_per_row"
+            ),
+            F.round(
+                F.col("n_tokens") / F.greatest(F.col("n_chars"), F.lit(1)), 6
+            ).alias("tokens_per_char"),
+            F.round(F.col("n_tokens") / F.col("__all_tok"), 6).alias(
+                "token_share"
+            ),
+        )
+    )
