@@ -11715,6 +11715,105 @@ def _register_dataset_reports() -> None:
 _register_dataset_reports()
 
 
+def _register_k8s_annotate() -> None:
+    @_q(
+        "ev_k8s_annotate",
+        """
+        WITH e AS (
+          SELECT event_id, user_id % 40 AS p, event_id % 2 AS c
+          FROM events WHERE event_id % 21 = 0
+        )
+        SELECT event_id,
+               'ns' || (p % 3) AS pod_namespace,
+               'pod-' || p AS pod_name,
+               'uid-' || p AS pod_uid,
+               'c' || c AS container_name,
+               CASE WHEN p % 5 = 4 THEN NULL
+                    ELSE 'node-' || (p % 7) END AS pod_node_name,
+               CASE WHEN p % 5 = 4 THEN NULL
+                    ELSE 'ReplicaSet/rs-' || p END AS pod_owner,
+               CASE WHEN p % 5 = 4 THEN NULL
+                    ELSE 'img:' || (p % 4) || '.' || c END
+                 AS container_image
+        FROM e
+        """,
+    )
+    def ev_k8s_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pod-metadata annotation end-to-end (sources/kubernetes.py::
+        annotate_pod_metadata + parse_log_file_path, the batch twin of
+        the reference's pod_metadata_annotator.rs with the API watch
+        replaced by a tools/k8s_metadata_dump.py-shaped dim): events
+        carry /var/log/pods file paths; pods p%5==4 are deliberately
+        ABSENT from the dim and must pass through with null metadata
+        (the reference's "no pod info found" path). Broadcast equality
+        join on the (namespace, pod, uid, container) log-path identity;
+        the oracle recomputes every annotated field closed-form."""
+        from vector_spark.sources.kubernetes import annotate_pod_metadata
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 21 == 0)
+        p = (F.col("user_id") % 40).alias("p")
+        c = (F.col("event_id") % 2).alias("c")
+        logs = ev.select(
+            "event_id",
+            F.concat(
+                F.lit("/var/log/pods/ns"), (p % 3).cast("string"),
+                F.lit("_pod-"), p.cast("string"),
+                F.lit("_uid-"), p.cast("string"),
+                F.lit("/c"), c.cast("string"),
+                F.lit("/0.log"),
+            ).alias("file"),
+        )
+        # deterministic dim: pods 0..39 minus the p%5==4 holes, both
+        # containers each — the shape k8s_metadata_dump.py emits
+        dim = (
+            spark.range(80)
+            .select(
+                (F.col("id") / 2).cast("long").alias("id"),
+                (F.col("id") % 2).alias("cid"),
+            )
+            .filter(F.col("id") % 5 != 4)
+            .select(
+                F.concat(F.lit("ns"), (F.col("id") % 3).cast("string"))
+                .alias("pod_namespace"),
+                F.concat(F.lit("pod-"), F.col("id").cast("string"))
+                .alias("pod_name"),
+                F.concat(F.lit("uid-"), F.col("id").cast("string"))
+                .alias("pod_uid"),
+                F.concat(F.lit("c"), F.col("cid").cast("string"))
+                .alias("container_name"),
+                F.lit(None).cast("string").alias("pod_ip"),
+                F.lit(None).cast("array<string>").alias("pod_ips"),
+                F.lit(None).cast("map<string,string>").alias("pod_labels"),
+                F.lit(None).cast("map<string,string>")
+                .alias("pod_annotations"),
+                F.concat(F.lit("node-"), (F.col("id") % 7).cast("string"))
+                .alias("pod_node_name"),
+                F.concat(F.lit("ReplicaSet/rs-"), F.col("id").cast("string"))
+                .alias("pod_owner"),
+                F.concat(
+                    F.lit("img:"), (F.col("id") % 4).cast("string"),
+                    F.lit("."), F.col("cid").cast("string"),
+                ).alias("container_image"),
+                F.lit(None).cast("string").alias("container_image_id"),
+                F.lit(None).cast("string").alias("container_id"),
+            )
+        )
+        out = annotate_pod_metadata(logs, dim)
+        return out.select(
+            "event_id",
+            F.col("`kubernetes.pod_namespace`").alias("pod_namespace"),
+            F.col("`kubernetes.pod_name`").alias("pod_name"),
+            F.col("`kubernetes.pod_uid`").alias("pod_uid"),
+            F.col("`kubernetes.container_name`").alias("container_name"),
+            F.col("`kubernetes.pod_node_name`").alias("pod_node_name"),
+            F.col("`kubernetes.pod_owner`").alias("pod_owner"),
+            F.col("`kubernetes.container_image`").alias("container_image"),
+        )
+
+
+_register_k8s_annotate()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are
@@ -11777,7 +11876,9 @@ _WINDOW: list[str] = [
     "seq_bigram_ppl",
     "doc_quality_classifier",
     "media_features",
-    "doc_hybrid_rrf",
+    # new round-3 composition: k8s pod-metadata annotation end-to-end
+    # (doc_hybrid_rrf rotates out — judge-verified r02, unchanged since)
+    "ev_k8s_annotate",
     # anomaly/report semantics changed this round (NULL baselines)
     "ev_template_drift",
     "ev_cardinality_growth",
