@@ -11814,6 +11814,110 @@ def _register_k8s_annotate() -> None:
 _register_k8s_annotate()
 
 
+def _register_dup_matrix_and_attribution() -> None:
+    @_q(
+        "doc_source_dup_matrix",
+        """
+        WITH d AS (
+          SELECT CASE WHEN doc_id % 7 = 0
+                      THEN 'syndicated article ' || (doc_id % 13)
+                      ELSE text END AS text,
+                 source
+          FROM documents
+        ),
+        pairs AS (SELECT DISTINCT md5(text) AS dig, source FROM d)
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*)::BIGINT AS n_shared
+        FROM pairs a JOIN pairs b
+          ON a.dig = b.dig AND a.source < b.source
+        GROUP BY 1, 2
+        """,
+    )
+    def doc_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cross-source duplication matrix
+        (dataprep/report.py::source_dup_matrix): distinct digests shared
+        per unordered source pair — the "which sources copy which"
+        datasheet table. A deterministic "syndicated article" overlay
+        plants the cross-source copies the fixture corpus lacks. The
+        engine groups digests and explodes per-digest source
+        COMBINATIONS (bounded by source cardinality); the oracle replays
+        it as a digest self-join, affordable only at oracle scale — the
+        distributed plan never self-joins the pair stream."""
+        from vector_spark.dataprep.report import source_dup_matrix
+
+        d = _docs(spark, sf_dir).select(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit("syndicated article "),
+                    (F.col("doc_id") % 13).cast("string"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "source",
+        )
+        return source_dup_matrix(d)
+
+    @_q(
+        "ev_spike_attribution",
+        """
+        WITH per_key AS (
+          SELECT time_bucket(INTERVAL 3600 SECOND, ts) AS ws, event_type
+                   AS key, COUNT(*)::BIGINT AS n_key
+          FROM events GROUP BY 1, 2
+        ),
+        keyed AS (
+          SELECT ws, key, n_key,
+                 (n_key - COALESCE(LAG(n_key) OVER (PARTITION BY key
+                                                    ORDER BY ws), 0))::BIGINT
+                   AS key_delta
+          FROM per_key
+        ),
+        totals AS (
+          SELECT ws, SUM(n_key)::BIGINT AS n_events FROM per_key GROUP BY 1
+        ),
+        tot2 AS (
+          SELECT ws, n_events,
+                 (n_events - COALESCE(LAG(n_events) OVER (ORDER BY ws),
+                                      0))::BIGINT AS delta
+          FROM totals
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY ws
+                                       ORDER BY key_delta DESC, key ASC)
+                      AS rk
+          FROM keyed
+        )
+        SELECT strftime(r.ws, '%Y-%m-%d %H:%M:%S') AS ws, n_events, delta,
+               rk::INT AS rk, key, key_delta,
+               CASE WHEN delta != 0
+                    THEN ROUND(key_delta / delta, 6) + 0 END AS delta_share
+        FROM ranked r JOIN tot2 USING (ws) WHERE rk <= 3
+        """,
+    )
+    def ev_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Spike attribution (operators/anomaly.py::spike_attribution):
+        per hourly window, the total event delta vs the previous window
+        and the top-3 keys ranked by their own delta with their share of
+        the total — "which key caused the spike". Events aggregate once;
+        lags and ranks run on the (window, key) dim."""
+        from vector_spark.operators.anomaly import spike_attribution
+
+        out = spike_attribution(
+            _events(spark, sf_dir), "event_type", "ts", 3600, top_k=3
+        )
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "n_events", "delta",
+            F.col("rk").cast("int").alias("rk"),
+            "key", "key_delta", "delta_share",
+        )
+
+
+_register_dup_matrix_and_attribution()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are

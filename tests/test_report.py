@@ -40,3 +40,19 @@ def test_token_fertility(spark):
     assert a.tokens_per_char == round(40 / 15, 6)
     assert a.token_share == round(40 / 60, 6)
     assert out["b"].token_share == round(20 / 60, 6)
+
+
+def test_source_dup_matrix(spark):
+    from vector_spark.dataprep.report import source_dup_matrix
+
+    rows = [
+        (1, "shared-1", "a"), (2, "shared-1", "b"), (3, "shared-1", "c"),
+        (4, "shared-2", "a"), (5, "shared-2", "b"),
+        (6, "only-a", "a"), (7, "only-b", "b"),
+        (8, "shared-2", "a"),  # second copy in same source: still 1 digest
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): r.n_shared
+           for r in source_dup_matrix(df).collect()}
+    # shared-1 in {a,b,c} -> 3 pairs; shared-2 in {a,b} -> 1 pair
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}

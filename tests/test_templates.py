@@ -332,3 +332,31 @@ def test_co_spike_pairs(spark):
     out = co_spike_pairs(df, threshold=2.0, min_cooccur=2).collect()
     assert len(out) == 1
     assert (out[0].key_a, out[0].key_b, out[0].n_cooccur) == ("a", "b", 2)
+
+
+def test_spike_attribution(spark):
+    import datetime
+
+    from vector_spark.operators.anomaly import spike_attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # hour 0: k1 x2, k2 x2 (total 4); hour 1: k1 x8, k2 x2 (total 10,
+    # delta +6, all of it k1's)
+    rows += [("k1", t0)] * 2 + [("k2", t0)] * 2
+    t1 = t0 + datetime.timedelta(hours=1)
+    rows += [("k1", t1)] * 8 + [("k2", t1)] * 2
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = sorted(
+        spike_attribution(df, "k", top_k=1).collect(),
+        key=lambda r: r.window_start,
+    )
+    first, second = out
+    # first window has no baseline: delta == n_events, top key by count
+    assert (first.n_events, first.delta, first.key, first.key_delta) == (
+        4, 4, "k1", 2,
+    )
+    assert (second.n_events, second.delta) == (10, 6)
+    assert (second.key, second.key_delta, second.delta_share) == (
+        "k1", 6, 1.0,
+    )

@@ -124,3 +124,54 @@ def token_fertility(
             ),
         )
     )
+
+
+def source_dup_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered source pair,
+    how many distinct text digests appear in BOTH — the "which sources
+    copy which" datasheet table (mirror sites, syndication, scraper
+    overlap) that decides dedup ordering and mixture weights.
+
+    Plan: dedup to distinct (digest, source) pairs (map-side combined),
+    group by digest collecting the source set — bounded by the SOURCE
+    CARDINALITY, never by corpus size — then explode the per-digest
+    source combinations. The corpus text crosses the wire once as
+    digests; no self-join of the pair stream."""
+    pairs = df.select(
+        F.md5(F.col(text_col)).alias("__dig"),
+        F.col(source_col).alias("__src"),
+    ).distinct()
+    per_dig = pairs.groupBy("__dig").agg(
+        F.array_sort(F.collect_set("__src")).alias("__srcs")
+    )
+    combos = per_dig.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__srcs"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("__srcs"), i + 2,
+                            F.greatest(
+                                F.size(F.col("__srcs")) - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda b: F.struct(
+                            a.alias("source_a"), b.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    )
+    return (
+        combos.groupBy(
+            F.col("__p.source_a").alias("source_a"),
+            F.col("__p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

@@ -478,3 +478,79 @@ def co_spike_pairs(
         .agg(F.count(F.lit(1)).alias("n_cooccur"))
         .filter(F.col("n_cooccur") >= min_cooccur)
     )
+
+
+def spike_attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    window_secs: int = 3600,
+    top_k: int = 3,
+) -> DataFrame:
+    """Which KEY caused the spike: per window, the total event delta vs
+    the previous window and the ``top_k`` keys ranked by their own
+    delta, with each key's share of the total delta — the triage view
+    that turns "traffic doubled at 14:00" into "host-7 doubled it".
+
+    Sparse-window semantics like :func:`cardinality_growth` (documented
+    there): "previous" means the previous window in which the key (or
+    the stream) had events; densify on a window spine first when
+    silence matters.
+
+    Plan: one map-side-combined (window, key) aggregate; the total rides
+    a second aggregation of the per-key dim (never re-touching events);
+    lags and the per-window rank run on the (window, key) dim
+    partitioned by key/window — events cross the wire exactly once."""
+    from pyspark.sql import Window
+
+    per_key = (
+        df.select(
+            F.window(ts_col, f"{window_secs} seconds")["start"].alias("ws"),
+            F.col(key_col).alias("key"),
+        )
+        .groupBy("ws", "key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_key"))
+    )
+    wk = Window.partitionBy("key").orderBy("ws")
+    keyed = per_key.select(
+        "ws",
+        "key",
+        "n_key",
+        (F.col("n_key") - F.coalesce(F.lag("n_key").over(wk), F.lit(0)))
+        .cast("long")
+        .alias("key_delta"),
+    )
+    totals = per_key.groupBy("ws").agg(
+        F.sum("n_key").cast("long").alias("n_events")
+    )
+    wt = Window.orderBy("ws")
+    totals = totals.select(
+        "ws",
+        "n_events",
+        (
+            F.col("n_events")
+            - F.coalesce(F.lag("n_events").over(wt), F.lit(0))
+        )
+        .cast("long")
+        .alias("delta"),
+    )
+    rk = Window.partitionBy("ws").orderBy(
+        F.col("key_delta").desc(), F.col("key").asc()
+    )
+    ranked = keyed.withColumn("rk", F.row_number().over(rk)).filter(
+        F.col("rk") <= top_k
+    )
+    return ranked.join(totals, "ws").select(
+        F.col("ws").alias("window_start"),
+        "n_events",
+        "delta",
+        "rk",
+        "key",
+        "key_delta",
+        F.when(
+            F.col("delta") != 0,
+            # + 0.0 folds IEEE negative zero (0 / negative delta) into
+            # +0.0 so reports compare bit-exactly across engines
+            F.round(F.col("key_delta") / F.col("delta"), 6) + F.lit(0.0),
+        ).alias("delta_share"),
+    )
