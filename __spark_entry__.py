@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_spark import pipeline, tables
@@ -34,6 +34,13 @@ def _seq(spark: SparkSession) -> DataFrame:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.load(spark, sf_dir, "events")
+
+
+def _us(c: str) -> Column:
+    """µs-pinned timestamp string (oracle twin: strftime '%f') — gate
+    outputs use this so the Spark→pandas ns dtype never needs
+    normalizing against DuckDB's µs (see ev_native_json)."""
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
 
 # --------------------------------------------------------------------------
@@ -5486,10 +5493,12 @@ def _register_otlp() -> None:
         "ev_otlp_ingest",
         """
         SELECT 'evt ' || event_type || ' #' || event_id AS message,
-               make_timestamp(epoch_ms(ts) * 1000) AS ts,
-               CASE WHEN event_id % 3 = 0
-                    THEN make_timestamp(epoch_ms(ts) * 1000)
-                    ELSE TIMESTAMP '2026-01-01' END AS ots,
+               strftime(make_timestamp(epoch_ms(ts) * 1000),
+                        '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               strftime(CASE WHEN event_id % 3 = 0
+                             THEN make_timestamp(epoch_ms(ts) * 1000)
+                             ELSE TIMESTAMP '2026-01-01' END,
+                        '%Y-%m-%d %H:%M:%S.%f') AS ots,
                CASE WHEN user_id % 2 = 0 THEN event_type END
                  AS severity_text,
                NULLIF(event_id % 25, 0)::INT AS severity_number,
@@ -5574,8 +5583,11 @@ def _register_otlp() -> None:
         )
         return flat.select(
             "message",
-            F.col("timestamp").alias("ts"),
-            F.col("observed_timestamp").alias("ots"),
+            # µs-pinned strings: no dtype normalization (see ev_native_json)
+            F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("ts"),
+            F.date_format("observed_timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("ots"),
             "severity_text",
             "severity_number",
             "trace_id",
@@ -5671,8 +5683,9 @@ def _register_aws_dd_sources() -> None:
         """
         SELECT 'evt ' || event_type || ' #' || event_id AS message,
                'req-' || (user_id % 192) AS request_id,
-               make_timestamp((1700000000000 + user_id % 192) * 1000)
-                 AS tsp,
+               strftime(make_timestamp((1700000000000 + user_id % 192)
+                                       * 1000),
+                        '%Y-%m-%d %H:%M:%S.%f') AS tsp,
                'arn:aws:firehose:us-east-1:0:stream/s' AS source_arn
         FROM events WHERE event_id % 8 = 1
         """,
@@ -5730,7 +5743,7 @@ def _register_aws_dd_sources() -> None:
         )
         return out.select(
             "message", "request_id",
-            F.col("timestamp").alias("tsp"), "source_arn",
+            _us("timestamp").alias("tsp"), "source_arn",
         )
 
     @_q(
@@ -5739,7 +5752,8 @@ def _register_aws_dd_sources() -> None:
         SELECT 'evt ' || event_type || ' #' || event_id AS message,
                CASE WHEN user_id % 2 = 0 THEN 'info' ELSE 'error' END
                  AS status,
-               make_timestamp(epoch_ms(ts) * 1000) AS tsp,
+               strftime(make_timestamp(epoch_ms(ts) * 1000),
+                        '%Y-%m-%d %H:%M:%S.%f') AS tsp,
                'h' || (user_id % 10) AS hostname,
                'svc' || (user_id % 5) AS service,
                'agent' AS ddsource,
@@ -5777,7 +5791,7 @@ def _register_aws_dd_sources() -> None:
         )
         out = ddsrc.parse_agent_logs(req)
         return out.select(
-            "message", "status", F.col("timestamp").alias("tsp"),
+            "message", "status", _us("timestamp").alias("tsp"),
             "hostname", "service", "ddsource", "ddtags",
         )
 
@@ -5786,7 +5800,8 @@ def _register_heroku() -> None:
     @_q(
         "ev_heroku_logplex",
         """
-        SELECT make_timestamp(epoch_ms(ts) * 1000) AS tsp,
+        SELECT strftime(make_timestamp(epoch_ms(ts) * 1000),
+                        '%Y-%m-%d %H:%M:%S.%f') AS tsp,
                'host' AS host,
                'app' AS app_name,
                'web.' || (user_id % 3) AS proc_id,
@@ -5815,7 +5830,7 @@ def _register_heroku() -> None:
         )
         out = heroku.parse_logplex(ev.select(line.alias("value")))
         return out.select(
-            F.col("timestamp").alias("tsp"), "host", "app_name",
+            _us("timestamp").alias("tsp"), "host", "app_name",
             "proc_id", "message",
         )
 
@@ -5825,10 +5840,11 @@ def _register_hec_ingest() -> None:
         "ev_hec_ingest",
         """
         SELECT 'evt ' || event_type || ' #' || event_id AS message,
-               CASE WHEN event_id % 3 = 0
-                    THEN make_timestamp(epoch_ms(ts) * 1000)
-                    ELSE make_timestamp((epoch_ms(ts) // 1000) * 1000000)
-               END AS tsp,
+               strftime(CASE WHEN event_id % 3 = 0
+                             THEN make_timestamp(epoch_ms(ts) * 1000)
+                             ELSE make_timestamp((epoch_ms(ts) // 1000)
+                                                 * 1000000)
+                        END, '%Y-%m-%d %H:%M:%S.%f') AS tsp,
                event_type AS f_type,
                'h' || (user_id % 10) AS host,
                'ch-' || (user_id % 4) AS channel,
@@ -5865,7 +5881,7 @@ def _register_hec_ingest() -> None:
         out = hec.parse_hec_events(ev.select(payload.alias("value")))
         return out.select(
             "message",
-            F.col("timestamp").alias("tsp"),
+            _us("timestamp").alias("tsp"),
             F.col("fields")["type"].alias("f_type"),
             "host",
             F.col("splunk_channel").alias("channel"),
@@ -5883,7 +5899,8 @@ def _register_k8s() -> None:
                CASE WHEN user_id % 2 = 0 THEN 'stdout'
                     ELSE 'stderr' END AS stream,
                'evt ' || event_type || ' #' || event_id AS message,
-               make_timestamp(epoch_ms(ts) * 1000) AS tsp,
+               strftime(make_timestamp(epoch_ms(ts) * 1000),
+                        '%Y-%m-%d %H:%M:%S.%f') AS tsp,
                FALSE AS partial
         FROM events
         """,
@@ -5943,7 +5960,7 @@ def _register_k8s() -> None:
         merged = k8s.merge_partial_lines(parsed)
         return merged.select(
             "file", "stream", "message",
-            F.col("timestamp").alias("tsp"), "partial",
+            _us("timestamp").alias("tsp"), "partial",
         )
 
 
@@ -6040,8 +6057,9 @@ def _register_journald() -> None:
         """
         SELECT 'evt ' || event_type || ' #' || event_id AS message,
                'h' || (user_id % 10) AS host,
-               make_timestamp(epoch_ms(ts) * 1000
-                 + CASE WHEN event_id % 4 <> 0 THEN 500 ELSE 0 END) AS ts,
+               strftime(make_timestamp(epoch_ms(ts) * 1000
+                          + CASE WHEN event_id % 4 <> 0 THEN 500 ELSE 0 END),
+                        '%Y-%m-%d %H:%M:%S.%f') AS ts,
                'cur-' || event_id AS cursor,
                CASE user_id % 4 WHEN 0 THEN 'nginx.service'
                                 WHEN 1 THEN 'sshd.service'
@@ -6100,7 +6118,7 @@ def _register_journald() -> None:
         )
         return out.select(
             "message", "host",
-            F.col("timestamp").alias("ts"),
+            _us("timestamp").alias("ts"),
             "cursor",
             F.col("fields")["_SYSTEMD_UNIT"].alias("unit"),
             F.col("fields")["PRIORITY"].alias("priority"),
@@ -6448,7 +6466,8 @@ def _register_fluent() -> None:
         """
         SELECT event_id,
                'app.' || (user_id % 4) AS tag,
-               ts + k * INTERVAL 1 SECOND AS event_ts,
+               strftime(ts + k * INTERVAL 1 SECOND,
+                        '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
                '{"event_id":' || event_id || ',"k":' || k || ',"type":"'
                  || event_type || '"}' AS record
         FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
@@ -6488,7 +6507,9 @@ def _register_fluent() -> None:
             enc(F.col("event_id"), F.col("user_id"), F.col("event_type"),
                 F.col("ts").cast("timestamp")).alias("payload"),
         )
-        return fl.parse_fluent(payload)
+        return fl.parse_fluent(payload).withColumn(
+            "event_ts", _us("event_ts")
+        )
 
 
 def _register_vendor_sinks2() -> None:
@@ -6991,7 +7012,8 @@ def _register_ecs_metrics() -> None:
                m.metric_type,
                CASE WHEN m.device = 'dev'
                     THEN '8:' || (user_id % 4) ELSE m.device END AS device,
-               m.op, m.cpu, ts AS event_ts,
+               m.op, m.cpu,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
                (CASE m.sel
                   WHEN 'on' THEN 2
                   WHEN 'sys' THEN event_id % 5000
@@ -7064,7 +7086,7 @@ def _register_ecs_metrics() -> None:
             F.col("tags")["device"].alias("device"),
             F.col("tags")["op"].alias("op"),
             F.col("tags")["cpu"].alias("cpu"),
-            "event_ts", "value",
+            _us("event_ts").alias("event_ts"), "value",
         )
 
 
@@ -7644,7 +7666,8 @@ def _register_docker_logs() -> None:
                CASE WHEN event_id % 2 = 0 THEN 'stdout'
                     ELSE 'stderr' END AS stream,
                'log ' || event_type || ' #' || event_id AS message,
-               make_timestamp(epoch_ms(ts) * 1000) AS tsp,
+               strftime(make_timestamp(epoch_ms(ts) * 1000),
+                        '%Y-%m-%d %H:%M:%S.%f') AS tsp,
                FALSE AS partial,
                'host-1' AS host, 'docker_logs' AS source_type
         FROM events WHERE user_id % 6 IN (0, 2, 4)
@@ -7721,7 +7744,7 @@ def _register_docker_logs() -> None:
         return out.select(
             "container_id", "container_name", "image",
             "container_created_at", F.col("label")["tier"].alias("tier"),
-            "stream", "message", F.col("timestamp").alias("tsp"),
+            "stream", "message", _us("timestamp").alias("tsp"),
             "partial", "host", "source_type",
         )
 
@@ -8308,7 +8331,8 @@ def _register_aws_envelopes() -> None:
                (event_id % 1000)::BIGINT AS size,
                'ObjectCreated' AS event_kind,
                'Put' AS event_name,
-               make_timestamp(epoch_ms(ts) * 1000) AS event_time
+               strftime(make_timestamp(epoch_ms(ts) * 1000),
+                        '%Y-%m-%d %H:%M:%S.%f') AS event_time
         FROM events WHERE event_id % 12 = 0
         """,
     )
@@ -8361,14 +8385,17 @@ def _register_aws_envelopes() -> None:
                 F.when(drop_arm, F.lit("2.1")).otherwise(F.lit("1.0")),
             ),
         ).alias("Records")))
-        return parse_s3_event_notification(ev.select(body.alias("value")))
+        return parse_s3_event_notification(
+            ev.select(body.alias("value"))
+        ).withColumn("event_time", _us("event_time"))
 
     @_q(
         "ev_sqs_envelope",
         """
         SELECT 'evt ' || event_type || ' #' || event_id AS message,
                'm-' || event_id AS message_id,
-               make_timestamp(epoch_ms(ts) * 1000) AS timestamp
+               strftime(make_timestamp(epoch_ms(ts) * 1000),
+                        '%Y-%m-%d %H:%M:%S.%f') AS timestamp
         FROM events WHERE event_id % 14 = 0
         UNION ALL
         SELECT 'raw ' || user_id, 'n-' || event_id, NULL
@@ -8406,14 +8433,17 @@ def _register_aws_envelopes() -> None:
             ).alias("Attributes"),
         )
         body = F.to_json(F.struct(F.array(m1, m2).alias("Messages")))
-        return parse_sqs_messages(ev.select(body.alias("value")))
+        return parse_sqs_messages(
+            ev.select(body.alias("value"))
+        ).withColumn("timestamp", _us("timestamp"))
 
     @_q(
         "ev_pubsub_push",
         """
         SELECT 'evt ' || event_type || ' #' || event_id AS message,
                'pm-' || event_id AS message_id,
-               make_timestamp(epoch_ms(ts) * 1000) AS timestamp,
+               strftime(make_timestamp(epoch_ms(ts) * 1000),
+                        '%Y-%m-%d %H:%M:%S.%f') AS timestamp,
                'projects/p/subscriptions/s' AS subscription,
                event_type AS a_type,
                (user_id % 9)::VARCHAR AS a_uid
@@ -8450,7 +8480,8 @@ def _register_aws_envelopes() -> None:
         ))
         out = parse_pubsub_push(ev.select(body.alias("value")))
         return out.select(
-            "message", "message_id", "timestamp", "subscription",
+            "message", "message_id",
+            _us("timestamp").alias("timestamp"), "subscription",
             F.col("attributes")["type"].alias("a_type"),
             F.col("attributes")["uid"].alias("a_uid"),
         )
