@@ -11949,6 +11949,202 @@ def _register_dup_matrix_and_attribution() -> None:
 _register_dup_matrix_and_attribution()
 
 
+def _register_traces() -> None:
+    @_q(
+        "ev_otlp_traces",
+        """
+        WITH e AS (
+          SELECT event_id, user_id, event_type, ts,
+                 md5(event_id::VARCHAR) AS tid
+          FROM events WHERE event_id % 17 = 0
+        ), spans AS (
+          SELECT event_id, tid AS trace_id,
+                 substr(tid, 1, 16) AS span_id, '' AS parent,
+                 'GET /' || event_type AS name, 2 AS kind,
+                 epoch_ms(ts) * 1000000 AS s_ns,
+                 epoch_ms(ts) * 1000000 + (event_id % 900 + 100) * 1000000
+                   AS e_ns,
+                 0 AS code, NULL AS msg
+          FROM e
+          UNION ALL
+          SELECT event_id, tid,
+                 substr(tid, 17, 16), substr(tid, 1, 16),
+                 'db.' || event_type, 3,
+                 epoch_ms(ts) * 1000000 + 5000,
+                 epoch_ms(ts) * 1000000 + (event_id % 400 + 50) * 1000000,
+                 CASE WHEN user_id % 7 = 0 THEN 2 ELSE 0 END,
+                 CASE WHEN user_id % 7 = 0 THEN 'deadline' END
+          FROM e
+        )
+        SELECT event_id, trace_id, span_id,
+               CASE WHEN parent = '' THEN NULL ELSE parent END
+                 AS parent_span_id,
+               name, kind::INT AS kind,
+               strftime(make_timestamp((s_ns // 1000)::BIGINT),
+                        '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+               strftime(make_timestamp((e_ns // 1000)::BIGINT),
+                        '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+               code::INT AS status_code, msg AS status_message,
+               'svc-' || (user_id % 6) AS service,
+               'app' AS scope_name
+        FROM spans JOIN e USING (event_id)
+        """,
+    )
+    def ev_otlp_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """OTLP/JSON traces source decode (reference src/sources/
+        opentelemetry TraceService + lib/opentelemetry-proto/src/
+        convert.rs:60-76,132-198): build ExportTraceServiceRequest
+        payloads of a root + child span per event (hex ids, ns
+        timestamps, status arms, resource service.name, scope) and
+        decode through the triple-explode parse_otlp_traces path. The
+        oracle recomputes every flattened field from the generator
+        formulas; timestamps are µs-pinned strings."""
+        from vector_spark.sources.otlp import parse_otlp_traces
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 17 == 0)
+        eid = F.col("event_id").cast("string")
+        tid = F.md5(eid)
+        s_ns = (F.unix_millis(F.col("ts").cast("timestamp"))
+                * F.lit(1_000_000)).cast("string")
+        e_ns_root = (
+            F.unix_millis(F.col("ts").cast("timestamp")) * F.lit(1_000_000)
+            + (F.col("event_id") % 900 + 100) * 1000 * F.lit(1000)
+        ).cast("string")
+        s_ns_child = (
+            F.unix_millis(F.col("ts").cast("timestamp")) * F.lit(1_000_000)
+            + F.lit(5000)
+        ).cast("string")
+        e_ns_child = (
+            F.unix_millis(F.col("ts").cast("timestamp")) * F.lit(1_000_000)
+            + (F.col("event_id") % 400 + 50) * 1000 * F.lit(1000)
+        ).cast("string")
+        err = F.col("user_id") % 7 == 0
+        root = F.concat(
+            F.lit('{"traceId":"'), tid, F.lit('","spanId":"'),
+            F.substring(tid, 1, 16),
+            F.lit('","name":"GET /'), F.col("event_type"),
+            F.lit('","kind":2,"startTimeUnixNano":"'), s_ns,
+            F.lit('","endTimeUnixNano":"'), e_ns_root,
+            F.lit('","status":{"code":0}}'),
+        )
+        child = F.concat(
+            F.lit('{"traceId":"'), tid, F.lit('","spanId":"'),
+            F.substring(tid, 17, 16),
+            F.lit('","parentSpanId":"'), F.substring(tid, 1, 16),
+            F.lit('","name":"db.'), F.col("event_type"),
+            F.lit('","kind":3,"startTimeUnixNano":"'), s_ns_child,
+            F.lit('","endTimeUnixNano":"'), e_ns_child,
+            F.lit('","status":'),
+            F.when(err, F.lit('{"code":2,"message":"deadline"}'))
+            .otherwise(F.lit('{"code":0}')),
+            F.lit("}"),
+        )
+        payload = F.concat(
+            F.lit('{"resourceSpans":[{"resource":{"attributes":[{"key":'
+                  '"service.name","value":{"stringValue":"svc-'),
+            (F.col("user_id") % 6).cast("string"),
+            F.lit('"}}]},"scopeSpans":[{"scope":{"name":"app"},'
+                  '"spans":['),
+            root, F.lit(","), child,
+            F.lit("]}]}]}"),
+        )
+        flat = parse_otlp_traces(
+            ev.select("event_id", payload.alias("payload")),
+            keep=["event_id"],
+        )
+        return flat.select(
+            "event_id", "trace_id", "span_id", "parent_span_id",
+            "name", "kind",
+            _us("start_ts").alias("start_ts"),
+            _us("end_ts").alias("end_ts"),
+            "status_code", "status_message",
+            F.col("resources")["service.name"].alias("service"),
+            "scope_name",
+        )
+
+    @_q(
+        "ev_trace_assembly",
+        """
+        WITH sp AS (
+          SELECT 't' || (event_id // 5) AS trace_id,
+                 's' || event_id AS span_id,
+                 CASE WHEN event_id % 5 = 0 THEN ''
+                      ELSE 's' || (event_id // 5) * 5 END AS parent,
+                 ts + (event_id % 5) * INTERVAL 1 SECOND AS start_ts,
+                 ts + (event_id % 5 + event_id % 3 + 1)
+                      * INTERVAL 1 SECOND AS end_ts,
+                 'op-' || (event_id % 4) AS name,
+                 'svc-' || (user_id % 6) AS service,
+                 CASE WHEN user_id % 9 = 0 THEN 2 ELSE 0 END AS code
+          FROM events
+        )
+        SELECT trace_id,
+               COUNT(*)::BIGINT AS n_spans,
+               SUM((code = 2)::INT)::BIGINT AS n_errors,
+               strftime(MIN(start_ts), '%Y-%m-%d %H:%M:%S.%f')
+                 AS trace_start,
+               strftime(MAX(end_ts), '%Y-%m-%d %H:%M:%S.%f') AS trace_end,
+               arg_min(CASE WHEN parent = '' THEN name END,
+                       CASE WHEN parent = '' THEN start_ts END)
+                 AS root_name,
+               COUNT(DISTINCT service)::BIGINT AS n_services,
+               (epoch_us(MAX(end_ts)) - epoch_us(MIN(start_ts)))::BIGINT
+                 AS duration_us
+        FROM sp GROUP BY 1
+        """,
+    )
+    def ev_trace_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Span → trace rollup (operators/traces.py::trace_assembly —
+        the APM-side aggregation the reference's trace sinks defer to
+        the backend): per trace, span/error counts, first-start →
+        last-end wall span, root-span name (earliest rootless-parent
+        span), distinct services. One map-side-combined groupBy; spans
+        cross the wire once as partials."""
+        from vector_spark.operators.traces import trace_assembly
+
+        ev = _events(spark, sf_dir)
+        spans = ev.select(
+            F.concat(
+                F.lit("t"), F.expr("event_id DIV 5").cast("string")
+            ).alias("trace_id"),
+            F.concat(F.lit("s"), F.col("event_id").cast("string"))
+            .alias("span_id"),
+            F.when(F.col("event_id") % 5 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("s"),
+                    (F.expr("event_id DIV 5") * 5).cast("string"),
+                )
+            ).alias("parent_span_id"),
+            (
+                F.col("ts").cast("timestamp")
+                + (F.col("event_id") % 5).cast("int")
+                * F.expr("INTERVAL 1 SECOND")
+            ).alias("start_ts"),
+            (
+                F.col("ts").cast("timestamp")
+                + (
+                    F.col("event_id") % 5 + F.col("event_id") % 3 + 1
+                ).cast("int") * F.expr("INTERVAL 1 SECOND")
+            ).alias("end_ts"),
+            F.concat(F.lit("op-"), (F.col("event_id") % 4).cast("string"))
+            .alias("name"),
+            F.concat(F.lit("svc-"), (F.col("user_id") % 6).cast("string"))
+            .alias("service"),
+            F.when(F.col("user_id") % 9 == 0, F.lit(2))
+            .otherwise(F.lit(0)).alias("status_code"),
+        )
+        out = trace_assembly(spans, service_col="service")
+        return out.select(
+            "trace_id", "n_spans", "n_errors",
+            _us("trace_start").alias("trace_start"),
+            _us("trace_end").alias("trace_end"),
+            "root_name", "n_services", "duration_us",
+        )
+
+
+_register_traces()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are

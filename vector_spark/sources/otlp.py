@@ -230,3 +230,141 @@ def parse_otlp_logs(
             "scope_version"
         ),
     )
+
+
+# --- traces (ExportTraceServiceRequest) ------------------------------------
+
+_SPAN = T.StructType(
+    [
+        T.StructField("traceId", T.StringType()),
+        T.StructField("spanId", T.StringType()),
+        T.StructField("traceState", T.StringType()),
+        T.StructField("parentSpanId", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("kind", T.IntegerType()),
+        T.StructField("startTimeUnixNano", T.StringType()),
+        T.StructField("endTimeUnixNano", T.StringType()),
+        T.StructField("attributes", _KV_LIST),
+        T.StructField("droppedAttributesCount", T.IntegerType()),
+        T.StructField("droppedEventsCount", T.IntegerType()),
+        T.StructField("droppedLinksCount", T.IntegerType()),
+        T.StructField(
+            "status",
+            T.StructType(
+                [
+                    T.StructField("message", T.StringType()),
+                    T.StructField("code", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+OTLP_TRACES_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceSpans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType(
+                                [T.StructField("attributes", _KV_LIST)]
+                            ),
+                        ),
+                        T.StructField(
+                            "scopeSpans",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "scope",
+                                            T.StructType(
+                                                [
+                                                    T.StructField(
+                                                        "name", T.StringType()
+                                                    ),
+                                                    T.StructField(
+                                                        "version",
+                                                        T.StringType(),
+                                                    ),
+                                                ]
+                                            ),
+                                        ),
+                                        T.StructField(
+                                            "spans", T.ArrayType(_SPAN)
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def parse_otlp_traces(
+    df: DataFrame,
+    payload: str | Column = "payload",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Decode OTLP/JSON ``ExportTraceServiceRequest`` payloads into flat
+    span events — one row per ``resourceSpans[] × scopeSpans[] ×
+    spans[]`` (reference ResourceSpans::into_event_iter +
+    ResourceSpan::into_event, convert.rs:60-76,132-198): trace/span/
+    parent ids (OTLP/JSON carries them hex already), trace_state, name,
+    kind, ns start/end timestamps (0 = absent → NULL), attributes and
+    resource kv-lists → maps, dropped counts, status code/message, and
+    the instrumentation scope. Span events/links ride the reference's
+    Value trees; here their dropped counts decode and the nested arrays
+    are scoped out with the other non-scalar AnyValues (module
+    docstring)."""
+    col = F.col(payload) if isinstance(payload, str) else payload
+    req = F.from_json(col, OTLP_TRACES_SCHEMA)
+    keep_cols = [F.col(c) for c in (keep or [])]
+
+    rs = df.select(
+        *keep_cols, F.explode(req["resourceSpans"]).alias("__rs")
+    )
+    ss = rs.select(
+        *keep_cols,
+        F.col("__rs.resource.attributes").alias("__res_attrs"),
+        F.explode("__rs.scopeSpans").alias("__ss"),
+    )
+    sp = ss.select(
+        *keep_cols,
+        "__res_attrs",
+        F.col("__ss.scope").alias("__scope"),
+        F.explode("__ss.spans").alias("__s"),
+    )
+    s = F.col("__s")
+    return sp.select(
+        *keep_cols,
+        s["traceId"].alias("trace_id"),
+        s["spanId"].alias("span_id"),
+        s["traceState"].alias("trace_state"),
+        s["parentSpanId"].alias("parent_span_id"),
+        s["name"].alias("name"),
+        F.coalesce(s["kind"], F.lit(0)).alias("kind"),
+        _nano_ts(s["startTimeUnixNano"]).alias("start_ts"),
+        _nano_ts(s["endTimeUnixNano"]).alias("end_ts"),
+        _kv_to_map(s["attributes"]).alias("attributes"),
+        F.coalesce(s["droppedAttributesCount"], F.lit(0)).alias(
+            "dropped_attributes_count"
+        ),
+        F.coalesce(s["droppedEventsCount"], F.lit(0)).alias(
+            "dropped_events_count"
+        ),
+        F.coalesce(s["droppedLinksCount"], F.lit(0)).alias(
+            "dropped_links_count"
+        ),
+        F.coalesce(s["status"]["code"], F.lit(0)).alias("status_code"),
+        s["status"]["message"].alias("status_message"),
+        _kv_to_map(F.col("__res_attrs")).alias("resources"),
+        F.col("__scope")["name"].alias("scope_name"),
+        F.col("__scope")["version"].alias("scope_version"),
+    )
