@@ -12145,6 +12145,147 @@ def _register_traces() -> None:
 _register_traces()
 
 
+def _register_stream_traces() -> None:
+    @_q(
+        "stream_trace_assembly",
+        """
+        WITH sp AS (
+          SELECT 't' || (event_id // 5) AS trace_id,
+                 CASE WHEN event_id % 5 = 0 THEN ''
+                      ELSE 's' || (event_id // 5) * 5 END AS parent,
+                 ts + (event_id % 5) * INTERVAL 1 SECOND AS start_ts,
+                 ts + (event_id % 5 + event_id % 3 + 1)
+                      * INTERVAL 1 SECOND AS end_ts,
+                 'op-' || (event_id % 4) AS name,
+                 CASE WHEN user_id % 9 = 0 THEN 2 ELSE 0 END AS code
+          FROM events
+        ),
+        mx AS (SELECT MAX(start_ts) AS m FROM sp),
+        g AS (
+          SELECT time_bucket(INTERVAL 300 SECOND, start_ts) AS tb,
+                 trace_id,
+                 COUNT(*)::BIGINT AS n_spans,
+                 SUM((code = 2)::INT)::BIGINT AS n_errors,
+                 MIN(start_ts) AS t0, MAX(end_ts) AS t1,
+                 arg_min(CASE WHEN parent = '' THEN name END,
+                         CASE WHEN parent = '' THEN start_ts END)
+                   AS root_name,
+                 ANY_VALUE(m) AS m
+          FROM sp, mx GROUP BY 1, 2
+        )
+        SELECT strftime(tb, '%Y-%m-%d %H:%M:%S') AS ws, trace_id,
+               n_spans, n_errors,
+               strftime(t0, '%Y-%m-%d %H:%M:%S.%f') AS trace_start,
+               strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS trace_end,
+               root_name
+        FROM g WHERE tb + INTERVAL 300 SECOND <= m - INTERVAL 300 SECOND
+        """,
+    )
+    def stream_trace_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming span→trace assembly: trace_assembly's rollup as a
+        LIVE watermarked windowed aggregate — traces keyed by (5-minute
+        start window, trace_id), emitted append-mode once the watermark
+        passes the window (the APM-ingest shape: a trace is closed when
+        its start window expires). Bit-exact vs the batch replay over
+        emitted windows (one-window margin, see stream_agg_events)."""
+        import shutil
+        import tempfile
+
+        global _STREAM_Q_N
+        _STREAM_Q_N += 1
+        name = f"__stream_traces_{_STREAM_Q_N}"
+        ev = _events(spark, sf_dir)
+        spans = ev.select(
+            F.concat(
+                F.lit("t"), F.expr("event_id DIV 5").cast("string")
+            ).alias("trace_id"),
+            F.when(F.col("event_id") % 5 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("s"),
+                    (F.expr("event_id DIV 5") * 5).cast("string"),
+                )
+            ).alias("parent_span_id"),
+            (
+                F.col("ts").cast("timestamp")
+                + (F.col("event_id") % 5).cast("int")
+                * F.expr("INTERVAL 1 SECOND")
+            ).alias("start_ts"),
+            (
+                F.col("ts").cast("timestamp")
+                + (
+                    F.col("event_id") % 5 + F.col("event_id") % 3 + 1
+                ).cast("int") * F.expr("INTERVAL 1 SECOND")
+            ).alias("end_ts"),
+            F.concat(F.lit("op-"), (F.col("event_id") % 4).cast("string"))
+            .alias("name"),
+            F.when(F.col("user_id") % 9 == 0, F.lit(2))
+            .otherwise(F.lit(0)).alias("status_code"),
+        )
+        staged = tempfile.mkdtemp(prefix="vs_stream_traces_")
+        try:
+            spans.write.mode("overwrite").parquet(staged)
+            max_ts = spans.agg(F.max("start_ts")).collect()[0][0]
+            root = F.col("parent_span_id") == ""
+            sdf = (
+                spark.readStream.schema(spans.schema)
+                .parquet(staged)
+                .withWatermark("start_ts", "0 seconds")
+                .groupBy(
+                    F.window("start_ts", "300 seconds").alias("__w"),
+                    "trace_id",
+                )
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_spans"),
+                    F.sum((F.col("status_code") == 2).cast("int"))
+                    .cast("long").alias("n_errors"),
+                    F.min("start_ts").alias("t0"),
+                    F.max("end_ts").alias("t1"),
+                    F.min_by(
+                        F.col("name"), F.when(root, F.col("start_ts"))
+                    ).alias("root_name"),
+                )
+                .select(
+                    F.col("__w.start").alias("wstart"),
+                    F.col("__w.end").alias("wend"),
+                    "trace_id", "n_spans", "n_errors", "t0", "t1",
+                    "root_name",
+                )
+            )
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try:
+                q = (
+                    sdf.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("append")
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            out = spark.table(name)
+            return (
+                out.filter(
+                    F.col("wend")
+                    <= F.lit(max_ts) - F.expr("INTERVAL 300 SECONDS")
+                )
+                .select(
+                    F.date_format("wstart", "yyyy-MM-dd HH:mm:ss")
+                    .alias("ws"),
+                    "trace_id", "n_spans", "n_errors",
+                    _us("t0").alias("trace_start"),
+                    _us("t1").alias("trace_end"),
+                    "root_name",
+                )
+            )
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
+
+
+_register_stream_traces()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are
