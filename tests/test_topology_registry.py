@@ -476,3 +476,79 @@ def test_rate_anomaly_transform_type(spark):
     topo2 = compile_config(spark, config)
     inc = topo2.resolve("an").collect()
     assert len(inc) == 1 and inc[0].n_windows == 1 and inc[0].duration_secs == 600
+
+
+def test_trace_assembly_and_spike_attribution_transform_types(spark):
+    import datetime
+
+    from vector_spark.plans.topology import compile_config
+
+    t0 = datetime.datetime(2024, 1, 1)
+    spans = [
+        ("A", "s1", "", t0, t0 + datetime.timedelta(microseconds=300),
+         "root-a", 0),
+        ("A", "s2", "s1", t0 + datetime.timedelta(microseconds=10),
+         t0 + datetime.timedelta(microseconds=120), "child", 2),
+    ]
+    config = {
+        "sources": {
+            "sp": {"type": "inline", "rows": spans,
+                   "schema": ("trace_id string, span_id string, "
+                              "parent_span_id string, start_ts timestamp, "
+                              "end_ts timestamp, name string, "
+                              "status_code int")}
+        },
+        "transforms": {
+            "tr": {"type": "trace_assembly", "inputs": ["sp"]},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["tr"]}},
+    }
+    (r,) = compile_config(spark, config).resolve("tr").collect()
+    assert (r.n_spans, r.n_errors, r.root_name, r.duration_us) == (
+        2, 1, "root-a", 300,
+    )
+
+    evs = [("k1", t0)] * 2 + [("k2", t0)] * 2
+    evs += [("k1", t0 + datetime.timedelta(hours=1))] * 8
+    evs += [("k2", t0 + datetime.timedelta(hours=1))] * 2
+    config2 = {
+        "sources": {
+            "ev": {"type": "inline", "rows": evs,
+                   "schema": "event_type string, ts timestamp"}
+        },
+        "transforms": {
+            "sa": {"type": "spike_attribution", "inputs": ["ev"],
+                   "top_k": 1},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["sa"]}},
+    }
+    rows = sorted(compile_config(spark, config2).resolve("sa").collect(),
+                  key=lambda r: r.window_start)
+    assert rows[1].key == "k1" and rows[1].delta_share == 1.0
+
+
+def test_dataset_card_and_url_filter_transform_types(spark):
+    from vector_spark.plans.topology import compile_config
+
+    docs = [
+        (1, "same", "en", "a", "https://example.com/x"),
+        (2, "same", "en", "a", "https://good.org/y"),
+        (3, "other", "de", "b", "https://ads.example.com/z"),
+    ]
+    schema = ("doc_id long, text string, lang string, source string, "
+              "url string")
+    config = {
+        "sources": {"d": {"type": "inline", "rows": docs, "schema": schema}},
+        "transforms": {
+            "card": {"type": "dataset_card", "inputs": ["d"]},
+            "clean": {"type": "url_filter", "inputs": ["d"],
+                      "blocked_domains": ["example.com"]},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["card"]},
+                  "out2": {"type": "memory", "inputs": ["clean"]}},
+    }
+    topo = compile_config(spark, config)
+    card = {r.source: r for r in topo.resolve("card").collect()}
+    assert card["a"].n_dups == 1 and card["b"].n_dups == 0
+    kept = topo.resolve("clean").collect()
+    assert [r.doc_id for r in kept] == [2]  # both example.com hosts drop

@@ -1308,6 +1308,59 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
                 key_col=key,
             )
         }
+    if t == "trace_assembly":
+        from vector_spark.operators.traces import trace_assembly
+
+        return {
+            "__default": trace_assembly(
+                df,
+                trace_col=cfg.get("trace_col", "trace_id"),
+                parent_col=cfg.get("parent_col", "parent_span_id"),
+                start_col=cfg.get("start_col", "start_ts"),
+                end_col=cfg.get("end_col", "end_ts"),
+                name_col=cfg.get("name_col", "name"),
+                service_col=cfg.get("service_col"),
+                status_col=cfg.get("status_col", "status_code"),
+            )
+        }
+    if t == "spike_attribution":
+        from vector_spark.operators.anomaly import spike_attribution
+
+        return {
+            "__default": spike_attribution(
+                df,
+                key_col=cfg.get("key_field", "event_type"),
+                ts_col=cfg.get("ts_col", "ts"),
+                window_secs=int(cfg.get("window_secs", 3600)),
+                top_k=int(cfg.get("top_k", 3)),
+            )
+        }
+    if t == "dataset_card":
+        from vector_spark.dataprep.report import dataset_card
+
+        return {
+            "__default": dataset_card(
+                df,
+                source_col=cfg.get("source_col", "source"),
+                text_col=cfg.get("text_col", "text"),
+                lang_col=cfg.get("lang_col", "lang")
+                if cfg.get("lang_col", "lang") else None,
+            )
+        }
+    if t == "url_filter":
+        from vector_spark.dataprep.urls import blocklist_filter, blocklist_mark
+
+        spark = df.sparkSession
+        if "blocked_domains" in cfg:
+            bl = spark.createDataFrame(
+                [(d,) for d in cfg["blocked_domains"]], "domain string"
+            )
+        else:
+            bl = spark.read.parquet(cfg["blocklist_path"])
+        fn = blocklist_mark if cfg.get("mode") == "mark" else blocklist_filter
+        return {
+            "__default": fn(df, bl, url_col=cfg.get("url_col", "url"))
+        }
     raise ValueError(f"unknown transform type {t!r}")
 
 
@@ -1318,7 +1371,7 @@ TRANSFORM_TYPES = (
     "lm_perplexity tokenize "
     "sample_mixture split_assign pack_tokens near_dedup "
     "group_sample curriculum strided_chunks self_repetition novelty "
-    "rate_anomaly"
+    "rate_anomaly trace_assembly spike_attribution dataset_card url_filter"
 ).split()
 
 
