@@ -12286,6 +12286,89 @@ def _register_stream_traces() -> None:
 _register_stream_traces()
 
 
+def _register_incremental_near_dup() -> None:
+    from vector_spark.dataprep import oracles as osql
+
+    _sh = osql.hashed_shingles_expr("text", 3)
+    _sig = osql.minhash_sig_int_exprs("__sh", 16)
+    _sig_list = "[" + ", ".join(_sig) + "]"
+    _bands = osql.band_keys_expr(_sig, 4, 4)
+
+    @_q(
+        "doc_incremental_near_dup",
+        f"""
+        WITH old_base AS (
+          SELECT doc_id, {_sh} AS __sh FROM documents WHERE doc_id % 3 != 0
+        ),
+        new_base AS (
+          SELECT doc_id, {_sh} AS __sh FROM documents WHERE doc_id % 3 = 0
+        ),
+        old_idx AS (
+          SELECT doc_id, {_sig_list} AS sig, {_bands} AS __bands
+          FROM old_base
+        ),
+        new_idx AS (
+          SELECT doc_id, {_sig_list} AS sig, {_bands} AS __bands
+          FROM new_base
+        ),
+        old_b AS (
+          SELECT doc_id, sig, b.bi AS bi,
+                 list_extract(__bands, b.bi + 1) AS key
+          FROM old_idx, range(4) b(bi)
+        ),
+        new_b AS (
+          SELECT doc_id, sig, b.bi AS bi,
+                 list_extract(__bands, b.bi + 1) AS key
+          FROM new_idx, range(4) b(bi)
+        ),
+        cand AS (
+          SELECT DISTINCT n.doc_id, n.sig AS nsig,
+                 o.doc_id AS matched_id, o.sig AS osig
+          FROM new_b n JOIN old_b o ON n.bi = o.bi AND n.key = o.key
+        ),
+        scored AS (
+          SELECT doc_id, matched_id,
+                 ROUND(len(list_filter(range(16),
+                           i -> nsig[i + 1] = osig[i + 1])) / 16.0, 4)
+                   AS sig_sim
+          FROM cand
+        ),
+        best AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY sig_sim DESC,
+                                                matched_id ASC) AS rk
+          FROM scored WHERE sig_sim >= 0.5
+        )
+        SELECT doc_id, matched_id, sig_sim FROM best WHERE rk = 1
+        """,
+    )
+    def doc_incremental_near_dup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Incremental NEAR-dedup — a new batch vs the persisted LSH
+        index (dataprep/dedup.py::incremental_minhash_dedup, the banded
+        twin of doc_incremental_dedup's exact-digest ledger): existing
+        docs (doc_id % 3 != 0) build the index, the new batch joins it
+        on (band_idx, band_key) only — band rows shuffle, documents
+        never — and candidates score by the Broder signature-equality
+        estimator, best match per new doc. The oracle replays the whole
+        banded protocol in DuckDB."""
+        from vector_spark.dataprep.dedup import (
+            incremental_minhash_dedup,
+            minhash_index,
+        )
+
+        docs = _docs(spark, sf_dir)
+        index = minhash_index(docs.filter(F.col("doc_id") % 3 != 0))
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        return incremental_minhash_dedup(new, index, threshold=0.5)[
+            "matches"
+        ]
+
+
+_register_incremental_near_dup()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are

@@ -743,3 +743,37 @@ def test_token_novelty_scores(spark):
     assert got["fresh"].novelty == 1.0
     # mixed: 13 grams, those starting at 108..112 are in the reference (5)
     assert got["mixed"].ngrams_novel == 8 and got["mixed"].ngrams_total == 13
+
+
+def test_incremental_minhash_dedup(spark):
+    from vector_spark.dataprep.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text about database indexes here"),
+        ],
+        "doc_id long, text string",
+    )
+    index = minhash_index(corpus)
+    new = spark.createDataFrame(
+        [
+            # near-copy of doc 1 (one word changed)
+            (10, "the quick brown fox jumps over the lazy cat tonight"),
+            # novel document
+            (11, "totally fresh content on distributed shuffle tuning"),
+            # exact copy of doc 2
+            (12, "completely unrelated text about database indexes here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_minhash_dedup(new, index, threshold=0.5)
+    matches = {r.doc_id: r for r in out["matches"].collect()}
+    assert 11 not in matches  # novel doc matches nothing
+    assert matches[12].matched_id == 2 and matches[12].sig_sim == 1.0
+    assert matches[10].matched_id == 1 and matches[10].sig_sim >= 0.5
+    # the returned index rows extend the store: bands x new docs
+    assert out["index"].count() == 3 * 4

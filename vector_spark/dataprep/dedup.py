@@ -780,3 +780,109 @@ def token_exact_dedup(
     keyed = df.withColumn("__fp", fp)
     keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return keyed.join(keep, on=["__fp", id_col], how="inner").drop("__fp")
+
+
+# --- incremental NEAR-dup: new batch vs a persisted LSH index ---------------
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The persisted LSH index of a corpus: one row per (doc, band) with
+    the band key AND the full minhash signature — what an incremental
+    ingestion run stores between batches (the near-dup twin of
+    :func:`incremental_dedup`'s exact-digest ledger). ``bands × docs``
+    rows of (id, band_idx, band_key, sig); signatures are ``num_hashes``
+    longs, so the index is a few hundred bytes per document regardless
+    of document size."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_int(
+        hashed_shingles(F.col(text_col), k_shingle), num_hashes
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), sig.alias("sig")
+    ).withColumn(
+        "__bands", lsh_band_keys(F.col("sig"), bands, rows_per_band)
+    )
+    return base.select(
+        "doc_id",
+        "sig",
+        F.posexplode("__bands").alias("band_idx", "band_key"),
+    )
+
+
+def sig_similarity(a: Column, b: Column, num_hashes: int) -> Column:
+    """MinHash signature similarity: the share of equal components — the
+    standard unbiased Jaccard estimator (Broder), exact-arithmetic and
+    engine-portable (no float hashing)."""
+    eq = F.zip_with(a, b, lambda x, y: (x == y).cast("int"))
+    return F.round(
+        F.aggregate(eq, F.lit(0), lambda acc, x: acc + x)
+        / F.lit(num_hashes),
+        4,
+    )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> dict[str, DataFrame]:
+    """Match a NEW batch of documents against the EXISTING corpus's LSH
+    index without touching the old corpus text: band the new docs, join
+    band keys against the index (equality join on (band_idx, band_key) —
+    the only shuffle, carrying band rows, never documents), and score
+    candidates by signature similarity.
+
+    Returns ``{"matches": (doc_id, matched_id, sig_sim), "index":
+    the new batch's index rows}`` — append ``index`` to the store and
+    drop/flag ``matches`` ids to complete the incremental step. A new
+    doc matching several stored docs reports its best match
+    (deterministic: max similarity, ties to smallest matched_id)."""
+    new_idx = minhash_index(
+        new_df, text_col, id_col, k_shingle, num_hashes, bands
+    )
+    old = index.select(
+        F.col("doc_id").alias("__old_id"),
+        F.col("sig").alias("__old_sig"),
+        "band_idx",
+        F.col("band_key").alias("__old_key"),
+    )
+    cand = (
+        new_idx.join(
+            old,
+            (new_idx["band_idx"] == old["band_idx"])
+            & (new_idx["band_key"] == old["__old_key"]),
+        )
+        .select("doc_id", "sig", "__old_id", "__old_sig")
+        .distinct()
+    )
+    scored = cand.select(
+        "doc_id",
+        F.col("__old_id").alias("matched_id"),
+        sig_similarity(F.col("sig"), F.col("__old_sig"), num_hashes).alias(
+            "sig_sim"
+        ),
+    ).filter(F.col("sig_sim") >= threshold)
+    best = scored.groupBy("doc_id").agg(
+        F.max_by(
+            F.struct("sig_sim", "matched_id"),
+            F.struct(F.col("sig_sim"), -F.col("matched_id").cast("double")),
+        ).alias("__m")
+    )
+    matches = best.select(
+        "doc_id",
+        F.col("__m.matched_id").alias("matched_id"),
+        F.col("__m.sig_sim").alias("sig_sim"),
+    )
+    return {"matches": matches, "index": new_idx}
