@@ -4660,7 +4660,8 @@ def _register_codecs() -> None:
         The oracle rebuilds every stream JSON byte-for-byte."""
         from vector_spark.sinks import loki
 
-        ev = _events(spark, sf_dir).filter(F.col("event_id") % 50 == 0)
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 25 == 0)
+        gen = F.expr("event_id DIV 25") % 2
         rec = ev.select(
             F.create_map(
                 F.lit("app"), F.col("event_type"),
@@ -6712,7 +6713,8 @@ def _register_host_metrics() -> None:
         USER_HZ seconds."""
         from vector_spark.sources import host_metrics as hm
 
-        ev = _events(spark, sf_dir).filter(F.col("event_id") % 50 == 0)
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 25 == 0)
+        gen = F.expr("event_id DIV 25") % 2
         eid, uid = F.col("event_id"), F.col("user_id")
 
         def n(c):  # noqa: ANN001
@@ -6778,7 +6780,8 @@ def _register_host_metrics() -> None:
         Active(anon) decoy line must not match the Active key."""
         from vector_spark.sources import host_metrics as hm
 
-        ev = _events(spark, sf_dir).filter(F.col("event_id") % 50 == 0)
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 25 == 0)
+        gen = F.expr("event_id DIV 25") % 2
         eid, uid = F.col("event_id"), F.col("user_id")
 
         def n(c):  # noqa: ANN001
@@ -12367,6 +12370,66 @@ def _register_incremental_near_dup() -> None:
 
 
 _register_incremental_near_dup()
+
+
+def _register_schema_evolution() -> None:
+    @_q(
+        "ev_schema_evolution",
+        """
+        SELECT event_id, event_type,
+               NULL::VARCHAR AS region, NULL::INT AS retention_days
+        FROM events WHERE event_id % 25 = 0 AND (event_id // 25) % 2 = 0
+        UNION ALL
+        SELECT event_id, event_type,
+               'r' || (user_id % 4), (user_id % 30 + 1)::INT
+        FROM events WHERE event_id % 25 = 0 AND (event_id // 25) % 2 = 1
+        """,
+    )
+    def ev_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Schema evolution across table generations
+        (sources/readers.py::read_table merge_schema): generation-1
+        files lack the columns generation 2 added (region,
+        retention_days); a merged-footer read surfaces them as NULL on
+        old rows and typed on new ones — the per-file approximation of
+        Iceberg's per-snapshot schema ids that a years-old 100 TB table
+        lives with daily. The oracle recomputes both generations
+        closed-form."""
+        import shutil
+        import tempfile
+
+        from vector_spark.sources.readers import read_table
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 25 == 0)
+        gen = F.expr("event_id DIV 25") % 2
+        staged = tempfile.mkdtemp(prefix="vs_schema_evo_")
+        try:
+            gen1 = ev.filter(gen == 0).select(
+                "event_id", "event_type"
+            )
+            gen2 = (
+                ev.filter(gen == 1)
+                .select(
+                    "event_id",
+                    "event_type",
+                    F.concat(
+                        F.lit("r"), (F.col("user_id") % 4).cast("string")
+                    ).alias("region"),
+                    (F.col("user_id") % 30 + 1).cast("int").alias(
+                        "retention_days"
+                    ),
+                )
+            )
+            gen1.write.mode("overwrite").parquet(staged + "/g=1")
+            gen2.write.mode("overwrite").parquet(staged + "/g=2")
+            out = read_table(spark, staged, merge_schema=True)
+            return out.select(
+                "event_id", "event_type", "region", "retention_days"
+            ).localCheckpoint()
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
+
+
+_register_schema_evolution()
 
 
 # --- curated hard-verification window --------------------------------------

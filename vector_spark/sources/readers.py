@@ -41,10 +41,18 @@ def with_lineage(df: DataFrame, source_id: str) -> DataFrame:
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
-               schema: str | None = None, source_id: str | None = None) -> DataFrame:
+               schema: str | None = None, source_id: str | None = None,
+               merge_schema: bool = False) -> DataFrame:
+    """``merge_schema=True`` unions the schemas of every file footer
+    (spark mergeSchema): the 100 TB reality where a long-lived table's
+    older files predate newly added columns — old rows surface the new
+    columns as NULL, the exact evolution contract Iceberg formalizes
+    (schema-id per snapshot) and plain parquet approximates per-file."""
     r = spark.read
     if schema:
         r = r.schema(schema)
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
     if fmt == "parquet":
         df = r.parquet(path)
     elif fmt == "csv":
