@@ -12432,6 +12432,87 @@ def _register_schema_evolution() -> None:
 _register_schema_evolution()
 
 
+def _register_chunks_and_diff() -> None:
+    @_q(
+        "doc_rag_chunks",
+        """
+        WITH d AS (
+          SELECT doc_id, text, greatest(length(text), 1) AS n
+          FROM documents WHERE doc_id % 4 = 0
+        ),
+        ex AS (
+          SELECT doc_id, text,
+                 unnest(range(0,
+                   CASE WHEN n <= 120 THEN 1
+                        ELSE ceil((n - 120) / 90.0)::INT * 90 + 1 END,
+                   90)) AS char_start
+          FROM d
+        )
+        SELECT doc_id::VARCHAR || '#' || (char_start // 90) AS chunk_id,
+               doc_id, (char_start // 90)::INT AS chunk_index,
+               char_start::INT AS char_start,
+               substr(text, char_start + 1, 120) AS chunk_text
+        FROM ex
+        """,
+    )
+    def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sliding-window document chunking for retrieval/embedding prep
+        (dataprep/text.py::chunk_text): 120-char windows, 30-char
+        overlap, stable chunk ids, full coverage with a right-aligned
+        last window (no degenerate tails). Pure per-row explode — no
+        shuffle; the oracle rebuilds every window closed-form."""
+        from vector_spark.dataprep.text import chunk_text
+
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+        return chunk_text(d, chunk_chars=120, overlap=30)
+
+    @_q(
+        "doc_snapshot_diff",
+        """
+        WITH old AS (
+          SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 5 != 1
+        ),
+        new AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 7 = 0 THEN 'rev2 ' || text
+                          ELSE text END) AS d
+          FROM documents WHERE doc_id % 5 != 2
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.d IS NULL THEN 'added'
+                    WHEN n.d IS NULL THEN 'removed'
+                    WHEN o.d != n.d THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new n USING (doc_id)
+        """,
+    )
+    def doc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Crawl-over-crawl snapshot diff
+        (dataprep/report.py::snapshot_diff): two corpus snapshots reduce
+        to (id, digest) — text never crosses the wire — and one
+        full-outer join labels every id added / removed / changed /
+        unchanged, the statuses that drive incremental reprocessing.
+        Snapshot 2 drops ids ≡2 (mod 5), gains ids ≡1, and rewrites
+        ids ≡0 (mod 7)."""
+        from vector_spark.dataprep.report import snapshot_diff
+
+        docs = _docs(spark, sf_dir)
+        old = docs.filter(F.col("doc_id") % 5 != 1)
+        new = docs.filter(F.col("doc_id") % 5 != 2).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("rev2 "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return snapshot_diff(old, new)
+
+
+_register_chunks_and_diff()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are

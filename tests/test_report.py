@@ -56,3 +56,41 @@ def test_source_dup_matrix(spark):
            for r in source_dup_matrix(df).collect()}
     # shared-1 in {a,b,c} -> 3 pairs; shared-2 in {a,b} -> 1 pair
     assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_snapshot_diff(spark):
+    from vector_spark.dataprep.report import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "going away")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed now"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_chunk_text_windows(spark):
+    from vector_spark.dataprep.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "abcdef")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        chunk_text(df, chunk_chars=6, overlap=2).collect(),
+        key=lambda r: (r.doc_id, r.chunk_index),
+    )
+    got = [(r.chunk_id, r.char_start, r.chunk_text) for r in out]
+    # step 4: doc 1 (10 chars) -> starts 0, 4 (last window reaches the
+    # end, full coverage, no degenerate tail); doc 3 (6 chars = exactly
+    # one window) and doc 2 (shorter) -> one chunk each
+    assert got == [
+        ("1#0", 0, "abcdef"),
+        ("1#1", 4, "efghij"),
+        ("2#0", 0, "xy"),
+        ("3#0", 0, "abcdef"),
+    ]

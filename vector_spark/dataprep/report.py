@@ -175,3 +175,35 @@ def source_dup_matrix(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """What changed between two corpus snapshots: one row per document
+    present in either, with status ``added`` (new only), ``removed``
+    (old only), ``changed`` (both, different text digest) or
+    ``unchanged`` — the crawl-over-crawl diff that drives incremental
+    reprocessing (only added+changed re-enter the pipeline).
+
+    Plan: both sides reduce to (id, digest) — the corpus text never
+    crosses the wire — and a single full-outer equality join on the id
+    produces the status. Deterministic, retry-safe."""
+    o = old_df.select(
+        F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__od")
+    )
+    n = new_df.select(
+        F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__nd")
+    )
+    j = o.join(n, "__id", "full_outer")
+    return j.select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("__od").isNull(), F.lit("added"))
+        .when(F.col("__nd").isNull(), F.lit("removed"))
+        .when(F.col("__od") != F.col("__nd"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

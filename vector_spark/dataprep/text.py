@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Small stopword sets per language for the n-gram/stopword language-ID
@@ -385,4 +385,56 @@ def repetition_features(col: Column, ws: Column | None = None) -> Column:
         top2.alias("top_bigram_frac"),
         top3.alias("top_trigram_frac"),
         ((top2 <= 0.20) & (top3 <= 0.18) & (dup_word <= 0.70)).alias("rep_ok"),
+    )
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG/embedding prep step):
+    fixed-size character windows stepping ``chunk_chars - overlap``, one
+    row per chunk with a stable ``chunk_id`` (``<doc_id>#<index>``), the
+    char offset, and the chunk text. Documents shorter than one window
+    yield exactly one chunk; otherwise the last window starts at the
+    smallest step multiple that still reaches the end of the text, so
+    every character is covered and no degenerate sub-overlap tail chunk
+    is emitted (its text may be shorter than ``chunk_chars`` by up to
+    ``step - 1``).
+
+    Scale shape: pure per-row explode — a ``sequence`` of offsets
+    (bounded by doc length / step) transformed to substrings, no
+    shuffle, no Python; chunk count per doc is ceil(len/step), so
+    output volume ≈ input volume × (1 + overlap/step)."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    n = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    last = (
+        F.when(n <= chunk_chars, F.lit(0))
+        .otherwise(
+            F.ceil((n - F.lit(chunk_chars)) / F.lit(step)).cast("int")
+            * F.lit(step)
+        )
+    )
+    starts = F.sequence(F.lit(0), last, F.lit(step))
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__txt"),
+        F.posexplode(starts).alias("chunk_index", "char_start"),
+    )
+    return exploded.select(
+        F.concat(
+            F.col("__id").cast("string"), F.lit("#"),
+            F.col("chunk_index").cast("string"),
+        ).alias("chunk_id"),
+        F.col("__id").alias(id_col),
+        "chunk_index",
+        "char_start",
+        F.substring(
+            F.col("__txt"), F.col("char_start") + 1, chunk_chars
+        ).alias("chunk_text"),
     )
