@@ -12513,6 +12513,54 @@ def _register_chunks_and_diff() -> None:
 _register_chunks_and_diff()
 
 
+def _register_emb_health() -> None:
+    @_q(
+        "emb_health",
+        """
+        WITH v AS (
+          SELECT label,
+                 len(embedding) AS dim,
+                 CASE WHEN len(list_filter(embedding,
+                        x -> isnan(x) OR NOT isfinite(x))) > 0
+                      THEN 1 ELSE 0 END AS bad,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> x::DOUBLE * x::DOUBLE))) AS n
+          FROM embeddings
+        ),
+        f AS (
+          SELECT label, dim, bad,
+                 CASE WHEN bad = 0 THEN n END AS fn
+          FROM v
+        )
+        SELECT label AS group_key,
+               COUNT(*)::BIGINT AS n_vectors,
+               COUNT(DISTINCT dim)::BIGINT AS n_dims,
+               MIN(dim) AS dim,
+               SUM(bad)::BIGINT AS n_nonfinite,
+               SUM((fn = 0)::INT)::BIGINT AS n_zero,
+               ROUND(MIN(fn), 4) AS norm_min,
+               ROUND(SUM(ROUND(fn * 10000)::BIGINT)
+                     / (10000.0 * COUNT(fn)), 4) AS norm_mean,
+               ROUND(MAX(fn), 4) AS norm_max
+        FROM f GROUP BY 1
+        """,
+    )
+    def emb_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Embedding-table health report
+        (dataprep/similarity.py::embedding_health): per label, vector
+        count, dimension consistency, non-finite and zero-vector
+        counts, and L2-norm min/mean/max — the pre-flight check before
+        an ANN index build. Norm mean uses the micro-quantized integer
+        sum so it is bit-exact across engines and partitionings."""
+        from vector_spark.dataprep.similarity import embedding_health
+
+        emb = tables.load(spark, sf_dir, "embeddings")
+        return embedding_health(emb)
+
+
+_register_emb_health()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are

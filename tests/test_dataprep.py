@@ -777,3 +777,23 @@ def test_incremental_minhash_dedup(spark):
     assert matches[10].matched_id == 1 and matches[10].sig_sim >= 0.5
     # the returned index rows extend the store: bands x new docs
     assert out["index"].count() == 3 * 4
+
+
+def test_embedding_health(spark):
+    from vector_spark.dataprep.similarity import embedding_health
+
+    rows = [
+        (1, [3.0, 4.0], "a"),          # norm 5
+        (2, [0.0, 0.0], "a"),          # zero vector
+        (3, [float("nan"), 1.0], "a"),  # non-finite
+        (4, [1.0, 0.0, 0.0], "b"),     # different dim
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = {r.group_key: r for r in embedding_health(df).collect()}
+    a = out["a"]
+    assert (a.n_vectors, a.n_dims, a.dim) == (3, 1, 2)
+    assert a.n_nonfinite == 1 and a.n_zero == 1
+    assert a.norm_max == 5.0
+    assert out["b"].dim == 3 and out["b"].n_zero == 0

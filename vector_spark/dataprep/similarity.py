@@ -297,3 +297,63 @@ def lsh_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def embedding_health(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-table health report, per group (or one global row):
+    vector count, dimension consistency (distinct lengths — anything but
+    1 means a corrupt/mixed table), count of vectors containing
+    NaN/±Inf, zero-vector count (norm 0 — un-embedded rows), and the
+    L2-norm min/mean/max — the pre-flight check before an ANN build
+    (IVF/PQ assume finite, consistently-dimensioned, mostly-unit-ish
+    vectors; a drifting norm distribution also flags encoder-version
+    mix-ups).
+
+    One map-side-combined aggregation; norms are computed scan-side with
+    F.aggregate (no UDF). Non-finite vectors are COUNTED but excluded
+    from the norm stats (one NaN would otherwise poison min/mean/max).
+    Norms ROUND(…, 4) for engine portability."""
+    v = F.col(vec_col)
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    )
+    nrm = F.sqrt(sq)
+    bad = F.exists(v, lambda x: x.isNaN() | (F.abs(x) == float("inf")))
+    key = (
+        [F.col(group_col).alias("group_key")]
+        if group_col
+        else [F.lit("all").alias("group_key")]
+    )
+    return (
+        df.select(
+            *key,
+            F.size(v).alias("__dim"),
+            F.when(~bad, nrm).alias("__n"),
+            bad.cast("int").alias("__bad"),
+        )
+        .groupBy("group_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.count_distinct("__dim").cast("long").alias("n_dims"),
+            F.min("__dim").alias("dim"),
+            F.sum("__bad").cast("long").alias("n_nonfinite"),
+            F.sum((F.col("__n") == 0.0).cast("int")).cast("long").alias(
+                "n_zero"
+            ),
+            F.round(F.min("__n"), 4).alias("norm_min"),
+            # micro-quantized mean (integer sum of round(norm·1e4)):
+            # float addition isn't associative, so a plain AVG can
+            # differ in the last ulp across partitionings/engines —
+            # integer sums are exact and order-free (the lm.py trick)
+            F.round(
+                F.sum(F.round(F.col("__n") * 10000).cast("long"))
+                / (F.lit(10000.0) * F.count("__n")),
+                4,
+            ).alias("norm_mean"),
+            F.round(F.max("__n"), 4).alias("norm_max"),
+        )
+    )
