@@ -356,3 +356,60 @@ def test_pack_token_segments_partitions_chunks(spark, lens, seq_len):
             expect_segments += (pos + nl - 1) // seq_len - pos // seq_len + 1
             pos += nl
     assert sum(len(v) for v in segs.values()) == expect_segments
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    text=st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+        min_size=0, max_size=400,
+    ),
+    chunk=st.integers(8, 64),
+    overlap=st.integers(0, 7),
+)
+def test_chunk_text_full_coverage_property(spark, text, chunk, overlap):
+    # every character of the document appears in at least one chunk, the
+    # first chunk starts at 0, consecutive chunks overlap by >= overlap
+    # when both are full-size, and de-overlapped concatenation
+    # reconstructs the document exactly
+    from vector_spark.dataprep.text import chunk_text
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_text(df, chunk_chars=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    assert rows[0].char_start == 0
+    rebuilt = rows[0].chunk_text or ""
+    for prev, cur in zip(rows, rows[1:]):
+        taken = prev.char_start + len(prev.chunk_text or "")
+        rebuilt += (cur.chunk_text or "")[taken - cur.char_start:]
+    assert rebuilt == text
+    # chunk ids are unique and stable
+    assert len({r.chunk_id for r in rows}) == len(rows)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    arr=st.lists(st.text(alphabet="abcdef", min_size=0, max_size=5),
+                 min_size=0, max_size=8),
+)
+def test_vrl_closure_matches_python_semantics(spark, arr):
+    # filter/map_values closures over an array column agree with the
+    # same lambda evaluated in python
+    from vector_spark.vrl import remap_program
+
+    df = spark.createDataFrame([(arr,)], "tags array<string>")
+    src = (
+        '.kept = filter(array!(.tags)) -> |i, v| { length(v) > 2 }\n'
+        '.up = map_values(array!(.tags)) -> |v| { upcase(v) }\n'
+        "n = 0\n"
+        "for_each(array!(.tags)) -> |_i, v| { n = n + length(v) }\n"
+        ".total = n"
+    )
+    out = remap_program(df, src)["primary"].collect()[0]
+    assert out.kept == [v for v in arr if len(v) > 2]
+    assert out.up == [v.upper() for v in arr]
+    assert out.total == sum(len(v) for v in arr)
