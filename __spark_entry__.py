@@ -12561,6 +12561,61 @@ def _register_emb_health() -> None:
 _register_emb_health()
 
 
+def _register_bloom_incremental() -> None:
+    from vector_spark.dataprep import oracles as osql
+
+    @_q(
+        "doc_bloom_incremental",
+        f"""
+        WITH hist AS (
+          SELECT doc_id, md5({osql.NORM.format(col='text')}) AS fp
+          FROM documents WHERE doc_id % 4 != 0
+        ),
+        batch AS (
+          SELECT doc_id, md5({osql.NORM.format(col='text')}) AS fp
+          FROM documents WHERE doc_id % 4 = 0
+        ),
+        batch_keep AS (
+          SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp
+        )
+        SELECT b.doc_id, b.fp
+        FROM batch_keep b
+        WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+        """,
+    )
+    def doc_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bloom-prefiltered incremental dedup
+        (dataprep/dedup.py::bloom_incremental_dedup): the history ledger
+        compresses to a broadcast bit-array literal (one
+        map-side-combined build, collect bounded by the bit count);
+        definitely-new rows skip the confirm join entirely and only
+        might-contain candidates anti-join the store — identical EXACT
+        output to the plain anti-join, which is precisely what the
+        oracle replays. The bloom itself is from-scratch column math
+        (shared md5 hash64, affine rehashes, shift/mask tests), so zero
+        false negatives are structural, pinned by pytest."""
+        from vector_spark.dataprep.dedup import bloom_incremental_dedup
+
+        docs = _docs(spark, sf_dir)
+        hist = docs.filter(F.col("doc_id") % 4 != 0)
+        from vector_spark.dataprep.text import normalize
+
+        store = hist.select(
+            F.md5(normalize(F.col("text"))).alias("fp"),
+            F.col("doc_id").alias("first_doc_id"),
+        )
+        new = docs.filter(F.col("doc_id") % 4 == 0)
+        kept, _fps = bloom_incremental_dedup(
+            new, store, num_bits=1 << 14
+        )
+        return kept.select(
+            "doc_id", F.md5(normalize(F.col("text"))).alias("fp")
+        )
+
+
+_register_bloom_incremental()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are

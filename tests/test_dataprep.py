@@ -797,3 +797,42 @@ def test_embedding_health(spark):
     assert a.n_nonfinite == 1 and a.n_zero == 1
     assert a.norm_max == 5.0
     assert out["b"].dim == 3 and out["b"].n_zero == 0
+
+
+def test_bloom_no_false_negatives_and_exact_dedup(spark):
+    from vector_spark.dataprep.dedup import (
+        bloom_incremental_dedup,
+        bloom_might_contain,
+        build_bloom_words,
+        incremental_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    store = spark.createDataFrame(
+        [(F"fp-{i}",) for i in range(200)], "fp string"
+    )
+    words = build_bloom_words(store, "fp", num_bits=1 << 12)
+    # zero false negatives: every stored key tests positive
+    hits = store.filter(bloom_might_contain(F.col("fp"), words)).count()
+    assert hits == 200
+
+    old = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(50)], "doc_id long, text string"
+    )
+    _, store_fps = incremental_dedup(old, spark.createDataFrame(
+        [], "fp string, first_doc_id long"))
+    new = spark.createDataFrame(
+        # 10 seen before, 10 fresh, plus an in-batch dup pair
+        [(100 + i, f"doc number {i}") for i in range(10)]
+        + [(200 + i, f"fresh doc {i}") for i in range(10)]
+        + [(300, "twin text"), (301, "twin text")],
+        "doc_id long, text string",
+    )
+    kept_b, fps_b = bloom_incremental_dedup(new, store_fps, num_bits=1 << 12)
+    kept_e, _ = incremental_dedup(new, store_fps)
+    assert sorted(r.doc_id for r in kept_b.collect()) == sorted(
+        r.doc_id for r in kept_e.collect()
+    )
+    ids = sorted(r.doc_id for r in kept_b.collect())
+    assert ids == sorted(list(range(200, 210)) + [300])
+    assert fps_b.count() == 11

@@ -886,3 +886,125 @@ def incremental_minhash_dedup(
         F.col("__m.sig_sim").alias("sig_sim"),
     )
     return {"matches": matches, "index": new_idx}
+
+
+# --- Bloom-prefiltered incremental dedup ------------------------------------
+#
+# At the 10^12 tier the exact anti-join of every new batch against the
+# full fingerprint ledger shuffles the BATCH into the ledger's bucketing
+# (incremental_dedup's posture). A Bloom prefilter removes even that:
+# the ledger compresses to a broadcastable bit array (built with ONE
+# map-side-combined aggregation), definitely-new rows skip the join
+# entirely, and only might-contain candidates (true dups + fpp noise)
+# pay the exact confirm join. The result is EXACT — the bloom only
+# routes rows. From-scratch pure column math (no spark bloom SQL
+# functions are exposed to pyspark): k affine rehashes of the shared
+# md5-based hash64, bit_or-folded into 64-bit words, membership tested
+# with shift/mask expressions — every step engine-portable, so the
+# DuckDB oracle can replay even the bloom itself.
+
+
+def build_bloom_words(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> list[int]:
+    """Bloom bit array over ``df[key_col]`` as ``num_bits/64`` int64
+    words (driver-side list, broadcast as ONE array literal). Build is
+    one explode (k rows per key) + groupBy(word) bit_or — the collect
+    is bounded by ``num_bits``, never by ledger size."""
+    n_words = num_bits // 64
+    h = shingle_hash64(F.col(key_col))
+    pos = [
+        ((h % F.lit(MINHASH_PRIME) * a + b) % F.lit(MINHASH_PRIME))
+        % F.lit(num_bits)
+        for a, b in affine_coeffs(num_hashes)
+    ]
+    entries = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (p / 64).cast("int").alias("w"),
+                        F.call_function(
+                            "shiftleft",
+                            F.lit(1).cast("long"),
+                            (p % 64).cast("int"),
+                        ).alias("m"),
+                    )
+                    for p in pos
+                ]
+            )
+        ).alias("e")
+    )
+    rows = (
+        entries.groupBy(F.col("e.w").alias("w"))
+        .agg(F.bit_or("e.m").alias("m"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[r.w] = r.m
+    return words
+
+
+def bloom_might_contain(
+    key: Column, words: list[int], num_hashes: int = 4
+) -> Column:
+    """Membership test against a broadcast word list — pure shift/mask
+    column math (zero false negatives by construction)."""
+    num_bits = len(words) * 64
+    arr = F.lit(words)
+    h = shingle_hash64(key)
+    conds = []
+    for a, b in affine_coeffs(num_hashes):
+        p = ((h % F.lit(MINHASH_PRIME) * a + b) % F.lit(MINHASH_PRIME)) % F.lit(
+            num_bits
+        )
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        # unsigned shift (an arithmetic shift would sign-extend the
+        # sign bit, an ordinary bloom bit) and bitwise AND (a `% 2` of
+        # a still-negative odd word is -1, not 1)
+        bit = F.call_function(
+            "shiftrightunsigned", word, (p % 64).cast("int")
+        ).bitwiseAND(F.lit(1))
+        conds.append(bit == 1)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def bloom_incremental_dedup(
+    new_df: DataFrame,
+    store_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`incremental_dedup` with the history anti-join Bloom-
+    prefiltered: rows whose fingerprint the bloom rejects are DEFINITELY
+    new (no join at all); only might-contain candidates confirm against
+    the store. Identical exact semantics and return shape —
+    ``(kept, new_fingerprints)``."""
+    keyed = new_df.withColumn("__fp", F.md5(normalize(F.col(text_col))))
+    batch_keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    words = build_bloom_words(
+        store_df.select(F.col(fp_col)), fp_col, num_bits, num_hashes
+    )
+    might = bloom_might_contain(F.col("__fp"), words, num_hashes)
+    definite = batch_keep.filter(~might)
+    confirmed = batch_keep.filter(might).join(
+        store_df.select(F.col(fp_col).alias("__fp")).distinct(),
+        on="__fp",
+        how="left_anti",
+    )
+    fresh = definite.unionByName(confirmed)
+    kept = keyed.join(fresh, on=["__fp", id_col], how="inner").drop("__fp")
+    new_fps = fresh.select(
+        F.col("__fp").alias(fp_col), F.col(id_col).alias("first_" + id_col)
+    )
+    return kept, new_fps
