@@ -4660,8 +4660,7 @@ def _register_codecs() -> None:
         The oracle rebuilds every stream JSON byte-for-byte."""
         from vector_spark.sinks import loki
 
-        ev = _events(spark, sf_dir).filter(F.col("event_id") % 25 == 0)
-        gen = F.expr("event_id DIV 25") % 2
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 50 == 0)
         rec = ev.select(
             F.create_map(
                 F.lit("app"), F.col("event_type"),
@@ -6713,8 +6712,7 @@ def _register_host_metrics() -> None:
         USER_HZ seconds."""
         from vector_spark.sources import host_metrics as hm
 
-        ev = _events(spark, sf_dir).filter(F.col("event_id") % 25 == 0)
-        gen = F.expr("event_id DIV 25") % 2
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 50 == 0)
         eid, uid = F.col("event_id"), F.col("user_id")
 
         def n(c):  # noqa: ANN001
@@ -6780,8 +6778,7 @@ def _register_host_metrics() -> None:
         Active(anon) decoy line must not match the Active key."""
         from vector_spark.sources import host_metrics as hm
 
-        ev = _events(spark, sf_dir).filter(F.col("event_id") % 25 == 0)
-        gen = F.expr("event_id DIV 25") % 2
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 50 == 0)
         eid, uid = F.col("event_id"), F.col("user_id")
 
         def n(c):  # noqa: ANN001

@@ -339,7 +339,7 @@ def embedding_health(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
             F.count_distinct("__dim").cast("long").alias("n_dims"),
-            F.min("__dim").alias("dim"),
+            F.min("__dim").cast("long").alias("dim"),
             F.sum("__bad").cast("long").alias("n_nonfinite"),
             F.sum((F.col("__n") == 0.0).cast("int")).cast("long").alias(
                 "n_zero"
