@@ -559,3 +559,64 @@ def test_strided_chunks_no_shuffle(spark, seq_parquet):
     assert "Exchange" not in plan, (
         "strided chunking must stay scan-side (no shuffle)"
     )
+
+
+def test_trace_assembly_single_exchange(spark):
+    import datetime
+
+    from vector_spark.operators.traces import trace_assembly
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("A", "s1", None, t0, t0, "r", 0)] * 10,
+        "trace_id string, span_id string, parent_span_id string, "
+        "start_ts timestamp, end_ts timestamp, name string, status_code int",
+    )
+    plan = plan_of(trace_assembly(df))
+    # one map-side-combined aggregate: exactly one exchange, partial
+    # HashAggregate below it
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_chunk_text_no_shuffle(spark):
+    from vector_spark.dataprep.text import chunk_text
+
+    df = spark.createDataFrame([(1, "x" * 100)], "doc_id long, text string")
+    plan = plan_of(chunk_text(df))
+    assert "Exchange" not in plan  # pure per-row explode
+    assert "Generate" in plan
+
+
+def test_bloom_membership_is_pure_column_math(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataprep.dedup import (
+        bloom_might_contain,
+        build_bloom_words,
+    )
+
+    led = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
+    words = build_bloom_words(led, "k", num_bits=1 << 10)
+    probe = spark.createDataFrame([("k1",), ("zz",)], "k string")
+    out = probe.filter(bloom_might_contain(F.col("k"), words))
+    plan = plan_of(out)
+    # the membership test is a broadcast-free filter over an array
+    # literal: no join, no exchange, no python
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spike_attribution_events_aggregate_once(spark):
+    import datetime
+
+    from vector_spark.operators.anomaly import spike_attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("k", t0)] * 20, "k string, ts timestamp"
+    )
+    plan = plan_of(spike_attribution(df, "k"))
+    # events reach exactly one partial aggregate; everything after runs
+    # on the (window, key) dim — no second scan of the input
+    assert plan.count("Scan ExistingRDD") <= 1 or plan.count("LocalTableScan") <= 2
