@@ -12663,10 +12663,15 @@ _WINDOW: list[str] = [
     "doc_minhash_near_dups",
     "doc_dup_clusters",
     "doc_paragraph_dedup",
-    "doc_simhash",
+    # round-3 scale machinery: bloom-prefiltered ledger dedup (simhash
+    # rotates out — r02-green, unchanged; minhash/paragraph/clusters
+    # still represent the dedup tier)
+    "doc_bloom_incremental",
     "emb_near_dups_lsh",
     "emb_ivf_recall",
-    "emb_pq_topk",
+    # round-3 subsystem: span→trace assembly (emb_pq_topk rotates out —
+    # r02-green, unchanged; emb_ivf_recall still represents ANN)
+    "ev_trace_assembly",
     "doc_bpe_roundtrip",
     "seq_substring_dedup",
     "seq_decontaminate",
