@@ -94,3 +94,16 @@ def test_chunk_text_windows(spark):
         ("2#0", 0, "xy"),
         ("3#0", 0, "abcdef"),
     ]
+
+
+def test_make_datasheet_renders(spark):
+    import sys
+
+    sys.path.insert(0, "tools")
+    from make_datasheet import build_datasheet
+
+    md = build_datasheet(spark, "/root/testdata/sf0.001")
+    assert "# Corpus datasheet" in md
+    assert "Per-source dataset card" in md
+    assert "| source |" in md or "| source " in md
+    assert "Embedding health" in md
