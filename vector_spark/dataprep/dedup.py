@@ -801,13 +801,25 @@ def minhash_index(
     longs, so the index is a few hundred bytes per document regardless
     of document size."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature_int(
-        hashed_shingles(F.col(text_col), k_shingle), num_hashes
-    )
-    base = df.select(
-        F.col(id_col).alias("doc_id"), sig.alias("sig")
-    ).withColumn(
-        "__bands", lsh_band_keys(F.col("sig"), bands, rows_per_band)
+    # same two traps _banded_near_dups documents: (1) each HOF step gets
+    # its own materialized column + a persist barrier, else Catalyst
+    # inlines the interpreted signature tree into every downstream use
+    # (measured 10-20×); (2) empty shingle sets are EXCLUDED — they
+    # minhash to all-NULL signatures whose constant band key forms one
+    # mega-bucket of every short doc (quadratic candidates, all
+    # discarded later by the null-similarity filter anyway).
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            hashed_shingles(F.col(text_col), k_shingle).alias("__sh"),
+        )
+        .persist()
+        .filter(F.size("__sh") > 0)
+        .withColumn("sig", minhash_signature_int(F.col("__sh"), num_hashes))
+        .withColumn(
+            "__bands", lsh_band_keys(F.col("sig"), bands, rows_per_band)
+        )
+        .persist()
     )
     return base.select(
         "doc_id",
@@ -852,38 +864,51 @@ def incremental_minhash_dedup(
     new_idx = minhash_index(
         new_df, text_col, id_col, k_shingle, num_hashes, bands
     )
-    old = index.select(
-        F.col("doc_id").alias("__old_id"),
+    # collapse both sides to DISTINCT signatures before the band join:
+    # exact-dup clusters (the dominant bucket blow-up — thousands of
+    # identical docs share one signature) become single rows, and the
+    # result is unchanged: identical signatures score identically, and
+    # the min-id representative per old signature is exactly the id the
+    # (sim DESC, id ASC) best-match tie-break would pick.
+    old_sig = index.groupBy(
         F.col("sig").alias("__old_sig"),
         "band_idx",
         F.col("band_key").alias("__old_key"),
+    ).agg(F.min("doc_id").alias("__old_id"))
+    new_sig = new_idx.groupBy("sig", "band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("__n")
     )
     cand = (
-        new_idx.join(
-            old,
-            (new_idx["band_idx"] == old["band_idx"])
-            & (new_idx["band_key"] == old["__old_key"]),
+        new_sig.join(
+            old_sig,
+            (new_sig["band_idx"] == old_sig["band_idx"])
+            & (new_sig["band_key"] == old_sig["__old_key"]),
         )
-        .select("doc_id", "sig", "__old_id", "__old_sig")
+        .select("sig", "__old_id", "__old_sig")
         .distinct()
     )
     scored = cand.select(
-        "doc_id",
+        "sig",
         F.col("__old_id").alias("matched_id"),
         sig_similarity(F.col("sig"), F.col("__old_sig"), num_hashes).alias(
             "sig_sim"
         ),
     ).filter(F.col("sig_sim") >= threshold)
-    best = scored.groupBy("doc_id").agg(
+    best_per_sig = scored.groupBy("sig").agg(
         F.max_by(
             F.struct("sig_sim", "matched_id"),
             F.struct(F.col("sig_sim"), -F.col("matched_id").cast("double")),
         ).alias("__m")
     )
-    matches = best.select(
-        "doc_id",
-        F.col("__m.matched_id").alias("matched_id"),
-        F.col("__m.sig_sim").alias("sig_sim"),
+    matches = (
+        new_idx.filter(F.col("band_idx") == 0)
+        .select("doc_id", "sig")
+        .join(best_per_sig, "sig")
+        .select(
+            "doc_id",
+            F.col("__m.matched_id").alias("matched_id"),
+            F.col("__m.sig_sim").alias("sig_sim"),
+        )
     )
     return {"matches": matches, "index": new_idx}
 
