@@ -12613,6 +12613,108 @@ def _register_bloom_incremental() -> None:
 _register_bloom_incremental()
 
 
+def _register_stream_interval_join() -> None:
+    @_q(
+        "stream_interval_join",
+        """
+        WITH c AS (
+          SELECT user_id % 10 AS ukey, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_id % 2 = 0 AND event_id % 6 = 0
+        ),
+        p AS (
+          SELECT user_id % 10 AS ukey, event_id AS buy_id, ts AS buy_ts
+          FROM events WHERE event_id % 2 = 1 AND (event_id - 1) % 8 = 0
+        )
+        SELECT c.ukey, c.click_id, p.buy_id,
+               (epoch_us(p.buy_ts) - epoch_us(c.click_ts))::BIGINT
+                 AS lag_us
+        FROM c JOIN p ON c.ukey = p.ukey
+         AND p.buy_ts >= c.click_ts
+         AND p.buy_ts <= c.click_ts + INTERVAL 1800 SECOND
+        """,
+    )
+    def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Watermarked STREAM-STREAM interval join — the Structured
+        Streaming join the reference's per-event model has no analog
+        for: clicks and purchases arrive as two live streams, joined on
+        the user key with an event-time range bound (purchase within 10
+        minutes of the click); watermarks on both sides bound the join
+        state so buffered rows expire instead of accumulating forever.
+        Inner-join emission is eager, so the full result matches the
+        batch replay exactly — which is what the oracle runs."""
+        import shutil
+        import tempfile
+
+        global _STREAM_Q_N
+        _STREAM_Q_N += 1
+        name = f"__stream_ivj_{_STREAM_Q_N}"
+        ev = _events(spark, sf_dir)
+        clicks = ev.filter(
+            (F.col("event_id") % 2 == 0) & (F.col("event_id") % 6 == 0)
+        ).select(
+            (F.col("user_id") % 10).alias("ukey"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        buys = ev.filter(
+            (F.col("event_id") % 2 == 1)
+            & ((F.col("event_id") - 1) % 8 == 0)
+        ).select(
+            (F.col("user_id") % 10).alias("b_ukey"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").cast("timestamp").alias("buy_ts"),
+        )
+        d1 = tempfile.mkdtemp(prefix="vs_ivj_c_")
+        d2 = tempfile.mkdtemp(prefix="vs_ivj_p_")
+        try:
+            clicks.write.mode("overwrite").parquet(d1)
+            buys.write.mode("overwrite").parquet(d2)
+            sc = (
+                spark.readStream.schema(clicks.schema).parquet(d1)
+                .withWatermark("click_ts", "0 seconds")
+            )
+            sp = (
+                spark.readStream.schema(buys.schema).parquet(d2)
+                .withWatermark("buy_ts", "0 seconds")
+            )
+            joined = sc.join(
+                sp,
+                (F.col("ukey") == F.col("b_ukey"))
+                & (F.col("buy_ts") >= F.col("click_ts"))
+                & (
+                    F.col("buy_ts")
+                    <= F.col("click_ts") + F.expr("INTERVAL 1800 SECONDS")
+                ),
+                "inner",
+            ).select(
+                "ukey", "click_id", "buy_id",
+                (
+                    F.unix_micros(F.col("buy_ts"))
+                    - F.unix_micros(F.col("click_ts"))
+                ).cast("long").alias("lag_us"),
+            )
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try:
+                q = (
+                    joined.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("append")
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            return spark.table(name).localCheckpoint()
+        finally:
+            shutil.rmtree(d1, ignore_errors=True)
+            shutil.rmtree(d2, ignore_errors=True)
+
+
+_register_stream_interval_join()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are
