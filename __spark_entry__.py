@@ -12715,6 +12715,120 @@ def _register_stream_interval_join() -> None:
 _register_stream_interval_join()
 
 
+def _register_stream_session_window() -> None:
+    @_q(
+        "stream_session_window",
+        """
+        WITH e AS (
+          SELECT user_id % 25 AS ukey, ts
+          FROM events WHERE event_id % 10 = 0
+        ),
+        mx AS (SELECT MAX(ts) AS m FROM e),
+        marked AS (
+          SELECT ukey, ts,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY ukey
+                                              ORDER BY ts)
+                        > INTERVAL 900 SECOND
+                      OR LAG(ts) OVER (PARTITION BY ukey ORDER BY ts)
+                        IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e
+        ),
+        sess AS (
+          SELECT ukey, ts,
+                 SUM(new_s) OVER (PARTITION BY ukey ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        ),
+        g AS (
+          SELECT ukey, sid, MIN(ts) AS s_start,
+                 MAX(ts) + INTERVAL 900 SECOND AS s_end,
+                 COUNT(*)::BIGINT AS n_events,
+                 ANY_VALUE(m) AS m
+          FROM sess, mx GROUP BY 1, 2
+        )
+        SELECT ukey,
+               strftime(s_start, '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+               strftime(s_end, '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+               n_events
+        FROM g WHERE s_end <= m - INTERVAL 900 SECOND
+        """,
+    )
+    def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Native dynamic-gap session windows on a LIVE stream
+        (F.session_window — Spark's built-in analog of the reference
+        reduce transform's expire_after_ms gap sessions,
+        reduce/transform.rs:227): per user-bucket, events closer than
+        the 15-minute gap merge into one session whose end extends gap
+        past the last event; the watermark closes sessions in append
+        mode. The oracle reconstructs the identical sessions with the
+        classic gaps-and-islands window SQL (emitted-window margin as
+        in stream_agg_events)."""
+        import shutil
+        import tempfile
+
+        global _STREAM_Q_N
+        _STREAM_Q_N += 1
+        name = f"__stream_sess_{_STREAM_Q_N}"
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
+        src = ev.select(
+            (F.col("user_id") % 25).alias("ukey"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        staged = tempfile.mkdtemp(prefix="vs_stream_sess_")
+        try:
+            src.write.mode("overwrite").parquet(staged)
+            max_ts = src.agg(F.max("ts")).collect()[0][0]
+            sdf = (
+                spark.readStream.schema(src.schema)
+                .parquet(staged)
+                .withWatermark("ts", "0 seconds")
+                .groupBy(
+                    F.session_window("ts", "900 seconds").alias("__w"),
+                    "ukey",
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+                .select(
+                    "ukey",
+                    F.col("__w.start").alias("s_start"),
+                    F.col("__w.end").alias("s_end"),
+                    "n_events",
+                )
+            )
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try:
+                q = (
+                    sdf.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("append")
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            out = spark.table(name)
+            return (
+                out.filter(
+                    F.col("s_end")
+                    <= F.lit(max_ts) - F.expr("INTERVAL 900 SECONDS")
+                )
+                .select(
+                    "ukey",
+                    _us("s_start").alias("s_start"),
+                    _us("s_end").alias("s_end"),
+                    "n_events",
+                )
+                .localCheckpoint()
+            )
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
+
+
+_register_stream_session_window()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are
