@@ -317,6 +317,22 @@ def main() -> int:
             fmt = sys.argv[sys.argv.index("--format") + 1]
         print(_emit_config(_parse_generate_expr(expr), fmt))
         return 0
+    if cmd == "datasheet":
+        # corpus DATASHEET.md from the distributed report operators
+        # (dataprep/report.py) — see tools/make_datasheet.py
+        if len(sys.argv) < 4:
+            print("usage: python -m vector_spark datasheet <dir> <out.md>")
+            return 2
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                             "tools")
+        )
+        from make_datasheet import main as _ds_main
+
+        return _ds_main(["datasheet", sys.argv[2], sys.argv[3]])
 
     if len(sys.argv) < 3:
         print(__doc__)
