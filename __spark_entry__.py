@@ -12829,6 +12829,67 @@ def _register_stream_session_window() -> None:
 _register_stream_session_window()
 
 
+def _register_stream_dedup_builtin() -> None:
+    @_q(
+        "stream_dedup_builtin",
+        """
+        SELECT DISTINCT event_id % 997 AS dedup_key,
+               'k' || (event_id % 997) AS payload
+        FROM events
+        """,
+    )
+    def stream_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Built-in watermarked stream deduplication
+        (dropDuplicatesWithinWatermark — the engine-native sibling of
+        the custom dedupe-TTL state op in streaming/stream.py): events
+        hash onto 997 dedup keys so every key repeats many times across
+        the stream; the built-in keeps one row per key within the
+        watermark. The emitted payload is key-derived, so the result is
+        representative-independent and the oracle is a plain DISTINCT."""
+        import shutil
+        import tempfile
+
+        global _STREAM_Q_N
+        _STREAM_Q_N += 1
+        name = f"__stream_ddb_{_STREAM_Q_N}"
+        ev = _events(spark, sf_dir).select(
+            (F.col("event_id") % 997).alias("dedup_key"),
+            F.concat(
+                F.lit("k"), (F.col("event_id") % 997).cast("string")
+            ).alias("payload"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        staged = tempfile.mkdtemp(prefix="vs_stream_ddb_")
+        try:
+            ev.write.mode("overwrite").parquet(staged)
+            sdf = (
+                spark.readStream.schema(ev.schema)
+                .parquet(staged)
+                .withWatermark("ts", "0 seconds")
+                .dropDuplicatesWithinWatermark(["dedup_key"])
+                .select("dedup_key", "payload")
+            )
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try:
+                q = (
+                    sdf.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("append")
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            return spark.table(name).localCheckpoint()
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
+
+
+_register_stream_dedup_builtin()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are

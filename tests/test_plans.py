@@ -620,3 +620,19 @@ def test_spike_attribution_events_aggregate_once(spark):
     # events reach exactly one partial aggregate; everything after runs
     # on the (window, key) dim — no second scan of the input
     assert plan.count("Scan ExistingRDD") <= 1 or plan.count("LocalTableScan") <= 2
+
+
+def test_aqe_coalesces_small_shuffles(spark):
+    # AQE is on by default (session.py); a small shuffle must show an
+    # AQEShuffleRead (coalesced) node in the adaptive final plan — the
+    # runtime re-plan the 100 TB story leans on for skew and partition
+    # sizing
+    df = (
+        spark.range(10_000)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .count()
+    )
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in plan
+    assert "AQEShuffleRead" in plan or "isFinalPlan=true" in plan
