@@ -12890,6 +12890,98 @@ def _register_stream_dedup_builtin() -> None:
 _register_stream_dedup_builtin()
 
 
+def _register_fuzzy_decontaminate() -> None:
+    from vector_spark.dataprep import oracles as osql
+
+    _g = osql.token_ngram_hashes_expr("tokens", 8)
+    _sig = osql.minhash_sig_int_exprs("__g", 16)
+    _sig_list = "[" + ", ".join(_sig) + "]"
+    _bands = osql.band_keys_expr(_sig, 4, 4)
+
+    @_q(
+        "seq_fuzzy_decontaminate",
+        f"""
+        {_SEQ_CTE},
+        corpus AS (
+          SELECT doc_id, {_g} AS __g FROM seq
+        ),
+        bench0 AS (
+          SELECT 'bench-' || doc_id AS doc_id,
+                 tokens[1:(len(tokens) * 4) // 5] AS tokens
+          FROM seq WHERE CAST(doc_id[5:] AS BIGINT) % 97 = 0
+        ),
+        bench AS (
+          SELECT doc_id, {_g} AS __g FROM bench0
+        ),
+        c_idx AS (
+          SELECT doc_id, {_sig_list} AS sig, {_bands} AS __bands
+          FROM corpus WHERE len(__g) > 0
+        ),
+        b_idx AS (
+          SELECT doc_id, {_sig_list} AS sig, {_bands} AS __bands
+          FROM bench WHERE len(__g) > 0
+        ),
+        c_b AS (
+          SELECT doc_id, sig, b.bi AS bi,
+                 list_extract(__bands, b.bi + 1) AS key
+          FROM c_idx, range(4) b(bi)
+        ),
+        b_b AS (
+          SELECT doc_id, sig, b.bi AS bi,
+                 list_extract(__bands, b.bi + 1) AS key
+          FROM b_idx, range(4) b(bi)
+        ),
+        cand AS (
+          SELECT DISTINCT c.sig AS sig, b.doc_id AS bench_id,
+                 b.sig AS bsig
+          FROM c_b c JOIN b_b b ON c.bi = b.bi AND c.key = b.key
+        ),
+        scored AS (
+          SELECT sig, bench_id,
+                 ROUND(len(list_filter(range(16),
+                           i -> sig[i + 1] = bsig[i + 1])) / 16.0, 4)
+                   AS sig_sim
+          FROM cand
+        ), ok AS (SELECT * FROM scored WHERE sig_sim >= 0.5),
+        top AS (
+          SELECT sig, MAX(sig_sim) AS sig_sim FROM ok GROUP BY 1
+        ),
+        best AS (
+          SELECT sig, sig_sim, MIN(bench_id) AS bench_id
+          FROM ok JOIN top USING (sig, sig_sim) GROUP BY 1, 2
+        )
+        SELECT c.doc_id, best.bench_id, best.sig_sim
+        FROM c_idx c JOIN best USING (sig)
+        """,
+    )
+    def seq_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """NEAR-duplicate benchmark decontamination over token sequences
+        (dataprep/contamination.py::fuzzy_decontaminate): the benchmark
+        is an 80%-TRUNCATED variant of every 97th sequence, so the
+        exact n-gram-digest anti-join (seq_decontaminate) would miss it
+        while the banded token-minhash pass catches it — the
+        paraphrase/truncation leak class. The oracle replays the whole
+        banded fuzzy protocol (grams → int minhash → bands → sig
+        similarity → best match) in DuckDB."""
+        from vector_spark.dataprep.contamination import fuzzy_decontaminate
+
+        seq = _seq(spark)
+        bench = seq.filter(F.col("_i") % 97 == 0).select(
+            F.concat(F.lit("bench-"), F.col("doc_id")).alias("doc_id"),
+            F.slice(
+                F.col("tokens"),
+                1,
+                F.expr("(size(tokens) * 4) DIV 5"),
+            ).alias("tokens"),
+        )
+        return fuzzy_decontaminate(
+            seq.select("doc_id", "tokens"), bench, threshold=0.5
+        )
+
+
+_register_fuzzy_decontaminate()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are

@@ -229,3 +229,112 @@ def token_novelty_scores(
             .alias("novelty"),
         )
     )
+
+
+def _token_sig_index(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(doc_id, sig, band_idx, band_key) over token n-gram minhash — the
+    token-native twin of dedup.minhash_index, with the same two
+    materialization rules: persist barriers around the interpreted HOF
+    signature steps, and exclusion of too-short docs (empty gram sets
+    band to a constant mega-bucket key otherwise)."""
+    from vector_spark.dataprep.dedup import (
+        lsh_band_keys,
+        minhash_signature_int,
+        token_ngram_hashes,
+    )
+
+    rows_per_band = num_hashes // bands
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            token_ngram_hashes(F.col(tokens_col), n).alias("__g"),
+        )
+        .persist()
+        .filter(F.size("__g") > 0)
+        .withColumn("sig", minhash_signature_int(F.col("__g"), num_hashes))
+        .withColumn(
+            "__bands", lsh_band_keys(F.col("sig"), bands, rows_per_band)
+        )
+        .persist()
+    )
+    return base.select(
+        "doc_id", "sig",
+        F.posexplode("__bands").alias("band_idx", "band_key"),
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: corpus sequences whose
+    token n-gram minhash signature LSH-collides with a benchmark
+    sequence and scores ≥ ``threshold`` signature similarity — catches
+    the paraphrased/truncated eval leaks the exact n-gram-digest
+    anti-join (:func:`decontaminate`) cannot (Lee et al. dedup-and-
+    decontaminate follow-ups use exactly this banded fuzzy pass).
+
+    Returns (doc_id, bench_id, sig_sim): the corpus rows to DROP, each
+    with its best-matching benchmark id (ties to smallest id). Plan:
+    both sides band (benchmark dim is tiny); the join carries band rows
+    only; distinct signatures collapse exact-copy clusters first."""
+    c_idx = _token_sig_index(
+        corpus, tokens_col, id_col, n, num_hashes, bands
+    )
+    b_idx = _token_sig_index(
+        benchmark, tokens_col, id_col, n, num_hashes, bands
+    )
+    from vector_spark.dataprep.dedup import sig_similarity
+
+    b_sig = b_idx.groupBy(
+        F.col("sig").alias("__bsig"),
+        "band_idx",
+        F.col("band_key").alias("__bkey"),
+    ).agg(F.min("doc_id").alias("__bid"))
+    c_sig = c_idx.groupBy("sig", "band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    cand = (
+        c_sig.join(
+            b_sig,
+            (c_sig["band_idx"] == b_sig["band_idx"])
+            & (c_sig["band_key"] == b_sig["__bkey"]),
+        )
+        .select("sig", "__bid", "__bsig")
+        .distinct()
+    )
+    scored = cand.select(
+        "sig",
+        F.col("__bid").alias("bench_id"),
+        sig_similarity(F.col("sig"), F.col("__bsig"), num_hashes).alias(
+            "sig_sim"
+        ),
+    ).filter(F.col("sig_sim") >= threshold)
+    # best match = max similarity, ties to SMALLEST bench id — two
+    # aggregates on the candidate dim (id types may be strings, so a
+    # numeric negation tie-break inside one max_by is not portable)
+    top = scored.groupBy("sig").agg(F.max("sig_sim").alias("sig_sim"))
+    best = (
+        scored.join(top, ["sig", "sig_sim"])
+        .groupBy("sig", "sig_sim")
+        .agg(F.min("bench_id").alias("bench_id"))
+    )
+    return (
+        c_idx.filter(F.col("band_idx") == 0)
+        .select("doc_id", "sig")
+        .join(best, "sig")
+        .select("doc_id", "bench_id", "sig_sim")
+    )

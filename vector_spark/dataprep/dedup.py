@@ -894,21 +894,20 @@ def incremental_minhash_dedup(
             "sig_sim"
         ),
     ).filter(F.col("sig_sim") >= threshold)
-    best_per_sig = scored.groupBy("sig").agg(
-        F.max_by(
-            F.struct("sig_sim", "matched_id"),
-            F.struct(F.col("sig_sim"), -F.col("matched_id").cast("double")),
-        ).alias("__m")
+    # best match = max similarity, ties to SMALLEST matched id — two
+    # aggregates on the candidate dim (id types may be strings, so a
+    # numeric negation tie-break inside one max_by is not portable)
+    top = scored.groupBy("sig").agg(F.max("sig_sim").alias("sig_sim"))
+    best_per_sig = (
+        scored.join(top, ["sig", "sig_sim"])
+        .groupBy("sig", "sig_sim")
+        .agg(F.min("matched_id").alias("matched_id"))
     )
     matches = (
         new_idx.filter(F.col("band_idx") == 0)
         .select("doc_id", "sig")
         .join(best_per_sig, "sig")
-        .select(
-            "doc_id",
-            F.col("__m.matched_id").alias("matched_id"),
-            F.col("__m.sig_sim").alias("sig_sim"),
-        )
+        .select("doc_id", "matched_id", "sig_sim")
     )
     return {"matches": matches, "index": new_idx}
 
