@@ -12982,6 +12982,92 @@ def _register_fuzzy_decontaminate() -> None:
 _register_fuzzy_decontaminate()
 
 
+def _register_stream_upsert_sink() -> None:
+    @_q(
+        "stream_upsert_sink",
+        """
+        SELECT user_id % 300 AS ukey,
+               user_id % 300 % 7 AS part,
+               MAX(event_id)::BIGINT AS version,
+               'state-' || MAX(event_id) AS state
+        FROM events GROUP BY 1, 2
+        """,
+    )
+    def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exactly-once streaming delivery: a live stream lands through
+        ``foreachBatch`` into the keyed-upsert parquet sink
+        (sinks/upsert.py — per key keep the highest version), so a
+        replayed/duplicated micro-batch converges to the same table
+        instead of appending twice — the idempotent-sink contract the
+        reference approximates with request-level retries + sink-side
+        dedup ids. The final table must equal the batch latest-state
+        oracle regardless of micro-batch boundaries; the gate REPLAYS
+        the last batch to prove idempotence before returning."""
+        import shutil
+        import tempfile
+
+        from vector_spark.sinks.upsert import upsert_partitioned
+
+        ev = _events(spark, sf_dir).select(
+            (F.col("user_id") % 300).alias("ukey"),
+            (F.col("user_id") % 300 % 7).alias("part"),
+            F.col("event_id").cast("long").alias("version"),
+            F.concat(F.lit("state-"), F.col("event_id").cast("string"))
+            .alias("state"),
+        )
+        src = tempfile.mkdtemp(prefix="vs_upsert_src_")
+        tgt = tempfile.mkdtemp(prefix="vs_upsert_tgt_")
+        try:
+            ev.write.mode("overwrite").parquet(src)
+            # seed the target so the first merge has a table to read
+            # (parquet can't infer a schema from zero files); version -1
+            # loses to every real event, so the seed never survives
+            spark.createDataFrame(
+                [(0, 0, -1, "seed")],
+                "ukey bigint, part bigint, version long, state string",
+            ).write.mode("overwrite").partitionBy("part").parquet(tgt)
+            last_batch: dict[str, DataFrame] = {}
+
+            def _merge(batch_df: DataFrame, batch_id: int) -> None:
+                # reduce the batch to one row per key first (highest
+                # version wins), then merge — the foreachBatch body is
+                # plain batch code, exactly the upsert sink's contract
+                win = batch_df.groupBy("ukey", "part").agg(
+                    F.max("version").alias("version"),
+                )
+                compact = batch_df.join(
+                    win, ["ukey", "part", "version"]
+                ).dropDuplicates(["ukey"])
+                upsert_partitioned(
+                    spark, tgt, compact, key="ukey",
+                    version_col="version", partition_col="part",
+                )
+                last_batch["df"] = compact.localCheckpoint()
+
+            sdf = spark.readStream.schema(ev.schema).parquet(src)
+            q = sdf.writeStream.foreachBatch(_merge).start()
+            q.processAllAvailable()
+            q.stop()
+            if "df" in last_batch:
+                # duplicate delivery of the final micro-batch: the
+                # upsert must be a no-op (exactly-once convergence)
+                upsert_partitioned(
+                    spark, tgt, last_batch["df"], key="ukey",
+                    version_col="version", partition_col="part",
+                )
+            out = spark.read.parquet(tgt).select(
+                "ukey", F.col("part").cast("bigint").alias("part"),
+                "version", "state",
+            )
+            return out.localCheckpoint()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(tgt, ignore_errors=True)
+
+
+_register_stream_upsert_sink()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are
