@@ -13068,6 +13068,52 @@ def _register_stream_upsert_sink() -> None:
 _register_stream_upsert_sink()
 
 
+def _register_token_budget() -> None:
+    from vector_spark.dataprep import oracles as osql
+
+    _h = osql.hash64_expr("('budget~' || doc_id)")
+    _TB = 120_000
+
+    @_q(
+        "seq_token_budget",
+        f"""
+        {_SEQ_CTE},
+        d AS (
+          SELECT doc_id, source, n_tok, {_h} AS h,
+                 ({_h}) // ((1::BIGINT << 60) // 1024) AS bkt
+          FROM seq
+        ),
+        c AS (
+          SELECT doc_id, source, n_tok,
+                 SUM(n_tok::BIGINT) OVER (PARTITION BY source
+                                          ORDER BY bkt, h, doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                   ::BIGINT AS cum_tokens
+          FROM d
+        )
+        SELECT doc_id, source, n_tok, cum_tokens
+        FROM c WHERE cum_tokens <= {_TB}
+        """,
+    )
+    def seq_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source token-budget enforcement
+        (dataprep/mixing.py::token_budget_trim): each source keeps the
+        maximal prefix of its deterministic hash order whose running
+        token total stays ≤ 120k — mixture weights expressed in tokens
+        made into a concrete reproducible document set. The running sum
+        is the two-phase bucketed prefix (offsets dim broadcast, no
+        per-source single task); the oracle computes the same cumsum
+        with one flat per-source window, which must agree bit-exactly
+        with the two-phase decomposition."""
+        from vector_spark.dataprep.mixing import token_budget_trim
+
+        out = token_budget_trim(_seq(spark), budget=_TB)
+        return out.select("doc_id", "source", "n_tok", "cum_tokens")
+
+
+_register_token_budget()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are

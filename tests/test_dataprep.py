@@ -836,3 +836,26 @@ def test_bloom_no_false_negatives_and_exact_dedup(spark):
     ids = sorted(r.doc_id for r in kept_b.collect())
     assert ids == sorted(list(range(200, 210)) + [300])
     assert fps_b.count() == 11
+
+
+def test_token_budget_trim_prefix_rule(spark):
+    from vector_spark.dataprep.mixing import token_budget_trim
+
+    rows = [(f"d{i}", "a" if i < 6 else "b", 10 + i) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+    out = token_budget_trim(df, budget=30, buckets=4)
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r)
+    for src, kept in by_src.items():
+        kept.sort(key=lambda r: r.cum_tokens)
+        # running totals are consistent and within budget
+        run = 0
+        for r in kept:
+            run += r.n_tok
+            assert r.cum_tokens == run
+            assert r.cum_tokens <= 30
+    # determinism: the same call returns the same set
+    again = {r.doc_id for r in token_budget_trim(df, budget=30, buckets=4).collect()}
+    assert again == {r.doc_id for r in got}

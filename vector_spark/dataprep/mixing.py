@@ -458,3 +458,70 @@ def mixture_report(
             ).alias("resample_factor"),
         )
     )
+
+
+def token_budget_trim(
+    df: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    n_tok_col: str = "n_tok",
+    key_col: str = "doc_id",
+    salt: str = "budget",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Cap every source at a TOKEN budget: keep the maximal prefix of
+    each source's deterministic hash order whose running token total
+    stays ≤ ``budget`` — the mixture-weights-in-tokens enforcement step
+    (weights say "30B tokens of web, 5B of code"; this op makes a
+    concrete, reproducible document set out of that number).
+
+    Returns the kept rows plus ``cum_tokens`` (the running total
+    including the row). Membership is frozen per row (hash order, no
+    RNG), so retries and re-runs reproduce the same set.
+
+    Scale shape: the running sum is the :func:`epoch_order` two-phase
+    trick per source — per-(source, hash-bucket) token totals make a
+    broadcastable offsets dim (sources × buckets rows), and only
+    within-bucket windows touch data rows; no source ever funnels
+    through a single task."""
+    from pyspark.sql import Window
+
+    from vector_spark.dataprep.dedup import shingle_hash64
+
+    h = shingle_hash64(
+        F.concat(F.lit(f"{salt}~"), F.col(key_col).cast("string"))
+    )
+    shift = (1 << 60) // buckets
+    d = df.withColumn("__h", h).withColumn(
+        "__bkt", F.floor(F.col("__h") / F.lit(shift)).cast("int")
+    )
+    totals = d.groupBy(source_col, "__bkt").agg(
+        F.sum(F.col(n_tok_col).cast("long")).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        source_col,
+        "__bkt",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy(source_col, "__bkt")
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offsets), [source_col, "__bkt"])
+        .withColumn(
+            "cum_tokens",
+            (
+                F.col("__off")
+                + F.sum(F.col(n_tok_col).cast("long")).over(w_in)
+            ).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("__h", "__bkt", "__off")
+    )
