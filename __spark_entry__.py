@@ -13114,6 +13114,51 @@ def _register_token_budget() -> None:
 _register_token_budget()
 
 
+def _register_quality_percentile() -> None:
+    from vector_spark.dataprep import oracles as osql
+
+    _qs = osql.quality_score_sql_expr("text")
+
+    @_q(
+        "doc_quality_percentile",
+        f"""
+        WITH s AS (
+          SELECT doc_id, source, ROUND({_qs}, 4) AS q FROM documents
+        ),
+        r AS (
+          SELECT doc_id, source, q,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY q DESC, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM s
+        )
+        SELECT doc_id, source, q AS quality
+        FROM r WHERE rk <= ceil(n * 0.3)
+        """,
+    )
+    def doc_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Relative quality threshold
+        (dataprep/text.py::quality_percentile_filter): keep the best 30%
+        of EACH source by composite quality score — the per-distribution
+        cut an absolute cutoff cannot express. The engine ranks via the
+        two-phase value-bucket decomposition (quantized score buckets →
+        broadcast offsets → within-bucket windows, hot sources never
+        single-task); the oracle ranks with one flat window, and the two
+        must agree bit-exactly."""
+        from vector_spark.dataprep.text import quality_percentile_filter
+        from vector_spark.dataprep.text import quality_score
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            quality_score(F.col("text")).alias("quality"),
+        )
+        out = quality_percentile_filter(d, 0.3)
+        return out.select("doc_id", "source", "quality")
+
+
+_register_quality_percentile()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are

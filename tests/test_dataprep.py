@@ -859,3 +859,27 @@ def test_token_budget_trim_prefix_rule(spark):
     # determinism: the same call returns the same set
     again = {r.doc_id for r in token_budget_trim(df, budget=30, buckets=4).collect()}
     assert again == {r.doc_id for r in got}
+
+
+def test_quality_percentile_filter(spark):
+    from vector_spark.dataprep.text import quality_percentile_filter
+
+    rows = []
+    # source a: scores 1..10; source b: scores 91..100 — an absolute
+    # cutoff would keep all of b and none of a; the relative filter
+    # keeps the top 30% of EACH
+    for i in range(1, 11):
+        rows.append((f"a{i}", "a", float(i)))
+        rows.append((f"b{i}", "b", float(90 + i)))
+    df = spark.createDataFrame(rows, "doc_id string, source string, quality double")
+    kept = sorted(r.doc_id for r in
+                  quality_percentile_filter(df, 0.3).collect())
+    assert kept == ["a10", "a8", "a9", "b10", "b8", "b9"]
+    # ties break deterministically by id
+    tied = spark.createDataFrame(
+        [("x1", "s", 5.0), ("x2", "s", 5.0), ("x3", "s", 5.0)],
+        "doc_id string, source string, quality double",
+    )
+    kept2 = sorted(r.doc_id for r in
+                   quality_percentile_filter(tied, 1 / 3).collect())
+    assert kept2 == ["x1"]

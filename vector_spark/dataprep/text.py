@@ -438,3 +438,65 @@ def chunk_text(
             F.col("__txt"), F.col("char_start") + 1, chunk_chars
         ).alias("chunk_text"),
     )
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    keep_frac: float,
+    score_col: str = "quality",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    decimals: int = 4,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of each group by score — the RELATIVE
+    quality threshold ("best 30% of every source") that absolute-cutoff
+    filters can't express when sources have different score
+    distributions.
+
+    Ranking is exact and deterministic: scores quantize to ``decimals``
+    places first (float rank ties are engine-portable only after
+    rounding), ties break by id. A row is kept when its 1-based rank ≤
+    ceil(keep_frac · group size).
+
+    Scale shape: the rank is two-phase over VALUE buckets (the quantized
+    score IS the bucket) — per-(group, bucket) counts form a broadcast
+    offsets dim (≤ groups × distinct-quantized-scores rows, bounded by
+    10^decimals), and only within-bucket windows touch data rows; hot
+    groups never funnel through one task. The degenerate case (all mass
+    on one score value) degrades to one window per group-bucket — the
+    same bound an absolute filter would hit."""
+    from pyspark.sql import Window
+
+    if not 0 < keep_frac <= 1:
+        raise ValueError("keep_frac must be in (0, 1]")
+    q = F.round(F.col(score_col), decimals).alias("__q")
+    d = df.withColumn("__q", q)
+    counts = d.groupBy(group_col, "__q").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__q").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        group_col,
+        "__q",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__n").over(
+            Window.partitionBy(group_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+    w_in = Window.partitionBy(group_col, "__q").orderBy(id_col)
+    return (
+        d.join(F.broadcast(offsets), [group_col, "__q"])
+        .withColumn(
+            "__rank", F.col("__off") + F.row_number().over(w_in)
+        )
+        .filter(
+            F.col("__rank") <= F.ceil(F.col("__total") * F.lit(keep_frac))
+        )
+        .drop("__q", "__off", "__total", "__rank")
+    )
