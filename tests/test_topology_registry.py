@@ -552,3 +552,30 @@ def test_dataset_card_and_url_filter_transform_types(spark):
     assert card["a"].n_dups == 1 and card["b"].n_dups == 0
     kept = topo.resolve("clean").collect()
     assert [r.doc_id for r in kept] == [2]  # both example.com hosts drop
+
+
+def test_token_budget_and_quality_percentile_transform_types(spark):
+    from vector_spark.plans.topology import compile_config
+
+    rows = [(f"d{i}", "a", 10, "word " * (5 + i)) for i in range(6)]
+    config = {
+        "sources": {
+            "s": {"type": "inline", "rows": rows,
+                  "schema": ("doc_id string, source string, n_tok int, "
+                             "text string")}
+        },
+        "transforms": {
+            "budget": {"type": "token_budget", "inputs": ["s"],
+                       "budget": 30},
+            "best": {"type": "quality_percentile", "inputs": ["s"],
+                     "keep_frac": 0.5},
+        },
+        "sinks": {"o1": {"type": "memory", "inputs": ["budget"]},
+                  "o2": {"type": "memory", "inputs": ["best"]}},
+    }
+    topo = compile_config(spark, config)
+    kept = topo.resolve("budget").collect()
+    assert len(kept) == 3 and max(r.cum_tokens for r in kept) == 30
+    best = topo.resolve("best").collect()
+    assert len(best) == 3  # half of 6
+    assert all("quality" in r.asDict() for r in best)

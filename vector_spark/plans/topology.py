@@ -1347,6 +1347,40 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
                 if cfg.get("lang_col", "lang") else None,
             )
         }
+    if t == "token_budget":
+        from vector_spark.dataprep.mixing import token_budget_trim
+
+        return {
+            "__default": token_budget_trim(
+                df,
+                budget=int(cfg["budget"]),
+                source_col=cfg.get("source_col", "source"),
+                n_tok_col=cfg.get("n_tok_col", "n_tok"),
+                key_col=cfg.get("key_col", "doc_id"),
+                salt=cfg.get("salt", "budget"),
+            )
+        }
+    if t == "quality_percentile":
+        from vector_spark.dataprep.text import (
+            quality_percentile_filter,
+            quality_score,
+        )
+
+        score_col = cfg.get("score_col")
+        if score_col is None:
+            df = df.withColumn(
+                "quality", quality_score(F.col(cfg.get("text_col", "text")))
+            )
+            score_col = "quality"
+        return {
+            "__default": quality_percentile_filter(
+                df,
+                keep_frac=float(cfg["keep_frac"]),
+                score_col=score_col,
+                group_col=cfg.get("group_by", "source"),
+                id_col=cfg.get("id_col", "doc_id"),
+            )
+        }
     if t == "url_filter":
         from vector_spark.dataprep.urls import blocklist_filter, blocklist_mark
 
@@ -1371,7 +1405,8 @@ TRANSFORM_TYPES = (
     "lm_perplexity tokenize "
     "sample_mixture split_assign pack_tokens near_dedup "
     "group_sample curriculum strided_chunks self_repetition novelty "
-    "rate_anomaly trace_assembly spike_attribution dataset_card url_filter"
+    "rate_anomaly trace_assembly spike_attribution dataset_card url_filter "
+    "token_budget quality_percentile"
 ).split()
 
 
