@@ -13159,6 +13159,89 @@ def _register_quality_percentile() -> None:
 _register_quality_percentile()
 
 
+def _register_cfg_budget_pack() -> None:
+    from vector_spark.dataprep import oracles as osql
+
+    _h = osql.hash64_expr("('budget~' || doc_id)")
+    _BP_B, _BP_L = 150_000, 256
+
+    @_q(
+        "cfg_budget_pack",
+        f"""
+        {_SEQ_CTE},
+        d AS (
+          SELECT _i, doc_id, source, tokens, n_tok,
+                 ({_h}) // ((1::BIGINT << 60) // 1024) AS bkt, {_h} AS h
+          FROM seq
+        ),
+        trimmed AS (
+          SELECT _i, tokens, n_tok FROM (
+            SELECT _i, tokens, n_tok,
+                   SUM(n_tok::BIGINT) OVER (PARTITION BY source
+                                            ORDER BY bkt, h, doc_id
+                                            ROWS UNBOUNDED PRECEDING)
+                     AS cum
+            FROM d
+          ) WHERE cum <= {_BP_B}
+        ),
+        spans AS (
+          SELECT _i, tokens, n_tok,
+                 SUM(n_tok::BIGINT) OVER (ORDER BY _i) - n_tok AS tok_start
+          FROM trimmed
+        ),
+        pos AS (
+          SELECT tok_start + j AS gpos, tokens[(j + 1)::INT] AS tok
+          FROM spans, unnest(range(n_tok::BIGINT)) AS t(j)
+        )
+        SELECT (gpos // {_BP_L})::BIGINT AS chunk_id,
+               count(*)::BIGINT AS n_fill,
+               md5(string_agg(tok::VARCHAR, ',' ORDER BY gpos)) AS digest
+        FROM pos GROUP BY 1
+        """,
+    )
+    def cfg_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end curation FROM CONFIG composing the round-3 budget
+        op with packing: a declarative topology runs token_budget (each
+        source capped at 150k tokens in deterministic hash order) into
+        pack_tokens (256-token training chunks) — the
+        weights-in-tokens → concrete-training-batches path. The oracle
+        replays the trim's per-source cumsum AND rebuilds every packed
+        chunk token-by-token; per-chunk digests must match bit-exactly
+        through the whole composed pipeline."""
+        from vector_spark.plans.topology import compile_config
+
+        config = {
+            "sources": {"seq": {"type": "parquet", "path": "unused"}},
+            "transforms": {
+                "budget": {
+                    "type": "token_budget", "inputs": ["seq"],
+                    "budget": _BP_B,
+                },
+                "pack": {
+                    "type": "pack_tokens", "inputs": ["budget"],
+                    "seq_len": _BP_L, "order_col": "_i",
+                },
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["pack"]}},
+        }
+        topo = compile_config(
+            spark, config, overrides={"seq": _seq(spark)}
+        )
+        packed = topo.resolve("pack")
+        return packed.select(
+            "chunk_id",
+            "n_fill",
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform("tokens", lambda t: t.cast("string"))
+                )
+            ).alias("digest"),
+        )
+
+
+_register_cfg_budget_pack()
+
+
 # --- curated hard-verification window --------------------------------------
 # The driver oracle-verifies the FIRST 50 entries of queries() each round.
 # Registration order accretes historically, so the first 50 slots are
