@@ -11255,13 +11255,14 @@ def _register_vrl_closures() -> None:
           FROM events WHERE event_id % 11 = 0
         )
         SELECT event_id,
-               list_filter(tags, x -> x != 'foo') AS kept,
-               list_transform(tags, x -> upper(x)) AS up,
+               to_json(list_filter(tags, x -> x != 'foo')) AS kept,
+               to_json(list_transform(tags, x -> upper(x))) AS up,
                len(tags)::BIGINT AS n_tags,
                list_sum(list_transform(tags, x -> length(x)))::BIGINT
                  AS n_chars,
-               list_transform(list_filter(tags, (x, i) -> (i - 1) % 2 = 0),
-                              x -> upper(x)) AS alt_up
+               to_json(list_transform(
+                   list_filter(tags, (x, i) -> (i - 1) % 2 = 0),
+                   x -> upper(x))) AS alt_up
         FROM e
         """,
     )
@@ -11272,7 +11273,10 @@ def _register_vrl_closures() -> None:
         for_each statement closures lower to F.aggregate with a struct
         accumulator — all JVM-side higher-order functions, zero Python
         per element. The oracle replays each closure with DuckDB list
-        lambdas (1-based indices shifted to VRL's 0-based)."""
+        lambdas (1-based indices shifted to VRL's 0-based). Array
+        outputs are to_json-serialized on BOTH sides (driver
+        canonicalization can't sort raw arrays - the seq_pack_tokens
+        convention)."""
         from vector_spark.vrl import remap_program
 
         src = """
@@ -11303,7 +11307,12 @@ for_each(array!(.tags)) -> |_i, value| {
         )
         out = remap_program(ev, src)["primary"]
         return out.select(
-            "event_id", "kept", "up", "n_tags", "n_chars", "alt_up"
+            "event_id",
+            F.to_json("kept").alias("kept"),
+            F.to_json("up").alias("up"),
+            "n_tags",
+            "n_chars",
+            F.to_json("alt_up").alias("alt_up"),
         )
 
 
@@ -13250,75 +13259,63 @@ _register_cfg_budget_pack()
 # plans, new operators, semantics fixes). Everything else stays registered
 # (bench still runs all) in registration order after the window.
 _WINDOW: list[str] = [
-    # flagship + core pipeline
-    "seq_pipeline_agg",
-    "seq_parse_common_log",
-    "vrl_remap_program",
-    "seq_salted_agg",
-    # operators whose plans/semantics changed since their last green row
-    "ev_tag_cardinality",
-    "ev_reduce_sessions",
-    "ev_aggregate_latest",
-    "ev_aggregate_diff",
-    "ev_aggregate_auto",
-    "ev_enrich_range",
-    "ev_enrich_geoip",
-    "ev_enrich_geoip6",
-    "ev_asof_join",
-    "ev_set_ops",
-    "ev_rollup",
-    "ev_pivot",
-    "ev_sample_keyed",
-    "multiline_agg",
-    "checkpointed_resume",
-    "stream_agg_events",
-    # source / sink registries (one decode, one encode, plus this
-    # round's µs-pinned and loki-assembly changes)
-    "ev_dnstap",
-    "ev_prometheus",
-    "ev_native_json",
-    "ev_loki_push",
-    # codecs + conditions (nested-record variants exercise the round-3
-    # recursive wire paths; the flat goldens stay pinned in pytest)
-    "ev_parse_avro_nested",
-    "ev_parse_proto_nested",
-    "ev_datadog_search",
-    "vrl_closures",
-    # config-compiled end-to-end pipeline
-    "cfg_seq_curation",
-    # dataprep representatives (dedup tiers, similarity tiers, tokenizer,
-    # packing/mixing, LM scoring, quality, multimodal, retrieval)
-    "doc_exact_dedup",
-    "doc_minhash_near_dups",
-    "doc_dup_clusters",
-    "doc_paragraph_dedup",
-    # round-3 scale machinery: bloom-prefiltered ledger dedup (simhash
-    # rotates out — r02-green, unchanged; minhash/paragraph/clusters
-    # still represent the dedup tier)
-    "doc_bloom_incremental",
-    "emb_near_dups_lsh",
-    "emb_ivf_recall",
-    # round-3 subsystem: span→trace assembly (emb_pq_topk rotates out —
-    # r02-green, unchanged; emb_ivf_recall still represents ANN)
-    "ev_trace_assembly",
-    "doc_bpe_roundtrip",
-    "seq_substring_dedup",
-    "seq_decontaminate",
-    "seq_pack_tokens",
-    "seq_epoch_order",
-    "seq_bigram_ppl",
-    "doc_quality_classifier",
-    "media_features",
-    # new round-3 composition: k8s pod-metadata annotation end-to-end
-    # (doc_hybrid_rrf rotates out — judge-verified r02, unchanged since)
-    "ev_k8s_annotate",
-    # anomaly/report semantics changed this round (NULL baselines)
-    "ev_template_drift",
-    "ev_cardinality_growth",
-    "ev_retention",
-    # TPC-H representative
-    "tpch_q1_pricing",
+    # --- keepers: flagship + one representative per core subsystem -----
+    "seq_pipeline_agg",        # flagship e2e (north rule)
+    "seq_parse_common_log",    # parse/codec core
+    "vrl_remap_program",       # remap/VRL core
+    "vrl_closures",            # red in r03 on gate shape - fixed (to_json)
+    "ev_aggregate_auto",       # windowed-behavior family (mode dispatch)
+    "ev_enrich_geoip",         # enrichment family
+    "ev_loki_push",            # sink registry (r03 per-partition assembly)
+    "checkpointed_resume",     # checkpoint/manifest (crash-restart lands r04)
+    "doc_minhash_near_dups",   # dedup tier
+    "emb_ivf_recall",          # ANN tier (recall gate)
+    "tpch_q1_pricing",         # SQL analytics
+    # --- rotate IN: round-3 code that never had a driver row -----------
+    "vrl_dynamic_paths",
+    "ev_schema_evolution",
+    "doc_incremental_near_dup",
+    "seq_fuzzy_decontaminate",
+    "stream_interval_join",
+    "stream_upsert_sink",
+    "doc_rag_chunks",
+    "doc_snapshot_diff",
+    "cfg_budget_pack",
+    "ev_otlp_traces",
+    "ev_spike_attribution",
+    "seq_token_budget",
+    "doc_quality_percentile",
+    "emb_health",
+    "seq_fertility",
+    "doc_dataset_card",
+    "doc_source_dup_matrix",
+    "doc_url_blocklist",       # blocklist_mark broadcast fix lands r04
+    "doc_url_quality",
+    # --- rotate IN: never-driver-checked earlier-round queries, spread
+    # across subsystems (judge-green in the r03 262/262 sweep; these get
+    # their first hard driver row now) ----------------------------------
+    "tpch_q4_semijoin",
+    "tpch_q22_antijoin",
+    "tpch_q17_corr_scalar",
+    "tpch_bucketed_join",
+    "ev_window_analytics",
+    "ev_cube",
+    "ev_histogram",
+    "ev_ddsketch",
+    "ev_parse_xml",
+    "ev_parse_ruby_hash",
+    "ev_encode_cef_gelf",
+    "ev_chunked_gelf",
+    "ev_journald",
+    "ev_k8s_cri",
+    "ev_mongodb_status",
+    "ev_splunk_hec",
+    "ev_elasticsearch_bulk",
+    "ev_seasonal_anomaly",
+    "doc_hybrid_rrf",
+    "doc_c4_filters",
 ]
+
 
 
 def _windowed(reg: dict) -> dict:

@@ -37,3 +37,31 @@ def test_window_occupies_the_first_fifty_slots():
 def test_no_registered_query_is_dropped_by_the_window():
     assert set(entry.queries()) == set(entry._QUERIES)
     assert set(entry.oracle_sql()) == set(entry._ORACLES)
+
+
+def test_windowed_schemas_are_flat(spark):
+    """Driver canonicalizer contract: the driver sorts raw result cells,
+    so a windowed query must never return a top-level ArrayType /
+    MapType / StructType column (unhashable in pandas factorize — the
+    exact failure that turned round 3's bit-exact ``vrl_closures`` row
+    red). Nested values must be to_json- or digest-serialized, the
+    ``seq_pack_tokens`` convention."""
+    import os
+
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    qs = entry.queries()
+    offenders = []
+    for name in entry._WINDOW:
+        df = qs[name](spark, sf)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert offenders == [], (
+        f"windowed queries returning nested top-level columns: {offenders}"
+    )
