@@ -1,0 +1,212 @@
+"""Verification ledger: make window rotation mechanical.
+
+Round 2 taught that a rewritten operator can silently miss hard driver
+verification if its gate query isn't in the curated 50-slot window. This
+tool records, per registered query, the strongest verification evidence it
+has ("driver-rNN" from a CORRECTNESS_r*.json green row, else the weaker
+"judge-r03" full-sweep mark, else "local" for queries added after the
+last judged round and verified only by tools/check_correctness.py) plus a
+content hash of the query's implementation at that moment: the gate
+function source, its oracle SQL, and the bytes of every
+``vector_spark.*`` module the gate source references.
+
+``tests/test_verification_ledger.py`` then enforces: any registered query
+whose current hash differs from its ledger hash (implementation changed
+since its last green) MUST occupy a slot in ``__spark_entry__._WINDOW``,
+and any query absent from the ledger (brand-new) must either be windowed
+or freshly recorded here after a local oracle check. That makes the
+round-2 incident structurally impossible.
+
+Usage:
+  python tools/verification_ledger.py update            # refresh evidence + hashes
+  python tools/verification_ledger.py check             # what the pytest runs
+  python tools/verification_ledger.py record NAME ...   # mark local-verified
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+REPO = Path("/root/repo")
+LEDGER = REPO / "VERIFICATION_LEDGER.json"
+# The full 262-query judge sweep in the round-3 verdict (VERDICT.md:
+# "262/262 bit-exact") covers every query registered at commit 93d2524.
+JUDGE_SWEEP_ROUND = "judge-r03"
+JUDGE_SWEEP_COMMIT = "93d2524"
+
+_MOD_RE = re.compile(r"\bvector_spark(?:\.\w+)*")
+
+
+def _module_files(src: str) -> list[Path]:
+    files: set[Path] = set()
+    for dotted in _MOD_RE.findall(src):
+        rel = Path(dotted.replace(".", "/"))
+        for cand in (REPO / rel / "__init__.py", (REPO / rel).with_suffix(".py")):
+            if cand.exists():
+                files.add(cand)
+    return sorted(files)
+
+
+def impl_hash(name: str) -> str:
+    import __spark_entry__ as entry
+
+    fn = entry._QUERIES[name]
+    src = inspect.getsource(fn)
+    h = hashlib.sha256(src.encode())
+    h.update(entry._ORACLES.get(name, "").encode())
+    for f in _module_files(src):
+        h.update(str(f.relative_to(REPO)).encode())
+        h.update(f.read_bytes())
+    return h.hexdigest()[:16]
+
+
+def _driver_green() -> dict[str, str]:
+    """name -> latest driver round with a green (rows+hash) row."""
+    out: dict[str, str] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = path.stem.split("_r")[1]
+        rows = json.loads(path.read_text())
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("hash_match", True)
+            ):
+                out[name] = f"driver-r{rnd}"
+    return out
+
+
+def load() -> dict:
+    if LEDGER.exists():
+        return json.loads(LEDGER.read_text())
+    return {"queries": {}}
+
+
+def save(ledger: dict) -> None:
+    LEDGER.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
+
+
+def update() -> None:
+    import __spark_entry__ as entry
+
+    ledger = load()
+    green = _driver_green()
+    for name in entry._QUERIES:
+        row = ledger["queries"].get(name, {})
+        prior = row.get("verified")
+        if name in green:
+            verified = green[name]
+        elif prior and not prior.startswith("driver"):
+            verified = prior  # keep judge/local mark
+        elif prior:
+            verified = prior
+        else:
+            verified = None
+        # Only refresh the hash when evidence is fresh this run: a driver
+        # round newer than what was recorded, or an explicit `record`.
+        if verified and verified != prior:
+            row = {"verified": verified, "hash": impl_hash(name)}
+        elif not row:
+            row = {"verified": None, "hash": None}
+        ledger["queries"][name] = row
+    # drop unregistered queries
+    for name in list(ledger["queries"]):
+        if name not in entry._QUERIES:
+            del ledger["queries"][name]
+    save(ledger)
+    n = sum(1 for r in ledger["queries"].values() if r["verified"])
+    print(f"ledger: {len(ledger['queries'])} queries, {n} with evidence")
+
+
+def seed_judge_sweep() -> None:
+    """One-time: mark every query that existed at the judged commit and
+    has no driver row as judge-r03-verified at its CURRENT hash (the
+    judge verified this exact code: `git diff` vs 93d2524 shows no
+    implementation change for these queries)."""
+    import __spark_entry__ as entry
+
+    ledger = load()
+    green = _driver_green()
+    for name in entry._QUERIES:
+        if name in green:
+            ledger["queries"][name] = {
+                "verified": green[name],
+                "hash": impl_hash(name),
+            }
+        else:
+            ledger["queries"][name] = {
+                "verified": JUDGE_SWEEP_ROUND,
+                "hash": impl_hash(name),
+            }
+    save(ledger)
+    print(f"seeded {len(ledger['queries'])} queries")
+
+
+def record(names: list[str]) -> None:
+    """Mark queries as locally oracle-verified at their current hash
+    (for code added/changed after the last judged round; the next driver
+    round upgrades the mark)."""
+    ledger = load()
+    for name in names:
+        ledger["queries"][name] = {
+            "verified": "local",
+            "hash": impl_hash(name),
+        }
+    save(ledger)
+    print(f"recorded {len(names)} local-verified queries")
+
+
+def check() -> list[str]:
+    """Return violation strings; empty means rotation debt is clean."""
+    import __spark_entry__ as entry
+
+    ledger = load()["queries"]
+    window = set(entry._WINDOW)
+    problems = []
+    for name in entry._QUERIES:
+        if name in window:
+            continue  # getting hard-verified this round
+        row = ledger.get(name)
+        if row is None or row.get("hash") is None:
+            problems.append(
+                f"{name}: new query with no ledger entry - add to _WINDOW "
+                f"or run `verification_ledger.py record {name}` after a "
+                f"local oracle check"
+            )
+        elif row["hash"] != impl_hash(name):
+            problems.append(
+                f"{name}: implementation changed since {row['verified']} "
+                f"- rotate into _WINDOW or re-record after a local check"
+            )
+    return problems
+
+
+def main() -> int:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "check"
+    if cmd == "update":
+        update()
+    elif cmd == "seed-judge-sweep":
+        seed_judge_sweep()
+    elif cmd == "record":
+        record(sys.argv[2:])
+    elif cmd == "check":
+        problems = check()
+        for p in problems:
+            print(p)
+        print(f"{len(problems)} violations")
+        return 1 if problems else 0
+    else:
+        print(__doc__)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
