@@ -11319,6 +11319,87 @@ for_each(array!(.tags)) -> |_i, value| {
 _register_vrl_closures()
 
 
+def _register_vrl_recursive_closures() -> None:
+    @_q(
+        "vrl_recursive_closures",
+        """
+        WITH e AS (
+          SELECT event_id, event_type,
+                 (user_id % 3)::VARCHAR AS m3,
+                 (user_id % 5)::VARCHAR AS m5
+          FROM events WHERE event_id % 13 = 0
+        )
+        SELECT event_id,
+               '{"labels":{"app_' || event_type || '/name":"' ||
+                 event_type || '"},"meta_' || m3 || '":{"x_y":"' || m5 ||
+                 '"}}' AS dedot_json,
+               '{"labels":{"app.' || event_type || '/name":"' ||
+                 upper(event_type) || '"},"meta.' || m3 || '":{"x.y":"' ||
+                 m5 || '"}}' AS up_json,
+               '["' || upper(substr(event_type, 1, 2)) || '-' ||
+                 event_type || '","U' || m5 || '-u' || m5 || '"]'
+                 AS tag_json
+        FROM e
+        """,
+    )
+    def vrl_recursive_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Round-4 closure-grammar residue closed (reference
+        website/cue/reference/remap/functions/map_keys.cue `recursive`
+        example and map_values.cue rules): recursive map_keys de-dots
+        keys at EVERY nesting level of a map<string,map<string,string>>
+        column, recursive map_values upcases the scalar leaves, and a
+        multi-statement closure body (locals before the final value,
+        VRL block semantics) builds prefixed tags. All three lower to
+        nested JVM transform_keys/transform_values/transform lambdas
+        bounded by the static schema depth — zero Python per element.
+        Outputs are to_json-serialized (driver canonicalizer contract);
+        the oracle reconstructs the exact JSON strings by hand."""
+        from vector_spark.vrl import remap_program
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 13 == 0)
+        df = ev.select(
+            "event_id",
+            F.create_map(
+                F.lit("labels"),
+                F.create_map(
+                    F.concat(
+                        F.lit("app."), F.col("event_type"), F.lit("/name")
+                    ),
+                    F.col("event_type"),
+                ),
+                F.concat(
+                    F.lit("meta."), (F.col("user_id") % 3).cast("string")
+                ),
+                F.create_map(
+                    F.lit("x.y"), (F.col("user_id") % 5).cast("string")
+                ),
+            ).alias("obj"),
+            F.array(
+                F.col("event_type"),
+                F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string")),
+            ).alias("tags"),
+        )
+        src = """
+.dedot = map_keys(.obj, recursive: true) -> |key| { replace(key, ".", "_") }
+.up = map_values(.obj, recursive: true) -> |v| { upcase(v) }
+.tag = map_values(array!(.tags)) -> |v| {
+  u = upcase(v)
+  pre = slice!(u, 0, 2)
+  pre + "-" + v
+}
+"""
+        out = remap_program(df, src)["primary"]
+        return out.select(
+            "event_id",
+            F.to_json("dedot").alias("dedot_json"),
+            F.to_json("up").alias("up_json"),
+            F.to_json("tag").alias("tag_json"),
+        )
+
+
+_register_vrl_recursive_closures()
+
+
 def _register_nested_codecs() -> None:
     @_q(
         "ev_parse_avro_nested",
@@ -13311,7 +13392,7 @@ _WINDOW: list[str] = [
     "ev_mongodb_status",
     "ev_splunk_hec",
     "ev_elasticsearch_bulk",
-    "ev_seasonal_anomaly",
+    "vrl_recursive_closures",  # round-4 new code
     "doc_hybrid_rrf",
     "doc_c4_filters",
 ]

@@ -423,11 +423,109 @@ def test_closure_nested_composition(spark):
     assert out.alt == ["FOO", "FOO"]
 
 
-def test_closure_recursive_raises(spark):
-    with pytest.raises(VrlCompileError, match="recursive"):
+def _nested(spark):
+    return spark.createDataFrame(
+        [
+            (
+                {"labels": {"app.kubernetes.io/name": "mysql"},
+                 "meta.x": {"a.b": "c"}},
+                [{"k.1": "v1"}, {"k.2": "v2"}],
+                {"outer": {"a": "x", "b": "y"}},
+            )
+        ],
+        "obj map<string,map<string,string>>, "
+        "arr array<map<string,string>>, "
+        "nested map<string,map<string,string>>",
+    )
+
+
+def test_closure_map_keys_recursive_dedot_cue_example(spark):
+    # map_keys.cue recursive example: de-dot keys at EVERY nesting level
+    out = remap_program(
+        _nested(spark),
+        '.dk = map_keys(.obj, recursive: true) -> |key| '
+        '{ replace(key, ".", "_") }',
+    )["primary"].collect()[0]
+    got = {k: dict(v) for k, v in out.dk.items()}
+    assert got == {
+        "labels": {"app_kubernetes_io/name": "mysql"},
+        "meta_x": {"a_b": "c"},
+    }
+
+
+def test_closure_map_keys_recursive_through_arrays(spark):
+    # map_keys.cue rule 3: objects nested inside arrays are reached too
+    out = remap_program(
+        _nested(spark),
+        ".ak = map_keys(.nested, recursive: true) -> |k| { upcase(k) }\n",
+    )["primary"].collect()[0]
+    assert {k: dict(v) for k, v in out.ak.items()} == {
+        "OUTER": {"A": "x", "B": "y"}
+    }
+    df = spark.createDataFrame(
+        [({"rows": [{"a.b": "1"}]},)],
+        "doc map<string,array<map<string,string>>>",
+    )
+    out2 = remap_program(
+        df,
+        '.dk = map_keys(.doc, recursive: true) -> |k| '
+        '{ replace(k, ".", "_") }',
+    )["primary"].collect()[0]
+    assert {k: [dict(m) for m in v] for k, v in out2.dk.items()} == {
+        "rows": [{"a_b": "1"}]
+    }
+
+
+def test_closure_map_values_recursive_scalar_leaves(spark):
+    # map_values.cue recursive: closure reaches leaves of nested
+    # collections (our static-plan deviation: collections are recursed
+    # into, scalar leaves get the closure)
+    out = remap_program(
+        _nested(spark),
+        ".uv = map_values(.nested, recursive: true) -> |v| { upcase(v) }\n"
+        ".av = map_values(.arr, recursive: true) -> |v| { upcase(v) }",
+    )["primary"].collect()[0]
+    assert {k: dict(v) for k, v in out.uv.items()} == {
+        "outer": {"a": "X", "b": "Y"}
+    }
+    assert [dict(m) for m in out.av] == [{"k.1": "V1"}, {"k.2": "V2"}]
+
+
+def test_closure_map_values_recursive_flat_is_plain(spark):
+    # recursive over an already-flat map degrades to the plain form
+    out = remap_program(
+        _coll(spark),
+        ".x = map_values(.attrs, recursive: true) -> |v| { upcase(v) }",
+    )["primary"].collect()[0]
+    assert dict(out.x) == {"a": "X", "b": "Y"}
+
+
+def test_closure_multi_statement_body(spark):
+    # VRL block semantics: locals before the final value expression
+    src = """
+.norm = map_values(array!(.tags)) -> |v| {
+  u = upcase(v)
+  pre = slice!(u, 0, 2)
+  pre + "-" + u
+}
+"""
+    out = remap_program(_coll(spark), src)["primary"].collect()[0]
+    assert out.norm == ["FO-FOO", "BA-BAR", "FO-FOO", "BA-BAZ"]
+
+
+def test_closure_multi_statement_nonassign_raises(spark):
+    with pytest.raises(VrlCompileError, match="local-variable assignments"):
         remap_program(
             _coll(spark),
-            ".x = map_values(.attrs, recursive: true) -> |v| { upcase(v) }",
+            '.x = map_values(array!(.tags)) -> |v| { upcase(v) upcase(v) }',
+        )
+
+
+def test_closure_recursive_on_filter_raises(spark):
+    with pytest.raises(VrlCompileError, match="non-recursive"):
+        remap_program(
+            _coll(spark),
+            ".x = filter(.attrs, recursive: true) -> |k, v| { true }",
         )
 
 

@@ -1833,9 +1833,15 @@ class _Compiler:
     # (VRL scoping: mutations to parent-scope variables persist, closure
     # locals don't — exactly the accumulator/local split).
     #
-    # Deviations, all loud or documented: `recursive: true` raises
-    # (the reference's for_each is also non-recursive); closure bodies
-    # are element-wise infallible — a `!` assertion inside a body yields
+    # Deviations, all loud or documented: `recursive: true` on
+    # map_keys/map_values iterates nested collections to the STATIC
+    # schema's depth (keys: exact reference semantics; values: the
+    # closure applies to scalar leaves and recurses through collection
+    # values — a scalar closure can't type-check against a map in a
+    # static plan); for_each stays non-recursive like the reference;
+    # closure bodies may carry local-variable assignment statements
+    # before their final value expression (VRL block semantics);
+    # element-wise a body is infallible — a `!` assertion inside yields
     # a NULL element instead of aborting the whole program (lambda-scoped
     # columns cannot escape into the program-level error predicate);
     # targets must be statically-typed arrays or maps (wrap in
@@ -1888,14 +1894,38 @@ class _Compiler:
         return sub
 
     def _closure_expr(self, body_toks: list, bindings: dict) -> Column:
+        """Value-producing closure body: zero or more local-variable
+        assignments followed by a final expression whose value is the
+        closure's result (VRL block semantics — the block evaluates to
+        its last statement; locals are closure-scoped and discarded)."""
         sub = self._closure_scope(body_toks, bindings)
-        val = sub.expr()
-        if sub.peek()[0] != "eof":
-            raise VrlCompileError(
-                "this closure body must be a single expression "
-                "(statement bodies are for for_each)"
-            )
-        return val.col
+        while True:
+            while sub.peek()[1] == ";":
+                sub.next()
+            kind, val = sub.peek()
+            if (
+                kind == "word"
+                and sub.toks[sub.i + 1][1] == "="
+                and (
+                    sub.i + 2 >= len(sub.toks)
+                    or sub.toks[sub.i + 2][1] != "="
+                )
+            ):
+                sub.next()
+                sub.expect("=")
+                sub.vars[val] = sub.expr()
+                continue
+            out = sub.expr()
+            while sub.peek()[1] == ";":
+                sub.next()
+            if sub.peek()[0] != "eof":
+                raise VrlCompileError(
+                    "closure-body statements before the final value must "
+                    "be local-variable assignments (`x = ...`); the last "
+                    "statement is the closure's value (for event-path "
+                    "writes use for_each... which also forbids them)"
+                )
+            return out.col
 
     @staticmethod
     def _acc_dtype(name: str, v: _Val) -> str:
@@ -1914,6 +1944,97 @@ class _Compiler:
             "is known at plan time"
         )
 
+    @staticmethod
+    def _generic_parts(dt: str) -> list[str]:
+        """Split a normalized dtype string's type arguments at depth 0:
+        ``map<string,map<string,string>>`` -> ``["string",
+        "map<string,string>"]``."""
+        inner = dt[dt.index("<") + 1 : -1]
+        parts, depth, cur = [], 0, ""
+        for ch in inner:
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                depth += ch == "<"
+                depth -= ch == ">"
+                cur += ch
+        parts.append(cur)
+        return parts
+
+    def _rec_map_values(self, col: Column, dt: str, body: list,
+                        params: list[str]) -> Column:
+        """``map_values(recursive: true)`` (map_values.cue): iterate into
+        nested collections to the static schema's bounded depth — the same
+        trick the dynamic-path compiler uses. Deviation from the dynamic
+        reference, documented: the closure is applied to SCALAR values
+        only; nested collection values are recursed into rather than first
+        passed whole to the closure (a scalar closure cannot type-check
+        against a map in a statically-typed plan). This matches the
+        reference's canonical recursive examples (upcase/de-dot leaves)."""
+        dt = (dt or "").replace(" ", "")
+        if dt.startswith("array<"):
+            inner = dt[6:-1]
+            if inner.startswith(("array<", "map<")):
+                return F.transform(
+                    col,
+                    lambda x: self._rec_map_values(x, inner, body, params),
+                )
+            return F.transform(
+                col,
+                lambda x: self._closure_expr(
+                    body, {params[0]: _Val(x, is_str=inner == "string")}
+                ),
+            )
+        if dt.startswith("map<"):
+            _kt, vt = self._generic_parts(dt)
+            if vt.startswith(("array<", "map<")):
+                return F.transform_values(
+                    col,
+                    lambda k, v: self._rec_map_values(v, vt, body, params),
+                )
+            return F.transform_values(
+                col,
+                lambda k, v: self._closure_expr(
+                    body, {params[0]: _Val(v, is_str=vt == "string")}
+                ),
+            )
+        raise VrlCompileError(
+            "recursive map_values target must be a statically-typed "
+            "array or map column"
+        )
+
+    def _rec_map_keys(self, col: Column, dt: str, body: list,
+                      params: list[str]) -> Column:
+        """``map_keys(recursive: true)`` (map_keys.cue rules 1-3): rename
+        keys at every nesting level, recursing through map values and
+        through arrays that contain maps, bounded by the static schema
+        depth. Keys are always strings, so unlike _rec_map_values this is
+        the reference semantics exactly."""
+        dt = (dt or "").replace(" ", "")
+        if dt.startswith("map<"):
+            _kt, vt = self._generic_parts(dt)
+            out = F.transform_keys(
+                col,
+                lambda k, v: self._closure_expr(
+                    body, {params[0]: _Val(k, is_str=True)}
+                ),
+            )
+            if "map<" in vt:
+                out = F.transform_values(
+                    out,
+                    lambda k, v: self._rec_map_keys(v, vt, body, params),
+                )
+            return out
+        if dt.startswith("array<"):
+            inner = dt[6:-1]
+            if "map<" in inner:
+                return F.transform(
+                    col, lambda x: self._rec_map_keys(x, inner, body, params)
+                )
+            return col
+        return col
+
     def _closure_call(self, fname: str, args: list[_Val],
                       kwargs: dict[str, _Val]) -> _Val:
         params, body = self._parse_closure()
@@ -1922,10 +2043,17 @@ class _Compiler:
         rec = kwargs.get("recursive")
         if rec is None and fname in ("map_keys", "map_values") and len(args) > 1:
             rec = args[1]
-        if rec is not None and not (rec.has_lit and rec.lit is False):
+        if rec is not None and not (
+            rec.has_lit and isinstance(rec.lit, bool)
+        ):
             raise VrlCompileError(
-                f"recursive {fname} closures are unsupported (flatten "
-                "first, or use map_keys/map_values per nesting level)"
+                f"the recursive flag of {fname} must be a literal boolean"
+            )
+        recursive = rec is not None and rec.lit is True
+        if recursive and fname not in ("map_keys", "map_values"):
+            raise VrlCompileError(
+                f"{fname} closures are non-recursive (map_keys.cue / "
+                "map_values.cue define recursive only for those two)"
             )
         target = args[0]
         dt = (target.dtype or "").replace(" ", "")
@@ -1967,6 +2095,9 @@ class _Compiler:
             return _Val(out, dtype=target.dtype)
         if fname == "map_values":
             _need(1)
+            if recursive:
+                out = self._rec_map_values(col, dt, body, params)
+                return _Val(out, dtype=target.dtype)
             if is_arr:
                 out = F.transform(
                     col, lambda x: self._closure_expr(body, {params[0]: _Val(x)})
@@ -1981,6 +2112,9 @@ class _Compiler:
             _need(1)
             if not is_map:
                 raise VrlCompileError("map_keys iterates objects, not arrays")
+            if recursive:
+                out = self._rec_map_keys(col, dt, body, params)
+                return _Val(out, dtype=target.dtype)
             out = F.transform_keys(
                 col,
                 lambda k, v: self._closure_expr(
