@@ -11764,6 +11764,7 @@ def _register_dataset_reports() -> None:
         ),
         per_src AS (
           SELECT source, SUM(n)::BIGINT AS n_docs,
+                 COUNT(*)::BIGINT AS n_distinct,
                  (SUM(n) - COUNT(*))::BIGINT AS n_dups,
                  SUM(c)::BIGINT AS n_chars
           FROM dup GROUP BY 1
@@ -11779,7 +11780,7 @@ def _register_dataset_reports() -> None:
           FROM lang
         ),
         tot AS (SELECT SUM(n_docs) AS all_docs FROM per_src)
-        SELECT p.source, n_docs, n_dups, n_chars,
+        SELECT p.source, n_docs, n_distinct, n_dups, n_chars,
                ROUND(n_docs / all_docs, 6) AS corpus_share,
                ROUND(n_dups / n_docs, 6) AS dup_frac,
                t.top_lang,

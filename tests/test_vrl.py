@@ -601,6 +601,34 @@ def test_get_set_struct_and_object_literal(spark):
     assert out.drop.asDict() == {"n": 5}
 
 
+def test_get_negative_array_index(spark):
+    # get.cue: negative literal indices read from the end (VRL -1 = last)
+    df = spark.createDataFrame([(["a", "b", "c"],)], "arr array<string>")
+    src = """
+.first = get(.arr, [0])
+.last = get(.arr, [-1])
+.prev = get(.arr, [-2])
+"""
+    out = remap_program(df, src)["primary"].collect()[0]
+    assert (out.first, out.last, out.prev) == ("a", "c", "b")
+
+
+def test_closure_for_each_param_shadows_outer_var(spark):
+    # a closure parameter shadowing an outer variable is closure-local
+    # (VRL scoping): body reads see the ELEMENT, and the outer variable
+    # is not misclassified as a mutated accumulator
+    src = """
+value = "outer"
+total = 0
+for_each(array!(.tags)) -> |_i, value| { total = total + length(value) }
+.t = total
+.v = value
+"""
+    out = remap_program(_coll(spark), src)["primary"].collect()[0]
+    assert out.t == 12  # foo+bar+foo+baz, the elements, not "outer"
+    assert out.v == "outer"
+
+
 def test_set_multisegment_path_raises_on_map(spark):
     df = spark.createDataFrame([({"a": "x"},)], "attrs map<string,string>")
     with pytest.raises(VrlCompileError, match="1-segment"):

@@ -36,6 +36,7 @@ def _md_table(rows: list[dict]) -> str:
 def build_datasheet(spark, sf_dir: str) -> str:
     from pyspark.sql import functions as F
 
+    from vector_spark import tables
     from vector_spark.dataprep.report import (
         dataset_card,
         source_dup_matrix,
@@ -59,7 +60,20 @@ def build_datasheet(spark, sf_dir: str) -> str:
         "## Cross-source duplication (top pairs)\n",
         _md_table(dups),
     ]
-    seq_path = os.path.join(sf_dir, "events.parquet")
+    # tokenizer health: fertility per source over the deterministic
+    # sequence table (tokens/char drift flags a mismatched tokenizer)
+    fert = [
+        r.asDict()
+        for r in token_fertility(
+            tables.with_message(tables.sequences(spark, 10_000)),
+            group_col="source",
+            text_col="message",
+        )
+        .orderBy("group_key")
+        .collect()
+    ]
+    sections += ["## Tokenizer health (fertility per source)\n",
+                 _md_table(fert)]
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):
         from vector_spark.dataprep.similarity import embedding_health
@@ -70,7 +84,6 @@ def build_datasheet(spark, sf_dir: str) -> str:
             for r in embedding_health(emb).orderBy("group_key").collect()
         ]
         sections += ["## Embedding health\n", _md_table(health)]
-    del seq_path
     return "\n".join(sections)
 
 

@@ -65,6 +65,7 @@ def dataset_card(
     cols = [
         F.col("__src").alias("source"),
         "n_docs",
+        "n_distinct",
         "n_dups",
         "n_chars",
         F.round(F.col("n_docs") / F.col("__all"), 6).alias("corpus_share"),

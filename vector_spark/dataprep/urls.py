@@ -66,21 +66,27 @@ def blocklist_mark(
     ``*.example.com`` — standard domain-suffix semantics.
 
     Plan: suffix-explode (bounded fan-out) → broadcast equality join
-    against the blocklist dim → min_by most-specific match folded back
-    per row. The input stream is never regex-scanned per pattern."""
+    against the blocklist dim → min_by most-specific match per blocked
+    host → fold back per row. The input stream is never regex-scanned
+    per pattern. The fold-back join carries NO broadcast hint: ``hits``
+    is bounded by the count of distinct BLOCKED hosts in the input (not
+    by the blocklist), which on a web-scale corpus with a large
+    blocklist can itself be huge — AQE broadcasts it at runtime when
+    it's small and falls back to a shuffle join when it isn't."""
     d = F.broadcast(
         blocklist.select(F.lower(F.col(domain_col)).alias("__bl"))
     )
     with_host = df.withColumn("host", url_host(F.col(url_col)))
     sufs = with_host.select(
-        "*", F.posexplode(host_suffixes(F.col("host"))).alias("__i", "__suf")
+        F.col("host"),
+        F.posexplode(host_suffixes(F.col("host"))).alias("__i", "__suf"),
     )
     hits = (
         sufs.join(d, sufs["__suf"] == d["__bl"], "inner")
         .groupBy("host")
         .agg(F.min_by("__suf", "__i").alias("blocked_domain"))
     )
-    return with_host.join(F.broadcast(hits), "host", "left")
+    return with_host.join(hits, "host", "left")
 
 
 def blocklist_filter(

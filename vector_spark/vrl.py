@@ -572,7 +572,12 @@ def _registry():
             if seg.has_lit and isinstance(seg.lit, str):
                 cur = _Val(cur.col.getItem(seg.lit))
             elif seg.has_lit and isinstance(seg.lit, int):
-                cur = _Val(F.element_at(cur.col, int(seg.lit) + 1))
+                # VRL 0-based from the front, -1-based from the end
+                # (get.cue examples); element_at is 1-based but indexes
+                # from the end natively for negative i, so only
+                # non-negative indices shift
+                i = int(seg.lit)
+                cur = _Val(F.element_at(cur.col, i + 1 if i >= 0 else i))
             else:
                 cur = _Val(F.element_at(cur.col, seg.col.cast("string")))
         return cur
@@ -2143,10 +2148,15 @@ class _Compiler:
                     "(event-path writes / abort inside closures are "
                     "unsupported — assign the aggregate afterwards)"
                 )
+            # a closure parameter SHADOWS an outer variable of the same
+            # name (VRL scoping): reassignments of it are closure-local,
+            # never accumulator mutations — exclude params so the merge
+            # lambda can't overwrite the parameter binding
             mutated = [
                 name
                 for name in self.vars
-                if probe.vars.get(name) is not self.vars[name]
+                if name not in params
+                and probe.vars.get(name) is not self.vars[name]
             ]
             if not mutated:
                 return _Val(F.lit(None), is_null_lit=True)
