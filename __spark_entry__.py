@@ -13394,7 +13394,7 @@ _WINDOW: list[str] = [
     "ev_splunk_hec",
     "ev_elasticsearch_bulk",
     "vrl_recursive_closures",  # round-4 new code
-    "doc_hybrid_rrf",
+    "doc_bloom_incremental",  # bloom probe rewritten round 4 (words-dim joins)
     "doc_c4_filters",
 ]
 

@@ -928,23 +928,30 @@ def incremental_minhash_dedup(
 # DuckDB oracle can replay even the bloom itself.
 
 
-def build_bloom_words(
-    df: DataFrame,
-    key_col: str,
-    num_bits: int = 1 << 20,
-    num_hashes: int = 4,
-) -> list[int]:
-    """Bloom bit array over ``df[key_col]`` as ``num_bits/64`` int64
-    words (driver-side list, broadcast as ONE array literal). Build is
-    one explode (k rows per key) + groupBy(word) bit_or — the collect
-    is bounded by ``num_bits``, never by ledger size."""
-    n_words = num_bits // 64
-    h = shingle_hash64(F.col(key_col))
-    pos = [
+def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> list:
+    h = shingle_hash64(key)
+    return [
         ((h % F.lit(MINHASH_PRIME) * a + b) % F.lit(MINHASH_PRIME))
         % F.lit(num_bits)
         for a, b in affine_coeffs(num_hashes)
     ]
+
+
+def bloom_words_df(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom bit array over ``df[key_col]`` as a ``(w int, m long)``
+    DIM of set words — at most ``num_bits/64`` rows, bounded by
+    ``num_bits``, never by ledger size. Build is one explode (k rows
+    per key) + groupBy(word) bit_or. Keeping the words as a DataFrame
+    (not a collected literal) is what lets the membership probe be a
+    broadcast hash join with an O(1)-size plan — a million-word filter
+    embedded as an array LITERAL costs the optimizer/codegen seconds
+    per query and caps num_bits at what a plan can hold."""
+    pos = _bloom_positions(F.col(key_col), num_bits, num_hashes)
     entries = df.select(
         F.explode(
             F.array(
@@ -962,11 +969,24 @@ def build_bloom_words(
             )
         ).alias("e")
     )
-    rows = (
-        entries.groupBy(F.col("e.w").alias("w"))
-        .agg(F.bit_or("e.m").alias("m"))
-        .collect()
+    return entries.groupBy(F.col("e.w").alias("w")).agg(
+        F.bit_or("e.m").alias("m")
     )
+
+
+def build_bloom_words(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> list[int]:
+    """:func:`bloom_words_df` collected to a driver-side dense list for
+    the pure-column-math membership test (:func:`bloom_might_contain`)
+    — use only for SMALL filters (≲2^16 bits) where a literal in the
+    plan is fine; the scale path is the words-dim broadcast join inside
+    :func:`bloom_incremental_dedup`."""
+    n_words = num_bits // 64
+    rows = bloom_words_df(df, key_col, num_bits, num_hashes).collect()
     words = [0] * n_words
     for r in rows:
         words[r.w] = r.m
@@ -1013,15 +1033,53 @@ def bloom_incremental_dedup(
     prefiltered: rows whose fingerprint the bloom rejects are DEFINITELY
     new (no join at all); only might-contain candidates confirm against
     the store. Identical exact semantics and return shape —
-    ``(kept, new_fingerprints)``."""
+    ``(kept, new_fingerprints)``.
+
+    The membership probe is ``num_hashes`` broadcast hash joins of the
+    batch against the set-words dim (w → word), one per hash — zero
+    shuffles, plan size O(num_hashes), bloom bits living in DATA rather
+    than in the query plan. That is what lets num_bits grow to billions
+    on a cluster (the dim just stops being broadcast-hinted past the
+    broadcast threshold); the old collected-literal probe cost the
+    optimizer ~10 s per query at 2^20 bits and could never scale."""
     keyed = new_df.withColumn("__fp", F.md5(normalize(F.col(text_col))))
     batch_keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    words = build_bloom_words(
+    wdim = bloom_words_df(
         store_df.select(F.col(fp_col)), fp_col, num_bits, num_hashes
     )
-    might = bloom_might_contain(F.col("__fp"), words, num_hashes)
-    definite = batch_keep.filter(~might)
-    confirmed = batch_keep.filter(might).join(
+    pos = _bloom_positions(F.col("__fp"), num_bits, num_hashes)
+    probed = batch_keep
+    hit_cols = []
+    for i, p in enumerate(pos):
+        probed = probed.withColumn(
+            f"__w{i}", (p / 64).cast("int")
+        ).withColumn(
+            f"__m{i}",
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+            ),
+        )
+        probed = probed.join(
+            F.broadcast(
+                wdim.select(
+                    F.col("w").alias(f"__w{i}"), F.col("m").alias(f"__wm{i}")
+                )
+            ),
+            f"__w{i}",
+            "left",
+        )
+        hit_cols.append(
+            F.coalesce(
+                F.col(f"__wm{i}").bitwiseAND(F.col(f"__m{i}")) != 0,
+                F.lit(False),
+            )
+        )
+    might = hit_cols[0]
+    for c in hit_cols[1:]:
+        might = might & c
+    probed = probed.select("__fp", id_col, might.alias("__might"))
+    definite = probed.filter(~F.col("__might")).drop("__might")
+    confirmed = probed.filter(F.col("__might")).drop("__might").join(
         store_df.select(F.col(fp_col).alias("__fp")).distinct(),
         on="__fp",
         how="left_anti",
