@@ -13205,6 +13205,145 @@ def _register_token_budget() -> None:
 _register_token_budget()
 
 
+def _register_leakage_split() -> None:
+    from vector_spark.dataprep import oracles as osql
+    from vector_spark.dataprep.mixing import split_bounds as _sb
+
+    _LK_FR = {"train": 0.9, "val": 0.05, "test": 0.05}
+    (_, _LK_B1), (_, _LK_B2) = _sb(_LK_FR)
+    _H_REP = osql.hash64_expr("'split~' || rep::VARCHAR")
+    _H_OWN = osql.hash64_expr("'split~' || doc_id::VARCHAR")
+    # deterministic chain pair graph over the documents ids: (5k, 5k+1)
+    # and (5k+1, 5k+2) whenever both endpoints exist -- a-b, b-c
+    # adjacency, so correctness REQUIRES transitive component labeling
+    # (real near-dup pair generation is separately gate-verified by
+    # doc_minhash_near_dups / doc_dup_clusters; the split machinery is
+    # agnostic to where pairs come from)
+    _LK_PAIRS = """
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 5 IN (0, 1)
+        ),
+        m AS (SELECT id_a AS doc_id FROM p UNION SELECT id_b FROM p),
+        r0 AS (
+          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY doc_id // 5) AS rep
+          FROM m
+        ),
+        r AS (
+          SELECT i.doc_id, COALESCE(r0.rep, i.doc_id) AS rep
+          FROM documents i LEFT JOIN r0 ON i.doc_id = r0.doc_id
+        )"""
+
+    def _pairs(docs: DataFrame) -> DataFrame:
+        ids = docs.select("doc_id")
+        nxt = ids.select(F.col("doc_id").alias("id_b"))
+        return (
+            ids.filter(F.col("doc_id") % 5 <= 1)
+            .select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 1).alias("id_b"),
+            )
+            .join(nxt, "id_b")
+            .select("id_a", "id_b")
+        )
+
+    @_q(
+        "doc_leak_safe_split",
+        f"""
+        WITH {_LK_PAIRS}
+        SELECT doc_id, rep::VARCHAR AS split_key,
+               CASE WHEN {_H_REP} < {_LK_B1} THEN 'train'
+                    WHEN {_H_REP} < {_LK_B2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM r
+        """,
+    )
+    def doc_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Duplicate-cluster-aware train/val/test assignment
+        (dataprep/mixing.py::leakage_safe_split): every member of a
+        near-dup family inherits the family REPRESENTATIVE's hash
+        bucket, so one copy of a duplicated page can never land in
+        train while its twin lands in val. The pair graph is a
+        deterministic a-b/b-c chain construction, so a non-transitive
+        labeling (pairwise rep only) would hash 5k+2 to the wrong
+        bucket; the oracle derives each chain's representative with a
+        window MIN and replays the canonical split bounds."""
+        from vector_spark.dataprep.mixing import leakage_safe_split
+
+        docs = _docs(spark, sf_dir)
+        return leakage_safe_split(
+            docs.select("doc_id"), _pairs(docs), _LK_FR
+        ).select("doc_id", "split_key", "split")
+
+    @_q(
+        "doc_split_leakage",
+        f"""
+        WITH {_LK_PAIRS},
+        nv AS (
+          SELECT doc_id,
+                 CASE WHEN {_H_OWN} < {_LK_B1} THEN 'train'
+                      WHEN {_H_OWN} < {_LK_B2} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        ),
+        sf AS (
+          SELECT doc_id,
+                 CASE WHEN {_H_REP} < {_LK_B1} THEN 'train'
+                      WHEN {_H_REP} < {_LK_B2} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM r
+        ),
+        au AS (
+          SELECT 'naive' AS scheme, least(x.split, y.split) AS split_a,
+                 greatest(x.split, y.split) AS split_b,
+                 COUNT(*)::BIGINT AS n_pairs
+          FROM p JOIN nv x ON p.id_a = x.doc_id
+                 JOIN nv y ON p.id_b = y.doc_id
+          GROUP BY 1, 2, 3
+          UNION ALL
+          SELECT 'safe', least(x.split, y.split), greatest(x.split, y.split),
+                 COUNT(*)::BIGINT
+          FROM p JOIN sf x ON p.id_a = x.doc_id
+                 JOIN sf y ON p.id_b = y.doc_id
+          GROUP BY 1, 2, 3
+        )
+        SELECT scheme, split_a, split_b, n_pairs,
+               split_a != split_b AS leaked
+        FROM au
+        """,
+    )
+    def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cross-split leakage audit
+        (dataprep/mixing.py::split_leakage_audit) over BOTH schemes:
+        per-document hashing (split_assign) versus the cluster-aware
+        leakage_safe_split on the same pair graph. Safe rows are never
+        leaked by construction; whatever the naive scheme leaks, the
+        oracle reproduces pair-for-pair."""
+        from vector_spark.dataprep.mixing import (
+            leakage_safe_split,
+            split_assign,
+            split_leakage_audit,
+        )
+
+        docs = _docs(spark, sf_dir)
+        pairs = _pairs(docs)
+        naive = split_assign(docs.select("doc_id"), _LK_FR)
+        safe = leakage_safe_split(docs.select("doc_id"), pairs, _LK_FR)
+        a1 = split_leakage_audit(pairs, naive).withColumn(
+            "scheme", F.lit("naive")
+        )
+        a2 = split_leakage_audit(pairs, safe).withColumn(
+            "scheme", F.lit("safe")
+        )
+        return a1.unionByName(a2).select(
+            "scheme", "split_a", "split_b", "n_pairs", "leaked"
+        )
+
+
+_register_leakage_split()
+
+
 def _register_quality_percentile() -> None:
     from vector_spark.dataprep import oracles as osql
 
@@ -13383,13 +13522,13 @@ _WINDOW: list[str] = [
     "ev_window_analytics",
     "ev_cube",
     "ev_histogram",
-    "ev_ddsketch",
+    "doc_leak_safe_split",    # round-4 new op
     "ev_parse_xml",
     "ev_parse_ruby_hash",
     "ev_encode_cef_gelf",
     "ev_chunked_gelf",
     "ev_journald",
-    "ev_k8s_cri",
+    "doc_split_leakage",      # round-4 new op
     "ev_mongodb_status",
     "ev_splunk_hec",
     "ev_elasticsearch_bulk",

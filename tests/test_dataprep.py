@@ -861,6 +861,68 @@ def test_token_budget_trim_prefix_rule(spark):
     assert again == {r.doc_id for r in got}
 
 
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from vector_spark.dataprep.mixing import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "doc_id long"
+    )
+    # chain 1-2-3 (transitive: 1-3 never a candidate pair) and pair 7-8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: (r.split_key, r.split)
+        for r in leakage_safe_split(
+            docs, pairs, {"train": 0.5, "val": 0.25, "test": 0.25}
+        ).collect()
+    }
+    assert len(out) == 10
+    # the whole chain shares the min-id representative AND the split
+    assert out[1] == out[2] == out[3]
+    assert out[1][0] == "1"
+    assert out[7] == out[8] and out[7][0] == "7"
+    # singletons key on their own id
+    assert out[5][0] == "5"
+    # determinism
+    again = {
+        r.doc_id: (r.split_key, r.split)
+        for r in leakage_safe_split(
+            docs, pairs, {"train": 0.5, "val": 0.25, "test": 0.25}
+        ).collect()
+    }
+    assert again == out
+
+
+def test_split_leakage_audit_counts_cross_split_pairs(spark):
+    from vector_spark.dataprep.mixing import (
+        leakage_safe_split,
+        split_leakage_audit,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "train"), (7, "test"), (8, "test")],
+        "doc_id long, split string",
+    )
+    got = {
+        (r.split_a, r.split_b): (r.n_pairs, r.leaked)
+        for r in split_leakage_audit(pairs, splits).collect()
+    }
+    assert got == {("train", "val"): (2, True), ("test", "test"): (1, False)}
+
+    # the safe split audits clean by construction
+    docs = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    safe = leakage_safe_split(
+        docs, pairs, {"train": 0.5, "val": 0.25, "test": 0.25}
+    )
+    audit = split_leakage_audit(pairs, safe).collect()
+    assert all(not r.leaked for r in audit)
+    assert sum(r.n_pairs for r in audit) == 3
+
+
 def test_quality_percentile_filter(spark):
     from vector_spark.dataprep.text import quality_percentile_filter
 

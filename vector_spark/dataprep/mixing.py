@@ -203,6 +203,89 @@ def split_assign(
     return df.withColumn("split", split)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    salt: str = "split",
+) -> DataFrame:
+    """Duplicate-cluster-aware train/val/test assignment: documents that
+    are (near-)duplicates of each other MUST land in the same split —
+    per-document hashing (plain :func:`split_assign`) puts one copy of a
+    duplicated page in train and another in val, silently leaking
+    training data into every eval metric.
+
+    The split key is the duplicate-cluster REPRESENTATIVE (connected
+    components over ``pairs`` via :func:`~vector_spark.dataprep.dedup.
+    dup_clusters`, rep = min member id); singletons key on their own id.
+    Every member then inherits its cluster's hash bucket, so a whole
+    near-dup family moves between splits atomically — and, like
+    split_assign, assignments stay frozen under corpus growth.
+
+    Plan: component labels (one shuffle per propagation round, rounds ≈
+    log(cluster diameter)) → left equi-join of the corpus to the label
+    dim (bounded by documents that HAVE a duplicate — typically a small
+    fraction; AQE broadcasts it when small) → the same pure-projection
+    hash bucketing as split_assign. Output adds ``split_key`` (the
+    governing id) and ``split``."""
+    from vector_spark.dataprep.dedup import dup_clusters
+
+    clusters = dup_clusters(pairs, id_a, id_b)
+    rep = clusters.select(
+        F.col("member").alias(key_col), F.col("cluster").alias("__rep")
+    )
+    keyed = (
+        df.join(rep, key_col, "left")
+        .withColumn(
+            "split_key",
+            F.coalesce(F.col("__rep"), F.col(key_col)).cast("string"),
+        )
+        .drop("__rep")
+    )
+    return split_assign(keyed, fractions, key_col="split_key", salt=salt)
+
+
+def split_leakage_audit(
+    pairs: DataFrame,
+    splits: DataFrame,
+    key_col: str = "doc_id",
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cross-split leakage report: for every (near-)dup pair, the splits
+    of its two endpoints — ``(split_a, split_b, n_pairs, leaked)`` with
+    the pair ordered lexically so (train,val) and (val,train) fold
+    together. ``leaked`` rows are eval contamination;
+    :func:`leakage_safe_split` drives them to zero by construction,
+    per-document hashing does not — run this audit on BOTH to prove it.
+
+    Plan: two equi-joins of the pair list against the (key, split)
+    projection — the pair side is usually orders of magnitude smaller
+    than the corpus, so AQE broadcasts the probe; the report itself is
+    a ≤(splits²)-row aggregate."""
+    s = splits.select(
+        F.col(key_col).alias("__k"), F.col(split_col).alias("__s")
+    )
+    j = pairs.join(
+        s.select(F.col("__k").alias(id_a), F.col("__s").alias("__sa")), id_a
+    ).join(
+        s.select(F.col("__k").alias(id_b), F.col("__s").alias("__sb")), id_b
+    )
+    return (
+        j.select(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("leaked", F.col("split_a") != F.col("split_b"))
+    )
+
+
 def split_bounds(fractions: dict[str, float]) -> list[tuple[str, int]]:
     """The CANONICAL integer hash bounds for :func:`split_assign` — one
     (name, upper_bound) per split except the last (which takes the rest).
