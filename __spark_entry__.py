@@ -13344,6 +13344,88 @@ def _register_leakage_split() -> None:
 _register_leakage_split()
 
 
+def _register_cfg_leak_split() -> None:
+    from vector_spark.dataprep import oracles as osql
+    from vector_spark.dataprep.mixing import split_bounds as _sb
+
+    _CLS_N, _CLS_THR = 2_000, 0.7
+    _CLS_TOK = osql.token_ngram_hashes_expr("tokens", 8)
+    _CLS_PAIRS = osql.minhash_near_dups_sql(
+        num_hashes=16,
+        bands=4,
+        threshold=_CLS_THR,
+        table="seq",
+        id_col="doc_id",
+        shingle_expr=_CLS_TOK,
+        extra_cte=f"seq AS ({tables.sequences_sql(_CLS_N)})",
+    )
+    _CLS_H = osql.hash64_expr("'split~' || rep")
+    (_, _CLS_B1), (_, _CLS_B2) = _sb(
+        {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+    @_q(
+        "cfg_leak_split",
+        f"""
+        WITH RECURSIVE seq AS ({tables.sequences_sql(_CLS_N)}),
+        pairs AS (SELECT id_a, id_b FROM ({_CLS_PAIRS})),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        labels AS (SELECT a AS member, MIN(b) AS lab FROM reach GROUP BY a),
+        r AS (
+          SELECT s.doc_id, COALESCE(l.lab, s.doc_id) AS rep
+          FROM seq s LEFT JOIN labels l ON s.doc_id = l.member
+        )
+        SELECT doc_id, rep AS split_key,
+               CASE WHEN {_CLS_H} < {_CLS_B1} THEN 'train'
+                    WHEN {_CLS_H} < {_CLS_B2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM r
+        """,
+    )
+    def cfg_leak_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Leakage-safe splitting AS CONFIG over the BASELINE token
+        corpus: the `leak_safe_split` topology transform generates token
+        minhash near-dup pairs exactly like `near_dedup`, labels
+        connected components, and buckets every sequence by its
+        component representative's hash - duplicates can never straddle
+        train/val from a one-dict pipeline declaration. The oracle
+        replays pair generation (banded token minhash), the transitive
+        closure (recursive CTE), and the canonical split bounds."""
+        from vector_spark.plans import compile_config
+
+        config = {
+            "sources": {
+                "seq": {"type": "sequences", "n": _CLS_N, "derived": False}
+            },
+            "transforms": {
+                "split": {
+                    "type": "leak_safe_split",
+                    "inputs": ["seq"],
+                    "tokens_col": "tokens",
+                    "ngram": 8,
+                    "threshold": _CLS_THR,
+                    "fractions": {"train": 0.8, "val": 0.1, "test": 0.1},
+                },
+            },
+            "sinks": {"out": {"type": "memory", "inputs": ["split"]}},
+        }
+        topo = compile_config(spark, config)
+        return topo.resolve("split").select("doc_id", "split_key", "split")
+
+
+_register_cfg_leak_split()
+
+
 def _register_quality_percentile() -> None:
     from vector_spark.dataprep import oracles as osql
 
@@ -13529,7 +13611,7 @@ _WINDOW: list[str] = [
     "ev_chunked_gelf",
     "ev_journald",
     "doc_split_leakage",      # round-4 new op
-    "ev_mongodb_status",
+    "cfg_leak_split",         # round-4 new config transform
     "ev_splunk_hec",
     "ev_elasticsearch_bulk",
     "vrl_recursive_closures",  # round-4 new code

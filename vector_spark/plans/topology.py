@@ -1036,6 +1036,48 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
         if "keep" in cfg:  # route one split onward (e.g. keep: train)
             out = out.filter(F.col("split") == cfg["keep"]).drop("split")
         return {"__default": out}
+    if t == "leak_safe_split":
+        # duplicate-cluster-aware split as config: generate near-dup
+        # pairs exactly like `near_dedup` (text or token mode), then
+        # assign every near-dup family its representative's hash bucket
+        # (mixing.leakage_safe_split) so duplicates never straddle
+        # train/val; `keep` routes one split onward like `split_assign`
+        from vector_spark.dataprep.dedup import (
+            minhash_near_dups,
+            token_minhash_near_dups,
+        )
+        from vector_spark.dataprep.mixing import leakage_safe_split
+
+        id_col = cfg.get("key_col", "doc_id")
+        common = dict(
+            id_col=id_col,
+            num_hashes=int(cfg.get("num_hashes", 16)),
+            bands=int(cfg.get("bands", 4)),
+            threshold=float(cfg.get("threshold", 0.6)),
+            max_bucket=cfg.get("max_bucket"),
+        )
+        if "tokens_col" in cfg:
+            pairs = token_minhash_near_dups(
+                df, tokens_col=cfg["tokens_col"],
+                n=int(cfg.get("ngram", 8)), **common,
+            )
+        else:
+            pairs = minhash_near_dups(
+                df, text_col=cfg.get("text_col", "text"),
+                k_shingle=int(cfg.get("ngram", 3)), **common,
+            )
+        out = leakage_safe_split(
+            df,
+            pairs,
+            fractions=cfg.get("fractions"),
+            key_col=id_col,
+            salt=cfg.get("salt", "split"),
+        )
+        if "keep" in cfg:
+            out = out.filter(F.col("split") == cfg["keep"]).drop(
+                "split", "split_key"
+            )
+        return {"__default": out}
     if t == "pack_tokens":
         from vector_spark.dataprep.packing import pack_tokens
 
@@ -1403,7 +1445,7 @@ TRANSFORM_TYPES = (
     "aggregate log_to_metric metric_to_log tag_cardinality_limit enrich script "
     "quality_filter exact_dedup decontaminate pack_sequences paragraph_dedup "
     "lm_perplexity tokenize "
-    "sample_mixture split_assign pack_tokens near_dedup "
+    "sample_mixture split_assign leak_safe_split pack_tokens near_dedup "
     "group_sample curriculum strided_chunks self_repetition novelty "
     "rate_anomaly trace_assembly spike_attribution dataset_card url_filter "
     "token_budget quality_percentile"
