@@ -413,3 +413,61 @@ def test_vrl_closure_matches_python_semantics(spark, arr):
     assert out.kept == [v for v in arr if len(v) > 2]
     assert out.up == [v.upper() for v in arr]
     assert out.total == sum(len(v) for v in arr)
+
+
+pairs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda t: t[0] != t[1]),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(pairs=pairs_strategy)
+@settings(**SETTINGS)
+def test_leakage_safe_split_never_leaks(spark, pairs):
+    """For ARBITRARY pair graphs (chains, cycles, stars, disjoint
+    components), every near-dup pair's endpoints land in the same split
+    and the audit reports zero leaked rows — the structural guarantee
+    leakage_safe_split exists for. Oracle: python union-find."""
+    from vector_spark.dataprep.mixing import (
+        leakage_safe_split,
+        split_leakage_audit,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(31)], "doc_id long")
+    pdf = spark.createDataFrame(
+        pairs or [(0, 0)], "id_a long, id_b long"
+    ).filter(F.col("id_a") != F.col("id_b"))
+    out = leakage_safe_split(
+        docs, pdf, {"train": 0.5, "val": 0.25, "test": 0.25}
+    )
+    rows = {r.doc_id: (r.split_key, r.split) for r in out.collect()}
+    assert len(rows) == 31
+
+    # python union-find oracle for the representative
+    parent = list(range(31))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical rep = min member of the component
+    comp = {}
+    for i in range(31):
+        comp.setdefault(find(i), []).append(i)
+    rep = {m: min(ms) for ms in comp.values() for m in ms}
+    for i in range(31):
+        assert rows[i][0] == str(rep[i]), (i, rows[i], rep[i])
+        assert rows[i][1] == rows[rep[i]][1]  # inherits rep's split
+
+    audit = split_leakage_audit(pdf, out).collect()
+    assert all(not r.leaked for r in audit)
