@@ -10,6 +10,15 @@ content hash of the query's implementation at that moment: the gate
 function source, its oracle SQL, and the bytes of every
 ``vector_spark.*`` module the gate source references.
 
+Hash scope is the gate source plus modules the gate source references BY
+NAME (one level — `vector_spark.plans` hashes plans/__init__.py, not
+every module under it), so a deep-dependency edit can escape a query's
+hash. That is acceptable debt because deep edits always hit SOME gate
+that references the module directly (topology.py edits flagged
+cfg_encoded_sink/stream_staged_chain), the full local sweep runs every
+round anyway, and a transitive import walk would make every hash change
+on every edit, destroying the signal.
+
 ``tests/test_verification_ledger.py`` then enforces: any registered query
 whose current hash differs from its ledger hash (implementation changed
 since its last green) MUST occupy a slot in ``__spark_entry__._WINDOW``,
