@@ -13426,6 +13426,105 @@ def _register_cfg_leak_split() -> None:
 _register_cfg_leak_split()
 
 
+def _register_canonical_url() -> None:
+    _CU_SYNTH_SQL = """
+          CASE doc_id % 6
+            WHEN 0 THEN 'HTTPS://Example.COM:443/a' || (doc_id % 4)
+                        || '/?utm_source=x&b=2&a=1#frag'
+            WHEN 1 THEN 'https://site' || (doc_id % 3) || '.org:443/p'
+            WHEN 2 THEN 'http://site.org:8080/p' || (doc_id % 4) || '/'
+            WHEN 3 THEN 'http://a.net:80/?gclid=' || (doc_id % 5)
+            WHEN 4 THEN 'https://x.io/path?z=' || (doc_id % 3)
+                        || '&fbclid=abc&y=8'
+            ELSE 'https://u:p@h' || (doc_id % 3) || '.com/w'
+          END"""
+
+    @_q(
+        "doc_canonical_url",
+        f"""
+        WITH d AS (
+          SELECT doc_id, {_CU_SYNTH_SQL} AS url FROM documents
+        ),
+        parts AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(url,
+              '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)', 1))
+              AS host,
+            regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]*:([0-9]+)',
+              1) AS port,
+            regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+            regexp_extract(url, '\\?([^#]*)', 1) AS q
+          FROM d
+        ),
+        norm AS (
+          SELECT doc_id, url, scheme, host, port,
+            CASE WHEN path = '' THEN '/'
+                 ELSE regexp_replace(path, '(.+?)/+$', '\\1') END
+              AS path_n,
+            array_to_string(list_sort(list_filter(string_split(q, '&'),
+              p -> p <> '' AND NOT regexp_matches(p,
+                '^(utm_[^=]*|gclid|fbclid|msclkid|ref)='))), '&') AS qs
+          FROM parts
+        )
+        SELECT doc_id, url,
+               scheme || '://' || host ||
+               CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443')
+                    THEN '' ELSE ':' || port END ||
+               path_n ||
+               CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon
+        FROM norm
+        """,
+    )
+    def doc_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Canonical-URL dedup keying (dataprep/urls.py::canonical_url —
+        the crawl-over-crawl identity every web pipeline needs): scheme/
+        host lowercased, userinfo dropped, default ports stripped,
+        fragments dropped, tracking params removed, query params sorted,
+        trailing slashes trimmed. Pure column math (codegen, no UDF, no
+        shuffle); the oracle replays the entire normalization pipeline
+        in DuckDB over identically-synthesized messy URLs."""
+        from vector_spark.dataprep.urls import canonical_url
+
+        docs = _docs(spark, sf_dir)
+        m = F.col("doc_id") % 6
+        url = (
+            F.when(m == 0, F.concat(
+                F.lit("HTTPS://Example.COM:443/a"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit("/?utm_source=x&b=2&a=1#frag")))
+            .when(m == 1, F.concat(
+                F.lit("https://site"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".org:443/p")))
+            .when(m == 2, F.concat(
+                F.lit("http://site.org:8080/p"),
+                (F.col("doc_id") % 4).cast("string"), F.lit("/")))
+            .when(m == 3, F.concat(
+                F.lit("http://a.net:80/?gclid="),
+                (F.col("doc_id") % 5).cast("string")))
+            .when(m == 4, F.concat(
+                F.lit("https://x.io/path?z="),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("&fbclid=abc&y=8")))
+            .otherwise(F.concat(
+                F.lit("https://u:p@h"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".com/w")))
+        )
+        d = docs.select("doc_id", url.alias("url"))
+        return d.select(
+            "doc_id", "url", canonical_url(F.col("url")).alias("canon")
+        )
+
+
+_register_canonical_url()
+
+
 def _register_quality_percentile() -> None:
     from vector_spark.dataprep import oracles as osql
 
@@ -13612,7 +13711,7 @@ _WINDOW: list[str] = [
     "ev_journald",
     "doc_split_leakage",      # round-4 new op
     "cfg_leak_split",         # round-4 new config transform
-    "ev_splunk_hec",
+    "doc_canonical_url",      # round-4 new op
     "ev_elasticsearch_bulk",
     "vrl_recursive_closures",  # round-4 new code
     "doc_bloom_incremental",  # bloom probe rewritten round 4 (words-dim joins)

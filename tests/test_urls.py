@@ -89,3 +89,26 @@ def test_url_quality_features(spark):
     assert abs(f.digit_frac_host - round(2 / 16, 6)) < 1e-9
     assert f.path_depth == 2
     assert f.n_params == 3
+
+
+def test_canonical_url_collapses_crawl_variants(spark):
+    cases = [
+        # same page, two crawl spellings -> one canonical form
+        ("HTTPS://Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/a/b?a=1&b=2"),
+        ("https://example.com/a/b?a=1&b=2",
+         "https://example.com/a/b?a=1&b=2"),
+        ("https://site.org:443/p", "https://site.org/p"),
+        ("http://site.org:8080/p/", "http://site.org:8080/p"),   # non-default port kept
+        ("http://a.net:80/?gclid=1", "http://a.net/"),
+        ("https://x.io/path?z=9&fbclid=abc&y=8",
+         "https://x.io/path?y=8&z=9"),
+        ("https://u:p@h.com/w", "https://h.com/w"),              # userinfo dropped
+        ("https://h.com", "https://h.com/"),                     # empty path -> /
+        ("https://h.com/CaseKept/Path", "https://h.com/CaseKept/Path"),
+        ("https://h.com/a?ref=tw&refresh=1",
+         "https://h.com/a?refresh=1"),                           # ref dropped, refresh kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(U.canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]

@@ -103,6 +103,61 @@ def blocklist_filter(
     )
 
 
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical URL for crawl-over-crawl dedup keying: the same page
+    fetched as ``HTTPS://Example.COM:443/a/b/?utm_source=x&b=2&a=1#f``
+    and ``https://example.com/a/b?a=1&b=2`` must collide.
+
+    Normalizations (each a pure column expression — codegen'd, no UDF,
+    no shuffle): scheme and host lowercased, userinfo dropped, default
+    ports stripped (http:80 / https:443), fragment dropped, tracking
+    params removed (utm_*, gclid, fbclid, msclkid, ref), remaining
+    query params sorted, empty path → ``/``, trailing slashes trimmed
+    from non-root paths. Path case is preserved (paths are
+    case-sensitive per RFC 3986)."""
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    )
+    host = F.lower(
+        F.regexp_extract(
+            url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)", 1
+        )
+    )
+    port = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]*:(\d+)", 1
+    )
+    path = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    keep = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(F.array_sort(keep), "&")
+    path_n = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.+?)/+$", "$1")
+    )
+    default_port = (
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(default_port, F.lit("")).otherwise(
+            F.concat(F.lit(":"), port)
+        ),
+        path_n,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
 def url_quality_features(url: Column) -> Column:
     """Struct of URL-quality signals (RefinedWeb-style):
 
