@@ -108,3 +108,60 @@ def test_sample_counter_is_layout_invariant(spark, messy):
     _assert_invariant(
         lambda df: sample(df, rate=5, order_by="id")
     )
+
+
+def test_leakage_safe_split_is_layout_invariant(spark):
+    """Component labeling + hash bucketing must not depend on scan
+    layout: same docs/pairs under 1-partition, round-robin, and
+    key-repartitioned layouts produce identical (split_key, split)."""
+    from vector_spark.dataprep.mixing import leakage_safe_split
+
+    docs = spark.range(0, 500, 1, 5).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(0, 100).select(
+        (F.col("id") * 5).alias("id_a"), (F.col("id") * 5 + 1).alias("id_b")
+    )
+    outs = []
+    for d, p in (
+        (docs.coalesce(1), pairs.coalesce(1)),
+        (docs.repartition(7), pairs.repartition(3)),
+        (docs.repartition(11, "doc_id"), pairs.repartition(5, "id_b")),
+    ):
+        outs.append(
+            sorted(
+                (r.doc_id, r.split_key, r.split)
+                for r in leakage_safe_split(
+                    d, p, {"train": 0.5, "val": 0.25, "test": 0.25}
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_canonical_url_is_layout_invariant(spark):
+    """Pure projection — trivially invariant, pinned anyway because a
+    regression to nondeterministic param ordering would corrupt every
+    crawl-dedup key downstream."""
+    from vector_spark.dataprep.urls import canonical_url
+
+    base = spark.range(0, 1_000, 1, 3).select(
+        F.concat(
+            F.lit("https://H"),
+            (F.col("id") % 9).cast("string"),
+            F.lit(".com:443/p/?b="),
+            (F.col("id") % 4).cast("string"),
+            F.lit("&utm_x=1&a=2#f"),
+        ).alias("url")
+    )
+    a = sorted(
+        r.c
+        for r in base.coalesce(1)
+        .select(canonical_url(F.col("url")).alias("c"))
+        .collect()
+    )
+    b = sorted(
+        r.c
+        for r in base.repartition(13)
+        .select(canonical_url(F.col("url")).alias("c"))
+        .collect()
+    )
+    assert a == b
