@@ -13525,6 +13525,78 @@ def _register_canonical_url() -> None:
 _register_canonical_url()
 
 
+def _register_script_profile() -> None:
+    @_q(
+        "doc_script_profile",
+        """
+        WITH d AS (
+          SELECT doc_id,
+                 substr(rpad(substr(text, 1, 40) ||
+                   CASE doc_id % 5
+                     WHEN 1 THEN ' привет мир'
+                     WHEN 2 THEN ' 你好世界'
+                     WHEN 3 THEN ' مرحبا'
+                     WHEN 4 THEN ' data 42 ��'
+                     ELSE ''
+                   END, 50, 'x'), 1, 50) AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               ROUND(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) / 50.0, 6)
+                 + 0 AS latin_frac,
+               ROUND(length(regexp_replace(t, '[^0-9]', '', 'g')) / 50.0, 6)
+                 + 0 AS digit_frac,
+               ROUND(length(regexp_replace(t,
+                 '[^Ѐ-ӿ]', '', 'g')) / 50.0, 6) + 0 AS cyrillic_frac,
+               ROUND(length(regexp_replace(t,
+                 '[^一-鿿]', '', 'g')) / 50.0, 6) + 0 AS cjk_frac,
+               ROUND(length(regexp_replace(t,
+                 '[^؀-ۿ]', '', 'g')) / 50.0, 6) + 0 AS arabic_frac,
+               ROUND(length(regexp_replace(t,
+                 '[A-Za-z0-9Ѐ-ӿ一-鿿؀-ۿ\s]',
+                 '', 'g')) / 50.0, 6) + 0 AS other_frac,
+               (length(t) - length(replace(t, '�', '')))::BIGINT
+                 AS mojibake
+        FROM d
+        """,
+    )
+    def doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Unicode-script profile + mojibake detection
+        (dataprep/text.py::script_profile): per-script character
+        fractions and U+FFFD replacement-char counts - the guard in
+        front of the latin-stopword lang-id and the standard corrupted-
+        extraction flag. Deterministic multilingual suffixes (cyrillic /
+        CJK / arabic / replacement chars) are appended per doc_id and
+        every profile line is padded to exactly 50 chars, so all
+        fractions are exact k/50 values with no cross-engine rounding
+        ambiguity; the oracle replays each regexp count in DuckDB."""
+        from vector_spark.dataprep.text import script_profile
+
+        docs = _docs(spark, sf_dir)
+        m = F.col("doc_id") % 5
+        suffix = (
+            F.when(m == 1, F.lit(" привет мир"))
+            .when(m == 2, F.lit(" 你好世界"))
+            .when(m == 3, F.lit(" مرحبا"))
+            .when(m == 4, F.lit(" data 42 ��"))
+            .otherwise(F.lit(""))
+        )
+        t = F.substring(
+            F.rpad(
+                F.concat(F.substring(F.col("text"), 1, 40), suffix), 50, "x"
+            ),
+            1,
+            50,
+        )
+        d = docs.select("doc_id", t.alias("t"))
+        return d.select(
+            "doc_id", script_profile(F.col("t")).alias("p")
+        ).select("doc_id", "p.*")
+
+
+_register_script_profile()
+
+
 def _register_quality_percentile() -> None:
     from vector_spark.dataprep import oracles as osql
 
@@ -13708,7 +13780,7 @@ _WINDOW: list[str] = [
     "ev_parse_ruby_hash",
     "ev_encode_cef_gelf",
     "ev_chunked_gelf",
-    "ev_journald",
+    "doc_script_profile",     # round-4 new op
     "doc_split_leakage",      # round-4 new op
     "cfg_leak_split",         # round-4 new config transform
     "doc_canonical_url",      # round-4 new op

@@ -945,3 +945,22 @@ def test_quality_percentile_filter(spark):
     kept2 = sorted(r.doc_id for r in
                    quality_percentile_filter(tied, 1 / 3).collect())
     assert kept2 == ["x1"]
+
+
+def test_script_profile_fractions_and_mojibake(spark):
+    from vector_spark.dataprep.text import script_profile
+    from pyspark.sql import functions as F
+
+    text = "Hello мир 你好 ��"  # 15 chars
+    df = spark.createDataFrame([(text,), ("abc123",)], "text string")
+    a, b = df.select(script_profile(F.col("text")).alias("p")).collect()
+    p = a.p
+    assert abs(p.latin_frac - round(5 / 15, 6)) < 1e-9
+    assert abs(p.cyrillic_frac - round(3 / 15, 6)) < 1e-9
+    assert abs(p.cjk_frac - round(2 / 15, 6)) < 1e-9
+    assert p.arabic_frac == 0.0 and p.digit_frac == 0.0
+    assert abs(p.other_frac - round(2 / 15, 6)) < 1e-9  # U+FFFD is "other"
+    assert p.mojibake == 2
+    q = b.p
+    assert q.latin_frac == 0.5 and q.digit_frac == 0.5
+    assert q.mojibake == 0 and q.other_frac == 0.0

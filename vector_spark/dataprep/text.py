@@ -123,6 +123,51 @@ def quality_score(col: Column, ws: Column | None = None) -> Column:
     return F.round(0.4 * length_ok + 0.3 * diversity + 0.3 * clean, 4)
 
 
+_SCRIPT_RANGES = {
+    # (spark/java char class, fraction field name)
+    "latin": r"A-Za-z",
+    "digit": r"0-9",
+    "cyrillic": "Ѐ-ӿ",
+    "cjk": "一-鿿",
+    "arabic": "؀-ۿ",
+}
+
+
+def script_profile(col: Column) -> Column:
+    """Unicode-script profile for multilingual corpus curation: the
+    fraction of characters in each major script block (latin, digits,
+    cyrillic, CJK, arabic, other) plus the count of U+FFFD replacement
+    characters (``mojibake`` — the residue of a bad encoding decode; any
+    nonzero count means the upstream extractor corrupted the page).
+
+    The lang-id heuristic (:func:`lang_id`) is stopword-based and only
+    meaningful for latin-script languages; this profile is the guard in
+    front of it — route non-latin-majority docs past the latin stopword
+    scorer instead of letting them all fall to its 'unknown'. Pure
+    regexp_replace/length column math, codegen'd, no shuffle."""
+    total = F.greatest(F.length(col), F.lit(1))
+    fields = []
+    covered = "".join(_SCRIPT_RANGES.values())
+    for name, rng in _SCRIPT_RANGES.items():
+        frac = F.round(
+            F.length(F.regexp_replace(col, f"[^{rng}]", "")) / total, 6
+        )
+        fields.append((frac + F.lit(0.0)).alias(f"{name}_frac"))
+    other = F.round(
+        F.length(
+            F.regexp_replace(col, f"[{covered}\\s]", "")
+        ) / total,
+        6,
+    )
+    fields.append((other + F.lit(0.0)).alias("other_frac"))
+    fields.append(
+        (F.length(col) - F.length(F.regexp_replace(col, "�", "")))
+        .cast("long")
+        .alias("mojibake")
+    )
+    return F.struct(*fields)
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (exact-dup key)."""
     return F.md5(normalize(col))
