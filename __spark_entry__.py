@@ -13597,6 +13597,89 @@ def _register_script_profile() -> None:
 _register_script_profile()
 
 
+def _register_containment() -> None:
+    from vector_spark.dataprep import oracles as osql
+
+    _CT_CTE = osql.winnow_cte_sql(k=8, w=4, table="corpus")
+
+    @_q(
+        "doc_containment",
+        f"""
+        WITH corpus AS MATERIALIZED (
+          SELECT doc_id, text FROM documents WHERE doc_id < 100
+          UNION ALL
+          SELECT 10000 + a.doc_id, a.text || ' ' || b.text
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id < 100 AND a.doc_id % 2 = 0
+        ),
+        {_CT_CTE},
+        fps AS MATERIALIZED (
+          SELECT doc_id AS id, unnest(fp) AS fp FROM winnowed
+        ),
+        sizes AS (SELECT id, COUNT(*)::BIGINT AS nf FROM fps GROUP BY id),
+        keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 100),
+        pruned AS (SELECT f.id, f.fp FROM fps f JOIN keep USING (fp)),
+        shr AS (
+          SELECT l.id AS a, r.id AS b, COUNT(*)::BIGINT AS shared
+          FROM pruned l JOIN pruned r ON l.fp = r.fp AND l.id < r.id
+          GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT s.a, s.b, s.shared, sa.nf AS na, sb.nf AS nb,
+                 (sa.nf < sb.nf OR (sa.nf = sb.nf AND s.a < s.b)) AS sa_small
+          FROM shr s JOIN sizes sa ON s.a = sa.id
+                     JOIN sizes sb ON s.b = sb.id
+        ),
+        o AS (
+          SELECT CASE WHEN sa_small THEN a ELSE b END AS id_small,
+                 CASE WHEN sa_small THEN b ELSE a END AS id_big,
+                 CASE WHEN sa_small THEN na ELSE nb END AS n_small,
+                 shared
+          FROM j
+        )
+        SELECT id_small, id_big, n_small, shared,
+               ROUND(shared / n_small, 6) AS ratio
+        FROM o
+        WHERE ROUND(shared / n_small, 6) >= 0.7 AND n_small >= 4
+        """,
+    )
+    def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Asymmetric containment detection
+        (dataprep/dedup.py::winnow_containment): the fraction of the
+        SMALLER document's winnowing fingerprints present in the larger
+        one - quotes, mirrored boilerplate, and wholesale inclusion
+        that similarity passes (Jaccard/minhash) cannot see. The corpus
+        plants real containment (even-id docs concatenated with their
+        successor into synthetic 'articles'); the oracle replays
+        winnowing, stop-fingerprint pruning, the pair equi-join, and
+        the direction rule in DuckDB."""
+        from vector_spark.dataprep.dedup import winnow_containment
+
+        docs = _docs(spark, sf_dir)
+        base = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+        cont = (
+            docs.alias("a")
+            .filter((F.col("a.doc_id") < 100) & (F.col("a.doc_id") % 2 == 0))
+            .join(
+                docs.alias("b"),
+                F.col("b.doc_id") == F.col("a.doc_id") + 1,
+            )
+            .select(
+                (F.col("a.doc_id") + 10000).alias("doc_id"),
+                F.concat(
+                    F.col("a.text"), F.lit(" "), F.col("b.text")
+                ).alias("text"),
+            )
+        )
+        corpus = base.unionByName(cont)
+        return winnow_containment(
+            corpus, k=8, w=4, min_ratio=0.7, min_fps=4, fp_cap=100
+        )
+
+
+_register_containment()
+
+
 def _register_quality_percentile() -> None:
     from vector_spark.dataprep import oracles as osql
 
@@ -13779,7 +13862,7 @@ _WINDOW: list[str] = [
     "ev_parse_xml",
     "ev_parse_ruby_hash",
     "ev_encode_cef_gelf",
-    "ev_chunked_gelf",
+    "doc_containment",        # round-4 new op
     "doc_script_profile",     # round-4 new op
     "doc_split_leakage",      # round-4 new op
     "cfg_leak_split",         # round-4 new config transform

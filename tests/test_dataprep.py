@@ -964,3 +964,24 @@ def test_script_profile_fractions_and_mojibake(spark):
     q = b.p
     assert q.latin_frac == 0.5 and q.digit_frac == 0.5
     assert q.mojibake == 0 and q.other_frac == 0.0
+
+
+def test_winnow_containment_finds_quoted_doc(spark):
+    quote = ("the quick brown fox jumps over the lazy dog while the "
+             "rain in spain falls mainly on the plain tonight")
+    article = ("breaking news from the city council meeting today "
+               "officials said that " + quote + " and further remarks "
+               "followed about infrastructure budgets and planning")
+    other = ("completely unrelated content about distributed query "
+             "engines and columnar storage formats for analytics")
+    df = spark.createDataFrame(
+        [(1, quote), (2, article), (3, other)], "doc_id long, text string"
+    )
+    rows = dd.winnow_containment(df, min_ratio=0.5, min_fps=3).collect()
+    got = {(r.id_small, r.id_big): r.ratio for r in rows}
+    assert (1, 2) in got and got[(1, 2)] >= 0.5  # quote contained in article
+    assert all(p == (1, 2) for p in got)  # no false containment with doc 3
+    # near-dup pass misses it: jaccard-style shared-count is asymmetric-blind
+    # (the pair exists only because containment uses the SMALL side's total)
+    r = rows[0]
+    assert r.n_small < 40 and r.shared <= r.n_small

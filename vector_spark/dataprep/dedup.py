@@ -608,6 +608,95 @@ def winnow_near_dups(
     return pairs
 
 
+def winnow_containment(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    w: int = 8,
+    min_ratio: float = 0.7,
+    min_fps: int = 4,
+    fp_cap: int = 100,
+    strategy: str = "pandas",
+) -> DataFrame:
+    """ASYMMETRIC containment detection: the fraction of the smaller
+    document's winnowing fingerprints that appear in the larger one —
+    a tweet quoted inside a long article scores ratio ≈ 1 even though
+    pairwise Jaccard similarity is tiny, which is why near-dup passes
+    (:func:`winnow_near_dups`, minhash) cannot find quotes, mirrored
+    boilerplate, or wholesale article inclusion.
+
+    Returns ``(id_small, id_big, n_small, shared, ratio)`` with
+    ``ratio = shared / n_small ≥ min_ratio`` and ``n_small ≥ min_fps``
+    (tiny docs produce too few fingerprints to claim containment).
+    Direction is by DISTINCT fingerprint count (ties → lower id is the
+    small side), so the pair is reported once.
+
+    Plan: identical candidate shape to winnow_near_dups — explode
+    DISTINCT fingerprints, drop stop-fingerprints (> fp_cap docs),
+    equi-join on the fingerprint, count shared per pair — never a
+    pairwise scan; texts never shuffle. The per-doc fingerprint-count
+    dim joins back by id (two broadcast-or-shuffle equi-joins on id)."""
+    from vector_spark.dataprep import text as tx
+
+    fps = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        .withColumn("__norm", tx.normalize(F.col(text_col)))
+        .withColumn(
+            "__fps",
+            tx.winnow_fingerprints(F.col("__norm"), k=k, w=w,
+                                   strategy=strategy),
+        )
+        .select("__id", F.explode("__fps").alias("__fp"))
+        .distinct()
+        .persist()
+    )
+    sizes = fps.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("__nf")
+    )
+    keep = fps.groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).filter(F.col("__n") <= fp_cap)
+    pruned = fps.join(keep.select("__fp"), "__fp")
+    shared = (
+        pruned.alias("l")
+        .join(
+            pruned.alias("r"),
+            on=[
+                F.col("l.__fp") == F.col("r.__fp"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .groupBy(F.col("l.__id").alias("__a"), F.col("r.__id").alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    j = (
+        shared.join(
+            sizes.select(F.col("__id").alias("__a"),
+                         F.col("__nf").alias("__na")), "__a")
+        .join(
+            sizes.select(F.col("__id").alias("__b"),
+                         F.col("__nf").alias("__nb")), "__b")
+    )
+    small_is_a = (F.col("__na") < F.col("__nb")) | (
+        (F.col("__na") == F.col("__nb")) & (F.col("__a") < F.col("__b"))
+    )
+    out = j.select(
+        F.when(small_is_a, F.col("__a")).otherwise(F.col("__b"))
+        .alias("id_small"),
+        F.when(small_is_a, F.col("__b")).otherwise(F.col("__a"))
+        .alias("id_big"),
+        F.when(small_is_a, F.col("__na")).otherwise(F.col("__nb"))
+        .alias("n_small"),
+        "shared",
+    )
+    return out.withColumn(
+        "ratio", F.round(F.col("shared") / F.col("n_small"), 6)
+    ).filter(
+        (F.col("ratio") >= min_ratio) & (F.col("n_small") >= min_fps)
+    )
+
+
 # --- segment-level (paragraph) dedup ----------------------------------------
 
 
