@@ -985,3 +985,21 @@ def test_winnow_containment_finds_quoted_doc(spark):
     # (the pair exists only because containment uses the SMALL side's total)
     r = rows[0]
     assert r.n_small < 40 and r.shared <= r.n_small
+
+
+def test_containment_filter_drops_contained_doc(spark):
+    quote = ("the quick brown fox jumps over the lazy dog while the "
+             "rain in spain falls mainly on the plain tonight")
+    article = ("breaking news from the city council meeting today "
+               "officials said that " + quote + " and further remarks "
+               "followed about infrastructure budgets and planning")
+    other = ("completely unrelated content about distributed query "
+             "engines and columnar storage formats for analytics")
+    df = spark.createDataFrame(
+        [(1, quote), (2, article), (3, other)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dd.containment_filter(df, min_ratio=0.5, min_fps=3).collect()
+    )
+    assert kept == [2, 3]  # the quote is dropped, its container kept

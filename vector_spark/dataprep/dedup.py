@@ -697,6 +697,23 @@ def winnow_containment(
     )
 
 
+def containment_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """The ACTION for :func:`winnow_containment`: drop every document
+    that is contained in a larger one (the larger doc carries all the
+    contained text already — keeping both double-counts the content in
+    training). One anti-join of the corpus against the contained-id
+    dim; kwargs pass through to winnow_containment."""
+    contained = winnow_containment(
+        df, text_col=text_col, id_col=id_col, **kwargs
+    ).select(F.col("id_small").alias(id_col)).distinct()
+    return df.join(contained, id_col, "left_anti")
+
+
 # --- segment-level (paragraph) dedup ----------------------------------------
 
 

@@ -1036,6 +1036,24 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
         if "keep" in cfg:  # route one split onward (e.g. keep: train)
             out = out.filter(F.col("split") == cfg["keep"]).drop("split")
         return {"__default": out}
+    if t == "containment_filter":
+        # drop documents wholly contained in a larger one (quotes,
+        # mirrored boilerplate, article inclusion) — the asymmetric
+        # counterpart of near_dedup's symmetric similarity drop
+        from vector_spark.dataprep.dedup import containment_filter
+
+        return {
+            "__default": containment_filter(
+                df,
+                text_col=cfg.get("text_col", "text"),
+                id_col=cfg.get("id_col", "doc_id"),
+                k=int(cfg.get("ngram", 16)),
+                w=int(cfg.get("window", 8)),
+                min_ratio=float(cfg.get("min_ratio", 0.7)),
+                min_fps=int(cfg.get("min_fps", 4)),
+                fp_cap=int(cfg.get("fp_cap", 100)),
+            )
+        }
     if t == "leak_safe_split":
         # duplicate-cluster-aware split as config: generate near-dup
         # pairs exactly like `near_dedup` (text or token mode), then
@@ -1448,6 +1466,7 @@ TRANSFORM_TYPES = (
     "sample_mixture split_assign leak_safe_split pack_tokens near_dedup "
     "group_sample curriculum strided_chunks self_repetition novelty "
     "rate_anomaly trace_assembly spike_attribution dataset_card url_filter "
+    "containment_filter "
     "token_budget quality_percentile"
 ).split()
 
