@@ -13428,7 +13428,7 @@ _register_cfg_leak_split()
 
 def _register_canonical_url() -> None:
     _CU_SYNTH_SQL = """
-          CASE doc_id % 6
+          CASE doc_id % 7
             WHEN 0 THEN 'HTTPS://Example.COM:443/a' || (doc_id % 4)
                         || '/?utm_source=x&b=2&a=1#frag'
             WHEN 1 THEN 'https://site' || (doc_id % 3) || '.org:443/p'
@@ -13436,7 +13436,8 @@ def _register_canonical_url() -> None:
             WHEN 3 THEN 'http://a.net:80/?gclid=' || (doc_id % 5)
             WHEN 4 THEN 'https://x.io/path?z=' || (doc_id % 3)
                         || '&fbclid=abc&y=8'
-            ELSE 'https://u:p@h' || (doc_id % 3) || '.com/w'
+            WHEN 5 THEN 'https://u:p@h' || (doc_id % 3) || '.com/w'
+            ELSE 'https://u:123@h' || (doc_id % 3) || '.com:443/w'
           END"""
 
     @_q(
@@ -13445,20 +13446,25 @@ def _register_canonical_url() -> None:
         WITH d AS (
           SELECT doc_id, {_CU_SYNTH_SQL} AS url FROM documents
         ),
+        stripped AS (
+          SELECT doc_id, url,
+            regexp_replace(url,
+              '^([a-zA-Z][a-zA-Z0-9+.-]*://)[^/@?#]*@', '\\1') AS u
+          FROM d
+        ),
         parts AS (
           SELECT doc_id, url,
-            lower(regexp_extract(url,
+            lower(regexp_extract(u,
               '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-            lower(regexp_extract(url,
-              '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)', 1))
-              AS host,
-            regexp_extract(url,
-              '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]*:([0-9]+)',
+            lower(regexp_extract(u,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+            regexp_extract(u,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)',
               1) AS port,
-            regexp_extract(url,
+            regexp_extract(u,
               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-            regexp_extract(url, '\\?([^#]*)', 1) AS q
-          FROM d
+            regexp_extract(u, '\\?([^#]*)', 1) AS q
+          FROM stripped
         ),
         norm AS (
           SELECT doc_id, url, scheme, host, port,
@@ -13491,7 +13497,7 @@ def _register_canonical_url() -> None:
         from vector_spark.dataprep.urls import canonical_url
 
         docs = _docs(spark, sf_dir)
-        m = F.col("doc_id") % 6
+        m = F.col("doc_id") % 7
         url = (
             F.when(m == 0, F.concat(
                 F.lit("HTTPS://Example.COM:443/a"),
@@ -13511,10 +13517,16 @@ def _register_canonical_url() -> None:
                 F.lit("https://x.io/path?z="),
                 (F.col("doc_id") % 3).cast("string"),
                 F.lit("&fbclid=abc&y=8")))
-            .otherwise(F.concat(
+            .when(m == 5, F.concat(
                 F.lit("https://u:p@h"),
                 (F.col("doc_id") % 3).cast("string"),
                 F.lit(".com/w")))
+            # numeric password + default port after userinfo: the shape
+            # whose port extraction backtracked before the r05 fix
+            .otherwise(F.concat(
+                F.lit("https://u:123@h"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".com:443/w")))
         )
         d = docs.select("doc_id", url.alias("url"))
         return d.select(
@@ -13528,7 +13540,7 @@ _register_canonical_url()
 def _register_script_profile() -> None:
     @_q(
         "doc_script_profile",
-        """
+        r"""
         WITH d AS (
           SELECT doc_id,
                  substr(rpad(substr(text, 1, 40) ||

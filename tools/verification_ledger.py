@@ -26,10 +26,21 @@ and any query absent from the ledger (brand-new) must either be windowed
 or freshly recorded here after a local oracle check. That makes the
 round-2 incident structurally impossible.
 
+Driver-evidence hashes are NOT computed at update() time: a code edit
+landing between a green CORRECTNESS_r*.json run and the update would
+otherwise be recorded as verified at the post-edit hash, laundering an
+unverified change past the very check this ledger enforces. Instead the
+end-of-round chain runs ``snapshot`` (writing CORRECTNESS_HASHES.json,
+committed with the round's final state — the exact code the driver
+runs), and update() stamps driver evidence with the SNAPSHOT hash. If
+the code changed since the snapshot, check() then correctly flags the
+query as changed-since-verified.
+
 Usage:
   python tools/verification_ledger.py update            # refresh evidence + hashes
   python tools/verification_ledger.py check             # what the pytest runs
   python tools/verification_ledger.py record NAME ...   # mark local-verified
+  python tools/verification_ledger.py snapshot          # end-of-round hash freeze
 """
 
 from __future__ import annotations
@@ -45,6 +56,7 @@ sys.path.insert(0, "/root/repo")
 
 REPO = Path("/root/repo")
 LEDGER = REPO / "VERIFICATION_LEDGER.json"
+SNAPSHOT = REPO / "CORRECTNESS_HASHES.json"
 # The full 262-query judge sweep in the round-3 verdict (VERDICT.md:
 # "262/262 bit-exact") covers every query registered at commit 93d2524.
 JUDGE_SWEEP_ROUND = "judge-r03"
@@ -102,11 +114,33 @@ def save(ledger: dict) -> None:
     LEDGER.write_text(json.dumps(ledger, indent=1, sort_keys=True) + "\n")
 
 
+def snapshot() -> None:
+    """Freeze every registered query's impl hash — run in the end-of-
+    round chain so the committed file records the hashes of exactly the
+    code the driver's correctness run will execute. update() then stamps
+    driver evidence with these frozen hashes, never with hashes computed
+    after later edits."""
+    import __spark_entry__ as entry
+
+    hashes = {name: impl_hash(name) for name in entry._QUERIES}
+    SNAPSHOT.write_text(
+        json.dumps({"hashes": hashes}, indent=1, sort_keys=True) + "\n"
+    )
+    print(f"snapshot: froze {len(hashes)} query hashes")
+
+
+def _snapshot_hashes() -> dict[str, str] | None:
+    if SNAPSHOT.exists():
+        return json.loads(SNAPSHOT.read_text())["hashes"]
+    return None
+
+
 def update() -> None:
     import __spark_entry__ as entry
 
     ledger = load()
     green = _driver_green()
+    frozen = _snapshot_hashes()
     for name in entry._QUERIES:
         row = ledger["queries"].get(name, {})
         prior = row.get("verified")
@@ -120,8 +154,21 @@ def update() -> None:
             verified = None
         # Only refresh the hash when evidence is fresh this run: a driver
         # round newer than what was recorded, or an explicit `record`.
+        # Driver evidence is stamped at the SNAPSHOT hash (the code the
+        # driver actually ran); stamping at the current hash would
+        # launder any edit made since the green run past check().
         if verified and verified != prior:
-            row = {"verified": verified, "hash": impl_hash(name)}
+            if verified.startswith("driver") and frozen is not None:
+                if name in frozen:
+                    row = {"verified": verified, "hash": frozen[name]}
+                else:
+                    print(
+                        f"refusing to stamp {name}: driver-green but "
+                        f"absent from CORRECTNESS_HASHES.json snapshot"
+                    )
+                    row = row or {"verified": None, "hash": None}
+            else:
+                row = {"verified": verified, "hash": impl_hash(name)}
         elif not row:
             row = {"verified": None, "hash": None}
         ledger["queries"][name] = row
@@ -205,6 +252,8 @@ def main() -> int:
         seed_judge_sweep()
     elif cmd == "record":
         record(sys.argv[2:])
+    elif cmd == "snapshot":
+        snapshot()
     elif cmd == "check":
         problems = check()
         for p in problems:

@@ -384,12 +384,24 @@ def dup_clusters(
     """Connected components over the near-dup pair graph → (member, cluster)
     with cluster = min member id (the canonical representative to KEEP).
 
-    Iterative min-label propagation: each node adopts the smallest label in
-    its neighborhood; repeat until fixpoint (checked via a changed-count
-    action per round — O(diameter) rounds, each one shuffle on node id).
-    Chains (a-b, b-c) converge to one cluster even though a-c was never a
+    Iterative min-label propagation WITH pointer-doubling: each round a
+    node first adopts the smallest label in its neighborhood, then adopts
+    its label's label (``label[v] = min(label[v], label[label[v]])`` —
+    valid because labels are always node ids). The shortcut halves the
+    remaining distance to the component minimum each round, so fixpoint
+    is reached in O(log diameter) rounds (plain neighborhood propagation
+    alone is O(diameter)). Each round is a constant number of shuffles on
+    node id; the fixpoint check is a changed-count action. Chains
+    (a-b, b-c) converge to one cluster even though a-c was never a
     candidate pair. Driver loop is per-ROUND, not per-row (stays
-    distributed; rounds ≈ log(diameter) for typical dup clusters of 2-50).
+    distributed).
+
+    Raises ``RuntimeError`` if the labels have not converged after
+    ``max_iters`` rounds — a silent early exit would hand callers like
+    :func:`~vector_spark.dataprep.mixing.leakage_safe_split` components
+    with inconsistent representatives, which is exactly the cross-split
+    leakage that function exists to prevent. With the shortcut, the
+    default 20 rounds covers component diameters up to ~2^20.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -410,11 +422,25 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+        )
+        # pointer doubling: labels are node ids, so label's OWN label is
+        # a (weakly smaller) member of the same component — adopting it
+        # halves the hop distance to the component min every round
+        parent = stepped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            stepped.join(parent, stepped.label == parent.pnode, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                ).alias("label"),
             )
             .localCheckpoint()
         )
@@ -428,6 +454,12 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dup_clusters: labels did not converge within {max_iters} "
+            f"rounds - component diameter exceeds 2^{max_iters}; raise "
+            f"max_iters"
+        )
     return labels.select(F.col("node").alias("member"), F.col("label").alias("cluster"))
 
 
@@ -1141,18 +1173,28 @@ def bloom_incremental_dedup(
     the store. Identical exact semantics and return shape —
     ``(kept, new_fingerprints)``.
 
-    The membership probe is ``num_hashes`` broadcast hash joins of the
-    batch against the set-words dim (w → word), one per hash — zero
-    shuffles, plan size O(num_hashes), bloom bits living in DATA rather
-    than in the query plan. That is what lets num_bits grow to billions
-    on a cluster (the dim just stops being broadcast-hinted past the
-    broadcast threshold); the old collected-literal probe cost the
+    The membership probe is ``num_hashes`` hash joins of the batch
+    against the set-words dim (w → word), one per hash — plan size
+    O(num_hashes), bloom bits living in DATA rather than in the query
+    plan. That is what lets num_bits grow to billions on a cluster: the
+    explicit broadcast hint is only applied while the dim is provably
+    small (``num_bits`` ≤ 2^26 → ≤1M rows ≈ 16 MB); past that the joins
+    are left unhinted so AQE picks broadcast vs shuffle from the dim's
+    actual size instead of force-broadcasting a multi-hundred-MB array
+    (``F.broadcast`` is honored regardless of
+    autoBroadcastJoinThreshold, so an unconditional hint would OOM at
+    the very scale this rewrite exists for). The dim is localCheckpoint-
+    materialized once so the full-ledger build aggregation cannot be
+    re-evaluated per hash join. The old collected-literal probe cost the
     optimizer ~10 s per query at 2^20 bits and could never scale."""
     keyed = new_df.withColumn("__fp", F.md5(normalize(F.col(text_col))))
     batch_keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     wdim = bloom_words_df(
         store_df.select(F.col(fp_col)), fp_col, num_bits, num_hashes
-    )
+    ).localCheckpoint()
+    # ≤1M-row (w, m) dim → ~16 MB: safe to force-broadcast. Larger blooms
+    # must not carry the hint — let AQE decide from the materialized size.
+    hint = F.broadcast if num_bits <= (1 << 26) else (lambda d: d)
     pos = _bloom_positions(F.col("__fp"), num_bits, num_hashes)
     probed = batch_keep
     hit_cols = []
@@ -1166,7 +1208,7 @@ def bloom_incremental_dedup(
             ),
         )
         probed = probed.join(
-            F.broadcast(
+            hint(
                 wdim.select(
                     F.col("w").alias(f"__w{i}"), F.col("m").alias(f"__wm{i}")
                 )

@@ -211,6 +211,7 @@ def leakage_safe_split(
     id_a: str = "id_a",
     id_b: str = "id_b",
     salt: str = "split",
+    max_iters: int = 20,
 ) -> DataFrame:
     """Duplicate-cluster-aware train/val/test assignment: documents that
     are (near-)duplicates of each other MUST land in the same split —
@@ -225,15 +226,17 @@ def leakage_safe_split(
     near-dup family moves between splits atomically — and, like
     split_assign, assignments stay frozen under corpus growth.
 
-    Plan: component labels (one shuffle per propagation round, rounds ≈
-    log(cluster diameter)) → left equi-join of the corpus to the label
-    dim (bounded by documents that HAVE a duplicate — typically a small
-    fraction; AQE broadcasts it when small) → the same pure-projection
-    hash bucketing as split_assign. Output adds ``split_key`` (the
-    governing id) and ``split``."""
+    Plan: component labels (a constant number of shuffles per
+    propagation round; pointer-doubling inside ``dup_clusters`` makes
+    rounds O(log diameter), and non-convergence within ``max_iters``
+    raises rather than silently splitting a cluster) → left equi-join of
+    the corpus to the label dim (bounded by documents that HAVE a
+    duplicate — typically a small fraction; AQE broadcasts it when
+    small) → the same pure-projection hash bucketing as split_assign.
+    Output adds ``split_key`` (the governing id) and ``split``."""
     from vector_spark.dataprep.dedup import dup_clusters
 
-    clusters = dup_clusters(pairs, id_a, id_b)
+    clusters = dup_clusters(pairs, id_a, id_b, max_iters=max_iters)
     rep = clusters.select(
         F.col("member").alias(key_col), F.col("cluster").alias("__rep")
     )
