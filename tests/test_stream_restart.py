@@ -51,9 +51,12 @@ def _merge_into(spark, tgt):
     return _merge
 
 
-def test_stream_upsert_survives_crash_and_checkpoint_restart(
-    spark, tmp_path
-):
+def _run_crash_scenario(spark, tmp_path, crash_fn):
+    """Shared harness: 3 one-file waves -> 3 micro-batches, a foreachBatch
+    sink whose armed half is ``crash_fn(batch_df, batch_id, merge)`` (it
+    decides how much of the batch to apply before dying), a restart from
+    the same checkpoint with the crash disarmed, and the batch
+    latest-state oracle as the convergence bar."""
     src = str(tmp_path / "src")
     tgt = str(tmp_path / "tgt")
     ck = str(tmp_path / "ck")
@@ -74,11 +77,10 @@ def test_stream_upsert_survives_crash_and_checkpoint_restart(
     crash = {"armed": True}
 
     def merge_with_crash(batch_df, batch_id):
-        merge(batch_df, batch_id)
-        # die AFTER the sink applied batch 1 but BEFORE its checkpoint
-        # commit is written - the worst-ordered crash
-        if crash["armed"] and batch_id == 1:
-            raise RuntimeError("injected crash after sink write")
+        if crash["armed"]:
+            crash_fn(batch_df, batch_id, merge)
+        else:
+            merge(batch_df, batch_id)
 
     sdf = (
         spark.readStream.schema(updates.schema)
@@ -95,8 +97,9 @@ def test_stream_upsert_survives_crash_and_checkpoint_restart(
         q.awaitTermination()
     assert q.exception() is not None  # the query really died mid-stream
 
-    # restart from the SAME checkpoint: batch 1 (offsets WAL-ed, commit
-    # missing, sink already applied) must be replayed and converge
+    # restart from the SAME checkpoint: the crashed batch (offsets
+    # WAL-ed, commit missing, sink fully or partially applied) must be
+    # replayed and converge
     crash["armed"] = False
     q2 = (
         sdf.writeStream.option("checkpointLocation", ck)
@@ -122,6 +125,45 @@ def test_stream_upsert_survives_crash_and_checkpoint_restart(
     }
     assert got == want  # exactly-once: equal to the batch oracle
     assert len(got) == N_KEYS  # seed gone, no duplicate keys
+
+
+@pytest.mark.parametrize("crash_batch", range(WAVES))
+def test_stream_upsert_survives_crash_at_every_batch(
+    spark, tmp_path, crash_batch
+):
+    """Kill the query after the sink applied batch ``crash_batch`` but
+    before its checkpoint commit lands — for EVERY batch position, not
+    just the worst-ordered middle one: first batch (no prior commits),
+    middle, and final batch (nothing left to deliver after replay)."""
+
+    def crash_fn(batch_df, batch_id, merge):
+        merge(batch_df, batch_id)
+        if batch_id == crash_batch:
+            raise RuntimeError("injected crash after sink write")
+
+    _run_crash_scenario(spark, tmp_path, crash_fn)
+
+
+def test_stream_upsert_survives_partial_partition_write_crash(
+    spark, tmp_path
+):
+    """Kill the query mid-upsert: batch 1's merge has replaced SOME of
+    the partitions it touches (dynamic partition overwrite applies
+    per-partition) when the exception propagates, leaving genuinely
+    partial sink output plus a missing checkpoint commit. The replay
+    re-applies the whole batch over the half-written table and must
+    still converge to the batch oracle."""
+
+    def crash_fn(batch_df, batch_id, merge):
+        if batch_id != 1:
+            merge(batch_df, batch_id)
+            return
+        # apply only partitions {0, 1} of the batch, then die — the
+        # on-disk state a crash between two partition replacements leaves
+        merge(batch_df.filter(F.col("part").isin([0, 1])), batch_id)
+        raise RuntimeError("injected crash mid-partition-write")
+
+    _run_crash_scenario(spark, tmp_path, crash_fn)
 
 
 def test_restart_without_crash_is_noop_replay(spark, tmp_path):
