@@ -11400,6 +11400,63 @@ def _register_vrl_recursive_closures() -> None:
 _register_vrl_recursive_closures()
 
 
+def _register_vrl_recursive_deep() -> None:
+    @_q(
+        "vrl_recursive_deep",
+        """
+        WITH e AS (
+          SELECT event_id, event_id % 9 AS a, user_id % 7 AS b
+          FROM events WHERE event_id % 17 = 0
+        )
+        SELECT event_id,
+               '[{"a":[' || (a*3+1)::VARCHAR || ',' ||
+                 ((a+1)*3+1)::VARCHAR || '],"b":[' ||
+                 (b*3+1)::VARCHAR || ']},{"c":[' ||
+                 ((a+b)*3+1)::VARCHAR || ']}]' AS deep_json
+        FROM e
+        """,
+    )
+    def vrl_recursive_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recursive map_values over THREE levels of heterogeneous
+        nesting (array -> map -> array; map_values.cue recursive rules):
+        the compiler walks the static dtype string and emits
+        transform / transform_values per level, applying the
+        multi-statement closure body only at the scalar leaves — all
+        JVM lambda functions, zero Python per element. Struct-typed
+        leaves are rejected at VRL-compile time with a loud error
+        (tests/test_vrl.py) rather than a downstream Spark analysis
+        failure. Output is to_json-serialized (flat window schema);
+        the oracle reconstructs the exact JSON bytes."""
+        from vector_spark.vrl import remap_program
+
+        ev = _events(spark, sf_dir).filter(F.col("event_id") % 17 == 0)
+        a = (F.col("event_id") % 9).cast("long")
+        b = (F.col("user_id") % 7).cast("long")
+        df = ev.select(
+            "event_id",
+            F.array(
+                F.create_map(
+                    F.lit("a"), F.array(a, a + 1),
+                    F.lit("b"), F.array(b),
+                ),
+                F.create_map(F.lit("c"), F.array(a + b)),
+            ).alias("deep"),
+        )
+        src = """
+.x = map_values(.deep, recursive: true) -> |v| {
+  d = v * 3
+  d + 1
+}
+"""
+        out = remap_program(df, src)["primary"]
+        return out.select(
+            "event_id", F.to_json("x").alias("deep_json")
+        )
+
+
+_register_vrl_recursive_deep()
+
+
 def _register_nested_codecs() -> None:
     @_q(
         "ev_parse_avro_nested",

@@ -529,6 +529,47 @@ def test_closure_recursive_on_filter_raises(spark):
         )
 
 
+def test_closure_map_values_recursive_three_level_heterogeneous(spark):
+    # array -> map -> array, mixed collection kinds at every level: the
+    # recursion must pick transform vs transform_values per level from
+    # the static dtype and apply the closure only at the scalar leaves
+    df = spark.createDataFrame(
+        [([{"a": [1, 2], "b": [3]}, {"c": [4]}],)],
+        "deep array<map<string,array<bigint>>>",
+    )
+    out = remap_program(
+        df,
+        ".x = map_values(.deep, recursive: true) -> |v| { v * 10 + 1 }",
+    )["primary"].collect()[0]
+    assert [{k: list(v) for k, v in m.items()} for m in out.x] == [
+        {"a": [11, 21], "b": [31]},
+        {"c": [41]},
+    ]
+
+
+def test_closure_map_values_recursive_struct_leaf_raises_loudly(spark):
+    # a map whose value type is a struct cannot take a scalar closure;
+    # the compile error must be a loud VRL-level one, not a downstream
+    # Spark analysis failure
+    df = spark.createDataFrame(
+        [({"p": {"x": 1}},)],
+        "doc map<string,struct<x:bigint>>",
+    )
+    with pytest.raises(VrlCompileError, match="struct-typed value"):
+        remap_program(
+            df,
+            ".x = map_values(.doc, recursive: true) -> |v| { v }",
+        )
+    df2 = spark.createDataFrame(
+        [([{"x": 1}],)], "arr array<struct<x:bigint>>"
+    )
+    with pytest.raises(VrlCompileError, match="struct-typed element"):
+        remap_program(
+            df2,
+            ".x = map_values(.arr, recursive: true) -> |v| { v }",
+        )
+
+
 def test_closure_untyped_target_raises(spark):
     df = _one(spark, foo="x")
     with pytest.raises(VrlCompileError, match="statically-typed"):

@@ -1985,6 +1985,15 @@ class _Compiler:
                     col,
                     lambda x: self._rec_map_values(x, inner, body, params),
                 )
+            if inner.startswith("struct<"):
+                raise VrlCompileError(
+                    "recursive map_values cannot descend into a "
+                    "struct-typed element: a scalar closure cannot "
+                    "type-check against a struct in a statically-typed "
+                    "plan - model heterogeneous objects as "
+                    "map<string,...> (parse_json keeps maps) or rewrite "
+                    "the fields individually"
+                )
             return F.transform(
                 col,
                 lambda x: self._closure_expr(
@@ -1997,6 +2006,15 @@ class _Compiler:
                 return F.transform_values(
                     col,
                     lambda k, v: self._rec_map_values(v, vt, body, params),
+                )
+            if vt.startswith("struct<"):
+                raise VrlCompileError(
+                    "recursive map_values cannot descend into a "
+                    "struct-typed value: a scalar closure cannot "
+                    "type-check against a struct in a statically-typed "
+                    "plan - model heterogeneous objects as "
+                    "map<string,...> (parse_json keeps maps) or rewrite "
+                    "the fields individually"
                 )
             return F.transform_values(
                 col,
