@@ -13885,61 +13885,70 @@ _register_cfg_budget_pack()
 # plans, new operators, semantics fixes). Everything else stays registered
 # (bench still runs all) in registration order after the window.
 _WINDOW: list[str] = [
-    # --- keepers: flagship + one representative per core subsystem -----
-    "seq_pipeline_agg",        # flagship e2e (north rule)
-    "seq_parse_common_log",    # parse/codec core
-    "vrl_remap_program",       # remap/VRL core
-    "vrl_closures",            # red in r03 on gate shape - fixed (to_json)
-    "ev_aggregate_auto",       # windowed-behavior family (mode dispatch)
-    "ev_enrich_geoip",         # enrichment family
-    "ev_loki_push",            # sink registry (r03 per-partition assembly)
-    "checkpointed_resume",     # checkpoint/manifest (crash-restart lands r04)
-    "doc_minhash_near_dups",   # dedup tier
-    "emb_ivf_recall",          # ANN tier (recall gate)
-    "tpch_q1_pricing",         # SQL analytics
-    # --- rotate IN: round-3 code that never had a driver row -----------
-    "vrl_dynamic_paths",
-    "ev_schema_evolution",
-    "doc_incremental_near_dup",
-    "seq_fuzzy_decontaminate",
-    "stream_interval_join",
-    "stream_upsert_sink",
-    "doc_rag_chunks",
-    "doc_snapshot_diff",
-    "cfg_budget_pack",
-    "ev_otlp_traces",
-    "ev_spike_attribution",
-    "seq_token_budget",
-    "doc_quality_percentile",
-    "emb_health",
-    "seq_fertility",
-    "doc_dataset_card",
-    "doc_source_dup_matrix",
-    "doc_url_blocklist",       # blocklist_mark broadcast fix lands r04
-    "doc_url_quality",
-    # --- rotate IN: never-driver-checked earlier-round queries, spread
-    # across subsystems (judge-green in the r03 262/262 sweep; these get
-    # their first hard driver row now) ----------------------------------
-    "tpch_q4_semijoin",
-    "tpch_q22_antijoin",
-    "tpch_q17_corr_scalar",
-    "tpch_bucketed_join",
-    "ev_window_analytics",
-    "ev_cube",
-    "ev_histogram",
-    "doc_leak_safe_split",    # round-4 new op
-    "ev_parse_xml",
-    "ev_parse_ruby_hash",
-    "ev_encode_cef_gelf",
-    "doc_containment",        # round-4 new op
-    "doc_script_profile",     # round-4 new op
-    "doc_split_leakage",      # round-4 new op
-    "cfg_leak_split",         # round-4 new config transform
-    "doc_canonical_url",      # round-4 new op
-    "ev_elasticsearch_bulk",
-    "vrl_recursive_closures",  # round-4 new code
-    "doc_bloom_incremental",  # bloom probe rewritten round 4 (words-dim joins)
-    "doc_c4_filters",
+    # Round-5 rotation: every slot goes to a query that has NEVER had a
+    # driver-green row (ledger evidence judge-r03 / local), converting
+    # the largest remaining block of soft evidence to hard — plus the
+    # one brand-new gate. Composed config gates first, then the
+    # plan-lint-allowlisted LM queries, then the tiers.
+    # --- composed config topologies (cfg_*) ----------------------------
+    "cfg_curation",
+    "cfg_encoded_sink",
+    "cfg_exclusive_route",
+    "cfg_influxdb_logs",
+    "cfg_kinesis_bodies",
+    "cfg_s3_objects",
+    "cfg_static_metrics",
+    "cfg_vrl_source",
+    # --- plan-lint ALLOW entries (BNL allowlists deserve hard rows) ----
+    "doc_lm_perplexity",
+    "doc_dsir_weights",
+    "doc_lm_bigram_ppl",
+    # --- flagged changed-since-verified this round (dedup/mixing edits)
+    "seq_token_minhash",
+    "seq_split_assign",
+    "doc_sample_mixture",
+    "doc_sample_temperature",
+    "doc_curation_pipeline",
+    "seq_token_accounting",
+    "seq_group_sample",
+    "seq_curriculum",
+    "seq_shard_manifest",
+    "seq_exact_dedup",
+    "seq_bucket_batches",
+    "seq_mixture_report",
+    # --- heavy doc/dedup tier ------------------------------------------
+    "doc_bm25",
+    "doc_contamination",
+    "doc_hybrid_rrf",
+    "doc_pack_sequences",
+    "doc_repetition",
+    # --- sequence-pipeline tier ----------------------------------------
+    "seq_source_kl",           # also the r04 bench-drift query
+    "seq_dup_ngrams",
+    "seq_novelty",
+    "seq_fim",
+    "seq_span_corrupt",
+    "seq_zorder",
+    "seq_vocab_remap",
+    # --- streaming harness ---------------------------------------------
+    "stream_session_window",
+    "stream_trace_assembly",
+    "stream_staged_chain",
+    "stream_reduce_purchases",
+    "stream_dedup_docs",
+    # --- SQL analytics (TPC-H never-driver remainder, heaviest first) --
+    "tpch_q2_min_cost",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q13_outer_dist",
+    "tpch_q19_disjunctive_bands",
+    "tpch_q21_waiting_supplier",
+    # --- event/metric codecs & analytics -------------------------------
+    "ev_ddsketch",
+    "ev_prom_remote_write",
+    "ev_log_templates",
+    # --- brand-new this round ------------------------------------------
+    "vrl_recursive_deep",
 ]
 
 
