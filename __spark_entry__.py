@@ -13685,9 +13685,9 @@ def _register_containment() -> None:
         fps AS MATERIALIZED (
           SELECT doc_id AS id, unnest(fp) AS fp FROM winnowed
         ),
-        sizes AS (SELECT id, COUNT(*)::BIGINT AS nf FROM fps GROUP BY id),
         keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 100),
         pruned AS (SELECT f.id, f.fp FROM fps f JOIN keep USING (fp)),
+        sizes AS (SELECT id, COUNT(*)::BIGINT AS nf FROM pruned GROUP BY id),
         shr AS (
           SELECT l.id AS a, r.id AS b, COUNT(*)::BIGINT AS shared
           FROM pruned l JOIN pruned r ON l.fp = r.fp AND l.id < r.id

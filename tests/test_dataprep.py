@@ -987,6 +987,34 @@ def test_winnow_containment_finds_quoted_doc(spark):
     assert r.n_small < 40 and r.shared <= r.n_small
 
 
+def test_winnow_containment_robust_to_capped_boilerplate(spark):
+    """The ratio counts DISCRIMINATIVE fingerprints on both sides:
+    sitewide boilerplate (fps in > fp_cap docs) must not dilute n_small
+    — with an unpruned denominator, a quote page that is mostly shared
+    chrome scores under the threshold and the containment is missed."""
+    chrome = " ".join(
+        f"sitewide navigation footer item{i} copyright terms privacy"
+        for i in range(8)
+    )
+    quote = ("the quick brown fox jumps over the lazy dog while the "
+             "rain in spain falls mainly on the plain tonight")
+    article = ("breaking news from the council meeting officials said "
+               + quote + " and remarks followed about budgets planning "
+               "infrastructure transit housing water power schools")
+    # quote page: mostly boilerplate + the quote; article has NO chrome
+    rows = [(1, chrome + " " + quote), (2, article)]
+    # enough chrome-only pages to push every chrome fp past fp_cap
+    rows += [(10 + i, chrome) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_small, r.id_big): r.ratio
+        for r in dd.winnow_containment(
+            df, min_ratio=0.7, min_fps=3, fp_cap=5
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.7, got
+
+
 def test_containment_filter_drops_contained_doc(spark):
     quote = ("the quick brown fox jumps over the lazy dog while the "
              "rain in spain falls mainly on the plain tonight")

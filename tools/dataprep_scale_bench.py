@@ -77,8 +77,11 @@ def build_corpus(spark, scale: int) -> str:
 
 
 def ops(df: DataFrame) -> dict:
+    from vector_spark.dataprep import report
     from vector_spark.dataprep.dedup import minhash_index, normalize
+    from vector_spark.dataprep.mixing import leakage_safe_split
     from vector_spark.dataprep.text import chunk_text
+    from vector_spark.dataprep.urls import canonical_url
 
     # incremental-family inputs: even doc_ids are the persisted store,
     # odd doc_ids the arriving batch — both sides scale with the corpus.
@@ -91,6 +94,45 @@ def ops(df: DataFrame) -> dict:
         F.md5(normalize(F.col("text"))).alias("fp")
     ).localCheckpoint()
     store_idx = minhash_index(store).localCheckpoint()
+    # leakage-safe split input: the near-dup pair list, which grows
+    # linearly with the corpus (replicas share no shingles). Pairs are
+    # materialized lazily on first use and cached — the warmup iteration
+    # absorbs the minhash cost, so the timed region is component
+    # labeling + label join + hash projection, not pair generation.
+    _pairs_cache: dict = {}
+
+    def _pairs() -> DataFrame:
+        if "p" not in _pairs_cache:
+            _pairs_cache["p"] = dedup.minhash_near_dups(df).localCheckpoint()
+        return _pairs_cache["p"]
+    # canonical-URL-keyed snapshot diff: two crawl snapshots of the same
+    # pages whose URL SPELLINGS differ per crawl (default port, tracking
+    # param, trailing slash) — the diff is keyed on canonical_url, so
+    # added/removed/changed is computed per PAGE, not per spelling.
+    old_snap = df.filter(F.col("doc_id") % 4 != 3).select(
+        canonical_url(
+            F.concat(
+                F.lit("HTTPS://Crawl.Example.COM:443/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/?utm_source=crawl&id="),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("curl"),
+        "text",
+    )
+    new_snap = df.filter(F.col("doc_id") % 4 != 1).select(
+        canonical_url(
+            F.concat(
+                F.lit("https://crawl.example.com/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?id="),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("curl"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
     return {
         "exact_dedup": lambda: dedup.exact_dedup(df).count(),
         "minhash_near_dups": lambda: dedup.minhash_near_dups(df).count(),
@@ -107,6 +149,13 @@ def ops(df: DataFrame) -> dict:
             ].count()
         ),
         "chunk_text": lambda: chunk_text(df).count(),
+        "winnow_containment": lambda: dedup.winnow_containment(df).count(),
+        "leakage_safe_split": lambda: leakage_safe_split(
+            df, _pairs()
+        ).count(),
+        "snapshot_diff_canonical": lambda: report.snapshot_diff(
+            old_snap, new_snap, id_col="curl"
+        ).count(),
     }
 
 
@@ -160,8 +209,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,16")
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--ops", default="", help="comma list; empty = all")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    only = {o for o in args.ops.split(",") if o}
 
     spark = get_spark("dataprep_scale", shuffle_partitions=32)
     results: dict[str, dict[int, dict]] = {}
@@ -173,7 +224,10 @@ def main() -> None:
             path = builder(spark, scale)
             df = spark.read.parquet(path)
             n = df.count()
-            _run_family(results, opfamily(df), scale, n, args.iters)
+            family = opfamily(df)
+            if only:
+                family = {k: v for k, v in family.items() if k in only}
+            _run_family(results, family, scale, n, args.iters)
 
     _report(results, scales)
     spark.stop()

@@ -661,8 +661,18 @@ def winnow_containment(
     Returns ``(id_small, id_big, n_small, shared, ratio)`` with
     ``ratio = shared / n_small ≥ min_ratio`` and ``n_small ≥ min_fps``
     (tiny docs produce too few fingerprints to claim containment).
-    Direction is by DISTINCT fingerprint count (ties → lower id is the
-    small side), so the pair is reported once.
+    Direction is by DISCRIMINATIVE fingerprint count (ties → lower id is
+    the small side), so the pair is reported once.
+
+    Both sides of the ratio count DISCRIMINATIVE fingerprints only —
+    stop-fingerprints (in > ``fp_cap`` docs: sitewide boilerplate,
+    ubiquitous phrases) are excluded from the denominator as well as the
+    numerator. With an unpruned denominator a boilerplate-heavy corpus
+    (most of the real web) systematically under-detects: a page that is
+    30% shared chrome has 30% of its fps capped out of ``shared`` but
+    still diluting ``n_small``, dragging true quote-containment under
+    the threshold. This is the stop-gram/IDF treatment standard in
+    dedup pipelines.
 
     Plan: identical candidate shape to winnow_near_dups — explode
     DISTINCT fingerprints, drop stop-fingerprints (> fp_cap docs),
@@ -683,13 +693,15 @@ def winnow_containment(
         .distinct()
         .persist()
     )
-    sizes = fps.groupBy("__id").agg(
-        F.count(F.lit(1)).cast("long").alias("__nf")
-    )
     keep = fps.groupBy("__fp").agg(
         F.count(F.lit(1)).alias("__n")
     ).filter(F.col("__n") <= fp_cap)
-    pruned = fps.join(keep.select("__fp"), "__fp")
+    pruned = fps.join(keep.select("__fp"), "__fp").persist()
+    # sizes over PRUNED fps: the ratio is containment among
+    # discriminative fingerprints (see docstring)
+    sizes = pruned.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("__nf")
+    )
     shared = (
         pruned.alias("l")
         .join(
