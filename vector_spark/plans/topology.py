@@ -1090,6 +1090,7 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
             fractions=cfg.get("fractions"),
             key_col=id_col,
             salt=cfg.get("salt", "split"),
+            max_iters=int(cfg.get("max_iters", 20)),
         )
         if "keep" in cfg:
             out = out.filter(F.col("split") == cfg["keep"]).drop(
