@@ -570,6 +570,30 @@ def test_closure_map_values_recursive_struct_leaf_raises_loudly(spark):
         )
 
 
+def test_closure_map_keys_struct_hiding_maps_raises_loudly(spark):
+    # a struct value whose fields contain maps would make recursive
+    # map_keys a PARTIAL rename (struct field names are static); that
+    # must be a loud compile error, not a silent skip
+    df = spark.createDataFrame(
+        [({"outer": {"inner": {"a.b": "1"}}},)],
+        "doc map<string,struct<inner:map<string,string>>>",
+    )
+    with pytest.raises(VrlCompileError, match="struct-typed value"):
+        remap_program(
+            df,
+            '.x = map_keys(.doc, recursive: true) -> |k| '
+            '{ replace(k, ".", "_") }',
+        )
+    # a map-free struct value is a legitimate no-op (nothing renameable)
+    df2 = spark.createDataFrame(
+        [({"outer": {"x": 1}},)], "doc map<string,struct<x:bigint>>"
+    )
+    out = remap_program(
+        df2, ".x = map_keys(.doc, recursive: true) -> |k| { upcase(k) }"
+    )["primary"].collect()[0]
+    assert set(out.x.keys()) == {"OUTER"} and out.x["OUTER"].x == 1
+
+
 def test_closure_untyped_target_raises(spark):
     df = _one(spark, foo="x")
     with pytest.raises(VrlCompileError, match="statically-typed"):

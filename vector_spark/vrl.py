@@ -2035,6 +2035,17 @@ class _Compiler:
         depth. Keys are always strings, so unlike _rec_map_values this is
         the reference semantics exactly."""
         dt = (dt or "").replace(" ", "")
+        if dt.startswith("struct<") and "map<" in dt:
+            # a struct cannot have its fields renamed (static schema) and
+            # hides any renameable maps inside it from the closure —
+            # silently skipping would be a PARTIAL rename, worse than
+            # failing loudly
+            raise VrlCompileError(
+                "recursive map_keys cannot rename keys inside a "
+                "struct-typed value that contains nested maps - struct "
+                "field names are fixed by the static schema; model the "
+                "object as map<string,...> (parse_json keeps maps)"
+            )
         if dt.startswith("map<"):
             _kt, vt = self._generic_parts(dt)
             out = F.transform_keys(
