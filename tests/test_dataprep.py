@@ -251,6 +251,31 @@ def test_dup_clusters_long_chain(spark):
     assert set(out.values()) == {0} and len(out) == 10
 
 
+def test_dup_clusters_converges_in_log_rounds(spark):
+    # pointer doubling makes rounds O(log diameter): a 100-node path
+    # (diameter 99) must converge within 9 rounds — plain neighborhood
+    # min-propagation would need ~99 and would now RAISE instead of
+    # silently returning split clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
+    )
+    out = {
+        r.member: r.cluster
+        for r in dd.dup_clusters(pairs, max_iters=9).collect()
+    }
+    assert set(out.values()) == {0} and len(out) == 100
+
+
+def test_dup_clusters_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dd.dup_clusters(pairs, max_iters=2)
+
+
 def test_repetition_features(spark):
     docs = spark.createDataFrame(
         [(1, "spam spam spam spam"),
