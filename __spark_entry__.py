@@ -377,29 +377,49 @@ def ev_sample_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "ev_aggregate_tumbling",
     """
-    SELECT event_type,
-           strftime(time_bucket(INTERVAL 600 SECOND, ts),
-                    '%Y-%m-%d %H:%M:%S') AS ws,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total,
-           ROUND(AVG(value), 4) AS mean
-    FROM events GROUP BY 1, 2
+    WITH g AS (
+      SELECT event_type,
+             strftime(time_bucket(INTERVAL 600 SECOND, ts),
+                      '%Y-%m-%d %H:%M:%S') AS ws,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+               AS sm
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, ws, n,
+           FLOOR((sm + 5000) / 10000.0) / 100.0 AS total,
+           FLOOR((sm + n*50) / (n * 100.0)) / 10000.0 AS mean
+    FROM g
     """,
 )
 def ev_aggregate_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two engine-parity traps at sf0.1 group sizes, both fixed by exact
+    # integer arithmetic: (1) a double SUM's last ulp depends on
+    # partition reduction order (140/21388 groups landed on a ROUND
+    # knife-edge) — accumulate DECIMAL(28,6), exact and
+    # order-independent; (2) ROUND(double) half-ties diverge BETWEEN
+    # engines (273.59/8 = 34.19875: JVM BigDecimal rounds the shortest
+    # decimal repr HALF_UP to .1988, DuckDB rounds the binary value to
+    # .1987) — so rounding happens in integer micro-units,
+    # floor((units + half)/step), identical in both engines by
+    # construction.
     ev = _events(spark, sf_dir)
+    sm = F.col("__sm")
+    n = F.col("n")
     return (
         ev.groupBy("event_type", F.window("ts", "600 seconds").alias("__w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
-            F.round(F.avg("value"), 4).alias("mean"),
+            (F.sum(F.col("value").cast("decimal(28,6)")) * 1000000)
+            .cast("long")
+            .alias("__sm"),
         )
         .select(
             "event_type",
             F.date_format("__w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
             "n",
-            "total",
-            "mean",
+            (F.floor((sm + 5000) / 10000) / 100.0).alias("total"),
+            (F.floor((sm + n * 50) / (n * 100)) / 10000.0).alias("mean"),
         )
     )
 
