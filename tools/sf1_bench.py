@@ -128,6 +128,39 @@ def build_sf1(spark, scale: int) -> None:
         .write.mode("overwrite")
         .parquet(f"{SF1}/events.parquet")
     )
+
+    # TPC-H: facts (orders, lineitem) x scale with matching orderkey
+    # offsets; dimensions stay 1x — customers get scale x the orders,
+    # parts/suppliers scale x the lineitems. That is the realistic
+    # scale-up regime (fact growth against stable dims) and keeps every
+    # fact->dim join's referential integrity intact.
+    okey_off = F.col("__r") * 10_000_000
+    orders = spark.read.parquet(f"{SF01}/orders.parquet")
+    (
+        orders.crossJoin(reps)
+        .select(
+            (F.col("o_orderkey") + okey_off).alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{SF1}/orders.parquet")
+    )
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    (
+        li.crossJoin(reps)
+        .select(
+            (F.col("l_orderkey") + okey_off).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{SF1}/lineitem.parquet")
+    )
+    for dim in ("customer", "supplier", "part", "nation", "region"):
+        spark.read.parquet(f"{SF01}/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{SF1}/{dim}.parquet")
     open(f"{SF1}/_BUILT_x{scale}", "w").write("ok\n")
 
 
