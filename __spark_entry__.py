@@ -13619,6 +13619,62 @@ def _register_canonical_url() -> None:
 _register_canonical_url()
 
 
+def _register_crawl_dedup() -> None:
+    @_q(
+        "doc_crawl_dedup",
+        """
+        WITH d AS (
+          SELECT doc_id, doc_id % 200 AS page, doc_id % 2 AS crawl
+          FROM documents
+        ),
+        w AS (
+          SELECT page, doc_id, 1000 + crawl AS fetch_ts,
+                 ROW_NUMBER() OVER (PARTITION BY page
+                                    ORDER BY crawl DESC, doc_id) AS rk
+          FROM d
+        )
+        SELECT 'https://ex.com/p/' || page || '?id=' || page AS canon_url,
+               doc_id, fetch_ts
+        FROM w WHERE rk = 1
+        """,
+    )
+    def doc_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Crawl-over-crawl page dedup (dataprep/urls.py::crawl_dedup —
+        the action canonical_url exists for): two synthetic crawls fetch
+        the same pages under different spellings (crawl 0 messy: upper
+        case, default port, tracking param, trailing slash; crawl 1
+        clean) and the op must keep exactly the LATEST fetch per
+        canonical URL with id tie-breaks. The oracle constructs the
+        expected canonical strings directly and replays the argmax —
+        so a canonicalization regression shows up as a key mismatch,
+        not just a row-count change."""
+        from vector_spark.dataprep.urls import crawl_dedup
+
+        docs = _docs(spark, sf_dir)
+        page = (F.col("doc_id") % 200).cast("string")
+        crawl = F.col("doc_id") % 2
+        url = F.when(
+            crawl == 0,
+            F.concat(
+                F.lit("HTTPS://Ex.COM:443/p/"), page,
+                F.lit("/?utm_source=x&id="), page,
+            ),
+        ).otherwise(
+            F.concat(F.lit("https://ex.com/p/"), page, F.lit("?id="), page)
+        )
+        d = docs.select(
+            "doc_id",
+            url.alias("url"),
+            (F.lit(1000) + crawl).alias("fetch_ts"),
+        )
+        return crawl_dedup(d, ts_col="fetch_ts").select(
+            "canon_url", "doc_id", "fetch_ts"
+        )
+
+
+_register_crawl_dedup()
+
+
 def _register_script_profile() -> None:
     @_q(
         "doc_script_profile",

@@ -117,3 +117,35 @@ def test_canonical_url_collapses_crawl_variants(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(U.canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_crawl_dedup_keeps_latest_fetch_per_page(spark):
+    rows = [
+        # page A fetched by three crawls under three spellings
+        (1, "HTTPS://Ex.COM:443/a/?utm_source=x", 100),
+        (2, "https://ex.com/a", 200),
+        (3, "https://u:p@ex.com/a/", 150),
+        # page B once
+        (4, "http://ex.com/b?z=1", 100),
+        # ts tie on page C -> lowest id wins
+        (5, "https://ex.com/c", 300),
+        (6, "https://EX.com/c/", 300),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, fetch_ts long")
+    out = {
+        r.canon_url: (r.doc_id, r.fetch_ts)
+        for r in U.crawl_dedup(df, ts_col="fetch_ts").collect()
+    }
+    assert out == {
+        "https://ex.com/a": (2, 200),
+        "http://ex.com/b?z=1": (4, 100),
+        "https://ex.com/c": (5, 300),
+    }
+
+
+def test_crawl_dedup_without_ts_keeps_lowest_id(spark):
+    rows = [(7, "https://ex.com/a"), (2, "https://ex.com/a/"),
+            (9, "https://ex.com/b")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(r.doc_id for r in U.crawl_dedup(df).collect())
+    assert kept == [2, 9]

@@ -194,3 +194,40 @@ def url_quality_features(url: Column) -> Column:
         .alias("n_params"),
         F.length(url).alias("url_len"),
     )
+
+
+def crawl_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Crawl-over-crawl page dedup: keep ONE row per canonical URL —
+    the latest fetch when ``ts_col`` is given (lowest ``id_col`` breaks
+    ties deterministically), else the lowest id. This is the action
+    :func:`canonical_url` exists for: successive crawls spell the same
+    page differently (tracking params, default ports, userinfo, param
+    order), so deduping on the raw URL re-ingests every page every
+    crawl, while deduping on text alone loses the page identity that
+    incremental reprocessing keys on.
+
+    Output adds ``canon_url`` (the governing identity). Plan: pure
+    column-math canonicalization (no UDF), then a single shuffle on the
+    canonical key for the per-key argmax window — canonical URLs are
+    near-unique, so there is no hot-key skew, and nothing here is
+    pairwise. At the 10^12-row tier this is one repartition-by-key pass,
+    the same shape as exact_dedup."""
+    from pyspark.sql import Window
+
+    d = df.withColumn("canon_url", canonical_url(F.col(url_col)))
+    order = (
+        [F.col(ts_col).desc(), F.col(id_col).asc()]
+        if ts_col
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("canon_url").orderBy(*order)
+    return (
+        d.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
