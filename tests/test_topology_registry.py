@@ -579,3 +579,27 @@ def test_token_budget_and_quality_percentile_transform_types(spark):
     best = topo.resolve("best").collect()
     assert len(best) == 3  # half of 6
     assert all("quality" in r.asDict() for r in best)
+
+
+def test_crawl_dedup_transform_type(spark):
+    from vector_spark.plans.topology import compile_config
+
+    rows = [
+        (1, "HTTPS://Ex.COM:443/a/?utm_source=x", 100),
+        (2, "https://ex.com/a", 200),
+        (3, "http://ex.com/b", 150),
+    ]
+    config = {
+        "sources": {
+            "s": {"type": "inline", "rows": rows,
+                  "schema": "doc_id long, url string, fetch_ts long"}
+        },
+        "transforms": {
+            "pages": {"type": "crawl_dedup", "inputs": ["s"],
+                      "ts_col": "fetch_ts"},
+        },
+        "sinks": {"o": {"type": "memory", "inputs": ["pages"]}},
+    }
+    topo = compile_config(spark, config)
+    out = {r.canon_url: r.doc_id for r in topo.resolve("pages").collect()}
+    assert out == {"https://ex.com/a": 2, "http://ex.com/b": 3}

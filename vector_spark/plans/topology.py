@@ -1054,6 +1054,19 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
                 fp_cap=int(cfg.get("fp_cap", 100)),
             )
         }
+    if t == "crawl_dedup":
+        # keep the latest fetch per canonical URL (crawl-over-crawl
+        # page identity) — see dataprep/urls.py::crawl_dedup
+        from vector_spark.dataprep.urls import crawl_dedup
+
+        return {
+            "__default": crawl_dedup(
+                df,
+                url_col=cfg.get("url_col", "url"),
+                id_col=cfg.get("id_col", "doc_id"),
+                ts_col=cfg.get("ts_col"),
+            )
+        }
     if t == "leak_safe_split":
         # duplicate-cluster-aware split as config: generate near-dup
         # pairs exactly like `near_dedup` (text or token mode), then
@@ -1467,7 +1480,7 @@ TRANSFORM_TYPES = (
     "sample_mixture split_assign leak_safe_split pack_tokens near_dedup "
     "group_sample curriculum strided_chunks self_repetition novelty "
     "rate_anomaly trace_assembly spike_attribution dataset_card url_filter "
-    "containment_filter "
+    "containment_filter crawl_dedup "
     "token_budget quality_percentile"
 ).split()
 
