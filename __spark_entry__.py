@@ -13675,6 +13675,68 @@ def _register_crawl_dedup() -> None:
 _register_crawl_dedup()
 
 
+def _register_domain_cap() -> None:
+    from vector_spark.dataprep import oracles as osql
+
+    _DC_K, _DC_M = 20, 4
+    _DC_TOP = 1 << 60
+    _DC_H = osql.hash64_expr("'gsample~' || doc_id")
+
+    @_q(
+        "doc_domain_cap",
+        f"""
+        WITH d AS (
+          SELECT doc_id, 'h' || (doc_id % 7) || '.com' AS host
+          FROM documents
+        ),
+        cnt AS (SELECT host, COUNT(*)::BIGINT AS n_g FROM d GROUP BY 1),
+        dim AS (
+          SELECT host,
+                 CASE WHEN n_g <= {_DC_M * _DC_K} THEN {_DC_TOP}
+                      ELSE ({_DC_TOP} // n_g) * {_DC_M * _DC_K}
+                 END AS cutoff
+          FROM cnt
+        ),
+        h AS (
+          SELECT s.doc_id, s.host, {_DC_H} AS hh, m.cutoff
+          FROM d s JOIN dim m USING (host)
+        ),
+        ranked AS (
+          SELECT doc_id, host,
+                 ROW_NUMBER() OVER (PARTITION BY host ORDER BY hh, doc_id)
+                   AS sample_rank
+          FROM h WHERE hh < cutoff
+        )
+        SELECT doc_id, host, sample_rank::INT AS sample_rank
+        FROM ranked WHERE sample_rank <= {_DC_K}
+        """,
+    )
+    def doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-domain document cap (dataprep/urls.py::per_domain_cap —
+        the C4/RefinedWeb/FineWeb anti-domination stage): at most 20
+        docs per URL host, chosen as each host's smallest-hash rows so
+        membership is deterministic and frozen under corpus growth.
+        Composition of the pure-column url_host projection with
+        group_sample's two-phase hash-cutoff exact-k (hot domains never
+        funnel through one task); the oracle replays the count dim, the
+        cutoff arithmetic (integer DIV — 2^60 quotients exceed the
+        double mantissa), and the rank window."""
+        from vector_spark.dataprep.urls import per_domain_cap
+
+        docs = _docs(spark, sf_dir)
+        url = F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/p/"), F.col("doc_id").cast("string"),
+        )
+        d = docs.select("doc_id", url.alias("url"))
+        return per_domain_cap(d, cap=_DC_K).select(
+            "doc_id", "host", "sample_rank"
+        )
+
+
+_register_domain_cap()
+
+
 def _register_script_profile() -> None:
     @_q(
         "doc_script_profile",

@@ -149,3 +149,17 @@ def test_crawl_dedup_without_ts_keeps_lowest_id(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string")
     kept = sorted(r.doc_id for r in U.crawl_dedup(df).collect())
     assert kept == [2, 9]
+
+
+def test_per_domain_cap_bounds_every_host(spark):
+    rows = [(i, f"https://h{i % 3}.com/p/{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = U.per_domain_cap(df, cap=5).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r.doc_id)
+    assert set(by_host) == {"h0.com", "h1.com", "h2.com"}
+    assert all(len(v) == 5 for v in by_host.values())
+    # determinism: same input -> same survivors
+    again = {r.doc_id for r in U.per_domain_cap(df, cap=5).collect()}
+    assert again == {r.doc_id for r in out}

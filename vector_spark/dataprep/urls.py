@@ -231,3 +231,29 @@ def crawl_dedup(
         .filter(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+def per_domain_cap(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    margin: int = 4,
+) -> DataFrame:
+    """Cap documents per URL host — the anti-domination stage every
+    web-curation recipe runs (C4/RefinedWeb/FineWeb style): without it a
+    single template-heavy domain dominates the training mixture. Keeps
+    the ``cap`` docs of each host with the smallest deterministic hash
+    (retry-stable; a doc's survival never flips when OTHER docs arrive).
+
+    Thin composition: ``url_host`` projection (pure column math) +
+    :func:`~vector_spark.dataprep.mixing.group_sample`'s two-phase
+    exact-k — per-host counts derive a broadcast hash cutoff that
+    filters scan-side, so a 100M-page hot domain never funnels through
+    one task. Output adds ``host`` and ``sample_rank``."""
+    from vector_spark.dataprep.mixing import group_sample
+
+    d = df.withColumn("host", url_host(F.col(url_col)))
+    return group_sample(
+        d, cap, group_col="host", id_col=id_col, margin=margin
+    )
