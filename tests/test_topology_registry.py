@@ -603,3 +603,26 @@ def test_crawl_dedup_transform_type(spark):
     topo = compile_config(spark, config)
     out = {r.canon_url: r.doc_id for r in topo.resolve("pages").collect()}
     assert out == {"https://ex.com/a": 2, "http://ex.com/b": 3}
+
+
+def test_domain_cap_transform_type(spark):
+    from vector_spark.plans.topology import compile_config
+
+    rows = [(i, f"https://h{i % 2}.com/p/{i}") for i in range(20)]
+    config = {
+        "sources": {
+            "s": {"type": "inline", "rows": rows,
+                  "schema": "doc_id long, url string"}
+        },
+        "transforms": {
+            "capped": {"type": "domain_cap", "inputs": ["s"], "cap": 3},
+        },
+        "sinks": {"o": {"type": "memory", "inputs": ["capped"]}},
+    }
+    topo = compile_config(spark, config)
+    out = topo.resolve("capped").collect()
+    hosts = {}
+    for r in out:
+        hosts.setdefault(r.host, 0)
+        hosts[r.host] += 1
+    assert hosts == {"h0.com": 3, "h1.com": 3}

@@ -1054,6 +1054,20 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
                 fp_cap=int(cfg.get("fp_cap", 100)),
             )
         }
+    if t == "domain_cap":
+        # at most N docs per URL host (anti-domination) — see
+        # dataprep/urls.py::per_domain_cap
+        from vector_spark.dataprep.urls import per_domain_cap
+
+        return {
+            "__default": per_domain_cap(
+                df,
+                cap=int(cfg["cap"]),
+                url_col=cfg.get("url_col", "url"),
+                id_col=cfg.get("id_col", "doc_id"),
+                margin=int(cfg.get("margin", 4)),
+            )
+        }
     if t == "crawl_dedup":
         # keep the latest fetch per canonical URL (crawl-over-crawl
         # page identity) — see dataprep/urls.py::crawl_dedup
@@ -1480,7 +1494,7 @@ TRANSFORM_TYPES = (
     "sample_mixture split_assign leak_safe_split pack_tokens near_dedup "
     "group_sample curriculum strided_chunks self_repetition novelty "
     "rate_anomaly trace_assembly spike_attribution dataset_card url_filter "
-    "containment_filter crawl_dedup "
+    "containment_filter crawl_dedup domain_cap "
     "token_budget quality_percentile"
 ).split()
 
