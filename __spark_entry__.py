@@ -13737,6 +13737,59 @@ def _register_domain_cap() -> None:
 _register_domain_cap()
 
 
+def _register_dup_weights() -> None:
+    @_q(
+        "doc_dup_weights",
+        """
+        WITH p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 5 IN (0, 1)
+        ),
+        m AS (SELECT id_a AS doc_id FROM p UNION SELECT id_b FROM p),
+        sz AS (
+          SELECT doc_id,
+                 COUNT(*) OVER (PARTITION BY doc_id // 5)::BIGINT AS cn
+          FROM m
+        )
+        SELECT i.doc_id,
+               COALESCE(sz.cn, 1)::BIGINT AS cluster_size,
+               1.0 / COALESCE(sz.cn, 1) AS dup_weight
+        FROM documents i LEFT JOIN sz ON i.doc_id = sz.doc_id
+        """,
+    )
+    def doc_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Soft deduplication (dataprep/mixing.py::dup_weights): keep
+        every near-duplicate but weight each doc 1/|cluster| so a page
+        crawled N times contributes one page of training signal — the
+        knob next to hard dedup that preserves provenance diversity.
+        The pair graph is the deterministic a-b/b-c chain construction
+        (transitive closure required: pairwise counting would give the
+        middle element a different size); the oracle derives cluster
+        sizes with a window COUNT over the chain block and replays the
+        LEFT-join weighting."""
+        from vector_spark.dataprep.mixing import dup_weights
+
+        docs = _docs(spark, sf_dir)
+        ids = docs.select("doc_id")
+        nxt = ids.select(F.col("doc_id").alias("id_b"))
+        pairs = (
+            ids.filter(F.col("doc_id") % 5 <= 1)
+            .select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 1).alias("id_b"),
+            )
+            .join(nxt, "id_b")
+            .select("id_a", "id_b")
+        )
+        return dup_weights(ids, pairs).select(
+            "doc_id", "cluster_size", "dup_weight"
+        )
+
+
+_register_dup_weights()
+
+
 def _register_script_profile() -> None:
     @_q(
         "doc_script_profile",

@@ -1056,3 +1056,23 @@ def test_containment_filter_drops_contained_doc(spark):
         for r in dd.containment_filter(df, min_ratio=0.5, min_fps=3).collect()
     )
     assert kept == [2, 3]  # the quote is dropped, its container kept
+
+
+def test_dup_weights_soft_dedup(spark):
+    from vector_spark.dataprep.mixing import dup_weights
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # one 3-chain (1-2, 2-3) and one pair (5-6); 0/4 are unique
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_size, r.dup_weight)
+        for r in dup_weights(docs, pairs).collect()
+    }
+    third = 1.0 / 3.0
+    assert out[0] == (1, 1.0) and out[4] == (1, 1.0)
+    assert out[1] == (3, third) and out[2] == (3, third) and out[3] == (3, third)
+    assert out[5] == (2, 0.5) and out[6] == (2, 0.5)
+    # total signal = one page per cluster + uniques
+    assert abs(sum(w for _, w in out.values()) - 4.0) < 1e-12

@@ -611,3 +611,43 @@ def token_budget_trim(
         .filter(F.col("cum_tokens") <= budget)
         .drop("__h", "__bkt", "__off")
     )
+
+
+def dup_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Soft deduplication: KEEP every near-duplicate but weight each
+    document ``1 / |its duplicate cluster|``, so a page crawled N times
+    contributes one page's worth of training signal instead of N. Hard
+    dropping (exact_dedup, containment_filter) discards provenance and
+    formatting diversity along with the redundancy; soft weighting
+    preserves the copies for the sampler while normalizing their
+    aggregate influence — the tradeoff recent curation pipelines expose
+    as a knob next to hard dedup.
+
+    Adds ``cluster_size`` (1 for unique docs) and ``dup_weight``
+    (= 1/cluster_size). Plan: connected components over ``pairs``
+    (pointer-doubled :func:`~vector_spark.dataprep.dedup.dup_clusters`,
+    raises on non-convergence), one per-cluster count aggregate (a dim
+    bounded by docs-that-have-a-dup), and a LEFT equi-join back to the
+    corpus — AQE broadcasts the dim when small; nothing pairwise."""
+    from vector_spark.dataprep.dedup import dup_clusters
+
+    clusters = dup_clusters(pairs, id_a, id_b, max_iters=max_iters)
+    sizes = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("__cn")
+    )
+    mem = clusters.join(sizes, "cluster").select(
+        F.col("member").alias(id_col), F.col("__cn")
+    )
+    return (
+        df.join(mem, id_col, "left")
+        .withColumn("cluster_size", F.coalesce(F.col("__cn"), F.lit(1)))
+        .withColumn("dup_weight", F.lit(1.0) / F.col("cluster_size"))
+        .drop("__cn")
+    )
