@@ -626,3 +626,30 @@ def test_domain_cap_transform_type(spark):
         hosts.setdefault(r.host, 0)
         hosts[r.host] += 1
     assert hosts == {"h0.com": 3, "h1.com": 3}
+
+
+def test_soft_dedup_transform_type(spark):
+    from vector_spark.plans.topology import compile_config
+
+    base = "the quick brown fox jumps over the lazy dog again today"
+    rows = [
+        (1, base),
+        (2, base.replace("today", "tomorrow")),
+        (3, "completely different words entirely unrelated about engines"),
+    ]
+    config = {
+        "sources": {
+            "s": {"type": "inline", "rows": rows,
+                  "schema": "doc_id long, text string"}
+        },
+        "transforms": {
+            "w": {"type": "soft_dedup", "inputs": ["s"],
+                  "threshold": 0.3},
+        },
+        "sinks": {"o": {"type": "memory", "inputs": ["w"]}},
+    }
+    topo = compile_config(spark, config)
+    out = {r.doc_id: (r.cluster_size, r.dup_weight)
+           for r in topo.resolve("w").collect()}
+    assert out[1] == (2, 0.5) and out[2] == (2, 0.5)
+    assert out[3] == (1, 1.0)

@@ -1081,6 +1081,40 @@ def _build_transform(name: str, cfg: dict, df: DataFrame) -> dict[str, DataFrame
                 ts_col=cfg.get("ts_col"),
             )
         }
+    if t == "soft_dedup":
+        # keep near-duplicates, weight 1/|cluster| — pair generation
+        # exactly like `near_dedup`/`leak_safe_split` (text or token
+        # minhash), then mixing.dup_weights
+        from vector_spark.dataprep.dedup import (
+            minhash_near_dups,
+            token_minhash_near_dups,
+        )
+        from vector_spark.dataprep.mixing import dup_weights
+
+        id_col = cfg.get("key_col", "doc_id")
+        common = dict(
+            id_col=id_col,
+            num_hashes=int(cfg.get("num_hashes", 16)),
+            bands=int(cfg.get("bands", 4)),
+            threshold=float(cfg.get("threshold", 0.6)),
+            max_bucket=cfg.get("max_bucket"),
+        )
+        if "tokens_col" in cfg:
+            pairs = token_minhash_near_dups(
+                df, tokens_col=cfg["tokens_col"],
+                n=int(cfg.get("ngram", 8)), **common,
+            )
+        else:
+            pairs = minhash_near_dups(
+                df, text_col=cfg.get("text_col", "text"),
+                k_shingle=int(cfg.get("ngram", 3)), **common,
+            )
+        return {
+            "__default": dup_weights(
+                df, pairs, id_col=id_col,
+                max_iters=int(cfg.get("max_iters", 20)),
+            )
+        }
     if t == "leak_safe_split":
         # duplicate-cluster-aware split as config: generate near-dup
         # pairs exactly like `near_dedup` (text or token mode), then
@@ -1494,7 +1528,7 @@ TRANSFORM_TYPES = (
     "sample_mixture split_assign leak_safe_split pack_tokens near_dedup "
     "group_sample curriculum strided_chunks self_repetition novelty "
     "rate_anomaly trace_assembly spike_attribution dataset_card url_filter "
-    "containment_filter crawl_dedup domain_cap "
+    "containment_filter crawl_dedup domain_cap soft_dedup "
     "token_budget quality_percentile"
 ).split()
 
