@@ -653,3 +653,38 @@ def test_soft_dedup_transform_type(spark):
            for r in topo.resolve("w").collect()}
     assert out[1] == (2, 0.5) and out[2] == (2, 0.5)
     assert out[3] == (1, 1.0)
+
+
+def test_web_curation_example_compiles_and_runs(spark):
+    """examples/web_curation.toml: the URL-stage chain (crawl_dedup ->
+    domain_cap -> soft_dedup) compiles from the shipped file and runs
+    end-to-end over a synthetic crawl (the file's parquet path is a
+    stand-in; the crawl source is overridden here)."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.plans.topology import compile_config
+
+    base = "the quick brown fox jumps over the lazy dog again today"
+    crawl = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, "HTTPS://H").otherwise("https://h"),
+            (F.col("id") % 4).cast("string"),
+            F.lit(".com/p/"),
+            (F.col("id") % 10).cast("string"),
+            F.when(F.col("id") % 2 == 0, ":443/?utm_source=x").otherwise(""),
+        ).alias("url"),
+        (F.lit(100) + F.col("id")).alias("fetch_ts"),
+        F.concat(F.lit(base + " v"), (F.col("id") % 3).cast("string"))
+        .alias("text"),
+    )
+    topo = compile_config(
+        spark, "/root/repo/examples/web_curation.toml",
+        overrides={"crawl": crawl},
+    )
+    out = topo.resolve("weighted").collect()
+    # 4 hosts x 10 paths -> at most 40 canonical pages; the messy/clean
+    # spellings of the same (host, path) collapse to one row each
+    canon = {r.canon_url for r in out}
+    assert len(out) == len(canon) == 20
+    assert all(r.dup_weight > 0 for r in out)
